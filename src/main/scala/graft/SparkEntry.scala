@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator family from
+  * SURVEY.md §2 (or a beyond-reference training-data op) against the
+  * synthetic tables in TESTDATA.md; [[oracleSql]] holds the DuckDB-
+  * equivalent SQL for the driver's hash compare.
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB):
+  *   - money sums go through exact integer cents (double-sum order is
+  *     engine-dependent; integer sums are not);
+  *   - ratios are a single division of two exact aggregates;
+  *   - quantiles are computed over integral-valued columns only (linear
+  *     interpolation is then exact in both engines);
+  *   - event-time math happens in the epoch-integer domain;
+  *   - every computed column is lowercase-aliased identically in both
+  *     dialects.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
+}
+
+/** The operator-demonstration query set (SURVEY.md §2 inventory). */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact integer cents of a 2-decimal double column (deterministic across
+    * engines: products/rounds of identical doubles are IEEE-deterministic;
+    * only SUM order varies, and integer sums are order-independent). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------------
+  // A1/A3/A6-shaped: grouped aggregation (sums, counts, ratio)
+  // ---------------------------------------------------------------------
+  /** TPC-H Q1-shaped pricing summary: filter + groupBy + sums/ratio.
+    * Scale: partial (map-side) aggregation then one exchange on the tiny
+    * group key — the canonical scalable aggregate. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long")).as("sum_disc_price_e4"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+      |  count(*) AS cnt,
+      |  sum(l_quantity) / count(*) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P13/P15: filter + projection (pushdown-friendly)
+  // ---------------------------------------------------------------------
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+
+  val filterProjectSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 150000""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P1: positional union (reference merges blob + JDBC rows by position)
+  // ---------------------------------------------------------------------
+  def unionPositional(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("open").as("bucket"))
+    val done = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("finished").as("bucket"))
+    open.union(done) // positional, UNION ALL semantics — like the reference
+  }
+
+  val unionPositionalSql: String =
+    """SELECT o_orderkey, o_totalprice, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'finished' AS bucket FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P2-P4: split + explode (Generate) + aggregate — narrow then one shuffle
+  // ---------------------------------------------------------------------
+  def tokenizeExplode(s: SparkSession, dir: String): DataFrame =
+    Flatten.explodeDelimited(t(s, dir, "documents"), "text", " ", "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  val tokenizeExplodeSql: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |) GROUP BY token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P10-P12: schema-driven validation fold (trim strings, abs numerics)
+  // ---------------------------------------------------------------------
+  def validateClean(s: SparkSession, dir: String): DataFrame =
+    Validate.clean(t(s, dir, "customer"))
+
+  val validateCleanSql: String =
+    """SELECT abs(c_custkey) AS c_custkey, trim(c_name) AS c_name,
+      |  abs(c_nationkey) AS c_nationkey, abs(c_acctbal) AS c_acctbal,
+      |  trim(c_mktsegment) AS c_mktsegment FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P7: regexp_replace clean
+  // ---------------------------------------------------------------------
+  def regexpClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("p_name_novowels"))
+
+  val regexpCleanSql: String =
+    """SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS p_name_novowels
+      |FROM part""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J1: broadcast LEFT equi-join, fact x dim (explicit broadcast hint)
+  // ---------------------------------------------------------------------
+  def joinBroadcastLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("p_brand"), col("p_type"))
+
+  val joinBroadcastLeftSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, p_brand, p_type
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J2: inner equi-join USING (dedup'd key column)
+  // ---------------------------------------------------------------------
+  def joinUsingInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      .join(t(s, dir, "customer"), Seq("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("c_mktsegment"),
+        col("o_orderstatus"))
+
+  val joinUsingInnerSql: String =
+    """SELECT o_custkey AS c_custkey, o_orderkey, c_mktsegment, o_orderstatus
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1: unbounded window sum per entity (exact via integer cents)
+  // ---------------------------------------------------------------------
+  def windowUserTotal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("value_cents", cents(col("value")))
+      .withColumn("user_total_cents",
+        sum(col("value_cents")).over(Window.partitionBy("user_id")))
+      .select(col("event_id"), col("user_id"), col("user_total_cents"))
+
+  val windowUserTotalSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id) AS BIGINT) AS user_total_cents
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A2: conditional windowed sums (filtered-agg idiom), 3 buckets
+  // ---------------------------------------------------------------------
+  def windowCondSums(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("value_cents", cents(col("value")))
+    val engaged = Seq("purchase", "signup")
+    val passive = Seq("view", "click")
+    e.withColumn("engaged_cents",
+        Classify.windowCondSum("user_id",
+          col("event_type").isin(engaged: _*), col("value_cents")))
+      .withColumn("passive_cents",
+        Classify.windowCondSum("user_id",
+          col("event_type").isin(passive: _*), col("value_cents")))
+      .withColumn("error_cents",
+        Classify.windowCondSum("user_id",
+          col("event_type") === "error", col("value_cents")))
+      .select(col("event_id"), col("user_id"), col("engaged_cents"),
+        col("passive_cents"), col("error_cents"))
+  }
+
+  val windowCondSumsSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CASE WHEN event_type IN ('purchase','signup') THEN CAST(round(value*100) AS BIGINT) ELSE 0 END)
+      |    OVER (PARTITION BY user_id) AS BIGINT) AS engaged_cents,
+      |  CAST(SUM(CASE WHEN event_type IN ('view','click') THEN CAST(round(value*100) AS BIGINT) ELSE 0 END)
+      |    OVER (PARTITION BY user_id) AS BIGINT) AS passive_cents,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END)
+      |    OVER (PARTITION BY user_id) AS BIGINT) AS error_cents
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A3: exact per-group quantiles, ONE job (vs reference's 7 serial jobs)
+  // ---------------------------------------------------------------------
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.perGroup(t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+      Seq(0.25, 0.5, 0.75))
+
+  val groupQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.50) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A4: dropDuplicates == DISTINCT on a projected key set
+  // ---------------------------------------------------------------------
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates()
+
+  val distinctPairsSql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  // ---------------------------------------------------------------------
+  // A5: groupBy().count() distribution check
+  // ---------------------------------------------------------------------
+  def groupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val groupCountSql: String =
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+
+  // ---------------------------------------------------------------------
+  // U1: all-or-nothing category (reference integer-division semantics),
+  // UDF-free when-chain over windowed conditional counts
+  // ---------------------------------------------------------------------
+  def categoryProportion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val e = t(s, dir, "events")
+      .withColumn("total", count(lit(1)).over(w))
+      .withColumn("purchases",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w))
+      .withColumn("errors",
+        sum(when(col("event_type") === "error", 1).otherwise(0)).over(w))
+      .withColumn("passives",
+        sum(when(col("event_type").isin("view", "click"), 1).otherwise(0)).over(w))
+    val category = Classify.allOrNothingCategory(
+      Seq("Buyer" -> col("purchases"), "ErrorProne" -> col("errors"),
+        "Lurker" -> col("passives")),
+      col("total"), "Mixed")
+    e.withColumn("category", category)
+      .select(col("user_id"), col("category"))
+      .dropDuplicates(Seq("user_id")) // deterministic: constant per user
+  }
+
+  val categoryProportionSql: String =
+    """SELECT user_id,
+      |  CASE WHEN purchases = total THEN 'Buyer'
+      |       WHEN errors = total THEN 'ErrorProne'
+      |       WHEN passives = total THEN 'Lurker'
+      |       ELSE 'Mixed' END AS category
+      |FROM (
+      |  SELECT user_id, count(*) AS total,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+      |    sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS passives
+      |  FROM events GROUP BY user_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // U2: quantile-threshold segmentation — per-group thresholds from ONE
+  // quantile job, broadcast-joined, strict `>`, guard ranges with gaps
+  // ---------------------------------------------------------------------
+  def segmentQuantile(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      // epoch-integer time math: deterministic across engines
+      .withColumn("epoch_h", expr("ts_ns DIV 3600000000000"))
+      .withColumn("hour_of_day", (col("epoch_h") % 24).cast("int"))
+      .withColumn("dow_bucket", expr("CAST((epoch_h DIV 24) % 7 AS INT)"))
+      .withColumn("value_cents", cents(col("value")))
+    val thresholds = Quantiles.perGroup(e, "dow_bucket", "value_cents",
+      Seq(0.25, 0.5, 0.75))
+    val perUser = e.withColumn("user_events",
+      count(lit(1)).over(Window.partitionBy("user_id")))
+    val joined = perUser.join(broadcast(thresholds), Seq("dow_bucket"))
+    // guard: hour-of-day bands with deliberate gaps (8,9,20) like U2's dspo
+    val seg = when(col("hour_of_day") <= 7 &&
+        col("user_events") * 100 > col("q75"), "night_heavy")
+      .when(col("hour_of_day").between(10, 19) &&
+        col("user_events") * 100 > col("q50"), "day_mid")
+      .when(col("hour_of_day") >= 21 &&
+        col("user_events") * 100 > col("q25"), "evening_light")
+      .otherwise("undefined")
+    joined.withColumn("segment", seg)
+      .groupBy(col("segment")).agg(count(lit(1)).as("cnt"))
+  }
+
+  val segmentQuantileSql: String =
+    """WITH e AS (
+      |  SELECT *,
+      |    epoch_ns(ts) // 3600000000000 AS epoch_h,
+      |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS INT) AS hour_of_day,
+      |    CAST(((epoch_ns(ts) // 3600000000000) // 24) % 7 AS INT) AS dow_bucket,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents
+      |  FROM events),
+      |th AS (
+      |  SELECT dow_bucket,
+      |    quantile_cont(value_cents, 0.25) AS q25,
+      |    quantile_cont(value_cents, 0.50) AS q50,
+      |    quantile_cont(value_cents, 0.75) AS q75
+      |  FROM e GROUP BY dow_bucket),
+      |pu AS (
+      |  SELECT *, count(*) OVER (PARTITION BY user_id) AS user_events FROM e)
+      |SELECT CASE
+      |    WHEN hour_of_day <= 7 AND user_events * 100 > q75 THEN 'night_heavy'
+      |    WHEN hour_of_day BETWEEN 10 AND 19 AND user_events * 100 > q50 THEN 'day_mid'
+      |    WHEN hour_of_day >= 21 AND user_events * 100 > q25 THEN 'evening_light'
+      |    ELSE 'undefined' END AS segment,
+      |  count(*) AS cnt
+      |FROM pu JOIN th USING (dow_bucket)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P5/P8: cast with truncation + when/otherwise domain repair
+  // ---------------------------------------------------------------------
+  def castWhenRepair(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      floor(col("value")).cast("long").as("value_floor"),
+      when(col("event_type") === "error", lit(0)).otherwise(lit(1)).as("ok"))
+
+  val castWhenRepairSql: String =
+    """SELECT event_id, CAST(floor(value) AS BIGINT) AS value_floor,
+      |  CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS ok
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: distributed JSON field extraction (the reference
+  // parses JSON driver-side with json4s; at 100 TB it must be an executor-
+  // side codegen'd path)
+  // ---------------------------------------------------------------------
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: date_trunc month rollup
+  // ---------------------------------------------------------------------
+  def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+
+  val monthlyOrdersSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // §2.6 gap filled: global sort + limit (TopK) with deterministic tiebreak
+  // ---------------------------------------------------------------------
+  def topKOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+
+  val topKOrdersSql: String =
+    """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference set ops: anti + semi joins
+  // ---------------------------------------------------------------------
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_filter_project" -> (filterProject _),
+    "q_union_positional" -> (unionPositional _),
+    "q_tokenize_explode" -> (tokenizeExplode _),
+    "q_validate_clean" -> (validateClean _),
+    "q_regexp_clean" -> (regexpClean _),
+    "q_join_broadcast_left" -> (joinBroadcastLeft _),
+    "q_join_using_inner" -> (joinUsingInner _),
+    "q_window_user_total" -> (windowUserTotal _),
+    "q_window_cond_sums" -> (windowCondSums _),
+    "q_group_quantiles" -> (groupQuantiles _),
+    "q_distinct_pairs" -> (distinctPairs _),
+    "q_group_count" -> (groupCount _),
+    "q_category_proportion" -> (categoryProportion _),
+    "q_segment_quantile" -> (segmentQuantile _),
+    "q_cast_when_repair" -> (castWhenRepair _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_monthly_orders" -> (monthlyOrders _),
+    "q_topk_orders" -> (topKOrders _),
+    "q_anti_join" -> (antiJoin _),
+    "q_semi_join" -> (semiJoin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_filter_project" -> filterProjectSql,
+    "q_union_positional" -> unionPositionalSql,
+    "q_tokenize_explode" -> tokenizeExplodeSql,
+    "q_validate_clean" -> validateCleanSql,
+    "q_regexp_clean" -> regexpCleanSql,
+    "q_join_broadcast_left" -> joinBroadcastLeftSql,
+    "q_join_using_inner" -> joinUsingInnerSql,
+    "q_window_user_total" -> windowUserTotalSql,
+    "q_window_cond_sums" -> windowCondSumsSql,
+    "q_group_quantiles" -> groupQuantilesSql,
+    "q_distinct_pairs" -> distinctPairsSql,
+    "q_group_count" -> groupCountSql,
+    "q_category_proportion" -> categoryProportionSql,
+    "q_segment_quantile" -> segmentQuantileSql,
+    "q_cast_when_repair" -> castWhenRepairSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_monthly_orders" -> monthlyOrdersSql,
+    "q_topk_orders" -> topKOrdersSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_semi_join" -> semiJoinSql,
+  )
 }
