@@ -1,0 +1,316 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.streaming.EventStream
+
+/** Training-data pipeline queries: dedup, similarity search, text
+  * analysis, multimodal plumbing, streaming — the beyond-reference
+  * operator families (builder prompt / BASELINE.json north star).
+  *
+  * Oracle SQL for hash-based operators is GENERATED from the same
+  * constants as the Spark plan (StableHash), so both engines compute
+  * bit-identical signatures.
+  */
+object QueriesML {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // Dedup: exact
+  // ---------------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+
+  val dedupExactSql: String =
+    """SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  count(*) AS dup_count FROM documents GROUP BY text""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Text statistics + quality score
+  // ---------------------------------------------------------------------
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.stats(t(s, dir, "documents"), "text")
+    st.select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+      col("punct_chars"),
+      round(TextAnalysis.qualityScore(col("n_tokens"), col("stop_hits"),
+        col("punct_chars"), col("n_chars_m")), 6).as("quality_r"))
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS INT) AS stop_hits,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_chars,
+      |  round((
+      |    CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0
+      |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS DOUBLE)
+      |            / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+      |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+      |            / CAST(greatest(length(text), 1) AS DOUBLE))
+      |  ) / 3.0, 6) AS quality_r
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Language-ID heuristic (stopword profiles, argmax w/ ordered tiebreak)
+  // ---------------------------------------------------------------------
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val langIdSql: String = {
+    val profiles = TextAnalysis.LangStopwords
+    val countExpr = profiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS INT) AS c_$lang"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1)
+    val maxExpr = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+    val caseArms = langs.map { l =>
+      s"WHEN c_$l > 0 AND c_$l = $maxExpr THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang,
+       |  CASE
+       |    $caseArms
+       |    ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |    $countExpr
+       |  FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Document fingerprints: content md5 + rolling-hash shingle min
+  // ---------------------------------------------------------------------
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+      TextAnalysis.shingleFingerprint(col("text"), 8).as("shingle_fp"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+       |  CAST(list_min(list_transform(
+       |    generate_series(1, greatest(length(text) - 7, 1)),
+       |    i -> ${StableHash.stable32Sql("substr(text, i, 8)")})) AS BIGINT) AS shingle_fp
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash signatures + LSH candidate pairs
+  // ---------------------------------------------------------------------
+  val MinhashK = 8
+  val MinhashBands = 4
+  val ShingleN = 5
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+      ShingleN, MinhashK)
+
+  private val shinglesCte: String =
+    s"""sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
+       |      i -> substr(text, i, $ShingleN))) AS shingle
+       |    FROM documents)),
+       |  hx AS (SELECT doc_id, ${StableHash.stable32Sql("shingle")} AS x FROM sh)""".stripMargin
+
+  private val sigSelect: String = {
+    val cols = (0 until MinhashK).map { i =>
+      s"CAST(min(${StableHash.universalSql("x", i)}) AS BIGINT) AS mh$i"
+    }.mkString(",\n    ")
+    s"SELECT doc_id, $cols FROM hx GROUP BY doc_id"
+  }
+
+  val minhashSignaturesSql: String =
+    s"WITH $shinglesCte\nSELECT * FROM ($sigSelect)"
+
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+      ShingleN, MinhashK, MinhashBands)
+
+  val minhashLshPairsSql: String = {
+    val r = MinhashK / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val sigCols = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', $sigCols)) AS bk FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $shinglesCte,
+       |  sig AS ($sigSelect),
+       |  bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |  AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // n-gram Jaccard near-dup pairs (blocked by lang)
+  // ---------------------------------------------------------------------
+  val JaccardThreshold = 0.5
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      "lang", ShingleN, JaccardThreshold)
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |  blk AS (SELECT s.doc_id, d.lang, s.shingle
+       |          FROM sh s JOIN documents d USING (doc_id)),
+       |  inter AS (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |    FROM blk a JOIN blk b
+       |      ON a.lang = b.lang AND a.shingle = b.shingle
+       |      AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $JaccardThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SimHash signatures
+  // ---------------------------------------------------------------------
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+
+  val simhashSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n      ")
+    val sigSum = (0 until 32).map { j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |  hs AS (SELECT doc_id, ${StableHash.stable32Sql("tok")} AS h FROM toks),
+       |  bits AS (SELECT doc_id,
+       |      $bitSums
+       |    FROM hs GROUP BY doc_id)
+       |SELECT doc_id, CAST($sigSum AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ANN: brute-force cosine top-k (fixed-point exact arithmetic)
+  // ---------------------------------------------------------------------
+  val AnnK = 3
+  val AnnQueryCount = 5
+
+  def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
+      "vec_id", "embedding", AnnK)
+  }
+
+  private val fixedPointCte: String =
+    s"""fp AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |  nrm AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM fp)""".stripMargin
+
+  val annBruteTopKSql: String =
+    s"""WITH $fixedPointCte,
+       |  scored AS (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS DOUBLE)
+       |        / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+       |    FROM nrm q, nrm c
+       |    WHERE q.vec_id < $AnnQueryCount AND c.vec_id <> q.vec_id),
+       |  ranked AS (SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+       |    FROM scored)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 6) AS cos_r
+       |FROM ranked WHERE rank <= $AnnK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Embedding near-dup pairs (exact cosine threshold)
+  // ---------------------------------------------------------------------
+  val NearDupThreshold = 0.3
+
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      NearDupThreshold)
+
+  val embedNearDupSql: String =
+    s"""WITH $fixedPointCte
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cos_r
+       |FROM nrm a, nrm b
+       |WHERE a.vec_id < b.vec_id
+       |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= $NearDupThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Multimodal: binary payload + typed mapPartitions feature extraction
+  // ---------------------------------------------------------------------
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.toMediaFrame(t(s, dir, "documents"),
+      "doc_id", "text", "text/plain")
+    Multimodal.extractFeatures(s, media).toDF()
+  }
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  md5(text) AS content_md5,
+      |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+      |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+      |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Structured Streaming: hourly rollup via Trigger.AvailableNow
+  // ---------------------------------------------------------------------
+  private val streamRun = new AtomicInteger(0)
+
+  def streamingHourly(s: SparkSession, dir: String): DataFrame =
+    EventStream.hourlyRollup(s, dir,
+      queryName = s"events_hourly_${streamRun.incrementAndGet()}")
+
+  val streamingHourlySql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS epoch_h, event_type,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langId _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_minhash_signatures" -> (minhashSignatures _),
+    "q_minhash_lsh_pairs" -> (minhashLshPairs _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_simhash" -> (simhash _),
+    "q_ann_brute_topk" -> (annBruteTopK _),
+    "q_embed_neardup" -> (embedNearDup _),
+    "q_multimodal_features" -> (multimodalFeatures _),
+    "q_streaming_hourly" -> (streamingHourly _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_minhash_signatures" -> minhashSignaturesSql,
+    "q_minhash_lsh_pairs" -> minhashLshPairsSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_simhash" -> simhashSql,
+    "q_ann_brute_topk" -> annBruteTopKSql,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_streaming_hourly" -> streamingHourlySql,
+  )
+}

@@ -29,9 +29,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.pricingSummary(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ QueriesML.all
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ QueriesML.oracles
 }
 
 /** The operator-demonstration query set (SURVEY.md §2 inventory). */
@@ -391,15 +392,18 @@ object Queries {
   // ---------------------------------------------------------------------
   // Beyond-reference set ops: anti + semi joins
   // ---------------------------------------------------------------------
+  /** Customers with no urgent-priority order — filtered build side keeps
+    * the anti-join result non-empty at every scale factor. */
   def antiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   val antiJoinSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")

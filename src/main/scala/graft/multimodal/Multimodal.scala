@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns traveling next to typed
+  * metadata — the schema/partitioning pattern for a 100 TB multimodal
+  * corpus. Decode/feature-extract runs as a typed `mapPartitions` over a
+  * `Dataset[MediaRecord]` so per-partition state (a decoder handle, a
+  * model session) is initialized once per task, not per row — the Scala
+  * analogue of a batched pandas UDF.
+  *
+  * The actual codec is STUBBED ([[DecodeStub]]): no image/audio libs in
+  * this container. The stub is deterministic so the pipeline around it —
+  * schema, batching, partitioning, feature columns — is fully testable;
+  * swap [[DecodeStub.decode]] for a real codec binding in production.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
+  case class MediaFeatures(doc_id: Long, byte_len: Int, content_md5: String,
+                           width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder: derives fake-but-deterministic media dimensions from
+    * the payload bytes. Replace with a real codec (JNI/FFI) binding. */
+  object DecodeStub {
+    def decode(media: Array[Byte]): (Int, Int, Int) = {
+      val n = media.length
+      (n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1)
+    }
+  }
+
+  /** Wrap a text/binary-source DataFrame into the canonical media frame:
+    * (doc_id, media binary, media_type). */
+  def toMediaFrame(df: DataFrame, idCol: String, payloadCol: String,
+                   mediaType: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("media"),
+      lit(mediaType).as("media_type"))
+
+  /** Decode + feature-extract via typed mapPartitions (per-partition
+    * decoder init; rows stream through without materializing the
+    * partition). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition decoder/session init would go here
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        val (w, h, f) = DecodeStub.decode(rec.media)
+        digest.reset()
+        val hash = digest.digest(rec.media).map("%02x".format(_)).mkString
+        MediaFeatures(rec.doc_id, rec.media.length, hash, w, h, f)
+      }
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the point of each shape):
+  *  - exact: one hash-aggregate on the dedup key — partial (map-side)
+  *    aggregation collapses duplicates before the shuffle, so shuffle
+  *    volume is O(distinct), not O(rows).
+  *  - minhash: explode-to-shingles is narrow; the signature aggregate is
+  *    a set of `min()`s, all partial-aggregable, so each map task emits
+  *    at most k values per doc. LSH banding then shuffles only
+  *    (band, band-hash) keys — never document text — and candidate
+  *    verification touches only bucket collisions, not n^2 pairs.
+  *  - simhash: same explode+aggregate shape, one 32-bit signature per
+  *    doc; near-dup = small hamming distance, joinable by rotating
+  *    bit-blocks (blocked here on a prefix block).
+  *  - jaccard: exact verification for candidate pairs only — always run
+  *    it AFTER a blocking/LSH stage at scale.
+  */
+object Dedup {
+
+  /** Exact dedup on `keyCols`: one representative (min of `idCol`) and
+    * the duplicate count per distinct key. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct character n-gram shingles: (id, shingle) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))
+    df.select(col(idCol),
+        explode(transform(positions, i => col(textCol).substr(i, lit(n)))).as("shingle"))
+      .distinct()
+  }
+
+  /** k-function MinHash signatures: one row per doc, columns mh0..mh(k-1).
+    * Hash family is engine-portable (StableHash): signatures can be
+    * recomputed bit-for-bit by any SQL engine. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, k: Int = 8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("x", StableHash.stable32(col("shingle")))
+    val aggs = (0 until k).map(i => min(StableHash.universal(col("x"), i)).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: b bands of r rows each
+    * (b*r must equal the signature width k). Emits (id, band, band_key). */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int,
+               bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandRows = (0 until bands).map { b =>
+      val sigCols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
+      signatures.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws("_", sigCols: _*)).as("band_key"))
+    }
+    bandRows.reduce(_ union _)
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val b = lshBands(sigs, idCol, k, bands)
+    val left = b.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val right = b.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    left.join(right, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing a blocking key.
+    * `blockCol` bounds the quadratic term: n^2 only within a block. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 5,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val blocks = df.select(col(idCol), col(blockCol))
+    val withBlock = sh.join(blocks, idCol)
+    val a = withBlock.select(col(blockCol), col("shingle"),
+      col(idCol).as("id_a"))
+    val b = withBlock.select(col(blockCol), col("shingle"),
+      col(idCol).as("id_b"))
+    val inter = a.join(b, Seq(blockCol, "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per document over word tokens (with multiplicity):
+    * bit j of the signature is the sign of sum(+-1) of token-hash bit j.
+    */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", StableHash.stable32(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+}

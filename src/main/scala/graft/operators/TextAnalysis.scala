@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Text-corpus analysis for training-data pipelines: token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All expressions are built-in / codegen'd (no UDFs) and narrow (no
+  * shuffle): at 100 TB these run as a pure map stage over the corpus.
+  */
+object TextAnalysis {
+
+  /** Default stopword sets for the language-ID heuristic. First match
+    * (strict greater-than in declaration order) wins; fallback "und". */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  def tokensOf(text: Column): Column = split(text, " ")
+
+  /** Count of tokens belonging to `set` (array-filter, no explode). */
+  def tokenSetCount(text: Column, set: Seq[String]): Column = {
+    val arr = array(set.map(lit): _*)
+    size(filter(tokensOf(text), t => array_contains(arr, t)))
+  }
+
+  /** Per-document statistics: token count, char count, average token
+    * length, stopword ratio, punctuation ratio. */
+  def stats(df: DataFrame, textCol: String,
+            stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val text = col(textCol)
+    val nTokens = size(tokensOf(text))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_m", length(text))
+      .withColumn("stop_hits", tokenSetCount(text, stopwords))
+      .withColumn("punct_chars",
+        length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+  }
+
+  /** Composite quality score in [0,1]-ish: penalize very short docs,
+    * high stopword share, high punctuation share. Single deterministic
+    * double expression (exact-int numerators / denominators). */
+  def qualityScore(nTokens: Column, stopHits: Column,
+                   punctChars: Column, nChars: Column): Column = {
+    val lengthTerm = least(nTokens, lit(100)).cast("double") / lit(100.0)
+    val stopTerm = lit(1.0) - stopHits.cast("double") / greatest(nTokens, lit(1)).cast("double")
+    val punctTerm = lit(1.0) - punctChars.cast("double") / greatest(nChars, lit(1)).cast("double")
+    (lengthTerm + stopTerm + punctTerm) / lit(3.0)
+  }
+
+  /** Stopword-profile language ID: count hits per language's stopword
+    * set; argmax with first-declared-wins tiebreak; "und" if all zero. */
+  def langId(text: Column,
+             profiles: Seq[(String, Seq[String])] = LangStopwords): Column = {
+    val counts = profiles.map { case (lang, words) =>
+      lang -> tokenSetCount(text, words)
+    }
+    val maxCount = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("und"): Column) { case ((lang, cnt), el) =>
+      when(cnt > 0 && cnt === maxCount, lit(lang)).otherwise(el)
+    }
+  }
+
+  /** Content fingerprint: md5 of normalized text (exact-dup key). */
+  def contentFingerprint(text: Column): Column =
+    md5(lower(trim(text)))
+
+  /** Rolling-hash document fingerprint: minimum stable hash over all
+    * character n-gram shingles — a 1-function minhash, usable as a
+    * cheap near-dup blocking key. Narrow (array ops, no explode). */
+  def shingleFingerprint(text: Column, n: Int = 8): Column = {
+    val positions = sequence(lit(1), greatest(length(text) - (n - 1), lit(1)))
+    array_min(transform(positions, i => StableHash.stable32(text.substr(i, lit(n)))))
+  }
+}

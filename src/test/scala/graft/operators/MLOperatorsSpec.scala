@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.StableHash
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
+    val out = Dedup.exact(df, Seq("text"), "id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("x", 1L, 2L), ("y", 3L, 1L)))
+  }
+
+  test("minhash signatures identical for identical texts, and near-dups collide in LSH") {
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val nearDup = near + " ok" // high shingle overlap
+    val other = "completely different content with nothing shared at all here"
+    val df = Seq((1L, near), (2L, near), (3L, nearDup), (4L, other))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 5, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must have identical signatures")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text", 5, 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dups must be candidates")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near-dup should collide in at least one band")
+    assert(!pairs.contains((1L, 4L)), "unrelated docs should not collide")
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint pairs absent") {
+    val df = Seq((1L, "aaaaabbbbb", "g"), (2L, "aaaaabbbbb", "g"),
+      (3L, "zzzzzyyyyy", "g")).toDF("doc_id", "text", "blk")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "blk", 5, 0.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(!out.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " lambda" // one extra token
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val out = Dedup.simhash32(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    val dist = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(dist <= 8, s"near-dup hamming distance $dist too large")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(seed: Int, n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("bruteTopK: planted duplicate is always rank 1 with cos ~ 1") {
+    val base = vecs(7, 20, 16)
+    // plant: vec 19 := vec 0 (+ tiny noise via exact copy here)
+    val planted = base.updated(19, (19L, base(0)._2.clone()))
+    val df = planted.toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.head._2 == 19L, s"expected planted dup first, got ${out.toSeq}")
+    assert(math.abs(out.head._4 - 1.0) < 1e-4)
+  }
+
+  test("lshBucketTopK finds planted duplicate (same bucket by construction)") {
+    val base = vecs(11, 50, 16)
+    val planted = base.updated(49, (49L, base(1)._2.clone()))
+    val df = planted.toDF("vec_id", "embedding")
+    val out = Similarity.lshBucketTopK(df, df.filter($"vec_id" === 1),
+        "vec_id", "embedding", dim = 16, k = 3, planes = 6)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.exists(r => r._2 == 49L && r._3 == 1),
+      s"planted dup must share every SRP bucket: ${out.toSeq}")
+  }
+
+  test("nearDupPairs finds only the planted pair at high threshold") {
+    val base = vecs(13, 30, 16)
+    val planted = base.updated(29, (29L, base(2)._2.clone()))
+    val df = planted.toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((2L, 29L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits, first-wins ties") {
+    val df = Seq(
+      (1L, "the cat of the house is here"), // en
+      (2L, "el gato de la casa es grande"), // es
+      (3L, "xyzzy plugh") // none -> und
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "es"); assert(out(3L) == "und")
+  }
+
+  test("stats + quality score bounded and deterministic") {
+    val df = Seq((1L, "the the the . . . x")).toDF("id", "text")
+    val st = TextAnalysis.stats(df, "text")
+    val q = st.select(TextAnalysis.qualityScore($"n_tokens", $"stop_hits",
+      $"punct_chars", $"n_chars_m")).as[Double].head()
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("shingleFingerprint equals min of stable32 over shingles") {
+    val text = "abcdefghij"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val fp = df.select(TextAnalysis.shingleFingerprint($"text", 8)).as[Long].head()
+    val expected = (1 to 3).map { i =>
+      df.select(StableHash.stable32(lit(text.substring(i - 1, i - 1 + 8)))).as[Long].head()
+    }.min
+    assert(fp == expected)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("typed mapPartitions feature extraction matches SQL arithmetic") {
+    val df = spark.createDataFrame(Seq((1L, "hello world"), (2L, "abc")))
+      .toDF("doc_id", "text")
+    val media = Multimodal.toMediaFrame(df, "doc_id", "text", "text/plain")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len == 11)
+    assert(feats(1L).width == 11 % 640 + 1)
+    assert(feats(1L).height == (11 * 7) % 480 + 1)
+    assert(feats(2L).content_md5 ==
+      "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly rollup equals the batch equivalent") {
+    val streamed = graft.streaming.EventStream
+      .hourlyRollup(spark, sfDir, queryName = "t_hourly")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(expr("ts_ns DIV 3600000000000").as("epoch_h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+}
