@@ -152,19 +152,26 @@ object QueriesML {
   // ---------------------------------------------------------------------
   val JaccardThreshold = 0.5
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      "lang", ShingleN, JaccardThreshold)
+  /** Blocking key = language x 64-char length bucket: bounds the n^2
+    * inverted-index fanout (near-dups rarely differ much in length). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("blk",
+      concat_ws("_", col("lang"), expr("length(text) DIV 64")))
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk", ShingleN,
+      JaccardThreshold)
+  }
 
   val ngramJaccardSql: String =
     s"""WITH $shinglesCte,
        |  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       |  blk AS (SELECT s.doc_id, d.lang, s.shingle
+       |  blk AS (SELECT s.doc_id,
+       |            concat_ws('_', d.lang, length(d.text) // 64) AS bk,
+       |            s.shingle
        |          FROM sh s JOIN documents d USING (doc_id)),
        |  inter AS (
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |    FROM blk a JOIN blk b
-       |      ON a.lang = b.lang AND a.shingle = b.shingle
+       |      ON a.bk = b.bk AND a.shingle = b.shingle
        |      AND a.doc_id < b.doc_id
        |    GROUP BY 1, 2)
        |SELECT id_a, id_b,

@@ -31,13 +31,16 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct character n-gram shingles: (id, shingle) rows. */
+  /** Distinct character n-gram shingles: (id, shingle) rows.
+    * Dedup happens per-row with `array_distinct` BEFORE the explode —
+    * a narrow map — rather than a global `.distinct()`, which would
+    * shuffle every (id, shingle) row just to dedup within each id. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
     val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))
     df.select(col(idCol),
-        explode(transform(positions, i => col(textCol).substr(i, lit(n)))).as("shingle"))
-      .distinct()
+      explode(array_distinct(
+        transform(positions, i => col(textCol).substr(i, lit(n))))).as("shingle"))
   }
 
   /** k-function MinHash signatures: one row per doc, columns mh0..mh(k-1).
@@ -78,7 +81,12 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing a blocking key.
-    * `blockCol` bounds the quadratic term: n^2 only within a block. */
+    * `blockCol` bounds the quadratic term: n^2 only within a block —
+    * choose it so blocks stay small (e.g. language x length-bucket;
+    * near-dups rarely differ much in length). At 100 TB the inverted-
+    * index join's fanout on high-document-frequency shingles is the
+    * bottleneck: tighter blocking (or prefix filtering / LSH candidates
+    * first) is mandatory, not optional. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 5,
                         minJaccard: Double = 0.0): DataFrame = {
