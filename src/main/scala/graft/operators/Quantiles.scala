@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** One row per group: group, q_<p*100> for each probability. */
+  /** One row per group: group, q_<p*100> for each probability.
+    * Interpolated (percentile_cont) semantics — matches DuckDB
+    * quantile_cont for cross-engine oracles. */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
                probs: Seq[Double], exact: Boolean = true,
                approxAccuracy: Int = 10000): DataFrame = {
@@ -29,6 +31,22 @@ object Quantiles {
         if (exact) percentile(col(valueCol), lit(p))
         else percentile_approx(col(valueCol), lit(p), lit(approxAccuracy))
       c.as(name)
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Element-based quantiles (returns actual data elements), matching
+    * the reference's `stat.approxQuantile(..., relativeError=0.0)`
+    * convention — but for ALL groups in one job instead of one driver
+    * action per group. Exact while group sizes stay below accuracy/2;
+    * raise `accuracy` (more memory) or accept the bounded error at
+    * larger scales. */
+  def perGroupElement(df: DataFrame, groupCol: String, valueCol: String,
+                      probs: Seq[Double],
+                      accuracy: Int = 1 << 20): DataFrame = {
+    val aggs = probs.map { p =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"q${(p * 100).round}")
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Pluggable sinks (reference S7-S9, ApplaudoETL.scala:278-285: parquet
+  * or console, "change storeData to store wherever"). */
+trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+/** Overwrite-mode parquet directory per logical table (reference S7).
+  * `partitionBy` is the 100 TB knob the reference lacks: partition by a
+  * low-cardinality pruning column (e.g. date) so downstream reads prune
+  * at the listing level. */
+case class ParquetSink(resultPath: String, tableName: String,
+                       partitionBy: Seq[String] = Nil) extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val w = df.write.mode("overwrite")
+    val p = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    p.parquet(s"$resultPath/$tableName")
+  }
+}
+
+/** `show(n)` fallback when no result path is given (reference S8). */
+case class ConsoleSink(rows: Int = 10) extends Sink {
+  override def write(df: DataFrame): Unit = df.show(rows, truncate = false)
+}
