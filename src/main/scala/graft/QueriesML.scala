@@ -103,8 +103,8 @@ object QueriesML {
   // ---------------------------------------------------------------------
   // MinHash signatures + LSH candidate pairs
   // ---------------------------------------------------------------------
-  val MinhashK = 8
-  val MinhashBands = 4
+  val MinhashK = 16   // 4 bands x 4 rows: P(candidate | j=0.5) ~ 0.23,
+  val MinhashBands = 4 // steep S-curve around j ~ 0.7 — standard params
   val ShingleN = 5
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
@@ -152,22 +152,34 @@ object QueriesML {
   // ---------------------------------------------------------------------
   val JaccardThreshold = 0.5
 
-  /** Blocking key = language x 64-char length bucket: bounds the n^2
-    * inverted-index fanout (near-dups rarely differ much in length). */
+  val JaccardW = 3
+
+  /** Word 3-gram (w-shingling) Jaccard. Blocking key = language x
+    * 64-char length bucket: bounds the n^2 inverted-index fanout
+    * (near-dups rarely differ much in length); word grams keep
+    * per-shingle document frequency low (char 5-grams over a small
+    * vocabulary each matched hundreds of docs -> join explosion). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("blk",
       concat_ws("_", col("lang"), expr("length(text) DIV 64")))
-    Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk", ShingleN,
-      JaccardThreshold)
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk", JaccardW,
+      JaccardThreshold, wordGrams = true)
   }
 
+  private val wordShinglesCte: String =
+    s"""wsh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(string_split(text, ' ')) - ${3 - 1}, 1)),
+       |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${3 - 1}), ' '))) AS shingle
+       |    FROM documents))""".stripMargin
+
   val ngramJaccardSql: String =
-    s"""WITH $shinglesCte,
-       |  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    s"""WITH $wordShinglesCte,
+       |  sizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
        |  blk AS (SELECT s.doc_id,
        |            concat_ws('_', d.lang, length(d.text) // 64) AS bk,
        |            s.shingle
-       |          FROM sh s JOIN documents d USING (doc_id)),
+       |          FROM wsh s JOIN documents d USING (doc_id)),
        |  inter AS (
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |    FROM blk a JOIN blk b

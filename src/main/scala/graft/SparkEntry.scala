@@ -416,6 +416,105 @@ object Queries {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Beyond-reference: hierarchical rollup aggregation
+  // ---------------------------------------------------------------------
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+
+  val rollupOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: sessionization via lag + cumulative window (the
+  // batch twin of stateful streaming sessionization). All time math in
+  // exact epoch-nanos integers.
+  // ---------------------------------------------------------------------
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Time math in epoch MICROseconds: DuckDB truncates nanosecond
+    * parquet timestamps to micros on read, so micros is the highest
+    * cross-engine-stable resolution. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val e = t(s, dir, "events")
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("brk")).over(byUser))
+    e.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        sum(cents(col("value"))).as("value_cents"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, epoch_us(ts) AS tn, value,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+       |  FROM events),
+       |y AS (SELECT user_id, tn, value,
+       |    CASE WHEN prev IS NULL OR tn - prev > $SessionGapUs THEN 1 ELSE 0 END AS brk
+       |  FROM x),
+       |z AS (SELECT user_id, tn, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY tn
+       |      ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM y)
+       |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       |  count(*) AS n_events,
+       |  CAST(max(tn) - min(tn) AS BIGINT) AS duration_us,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM z GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: pivot (wide conditional aggregation)
+  // ---------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events").groupBy(col("user_id"))
+      .pivot("event_type", EventTypes).agg(count(lit(1)))
+    p.select(col("user_id") +:
+      EventTypes.map(e => coalesce(col(e), lit(0L)).as(e)): _*)
+  }
+
+  val pivotCountsSql: String = {
+    val cols = EventTypes.map(e =>
+      s"count(CASE WHEN event_type = '$e' THEN 1 END) AS $e").mkString(",\n  ")
+    s"SELECT user_id,\n  $cols\nFROM events GROUP BY user_id"
+  }
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: ranking window functions (rank / dense_rank)
+  // ---------------------------------------------------------------------
+  def rankWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("price_cents").desc)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  val rankWindowSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(rank() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC) AS INT) AS rnk,
+      |    CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC) AS INT) AS drnk
+      |  FROM orders)
+      |WHERE rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -440,6 +539,10 @@ object Queries {
     "q_topk_orders" -> (topKOrders _),
     "q_anti_join" -> (antiJoin _),
     "q_semi_join" -> (semiJoin _),
+    "q_rollup_orders" -> (rollupOrders _),
+    "q_sessionize" -> (sessionize _),
+    "q_pivot_counts" -> (pivotCounts _),
+    "q_rank_window" -> (rankWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +567,9 @@ object Queries {
     "q_topk_orders" -> topKOrdersSql,
     "q_anti_join" -> antiJoinSql,
     "q_semi_join" -> semiJoinSql,
+    "q_rollup_orders" -> rollupOrdersSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_pivot_counts" -> pivotCountsSql,
+    "q_rank_window" -> rankWindowSql,
   )
 }

@@ -80,6 +80,19 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Distinct word w-gram shingles (w-shingling): (id, shingle) rows.
+    * Word shingles have far lower document frequency than character
+    * n-grams on natural text, which bounds the inverted-index join
+    * fanout in [[ngramJaccardPairs]]. Narrow (array ops + explode). */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String,
+                   w: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val positions = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    df.select(col(idCol),
+      explode(array_distinct(transform(positions,
+        i => concat_ws(" ", slice(toks, i, lit(w)))))).as("shingle"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing a blocking key.
     * `blockCol` bounds the quadratic term: n^2 only within a block —
     * choose it so blocks stay small (e.g. language x length-bucket;
@@ -89,8 +102,10 @@ object Dedup {
     * first) is mandatory, not optional. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 5,
-                        minJaccard: Double = 0.0): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+                        minJaccard: Double = 0.0,
+                        wordGrams: Boolean = false): DataFrame = {
+    val sh = if (wordGrams) wordShingles(df, idCol, textCol, n)
+             else shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val blocks = df.select(col(idCol), col(blockCol))
     val withBlock = sh.join(blocks, idCol)

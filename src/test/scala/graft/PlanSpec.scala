@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan assertions: the plans must stay the plans we designed
+  * for scale, not merely produce correct rows (SURVEY.md §4).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter+projection reach the parquet scan (pushdown + pruning)") {
+    val plan = executedPlan("q_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(plan.contains("o_orderstatus"), "filter must be pushed")
+    // column pruning: scan must not read o_orderdate
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderdate"), readSchema)
+  }
+
+  test("fact x dim join broadcasts the dim side, no shuffle of the fact") {
+    val plan = executedPlan("q_join_broadcast_left")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("grouped aggregation is partial (map-side) then final") {
+    val plan = executedPlan("q_pricing_summary")
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n${plan.take(800)}")
+  }
+
+  test("similarity scoring uses the native codegen'd dot product") {
+    val plan = executedPlan("q_ann_brute_topk")
+    assert(plan.contains("graft_dot_long"), plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query side must be broadcast")
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(executedPlan("q_semi_join").contains("LeftSemi"))
+    assert(executedPlan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the narrow transform pipeline") {
+    val plan = executedPlan("q_cast_when_repair")
+    // whole-stage codegen spans print as "*(n) Operator"
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      plan.take(800))
+  }
+}
