@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Structured Streaming over the events table.
   *
@@ -51,6 +51,46 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
+  case class UserEvent(user_id: Long, value_cents: Long)
+  case class UserTotal(user_id: Long, n_events: Long, value_cents: Long)
+
+  /** Typed arbitrary-state streaming (`mapGroupsWithState`): running
+    * per-user totals. The state store holds one UserTotal per user —
+    * bounded by user cardinality, partitioned by the grouping key, the
+    * canonical shape for per-entity rolling state at scale (add a
+    * timeout to evict idle entities in a continuous deployment). */
+  def runningUserTotals(spark: SparkSession, dir: String,
+                        queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .as[UserEvent]
+    val totals = stream.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.value_cents
+          events.foreach { e => n += 1; cents += e.value_cents }
+          val now = UserTotal(user, n, cents)
+          state.update(now)
+          now
+      }
+    val query = totals.toDF().writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()

@@ -146,6 +146,18 @@ class MultimodalSpec extends SparkSpec {
 
 class StreamingSpec extends SparkSpec {
 
+  test("stateful mapGroupsWithState totals equal the batch groupBy") {
+    val streamed = graft.streaming.EventStream
+      .runningUserTotals(spark, sfDir, "t_totals")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming hourly rollup equals the batch equivalent") {
     val streamed = graft.streaming.EventStream
       .hourlyRollup(spark, sfDir, queryName = "t_hourly")
