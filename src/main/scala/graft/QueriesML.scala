@@ -286,6 +286,29 @@ object QueriesML {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // As-of lookup: each purchase joined to the user's most recent prior
+  // signup — one window pass, no range join (operators.AsOf)
+  // ---------------------------------------------------------------------
+  def asofPriorSignup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000"))
+    AsOf.priorMarker(e, "user_id", "ts_us",
+        when(col("event_type") === "signup", col("ts_us")), "prior_signup_us")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("prior_signup_us"))
+  }
+
+  val asofPriorSignupSql: String =
+    """SELECT event_id, user_id, ts_us, prior_signup_us FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_us
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Structured Streaming: hourly rollup via Trigger.AvailableNow
   // ---------------------------------------------------------------------
   private val streamRun = new AtomicInteger(0)
@@ -316,6 +339,7 @@ object QueriesML {
     "q_embed_neardup" -> (embedNearDup _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_streaming_hourly" -> (streamingHourly _),
+    "q_asof_prior_signup" -> (asofPriorSignup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +355,6 @@ object QueriesML {
     "q_embed_neardup" -> embedNearDupSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_streaming_hourly" -> streamingHourlySql,
+    "q_asof_prior_signup" -> asofPriorSignupSql,
   )
 }

@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-deploy entry point for graft's native expressions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * }}}
+  *
+  * Sessions the library does not construct (notebooks, Thrift server,
+  * spark-submit) get `graft_dot_long` & co. at session build time; for
+  * sessions that already exist, [[GraftFunctions.register]] installs the
+  * same functions at runtime — both paths end in the same registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotLongName),
+      new ExpressionInfo(classOf[DotProductLong].getName,
+        GraftFunctions.DotLongName),
+      (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1))))
+  }
+}
