@@ -21,12 +21,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Unit =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      once() // warm-up
-      val t0 = System.nanoTime()
-      once()
-      name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up (codegen/JIT/file-index caches)
+      // min of two measured runs: resists host-level noise (shared box)
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -55,17 +55,22 @@ object Dedup {
   }
 
   /** LSH banding over a signature frame: b bands of r rows each
-    * (b*r must equal the signature width k). Emits (id, band, band_key). */
+    * (b*r must equal the signature width k). Emits (id, band, band_key).
+    * One explode over a per-row band array — NOT a union of b selects,
+    * which would recompute the whole signature aggregation b times. */
   def lshBands(signatures: DataFrame, idCol: String, k: Int,
                bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val bandRows = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val sigCols = (b * r until (b + 1) * r).map(i => col(s"mh$i"))
-      signatures.select(col(idCol), lit(b).as("band"),
+      struct(lit(b).as("band"),
         md5(concat_ws("_", sigCols: _*)).as("band_key"))
     }
-    bandRows.reduce(_ union _)
+    signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
