@@ -40,6 +40,7 @@ object QueriesML {
     val st = TextAnalysis.stats(t(s, dir, "documents"), "text")
     st.select(col("doc_id"), col("n_tokens"), col("stop_hits"),
       col("punct_chars"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"),
       round(TextAnalysis.qualityScore(col("n_tokens"), col("stop_hits"),
         col("punct_chars"), col("n_chars_m")), 6).as("quality_r"))
   }
@@ -49,6 +50,7 @@ object QueriesML {
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS INT) AS stop_hits,
       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_chars,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
       |  round((
       |    CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0
       |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS DOUBLE)
@@ -286,6 +288,22 @@ object QueriesML {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Multimodal frame-sampling fan-out (video -> frames shape)
+  // ---------------------------------------------------------------------
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.toMediaFrame(t(s, dir, "documents"),
+      "doc_id", "text", "video/fake")
+    Multimodal.sampleFrames(s, media).toDF()
+  }
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  md5(text || '_' || CAST(fi AS VARCHAR)) AS frame_md5
+      |FROM (SELECT doc_id, text,
+      |    unnest(generate_series(0, octet_length(encode(text)) % 30)) AS fi
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // As-of lookup: each purchase joined to the user's most recent prior
   // signup — one window pass, no range join (operators.AsOf)
   // ---------------------------------------------------------------------
@@ -340,6 +358,7 @@ object QueriesML {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
+    "q_multimodal_frames" -> (multimodalFrames _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,5 +375,6 @@ object QueriesML {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
+    "q_multimodal_frames" -> multimodalFramesSql,
   )
 }

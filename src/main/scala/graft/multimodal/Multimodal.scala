@@ -40,6 +40,31 @@ object Multimodal {
       col(payloadCol).cast("binary").as("media"),
       lit(mediaType).as("media_type"))
 
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Frame sampling: one output row per sampled frame — the canonical
+    * media fan-out (video -> frames, audio -> windows). The decode is
+    * the [[DecodeStub]]; the SHAPE (typed flatMap fan-out, per-partition
+    * decoder reuse, frame index + content hash schema) is the real
+    * plumbing a codec drop-in would inherit. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   everyNth: Int = 1): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { rec =>
+        val (_, _, frames) = DecodeStub.decode(rec.media)
+        (0 until frames by everyNth).iterator.map { i =>
+          digest.reset()
+          digest.update(rec.media)
+          digest.update(s"_$i".getBytes("UTF-8"))
+          FrameSample(rec.doc_id, i,
+            digest.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Decode + feature-extract via typed mapPartitions (per-partition
     * decoder init; rows stream through without materializing the
     * partition). */

@@ -66,6 +66,14 @@ object TextAnalysis {
     }
   }
 
+  /** BPE-ish subword token count: word-pieces, digit runs, and
+    * punctuation runs each count as one token (a cheap stand-in for a
+    * real BPE vocabulary — the regex shape, not the merges). */
+  val BpeishPattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
   /** Content fingerprint: md5 of normalized text (exact-dup key). */
   def contentFingerprint(text: Column): Column =
     md5(lower(trim(text)))
