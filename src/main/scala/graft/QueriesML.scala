@@ -218,14 +218,33 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // SimHash near-dup pairs (bit-block blocked hamming join)
+  // ---------------------------------------------------------------------
+  val SimhashMaxHamming = 8
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      SimhashMaxHamming)
+
+  val simhashPairsSql: String =
+    s"""WITH base AS ($simhashSql)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM base a JOIN base b
+       |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANN: brute-force cosine top-k (fixed-point exact arithmetic)
   // ---------------------------------------------------------------------
   val AnnK = 3
   val AnnQueryCount = 5
 
+  /** Served by the typed partial-aggregable TopKAggregator (scale path);
+    * row-identical to the window-function variant (SimilaritySpec). */
   def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
+    Similarity.bruteTopKAgg(emb, emb.filter(col("vec_id") < AnnQueryCount),
       "vec_id", "embedding", AnnK)
   }
 
@@ -353,6 +372,7 @@ object QueriesML {
     "q_minhash_lsh_pairs" -> (minhashLshPairs _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_simhash" -> (simhash _),
+    "q_simhash_pairs" -> (simhashPairs _),
     "q_ann_brute_topk" -> (annBruteTopK _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_multimodal_features" -> (multimodalFeatures _),
@@ -370,6 +390,7 @@ object QueriesML {
     "q_minhash_lsh_pairs" -> minhashLshPairsSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_brute_topk" -> annBruteTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_multimodal_features" -> multimodalFeaturesSql,

@@ -132,6 +132,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** SimHash near-dup candidate pairs: docs whose signatures share the
+    * top `blockBits` bit-block, within `maxHamming` total bit distance.
+    * The block equi-join bounds the pair space (full d+1-block rotation
+    * would guarantee recall; one block is the cheap demo of the shape).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, blockBits: Int = 16): DataFrame = {
+    val sigs = simhash32(df, idCol, textCol)
+    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b,
+        shiftright(col("sig_a"), 32 - blockBits) ===
+          shiftright(col("sig_b"), 32 - blockBits) &&
+          col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** 32-bit SimHash per document over word tokens (with multiplicity):
     * bit j of the signature is the sign of sum(+-1) of token-hash bit j.
     */

@@ -71,6 +71,34 @@ object Similarity {
         round(col("cos"), 6).as("cos_r"))
   }
 
+  /** Top-k via the typed [[graft.functions.TopKAggregator]]: partial
+    * (map-side) top-k cut, so the shuffle carries at most k candidates
+    * per query per partition — the 100 TB path. Row-identical to
+    * [[bruteTopK]] (same score-desc, id-asc order). */
+  def bruteTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn2")
+    val c = prep(corpus, idCol, vecCol, "cand_id", "cv", "cn2")
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"),
+        col("cand_id").as("id"),
+        cosFromNorms(dotFixed(col("qv"), col("cv")), col("qn2"), col("cn2"))
+          .as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (qid, id, score) => (qid, graft.functions.ScoredId(id, score)) }
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored.groupByKey(_._1).mapValues(_._2).agg(topk)
+      .flatMap { case (qid, items) =>
+        items.iterator.zipWithIndex.map { case (s, i) => (qid, s.id, i + 1, s.score) }
+      }
+      .toDF("query_id", "cand_id", "rank", "cos")
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   /** Deterministic sign-random-projection bucket id over `planes`
     * hyperplanes; plane p's weights are literal pseudo-random small ints
     * derived from StableHash.universalConst — reproducible anywhere.

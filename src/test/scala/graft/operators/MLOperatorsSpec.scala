@@ -73,6 +73,16 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head._4 - 1.0) < 1e-4)
   }
 
+  test("TopKAggregator variant is row-identical to the window variant") {
+    val df = vecs(23, 40, 16).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+    val viaWindow = Similarity.bruteTopK(df, q, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    val viaAgg = Similarity.bruteTopKAgg(df, q, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("lshBucketTopK finds planted duplicate (same bucket by construction)") {
     val base = vecs(11, 50, 16)
     val planted = base.updated(49, (49L, base(1)._2.clone()))
