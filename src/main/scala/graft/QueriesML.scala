@@ -270,6 +270,48 @@ object QueriesML {
        |FROM ranked WHERE rank <= $AnnK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ANN: LSH-bucketed (sign random projection) — the scale path
+  // ---------------------------------------------------------------------
+  val AnnDim = 64
+  val AnnPlanes = 6
+
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
+      "vec_id", "embedding", AnnDim, AnnK, AnnPlanes)
+  }
+
+  /** SRP bucket expression over a fixed-point list column `v` — the
+    * SAME deterministic hyperplane weights the Spark plan bakes in as
+    * literals (StableHash.universalConst). */
+  private def srpBucketSqlExpr(v: String): String = {
+    val planes = (0 until AnnPlanes).map { p =>
+      val terms = (0 until AnnDim).map { j =>
+        val w = StableHash.universalConst(p.toLong * AnnDim + j) % 16 - 8
+        s"($w)*$v[${j + 1}]"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    planes.mkString("(", " + ", ")")
+  }
+
+  val annLshTopKSql: String =
+    s"""WITH $fixedPointCte,
+       |  bk AS (SELECT vec_id, v, n2, ${srpBucketSqlExpr("v")} AS bucket FROM nrm),
+       |  scored AS (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS DOUBLE)
+       |        / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+       |    FROM bk q JOIN bk c ON q.bucket = c.bucket
+       |    WHERE q.vec_id < $AnnQueryCount AND c.vec_id <> q.vec_id),
+       |  ranked AS (SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+       |    FROM scored)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 6) AS cos_r
+       |FROM ranked WHERE rank <= $AnnK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Embedding near-dup pairs (exact cosine threshold)
   // ---------------------------------------------------------------------
   val NearDupThreshold = 0.3
@@ -374,6 +416,7 @@ object QueriesML {
     "q_simhash" -> (simhash _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_ann_brute_topk" -> (annBruteTopK _),
+    "q_ann_lsh_topk" -> (annLshTopK _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_streaming_hourly" -> (streamingHourly _),
@@ -392,6 +435,7 @@ object QueriesML {
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_brute_topk" -> annBruteTopKSql,
+    "q_ann_lsh_topk" -> annLshTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_streaming_hourly" -> streamingHourlySql,
