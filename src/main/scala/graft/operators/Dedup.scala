@@ -45,13 +45,27 @@ object Dedup {
 
   /** k-function MinHash signatures: one row per doc, columns mh0..mh(k-1).
     * Hash family is engine-portable (StableHash): signatures can be
-    * recomputed bit-for-bit by any SQL engine. */
+    * recomputed bit-for-bit by any SQL engine.
+    *
+    * Entirely per-row array arithmetic — shingle set, base hashes, and
+    * all k minima happen inside one map stage with NO explode and NO
+    * shuffle; each task emits k longs per document. The explode+groupBy
+    * formulation shuffles or partially-aggregates every (doc, shingle)
+    * row for the same answer. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, k: Int = 8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .withColumn("x", StableHash.stable32(col("shingle")))
-    val aggs = (0 until k).map(i => min(StableHash.universal(col("x"), i)).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))
+    val shingleArr = array_distinct(
+      transform(positions, i => col(textCol).substr(i, lit(n))))
+    // materialized once per row (used k times below; CollapseProject
+    // keeps non-cheap producers un-duplicated)
+    val withHashes = df.withColumn("__xs",
+      transform(shingleArr, s => StableHash.stable32(s)))
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("__xs"), x => StableHash.universal(x, i)))
+        .as(s"mh$i")
+    }
+    withHashes.select(col(idCol) +: sigCols: _*)
   }
 
   /** LSH banding over a signature frame: b bands of r rows each
@@ -73,16 +87,23 @@ object Dedup {
         col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Pairs are expanded bucket-locally (groupBy bucket -> sorted id
+    * list -> pairwise explode) instead of a bands self-join, which
+    * would rebuild the signature pipeline for each join side. Shuffle
+    * volume: one exchange of (band, key, id), then one distinct. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, k: Int = 8, bands: Int = 4): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val b = lshBands(sigs, idCol, k, bands)
-    val left = b.select(col("band"), col("band_key"), col(idCol).as("id_a"))
-    val right = b.select(col("band"), col("band_key"), col(idCol).as("id_b"))
-    left.join(right, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val buckets = b.groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .distinct()
   }
 
   /** Distinct word w-gram shingles (w-shingling): (id, shingle) rows.
