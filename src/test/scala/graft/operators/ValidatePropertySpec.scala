@@ -28,7 +28,10 @@ class ValidatePropertySpec extends SparkSpec {
       val out = Validate.clean(df).collect()
       out.foreach { r =>
         val s = r.getString(0)
-        assert(s == s.trim, s"string not trimmed: '$s' (seed $seed)")
+        // SQL trim semantics (what the reference's functions.trim does):
+        // only SPACE (0x20) is stripped — tabs/newlines are content
+        assert(!s.startsWith(" ") && !s.endsWith(" "),
+          s"string not space-trimmed: '$s' (seed $seed)")
         assert(r.getInt(1) >= 0, s"seed $seed")
         assert(r.getDouble(2) >= 0.0, s"seed $seed")
       }
