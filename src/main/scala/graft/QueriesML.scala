@@ -312,6 +312,17 @@ object QueriesML {
        |FROM ranked WHERE rank <= $AnnK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ANN: IVF (k-means coarse quantizer, probe nearest cells). Not
+  // SQL-expressible (iterative fit) -> no oracle; driver records the
+  // rows-only check. Recall vs brute force is covered in SimilaritySpec.
+  // ---------------------------------------------------------------------
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    KMeans.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
+      "vec_id", "embedding", AnnK, clusters = 16, iters = 3, nprobe = 4)
+  }
+
+  // ---------------------------------------------------------------------
   // Embedding near-dup pairs (exact cosine threshold)
   // ---------------------------------------------------------------------
   val NearDupThreshold = 0.3
@@ -417,6 +428,7 @@ object QueriesML {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_ann_brute_topk" -> (annBruteTopK _),
     "q_ann_lsh_topk" -> (annLshTopK _),
+    "q_ann_ivf_topk" -> (annIvfTopK _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_streaming_hourly" -> (streamingHourly _),

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
+
+/** Minimal deterministic Lloyd's k-means over embedding columns, and an
+  * IVF-style ANN built on it (coarse quantizer -> probe nearest cells).
+  *
+  * Design for scale:
+  *  - each iteration is ONE distributed pass: assignment is a codegen'd
+  *    argmin over k broadcast centroid dot-products (no UDF, no
+  *    crossJoin), the centroid update is posexplode + groupBy(cluster,
+  *    dim) partial-aggregated means — shuffle volume O(k x dim x
+  *    partitions);
+  *  - centroids live on the driver between iterations (k x dim doubles
+  *    — trivially small), baked into the next plan as literals;
+  *  - deterministic: init = first k vectors by id, fixed-point vector
+  *    arithmetic, exact integer sums in the mean update.
+  *
+  * IVF search: corpus rows are indexed by nearest centroid (the
+  * "inverted file"); a query scans only its `nprobe` nearest cells —
+  * the 100 TB alternative to a full scan, recall traded via nprobe.
+  */
+object KMeans {
+
+  /** Squared L2 distance of a fixed-point vector column to a centroid
+    * literal, expanded as |x|^2 - 2<x,c> + |c|^2 with the cross term as
+    * exact integer arithmetic over scaled centroids. All terms exact
+    * ints -> deterministic. `cScaled` is the centroid rounded back to
+    * fixed-point longs. */
+  private def sqDistToCentroid(xFixed: Column, xNorm2: Column,
+                               cScaled: Array[Long]): Column = {
+    val cLit = typedLit(cScaled.toSeq)
+    val cross = call_function(GraftFunctions.DotLongName, xFixed, cLit)
+    val cNorm2 = cScaled.map(v => v * v).sum
+    xNorm2 - lit(2L) * cross + lit(cNorm2)
+  }
+
+  /** Cluster id of the nearest centroid (ties -> lowest id): a single
+    * `least(struct(dist, id)...)` expression, fully codegen'd. */
+  def nearestCentroid(xFixed: Column, xNorm2: Column,
+                      centroids: Array[Array[Long]]): Column = {
+    val pairs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDistToCentroid(xFixed, xNorm2, c).as("d"), lit(i).as("i"))
+    }
+    least(pairs.toIndexedSeq: _*).getField("i")
+  }
+
+  /** Prepared frame: (id, v: array<long> fixed-point, n2: |v|^2). */
+  def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), Similarity.fixedPoint(col(vecCol)).as("v"))
+      .withColumn("n2", call_function(GraftFunctions.DotLongName, col("v"), col("v")))
+  }
+
+  /** Lloyd's iterations; returns centroids as fixed-point longs.
+    * Init: the k lowest-id vectors (deterministic, reproducible). */
+  def fit(prepared: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    var centroids: Array[Array[Long]] = prepared.orderBy("id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      val assigned = prepared.withColumn("c",
+        nearestCentroid(col("v"), col("n2"), centroids))
+      // exact integer sums per (cluster, dim); mean re-scaled to longs
+      val sums = assigned
+        .select(col("c"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("c"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        next(c)(d) = math.round(r.getLong(2).toDouble / r.getLong(3))
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF ANN: index corpus rows by nearest centroid; per query, probe
+    * the `nprobe` nearest cells and rank exact cosine inside them. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, clusters: Int = 16,
+              iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+    val cents = fit(c, clusters, iters)
+    val indexed = c.withColumn("cell",
+      nearestCentroid(col("v"), col("n2"), cents))
+      .withColumnRenamed("id", "cand_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("n2", "cn2")
+    val q = prepare(queries, idCol, vecCol)
+    // probe cells: nprobe nearest centroids per query, exploded
+    val probeCells = array((0 until cents.length).map(i =>
+      struct(sqDistToCentroid(col("v"), col("n2"), cents(i)).as("d"),
+        lit(i).as("i"))): _*)
+    val qProbed = q
+      .withColumn("cell",
+        explode(slice(transform(array_sort(probeCells), p => p.getField("i")),
+          1, nprobe)))
+      .withColumnRenamed("id", "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("n2", "qn2")
+    import org.apache.spark.sql.expressions.Window
+    val scored = indexed.join(broadcast(qProbed), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        call_function(GraftFunctions.DotLongName, col("qv"), col("cv"))
+          .cast("double") /
+          sqrt(col("qn2").cast("double") * col("cn2").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+}

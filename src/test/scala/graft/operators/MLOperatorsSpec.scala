@@ -94,6 +94,37 @@ class SimilaritySpec extends SparkSpec {
       s"planted dup must share every SRP bucket: ${out.toSeq}")
   }
 
+  test("kmeans recovers well-separated blobs; IVF finds the planted dup") {
+    val rnd = new scala.util.Random(31)
+    // three tight blobs around distant centers
+    val centers = Seq(Array.fill(16)(5f), Array.fill(16)(-5f),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5f else -5f))
+    val pts = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    // plant: 59 := copy of 0
+    val planted = pts.updated(59, (59L, pts(0)._2.clone()))
+    val df = planted.toDF("vec_id", "embedding")
+
+    val prepared = KMeans.prepare(df, "vec_id", "embedding")
+    val cents = KMeans.fit(prepared, 3, 4)
+    val assign = prepared.withColumn("c",
+        KMeans.nearestCentroid(col("v"), col("n2"), cents))
+      .select("id", "c").as[(Long, Int)].collect().toMap
+    // blob membership must be consistent: same blob -> same cluster
+    for (blob <- 0 until 3) {
+      val ids = (0 until 59).filter(_ % 3 == blob).map(_.toLong)
+      assert(ids.map(assign).toSet.size == 1, s"blob $blob split: ${ids.map(assign).toSet}")
+    }
+
+    val out = KMeans.ivfTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3, clusters = 3, iters = 3, nprobe = 1)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.head._2 == 59L, s"planted dup must rank 1: ${out.toSeq}")
+    assert(math.abs(out.head._4 - 1.0) < 1e-4)
+  }
+
   test("nearDupPairs finds only the planted pair at high threshold") {
     val base = vecs(13, 30, 16)
     val planted = base.updated(29, (29L, base(2)._2.clone()))
