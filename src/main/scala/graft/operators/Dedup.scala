@@ -54,18 +54,19 @@ object Dedup {
     * row for the same answer. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))
     val shingleArr = array_distinct(
       transform(positions, i => col(textCol).substr(i, lit(n))))
-    // materialized once per row (used k times below; CollapseProject
-    // keeps non-cheap producers un-duplicated)
-    val withHashes = df.withColumn("__xs",
-      transform(shingleArr, s => StableHash.stable32(s)))
-    val sigCols = (0 until k).map { i =>
-      array_min(transform(col("__xs"), x => StableHash.universal(x, i)))
-        .as(s"mh$i")
-    }
-    withHashes.select(col(idCol) +: sigCols: _*)
+    // all k minima in one codegen'd pass (plans.MinhashSignature)
+    val withSig = df
+      .withColumn("__xs", transform(shingleArr, s => StableHash.stable32(s)))
+      .withColumn("__sig",
+        call_function(graft.plans.GraftFunctions.MinhashName,
+          col("__xs"), lit(k)))
+    val sigCols = (0 until k).map(i =>
+      element_at(col("__sig"), i + 1).as(s"mh$i"))
+    withSig.select(col(idCol) +: sigCols: _*)
   }
 
   /** LSH banding over a signature frame: b bands of r rows each

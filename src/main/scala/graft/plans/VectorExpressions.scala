@@ -67,6 +67,80 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All k universal-hash minima of a pre-hashed shingle array in ONE
+  * array pass: `result[j] = min over x of (a_j*x + b_j) mod M` with the
+  * [[graft.functions.StableHash]] family (a_j = 2j+1, b_j = j*j+7,
+  * M = 4294967291).
+  *
+  * Replaces k interpreted `array_min(transform(...))` passes with a
+  * single codegen'd primitive nested loop — the minhash signature
+  * becomes pure whole-stage-codegen arithmetic. Null/empty input ->
+  * null (matching array_min-over-empty semantics).
+  */
+case class MinhashSignature(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val Mod = graft.functions.StableHash.Mod
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>) and k > 0")
+  }
+
+  private def minsOf(xs: ArrayData): Any = {
+    val n = xs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = ((2L * j + 1L) * x + (1L * j * j + 7L)) % Mod
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    minsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |final int $n = $xs.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  final long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $x = $xs.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      final long $h = ((2L*$j+1L) * $x + (1L*$j*$j+7L)) % ${Mod}L;
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** Runtime registration of graft's native expressions on an existing
   * session (the driver builds the SparkSession, so we register on
   * `sessionState.functionRegistry` rather than via
@@ -74,15 +148,24 @@ case class DotProductLong(left: Expression, right: Expression)
   * Idempotent — re-registration replaces the same entry. */
 object GraftFunctions {
   val DotLongName = "graft_dot_long"
+  val MinhashName = "graft_minhash"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(DotLongName)
-    if (!registry.functionExists(ident)) {
+    val dot = FunctionIdentifier(DotLongName)
+    if (!registry.functionExists(dot)) {
       registry.registerFunction(
-        ident,
+        dot,
         new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
         (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1)))
+    }
+    val mh = FunctionIdentifier(MinhashName)
+    if (!registry.functionExists(mh)) {
+      registry.registerFunction(
+        mh,
+        new ExpressionInfo(classOf[MinhashSignature].getName, MinhashName),
+        (exprs: Seq[Expression]) => MinhashSignature(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]))
     }
   }
 }

@@ -32,6 +32,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)), "unrelated docs should not collide")
   }
 
+  test("fused MinhashSignature expression equals the HOF formulation") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq((1L, "the quick brown fox"), (2L, "zzz"), (3L, "abcde"))
+      .toDF("doc_id", "text")
+    val xs = transform(
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5)))),
+      s => StableHash.stable32(s))
+    val viaHof = df.select(col("doc_id") +:
+      (0 until 8).map(i =>
+        array_min(transform(xs, x => StableHash.universal(x, i))).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaExpr = Dedup.minhashSignatures(df, "doc_id", "text", 5, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaExpr == viaHof)
+  }
+
   test("ngram jaccard: identical=1.0, disjoint pairs absent") {
     val df = Seq((1L, "aaaaabbbbb", "g"), (2L, "aaaaabbbbb", "g"),
       (3L, "zzzzzyyyyy", "g")).toDF("doc_id", "text", "blk")
