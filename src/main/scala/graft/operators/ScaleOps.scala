@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB deployment: bucketing (to
+  * co-locate joins/aggregations and delete their shuffles) and salting
+  * (to break up skewed keys).
+  */
+object ScaleOps {
+
+  /** Write a bucketed+sorted table: joins and aggregations on the
+    * bucket key against an equally-bucketed table need NO exchange —
+    * the shuffle happens once at write time, then every downstream
+    * consumer gets co-located, pre-sorted input (the "materialized
+    * repartition" pattern for fact tables read many times). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Salted inner equi-join for a skewed build side: the small side is
+    * replicated `salts` times (one copy per salt value), the big side
+    * assigns each row a deterministic pseudo-random salt, and the join
+    * key becomes (key, salt) — a single hot key fans out over `salts`
+    * reducers instead of melting one. Result set identical to the
+    * unsalted join (replication x 1-of-salts assignment keeps exactly
+    * one match per original pair). Prefer AQE's skew-join handling when
+    * available; this is the explicit form for engines/configs without
+    * it, or for deliberate control. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation: partial sums per (key, salt), then
+    * final per key. Spark's hash aggregate already map-side-combines,
+    * so this matters when the FINAL reducer for one giant key is the
+    * bottleneck (e.g. high-cardinality partial states). */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                as: String, salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    salted.groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as(as))
+  }
+}
