@@ -21,19 +21,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed query records -1, never a green-looking elapsed time
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          -1.0
+        }
       }
       once() // warm-up (codegen/JIT/file-index caches)
       // min of two measured runs: resists host-level noise (shared box)
-      name -> math.min(once(), once())
+      val a = once(); val b = once()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

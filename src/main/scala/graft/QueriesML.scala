@@ -382,7 +382,8 @@ object QueriesML {
   def asofPriorSignup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000"))
     AsOf.priorMarker(e, "user_id", "ts_us",
-        when(col("event_type") === "signup", col("ts_us")), "prior_signup_us")
+        when(col("event_type") === "signup", col("ts_us")), "prior_signup_us",
+        tieBreakCols = Seq("event_id"))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("prior_signup_us"))
@@ -393,7 +394,7 @@ object QueriesML {
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
       |    last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END
       |        IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_us
       |  FROM events)
       |WHERE event_type = 'purchase'""".stripMargin

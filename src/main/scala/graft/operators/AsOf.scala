@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Value of `marker` from the most recent STRICTLY PRIOR row in the
-    * entity's `orderCol`-ordered stream (null if none). */
+    * entity's `orderCol`-ordered stream (null if none).
+    *
+    * `tieBreakCols` MUST make (keyCol, orderCol, tieBreakCols) unique:
+    * the strictly-prior ROWS frame is order-dependent, so equal
+    * (key, order) rows without a tiebreak give engine-dependent results.
+    */
   def priorMarker(df: DataFrame, keyCol: String, orderCol: String,
-                  marker: Column, as: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+                  marker: Column, as: String,
+                  tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy((orderCol +: tieBreakCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn(as, last(marker, ignoreNulls = true).over(w))
   }

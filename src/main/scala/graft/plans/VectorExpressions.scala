@@ -83,6 +83,10 @@ case class MinhashSignature(child: Expression, k: Int)
   private val Mod = graft.functions.StableHash.Mod
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty input arrays yield null regardless of child nullability —
+  // without this, a non-nullable child constant-folds ev.isNull to
+  // `false` and the codegen assignment below fails to compile
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

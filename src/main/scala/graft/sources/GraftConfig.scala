@@ -46,8 +46,12 @@ final class GraftConfig(overrides: Map[String, String] = Map.empty,
       s"config '$key' not set (override, env ${envKey(key)}, or properties)"))
 
   /** Session conf entries to apply before reading a remote store, e.g.
-    * an object-store SAS key (reference ApplaudoETL.scala:33). */
-  def sessionConf(prefix: String): Map[String, String] =
-    overrides.view.filterKeys(_.startsWith(prefix)).toMap ++
-      fromResource.view.filterKeys(_.startsWith(prefix)).toMap
+    * an object-store SAS key (reference ApplaudoETL.scala:33).
+    * Each key resolves through [[get]], so the documented precedence
+    * (overrides > env > resource) holds here too. */
+  def sessionConf(prefix: String): Map[String, String] = {
+    val keys = (fromResource.keySet ++ overrides.keySet)
+      .filter(_.startsWith(prefix))
+    keys.iterator.flatMap(k => get(k).map(k -> _)).toMap
+  }
 }

@@ -94,6 +94,14 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    // update-mode memory sink appends each micro-batch's updated rows;
+    // with more than one batch a user can appear once per batch. Keep
+    // only the final state per user — n_events is monotonically
+    // increasing, so max(struct(n_events, value_cents)) is the last row.
     spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("value_cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.value_cents").as("value_cents"))
   }
 }
