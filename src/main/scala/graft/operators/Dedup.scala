@@ -36,11 +36,13 @@ object Dedup {
     * a narrow map — rather than a global `.distinct()`, which would
     * shuffle every (id, shingle) row just to dedup within each id. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-               n: Int): DataFrame = {
-    val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))
-    df.select(col(idCol),
-      explode(array_distinct(
-        transform(positions, i => col(textCol).substr(i, lit(n))))).as("shingle"))
+               n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
+
+  /** Distinct character n-gram shingle array (per-row narrow map). */
+  def shingleArray(text: Column, n: Int): Column = {
+    val positions = sequence(lit(1), greatest(length(text) - (n - 1), lit(1)))
+    array_distinct(transform(positions, i => text.substr(i, lit(n))))
   }
 
   /** k-function MinHash signatures: one row per doc, columns mh0..mh(k-1).
@@ -55,15 +57,15 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, k: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))
-    val shingleArr = array_distinct(
-      transform(positions, i => col(textCol).substr(i, lit(n))))
-    // all k minima in one codegen'd pass (plans.MinhashSignature)
+    // shingle + hash (plans.ShingleHash32) then all k minima
+    // (plans.MinhashSignature): two codegen'd kernels, zero interpreted
+    // higher-order functions, one long[] intermediate per row
     val withSig = df
-      .withColumn("__xs", transform(shingleArr, s => StableHash.stable32(s)))
       .withColumn("__sig",
         call_function(graft.plans.GraftFunctions.MinhashName,
-          col("__xs"), lit(k)))
+          call_function(graft.plans.GraftFunctions.ShingleHashName,
+            col(textCol), lit(n)),
+          lit(k)))
     val sigCols = (0 until k).map(i =>
       element_at(col("__sig"), i + 1).as(s"mh$i"))
     withSig.select(col(idCol) +: sigCols: _*)
@@ -113,20 +115,36 @@ object Dedup {
     * fanout in [[ngramJaccardPairs]]. Narrow (array ops + explode). */
   def wordShingles(df: DataFrame, idCol: String, textCol: String,
                    w: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val positions = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
-      explode(array_distinct(transform(positions,
-        i => concat_ws(" ", slice(toks, i, lit(w)))))).as("shingle"))
+      explode(call_function(graft.plans.GraftFunctions.WordShinglesName,
+        col(textCol), lit(w))).as("shingle"))
+  }
+
+  /** Distinct word w-gram shingle array — declarative twin of the
+    * [[graft.plans.WordShingleArray]] kernel (kept as the readable
+    * specification and the test oracle for it). */
+  def wordShingleArray(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    val positions = sequence(lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    array_distinct(transform(positions,
+      i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing a blocking key.
     * `blockCol` bounds the quadratic term: n^2 only within a block —
     * choose it so blocks stay small (e.g. language x length-bucket;
-    * near-dups rarely differ much in length). At 100 TB the inverted-
-    * index join's fanout on high-document-frequency shingles is the
-    * bottleneck: tighter blocking (or prefix filtering / LSH candidates
-    * first) is mandatory, not optional. */
+    * near-dups rarely differ much in length).
+    *
+    * Shape: shingle ONCE into an array column (set size = array size —
+    * no separate sizes aggregation or join), explode to an inverted
+    * index keyed on (block, shingle), then expand each posting list
+    * bucket-locally into co-occurrence pairs. Two shuffles total
+    * (bucket group-by, pair count group-by), no self-join, no
+    * re-computation of the shingling subtree per join side. At 100 TB
+    * the fanout of high-document-frequency shingles is the bottleneck:
+    * tighter blocking (or prefix filtering / LSH candidates first) is
+    * mandatory, not optional. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 5,
                         minJaccard: Double = 0.0,
@@ -140,6 +158,11 @@ object Dedup {
       col(idCol).as("id_a"))
     val b = withBlock.select(col(blockCol), col("shingle"),
       col(idCol).as("id_b"))
+    // measured on sf0.1 (AbNgram A/B): this flat self-join beats both a
+    // posting-list explode (slice() copies O(m)-arrays per emitted pair
+    // on hot shingles) and carrying sz through the explode (size(arr)
+    // next to explode(arr) recomputes the shingling per reference) —
+    // keep pair expansion flat and join tiny per-doc sizes afterwards
     val inter = a.join(b, Seq(blockCol, "shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

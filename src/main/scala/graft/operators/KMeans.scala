@@ -65,16 +65,22 @@ object KMeans {
     for (_ <- 0 until iters) {
       val assigned = prepared.withColumn("c",
         nearestCentroid(col("v"), col("n2"), centroids))
-      // exact integer sums per (cluster, dim); mean re-scaled to longs
-      val sums = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("c"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // exact integer sums per cluster, one column per dimension: all
+      // partial-aggregated map-side, shuffle = k rows x (dim+1) longs —
+      // vs posexplode's rows x dim shuffle of (cluster, dim, x) triples
+      val aggs = (0 until dim).map(j =>
+        sum(element_at(col("v"), j + 1)).as(s"s$j")) :+ count(lit(1)).as("n")
+      val sums = assigned.groupBy(col("c")).agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        next(c)(d) = math.round(r.getLong(2).toDouble / r.getLong(3))
+        val c = r.getInt(0)
+        val n = r.getLong(dim + 1)
+        var d = 0
+        while (d < dim) {
+          next(c)(d) = math.round(r.getLong(d + 1).toDouble / n)
+          d += 1
+        }
       }
       centroids = next
     }
@@ -86,7 +92,10 @@ object KMeans {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, clusters: Int = 16,
               iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val c = prepare(corpus, idCol, vecCol)
+    // fit runs iters+1 actions over the prepared frame and the index
+    // scan reuses it once more — cache instead of re-reading the source
+    // each pass (Spark dedups the cache entry by canonicalized plan)
+    val c = prepare(corpus, idCol, vecCol).cache()
     val cents = fit(c, clusters, iters)
     val indexed = c.withColumn("cell",
       nearestCentroid(col("v"), col("n2"), cents))

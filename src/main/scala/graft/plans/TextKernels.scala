@@ -1,0 +1,147 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** JVM kernels invoked from whole-stage codegen.
+  *
+  * The declarative formulation of shingling —
+  * `transform(sequence(...), i -> stable32(substr(text, i, n)))` — is a
+  * higher-order-function chain that Spark evaluates INTERPRETED: one
+  * Substring + Md5 + Conv expression tree walk per shingle, allocating
+  * hex strings along the way (measured ~2.5 s of the sf0.1 minhash
+  * pipeline). These kernels run the identical arithmetic as one tight
+  * compiled loop per row; the wrapping [[ShingleHash32]] expression
+  * keeps the whole stage inside codegen.
+  *
+  * Determinism contract: byte-for-byte the same values as
+  * [[graft.functions.StableHash.stable32]] (first 32 bits of md5), so
+  * DuckDB oracle SQL generated from StableHash stays valid.
+  */
+object Kernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 md5 bits of the UTF-8 bytes as a non-negative long —
+    * exactly `conv(substr(md5(s),1,8),16,10)`. */
+  def stable32(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** stable32 over the DISTINCT character n-gram shingles of `text`,
+    * first-occurrence order. Semantics mirror
+    * `array_distinct(transform(sequence(1, greatest(numChars-(n-1),1)),
+    * i -> stable32(substr(text, i, n))))`: 1-based char positions, at
+    * least one (possibly short/empty) shingle. Never null, never empty.
+    */
+  def shingleHash32(text: UTF8String, n: Int): UnsafeArrayData = {
+    val chars = text.numChars()
+    val count = math.max(chars - (n - 1), 1)
+    val seen = new java.util.HashSet[UTF8String](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    var i = 1
+    while (i <= count) {
+      val sh = text.substringSQL(i, n)
+      if (seen.add(sh)) {
+        out(m) = stable32(sh.getBytes)
+        m += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == count) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** DISTINCT word w-gram shingles, first-occurrence order. Semantics
+    * mirror `array_distinct(transform(sequence(1, greatest(numToks-(w-1)
+    * ,1)), i -> concat_ws(' ', slice(split(text,' '), i, w))))`: regex
+    * split keeping empty tokens, short tail slices allowed, at least
+    * one shingle. Never null. */
+  def wordShingles(text: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.split(space, -1)
+    val nToks = toks.length
+    val count = math.max(nToks - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + w, nToks)
+      val sh =
+        if (end - i == 1) toks(i)
+        else UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, i, end): _*)
+      seen.add(sh)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** `graft_shingle_hash32(text, n)`: array of stable32 hashes of the
+  * distinct character n-gram shingles — the codegen'd front half of the
+  * minhash signature pipeline (back half: [[MinhashSignature]]).
+  */
+case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string) and n > 0")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingleHash32(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.shingleHash32($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
+/** `graft_word_shingles(text, w)`: distinct word w-gram shingle array —
+  * one compiled pass instead of the interpreted
+  * split/transform/slice/concat_ws chain (the dominant per-row cost of
+  * n-gram Jaccard, which references the shingling subtree from several
+  * plan branches).
+  */
+case class WordShingleArray(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string) and w > 0")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordShingles(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.wordShingles($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleArray =
+    copy(child = newChild)
+}

@@ -153,6 +153,8 @@ case class MinhashSignature(child: Expression, k: Int)
 object GraftFunctions {
   val DotLongName = "graft_dot_long"
   val MinhashName = "graft_minhash"
+  val ShingleHashName = "graft_shingle_hash32"
+  val WordShinglesName = "graft_word_shingles"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -169,6 +171,22 @@ object GraftFunctions {
         mh,
         new ExpressionInfo(classOf[MinhashSignature].getName, MinhashName),
         (exprs: Seq[Expression]) => MinhashSignature(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]))
+    }
+    val sh = FunctionIdentifier(ShingleHashName)
+    if (!registry.functionExists(sh)) {
+      registry.registerFunction(
+        sh,
+        new ExpressionInfo(classOf[ShingleHash32].getName, ShingleHashName),
+        (exprs: Seq[Expression]) => ShingleHash32(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]))
+    }
+    val ws = FunctionIdentifier(WordShinglesName)
+    if (!registry.functionExists(ws)) {
+      registry.registerFunction(
+        ws,
+        new ExpressionInfo(classOf[WordShingleArray].getName, WordShinglesName),
+        (exprs: Seq[Expression]) => WordShingleArray(exprs.head,
           exprs(1).eval().asInstanceOf[Int]))
     }
   }

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.StableHash
+import graft.operators.Dedup
+
+/** The codegen'd text kernels must be bit-identical to their
+  * declarative (higher-order-function) specifications — the oracle SQL
+  * is generated from the declarative form, so any divergence breaks the
+  * cross-engine gate.
+  */
+class KernelsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // edge cases: empty, shorter than n, exact n, repeats (distinct),
+  // multiple/leading/trailing spaces (empty tokens), non-ASCII chars
+  private val texts = Seq(
+    "", "a", "abcd", "abcde", "abcdef", "aaaaaaaaaa",
+    "one two three four five", "one  two", " leading", "trailing ",
+    "dup dup dup dup", "café naïve résumé 你好",
+    "x y", "single")
+
+  private def df = texts.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+  test("ShingleHash32 kernel == array_distinct(transform(substr))+stable32") {
+    graft.plans.GraftFunctions.register(spark)
+    for (n <- Seq(1, 3, 5, 8)) {
+      val positions = sequence(lit(1), greatest(length($"text") - (n - 1), lit(1)))
+      val decl = transform(
+        array_distinct(transform(positions, i => $"text".substr(i, lit(n)))),
+        s => StableHash.stable32(s))
+      val bad = df.select(
+          call_function(GraftFunctions.ShingleHashName, $"text", lit(n)).as("k"),
+          decl.as("d"))
+        .filter(not($"k" === $"d"))
+      assert(bad.count() == 0, s"n=$n: ${bad.collect().mkString(";")}")
+    }
+  }
+
+  test("WordShingleArray kernel == array_distinct(transform(concat_ws(slice(split))))") {
+    graft.plans.GraftFunctions.register(spark)
+    for (w <- Seq(1, 2, 3, 5)) {
+      val bad = df.select(
+          call_function(GraftFunctions.WordShinglesName, $"text", lit(w)).as("k"),
+          Dedup.wordShingleArray($"text", w).as("d"))
+        .filter(not($"k" === $"d"))
+      assert(bad.count() == 0, s"w=$w: ${bad.collect().mkString(";")}")
+    }
+  }
+
+  test("kernels survive whole-stage codegen (no interpreted fallback errors)") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = df.select(
+      call_function(GraftFunctions.MinhashName,
+        call_function(GraftFunctions.ShingleHashName, $"text", lit(5)),
+        lit(8)).as("sig"))
+    assert(out.count() == texts.length)
+  }
+}
