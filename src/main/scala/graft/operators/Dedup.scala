@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.StableHash
-
 /** Deduplication operators for large-scale corpus curation: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.
   *
@@ -91,21 +89,23 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
-    * Pairs are expanded bucket-locally (groupBy bucket -> sorted id
-    * list -> pairwise explode) instead of a bands self-join, which
-    * would rebuild the signature pipeline for each join side. Shuffle
-    * volume: one exchange of (band, key, id), then one distinct. */
+    * Pairs are expanded bucket-locally (groupBy bucket -> id list ->
+    * double explode with id_a < id_b) instead of a bands self-join,
+    * which would rebuild the signature pipeline for each join side
+    * (measured slower in tools.AbMinhash, exchange reuse or not).
+    * Shuffle volume: one exchange of (band, key, id), then one
+    * distinct over candidate pairs. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, k: Int = 8, bands: Int = 4): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val b = lshBands(sigs, idCol, k, bands)
     val buckets = b.groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
     buckets
-      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 
@@ -199,18 +199,14 @@ object Dedup {
 
   /** 32-bit SimHash per document over word tokens (with multiplicity):
     * bit j of the signature is the sign of sum(+-1) of token-hash bit j.
-    */
+    * One codegen'd per-row kernel (plans.Simhash32): a narrow map with
+    * no tokenize-explode and no shuffle — the explode+groupBy twin it
+    * replaced shuffled every (doc, token) row (declarative spec kept in
+    * KernelsSpec as the oracle). */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-        explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", StableHash.stable32(col("tok")))
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col(idCol), sig.as("simhash"))
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function(graft.plans.GraftFunctions.Simhash32Name,
+        col(textCol)).as("simhash"))
   }
 }

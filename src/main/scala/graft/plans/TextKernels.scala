@@ -67,6 +67,33 @@ object Kernels {
 
   private val space = UTF8String.fromString(" ")
 
+  /** 32-bit SimHash over space-split word tokens WITH multiplicity —
+    * per-row equivalent of the explode+groupBy formulation
+    * `sum(+-1 per token-hash bit j) -> sign -> bit j`: no explode, no
+    * shuffle, one compiled pass. Tokens keep empties (regex-split
+    * semantics); every non-null text yields a signature. */
+  def simhash32(text: UTF8String): Long = {
+    val toks = text.split(space, -1)
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = stable32(toks(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** DISTINCT word w-gram shingles, first-occurrence order. Semantics
     * mirror `array_distinct(transform(sequence(1, greatest(numToks-(w-1)
     * ,1)), i -> concat_ws(' ', slice(split(text,' '), i, w))))`: regex
@@ -143,5 +170,31 @@ case class WordShingleArray(child: Expression, w: Int) extends UnaryExpression {
       s"${ev.value} = graft.plans.Kernels.wordShingles($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleArray =
+    copy(child = newChild)
+}
+
+/** `graft_simhash32(text)`: whole SimHash signature as one per-row
+  * scalar — turns the simhash operator from tokenize-explode +
+  * 32-conditional-sum groupBy (a full shuffle of every token) into a
+  * narrow codegen'd map.
+  */
+case class Simhash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string)")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.simhash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)
 }

@@ -155,6 +155,7 @@ object GraftFunctions {
   val MinhashName = "graft_minhash"
   val ShingleHashName = "graft_shingle_hash32"
   val WordShinglesName = "graft_word_shingles"
+  val Simhash32Name = "graft_simhash32"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -188,6 +189,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[WordShingleArray].getName, WordShinglesName),
         (exprs: Seq[Expression]) => WordShingleArray(exprs.head,
           exprs(1).eval().asInstanceOf[Int]))
+    }
+    val sim = FunctionIdentifier(Simhash32Name)
+    if (!registry.functionExists(sim)) {
+      registry.registerFunction(
+        sim,
+        new ExpressionInfo(classOf[Simhash32].getName, Simhash32Name),
+        (exprs: Seq[Expression]) => Simhash32(exprs.head))
     }
   }
 }

@@ -52,6 +52,25 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("Simhash32 kernel == explode+groupBy bit-sum aggregation") {
+    graft.plans.GraftFunctions.register(spark)
+    val in = df
+    val toks = in.select($"id", explode(split($"text", " ")).as("tok"))
+      .withColumn("h", StableHash.stable32($"tok"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright($"h", j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy($"id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val decl = agg.select($"id", sig.as("d"))
+    val kern = in.select($"id",
+      call_function(GraftFunctions.Simhash32Name, $"text").as("k"))
+    val bad = kern.join(decl, "id").filter($"k" =!= $"d")
+    assert(bad.count() == 0, bad.collect().mkString(";"))
+  }
+
   test("kernels survive whole-stage codegen (no interpreted fallback errors)") {
     graft.plans.GraftFunctions.register(spark)
     val out = df.select(
