@@ -88,6 +88,32 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // TF-IDF top terms per document (exact integer scoring — no float log,
+  // so the ranking is engine-portable)
+  // ---------------------------------------------------------------------
+  val TfidfK = 3
+
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+      TfidfK)
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |  n AS (SELECT count(*) AS n_docs FROM documents),
+       |  scored AS (
+       |    SELECT doc_id, term, tf, (tf * 1000000 * n_docs) // df AS score_e6
+       |    FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |  ranked AS (SELECT *, row_number() OVER
+       |      (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rnk
+       |    FROM scored)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       |  CAST(score_e6 AS BIGINT) AS score_e6, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $TfidfK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprints: content md5 + rolling-hash shingle min
   // ---------------------------------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -435,6 +461,7 @@ object QueriesML {
     "q_streaming_hourly" -> (streamingHourly _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
     "q_multimodal_frames" -> (multimodalFrames _),
+    "q_tfidf_top_terms" -> (tfidfTopTerms _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,5 +481,6 @@ object QueriesML {
     "q_streaming_hourly" -> streamingHourlySql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
     "q_multimodal_frames" -> multimodalFramesSql,
+    "q_tfidf_top_terms" -> tfidfTopTermsSql,
   )
 }

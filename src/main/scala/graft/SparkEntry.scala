@@ -515,6 +515,115 @@ object Queries {
       |WHERE rnk <= 3""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Beyond-reference: cube (all grouping-set combinations; rollup's twin)
+  // ---------------------------------------------------------------------
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // §2.6 gap filled: set operations (intersect / except, DISTINCT
+  // semantics in both engines)
+  // ---------------------------------------------------------------------
+  def intersectCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  val intersectCustomersSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  def exceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  val exceptCustomersSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // §2.4 gap filled: distinct aggregation (exact count-distinct — the
+  // expand+two-phase plan Spark generates is the scalable exact form;
+  // swap to approx_count_distinct/HLL when a bounded error is fine)
+  // ---------------------------------------------------------------------
+  def countDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"))
+
+  val countDistinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: range (interval) join — bucketed equi-join, not a
+  // nested-loop theta join (operators.RangeJoin). Intervals derived as
+  // [ship_day, ship_day + quantity mod 30]; both sides modulo-sampled
+  // so the demo stays interval-join-shaped (not a key join) at any SF.
+  // ---------------------------------------------------------------------
+  def rangeJoinShipments(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("d"))
+    val intervals = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 13 === 0)
+      .withColumn("lo",
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long"))
+      .select(col("lo"),
+        (col("lo") + col("l_quantity").cast("long") % 30).as("hi"))
+    RangeJoin.pointInInterval(points, intervals, "d", "lo", "hi",
+        bucketWidth = 32)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_within"))
+  }
+
+  val rangeJoinShipmentsSql: String =
+    """SELECT o_orderkey, count(*) AS n_within
+      |FROM (SELECT o_orderkey,
+      |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+      |      FROM orders WHERE o_orderkey % 97 = 0) o
+      |JOIN (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS lo,
+      |        CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |          + CAST(l_quantity AS BIGINT) % 30 AS hi
+      |      FROM lineitem WHERE l_orderkey % 13 = 0) l
+      |  ON o.d BETWEEN l.lo AND l.hi
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S7 at scale: partitioned parquet write + partition-pruned read-back.
+  // The write is the operator under test; the aggregate proves the
+  // round-trip preserved every row and the partition column.
+  // ---------------------------------------------------------------------
+  def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_partitioned_docs").getAbsolutePath
+    graft.sources.ParquetSink(out, "documents", partitionBy = Seq("lang"))
+      .write(t(s, dir, "documents"))
+    s.read.parquet(s"$out/documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+  }
+
+  val partitionedWriteSql: String =
+    """SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -543,6 +652,12 @@ object Queries {
     "q_sessionize" -> (sessionize _),
     "q_pivot_counts" -> (pivotCounts _),
     "q_rank_window" -> (rankWindow _),
+    "q_cube_orders" -> (cubeOrders _),
+    "q_intersect_customers" -> (intersectCustomers _),
+    "q_except_customers" -> (exceptCustomers _),
+    "q_count_distinct" -> (countDistinctUsers _),
+    "q_range_join" -> (rangeJoinShipments _),
+    "q_partitioned_write" -> (partitionedWrite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,5 +686,11 @@ object Queries {
     "q_sessionize" -> sessionizeSql,
     "q_pivot_counts" -> pivotCountsSql,
     "q_rank_window" -> rankWindowSql,
+    "q_cube_orders" -> cubeOrdersSql,
+    "q_intersect_customers" -> intersectCustomersSql,
+    "q_except_customers" -> exceptCustomersSql,
+    "q_count_distinct" -> countDistinctUsersSql,
+    "q_range_join" -> rangeJoinShipmentsSql,
+    "q_partitioned_write" -> partitionedWriteSql,
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) joins without the theta-join blowup.
+  *
+  * A naive `p BETWEEN lo AND hi` join has no equi-key, so Spark plans
+  * BroadcastNestedLoopJoin (O(n*m) comparisons) or, worse, a cartesian
+  * shuffle. Bucketing restores an equi-key: quantize the domain into
+  * `bucketWidth`-sized cells, replicate each interval into every cell
+  * it overlaps (fanout = interval length / width + 1, small when the
+  * width is chosen near the typical interval length), and equi-join
+  * points to cells. Each qualifying (point, interval) pair meets in
+  * EXACTLY one cell — the point's — so no post-join dedup is needed.
+  *
+  * At scale this is the standard shape: shuffle is hash-partitioned on
+  * the cell key, both sides prune by cell, and the residual BETWEEN
+  * filter runs inside the codegen'd join. Skewed cells (a hot time
+  * range) can be salted like any other equi-join key (ScaleOps).
+  */
+object RangeJoin {
+
+  /** Inner-join `points` (with long column `pointCol`) to `intervals`
+    * (with long columns `loCol`, `hiCol`, inclusive bounds), keeping
+    * pairs where `lo <= p <= hi`. Column names must not collide across
+    * the two frames (rename beforehand — same contract as any join).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__cell",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__cell",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__cell"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__cell")
+  }
+}

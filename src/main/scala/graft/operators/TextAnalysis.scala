@@ -85,4 +85,31 @@ object TextAnalysis {
     val positions = sequence(lit(1), greatest(length(text) - (n - 1), lit(1)))
     array_min(transform(positions, i => StableHash.stable32(text.substr(i, lit(n)))))
   }
+
+  /** Top-k TF-IDF terms per document, in exact integer arithmetic so
+    * the ranking is engine-portable: score_e6 = (tf * 10^6 * n_docs)
+    * DIV df — a monotone transform of tf * (N/df), no float log.
+    *
+    * Scale shape: tf is a partial-aggregable (doc, term) count; df is a
+    * second partial aggregate over tf (already deduplicated — count,
+    * not count-distinct); the corpus size joins in as a broadcast
+    * 1-row frame (never a window-over-nothing, which would single-
+    * partition the data); final top-k is one window shuffle on doc.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokensOf(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score_e6", expr("(tf * 1000000 * n_docs) DIV df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score_e6"), col("rnk"))
+  }
 }

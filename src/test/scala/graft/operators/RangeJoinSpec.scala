@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq((1L, 5L), (2L, 31L), (3L, 32L), (4L, 100L))
+    .toDF("pid", "d")
+  // intervals crossing bucket boundaries (width 32), touching bounds,
+  // empty-width, and non-matching
+  private val intervals = Seq(
+    (10L, 0L, 5L),     // matches p=5 at its hi bound
+    (11L, 5L, 40L),    // spans buckets 0 and 1: matches 5, 31, 32
+    (12L, 32L, 32L),   // width 0: matches exactly p=32
+    (13L, 33L, 99L),   // matches nothing (100 just outside)
+    (14L, 100L, 200L)  // matches p=100 at its lo bound
+  ).toDF("iid", "lo", "hi")
+
+  test("pointInInterval == naive theta join (each pair exactly once)") {
+    val bucketed = RangeJoin.pointInInterval(points, intervals,
+        "d", "lo", "hi", bucketWidth = 32)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    val naive = points.crossJoin(intervals)
+      .filter($"d" >= $"lo" && $"d" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(bucketed.sorted == naive.sorted) // Seq compare: no dup pairs
+    assert(bucketed.toSet == Set((1L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 11L), (3L, 12L), (4L, 14L)))
+  }
+
+  test("bucketed plan joins on an equi-key (no nested-loop join)") {
+    val plan = RangeJoin.pointInInterval(points, intervals,
+      "d", "lo", "hi", bucketWidth = 32).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1000))
+  }
+
+  test("width 1 and huge width both stay correct") {
+    for (w <- Seq(1L, 1000000L)) {
+      val out = RangeJoin.pointInInterval(points, intervals,
+          "d", "lo", "hi", bucketWidth = w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+      assert(out.sorted == out.toSet.toSeq.sorted && out.size == 6, s"w=$w")
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms: rare terms outrank common ones; k and ties respected") {
+    // "common" appears in every doc; each doc has one unique term
+    val docs = Seq(
+      (1L, "common unique1 unique1 common"),
+      (2L, "common unique2"),
+      (3L, "common unique3 unique3 unique3")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy($"doc_id", $"rnk")
+      .as[(Long, String, Long, Long, Int)].collect().toSeq
+
+    // n_docs=3, df(common)=3, df(unique_i)=1
+    // score(unique1 in d1) = 2*1e6*3/1 = 6e6; score(common in d1) = 2*1e6*3/3 = 2e6
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._4)) ==
+      Seq(("unique1", 6000000L), ("common", 2000000L)))
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._4)) ==
+      Seq(("unique2", 3000000L), ("common", 1000000L)))
+    assert(out.filter(_._1 == 3L).map(_._2) == Seq("unique3", "common"))
+    // exactly k rows per doc, ranks 1..k
+    assert(out.groupBy(_._1).forall(_._2.map(_._5).sorted == Seq(1, 2)))
+  }
+
+  test("tfidf scoring is exact integer (score_e6 = tf*1e6*n DIV df)") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(out((1L, "a")) == 2L * 1000000 * 2 / 1)
+    assert(out((1L, "b")) == 1L * 1000000 * 2 / 2)
+    assert(out((2L, "c")) == 1L * 1000000 * 2 / 1)
+  }
+}
