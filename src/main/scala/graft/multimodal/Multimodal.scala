@@ -32,6 +32,22 @@ object Multimodal {
     }
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex without per-byte String.format (which dominated the
+    * frame-sampling profile at ~16 format calls per row). */
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Wrap a text/binary-source DataFrame into the canonical media frame:
     * (doc_id, media binary, media_type). */
   def toMediaFrame(df: DataFrame, idCol: String, payloadCol: String,
@@ -58,8 +74,7 @@ object Multimodal {
           digest.reset()
           digest.update(rec.media)
           digest.update(s"_$i".getBytes("UTF-8"))
-          FrameSample(rec.doc_id, i,
-            digest.digest().map("%02x".format(_)).mkString)
+          FrameSample(rec.doc_id, i, hex(digest.digest()))
         }
       }
     }
@@ -76,8 +91,8 @@ object Multimodal {
       it.map { rec =>
         val (w, h, f) = DecodeStub.decode(rec.media)
         digest.reset()
-        val hash = digest.digest(rec.media).map("%02x".format(_)).mkString
-        MediaFeatures(rec.doc_id, rec.media.length, hash, w, h, f)
+        MediaFeatures(rec.doc_id, rec.media.length, hex(digest.digest(rec.media)),
+          w, h, f)
       }
     }
   }

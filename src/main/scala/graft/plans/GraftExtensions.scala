@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Cluster-deploy entry point for graft's native expressions:
   *
@@ -17,10 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.DotLongName),
-      new ExpressionInfo(classOf[DotProductLong].getName,
-        GraftFunctions.DotLongName),
-      (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1))))
+    GraftFunctions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
   }
 }

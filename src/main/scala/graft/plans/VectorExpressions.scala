@@ -157,45 +157,36 @@ object GraftFunctions {
   val WordShinglesName = "graft_word_shingles"
   val Simhash32Name = "graft_simhash32"
 
+  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+
+  /** All graft native expressions: (name, info, builder) — the single
+    * source for both registration paths (runtime registry and
+    * SparkSessionExtensions). */
+  val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (DotLongName,
+        new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
+        (e: Seq[Expression]) => DotProductLong(e.head, e(1))),
+      (MinhashName,
+        new ExpressionInfo(classOf[MinhashSignature].getName, MinhashName),
+        (e: Seq[Expression]) => MinhashSignature(e.head, intArg(e(1)))),
+      (ShingleHashName,
+        new ExpressionInfo(classOf[ShingleHash32].getName, ShingleHashName),
+        (e: Seq[Expression]) => ShingleHash32(e.head, intArg(e(1)))),
+      (WordShinglesName,
+        new ExpressionInfo(classOf[WordShingleArray].getName, WordShinglesName),
+        (e: Seq[Expression]) => WordShingleArray(e.head, intArg(e(1)))),
+      (Simhash32Name,
+        new ExpressionInfo(classOf[Simhash32].getName, Simhash32Name),
+        (e: Seq[Expression]) => Simhash32(e.head)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val dot = FunctionIdentifier(DotLongName)
-    if (!registry.functionExists(dot)) {
-      registry.registerFunction(
-        dot,
-        new ExpressionInfo(classOf[DotProductLong].getName, DotLongName),
-        (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1)))
-    }
-    val mh = FunctionIdentifier(MinhashName)
-    if (!registry.functionExists(mh)) {
-      registry.registerFunction(
-        mh,
-        new ExpressionInfo(classOf[MinhashSignature].getName, MinhashName),
-        (exprs: Seq[Expression]) => MinhashSignature(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]))
-    }
-    val sh = FunctionIdentifier(ShingleHashName)
-    if (!registry.functionExists(sh)) {
-      registry.registerFunction(
-        sh,
-        new ExpressionInfo(classOf[ShingleHash32].getName, ShingleHashName),
-        (exprs: Seq[Expression]) => ShingleHash32(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]))
-    }
-    val ws = FunctionIdentifier(WordShinglesName)
-    if (!registry.functionExists(ws)) {
-      registry.registerFunction(
-        ws,
-        new ExpressionInfo(classOf[WordShingleArray].getName, WordShinglesName),
-        (exprs: Seq[Expression]) => WordShingleArray(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]))
-    }
-    val sim = FunctionIdentifier(Simhash32Name)
-    if (!registry.functionExists(sim)) {
-      registry.registerFunction(
-        sim,
-        new ExpressionInfo(classOf[Simhash32].getName, Simhash32Name),
-        (exprs: Seq[Expression]) => Simhash32(exprs.head))
+    builders.foreach { case (name, info, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }

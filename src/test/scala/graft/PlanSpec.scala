@@ -41,6 +41,29 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("all graft native functions are SQL-callable after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot_long(array(1L,2L), array(3L,4L)) AS d,
+        |  graft_minhash(graft_shingle_hash32('abcdef', 3), 4) AS mh,
+        |  graft_word_shingles('a b c', 2) AS ws,
+        |  graft_simhash32('hello world') AS sh""".stripMargin).head()
+    assert(r.getLong(0) == 11L)
+    assert(r.getSeq[Long](1).length == 4)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+  }
+
+  test("GraftExtensions injects the same function set (cluster deploy path)") {
+    // the extension and the runtime registry share GraftFunctions.builders,
+    // so applying it to a fresh extensions container must not throw and
+    // must cover every name register() installs
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    assert(graft.plans.GraftFunctions.builders.map(_._1).toSet ==
+      Set("graft_dot_long", "graft_minhash", "graft_shingle_hash32",
+        "graft_word_shingles", "graft_simhash32"))
+  }
+
   test("whole-stage codegen covers the narrow transform pipeline") {
     val plan = executedPlan("q_cast_when_repair")
     // whole-stage codegen spans print as "*(n) Operator"
