@@ -368,6 +368,23 @@ object QueriesML {
        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= $NearDupThreshold""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Grouped vector centroids (class prototypes per label, exact ints)
+  // ---------------------------------------------------------------------
+  def vectorCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupedCentroids(t(s, dir, "embeddings"), "label", "embedding")
+
+  val vectorCentroidsSql: String =
+    s"""SELECT label, dim, count(*) AS n_vecs,
+       |  CAST(sum(x) AS BIGINT) AS sum_fp,
+       |  CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS mean_fp
+       |FROM (
+       |  SELECT label,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * ${Similarity.Scale}.0) AS BIGINT) AS x
+       |  FROM embeddings)
+       |GROUP BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Multimodal: binary payload + typed mapPartitions feature extraction
   // ---------------------------------------------------------------------
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -462,6 +479,7 @@ object QueriesML {
     "q_asof_prior_signup" -> (asofPriorSignup _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q_vector_centroids" -> (vectorCentroids _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -482,5 +500,6 @@ object QueriesML {
     "q_asof_prior_signup" -> asofPriorSignupSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q_vector_centroids" -> vectorCentroidsSql,
   )
 }

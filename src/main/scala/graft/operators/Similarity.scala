@@ -149,4 +149,21 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
   }
+
+  /** Per-group vector centroids (class prototypes) in exact fixed-point
+    * arithmetic: for each (group, dimension) the vector count, exact
+    * component sum, and truncated integer mean (Spark DIV == DuckDB //
+    * for the oracle).
+    *
+    * Shape: posexplode is narrow; the (group, dim) aggregate is partial
+    * map-side, so shuffle volume is O(groups x dim x partitions) — the
+    * same update shape KMeans.fit uses per iteration, exposed as a
+    * standalone operator for prototype/centroid analytics. */
+  def groupedCentroids(df: DataFrame, groupCol: String,
+                       vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(fixedPoint(col(vecCol)))
+        .as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("x")).as("sum_fp"))
+      .withColumn("mean_fp", expr("sum_fp DIV n_vecs"))
 }

@@ -57,6 +57,33 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming deduplication bounded by the event-time watermark — the
+    * training-pipeline "exactly-once per key" ingest shape. State holds
+    * one entry per key seen within the watermark horizon (dropped once
+    * the watermark passes), so memory is bounded by key arrival rate x
+    * horizon, not by stream length. */
+  def dedupedUsers(spark: SparkSession, dir: String,
+                   delay: String = "1 hour",
+                   queryName: String = "events_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_evt", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts_evt", delay)
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id"))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
   case class UserEvent(user_id: Long, value_cents: Long)
   case class UserTotal(user_id: Long, n_events: Long, value_cents: Long)
 

@@ -217,6 +217,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermarked streaming dedup keeps exactly the distinct user set") {
+    val streamed = graft.streaming.EventStream
+      .dedupedUsers(spark, sfDir, queryName = "t_dedup")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming hourly rollup equals the batch equivalent") {
     val streamed = graft.streaming.EventStream
       .hourlyRollup(spark, sfDir, queryName = "t_hourly")
