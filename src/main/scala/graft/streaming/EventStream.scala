@@ -26,10 +26,18 @@ object EventStream {
     * batch result as a DataFrame. Event-time watermark of `delay`
     * bounds state: at scale, late data past the watermark is dropped
     * and old windows are evicted from the state store.
+    *
+    * `statePartitions` sizes the state store parallelism (it is
+    * snapshotted from shuffle partitions at the FIRST checkpoint and
+    * pinned thereafter): pick ~ state rows / desired rows-per-task. A
+    * per-hour-per-type rollup holds only (hours x types) rows, so a
+    * handful of partitions beats the session default — on a cluster
+    * ingesting a wide keyspace, size it up instead.
     */
   def hourlyRollup(spark: SparkSession, dir: String,
                    delay: String = "1 hour",
-                   queryName: String = "events_hourly"): DataFrame = {
+                   queryName: String = "events_hourly",
+                   statePartitions: Option[Int] = Some(8)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = rawSchema(spark, dir)
     // glob form: the file source treats a plain path as a basePath
@@ -47,13 +55,20 @@ object EventStream {
         expr("unix_timestamp(window.start) DIV 3600").as("epoch_h"),
         col("event_type"), col("cnt"), col("value_cents"))
 
-    val query = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(queryName)
   }
 
