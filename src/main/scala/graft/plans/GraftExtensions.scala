@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // no-op until spark.graft.rangeJoin.bucketWidth is set > 0
+    ext.injectOptimizerRule(_ => RangeJoinRule)
   }
 }

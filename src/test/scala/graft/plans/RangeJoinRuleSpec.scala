@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq((1L, 5L), (2L, 31L), (3L, 32L), (4L, 100L))
+    .toDF("pid", "d")
+  private def intervals = Seq((10L, 0L, 5L), (11L, 5L, 40L), (12L, 32L, 32L),
+    (13L, 33L, 99L), (14L, 100L, 200L)).toDF("iid", "lo", "hi")
+
+  private def withRule[A](width: Long)(body: => A): A = {
+    RangeJoinRuleInstaller.install(spark)
+    spark.conf.set(RangeJoinRule.WidthConf, width.toString)
+    try body finally spark.conf.set(RangeJoinRule.WidthConf, "0")
+  }
+
+  test("BETWEEN theta join is rewritten to an equi-join on the cell") {
+    val expected = points.join(intervals, $"d" >= $"lo" && $"d" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(32) {
+      val out = points.join(intervals, $"d" >= $"lo" && $"d" <= $"hi")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(1200))
+      val rows = out.select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+      assert(rows.sorted == expected) // exact multiset: no dups, no losses
+    }
+  }
+
+  test("strict bounds and flipped spellings are rewritten too") {
+    val cond = $"lo" < $"d" && $"hi" > $"d"
+    val expected = points.join(intervals, cond)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(32) {
+      val out = points.join(intervals, cond)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+      assert(out.select($"pid", $"iid").as[(Long, Long)]
+        .collect().toSeq.sorted == expected)
+    }
+  }
+
+  test("joins with an equi-key are left untouched") {
+    withRule(32) {
+      val out = points.join(intervals, $"pid" === $"iid" && $"d" >= $"lo")
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_cell"), plan.take(1200))
+    }
+  }
+
+  test("rule is a no-op when the width conf is unset") {
+    RangeJoinRuleInstaller.install(spark)
+    val out = points.join(intervals, $"d" >= $"lo" && $"d" <= $"hi")
+    assert(!out.queryExecution.optimizedPlan.toString.contains("__graft_cell"))
+  }
+}
