@@ -261,6 +261,38 @@ object QueriesML {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Dedup clusters: near-dup pairs -> connected components (K rounds of
+  // min-label propagation; K is part of the contract so the oracle is
+  // the same K-step recurrence in SQL)
+  // ---------------------------------------------------------------------
+  val ClusterRounds = 6
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", SimhashMaxHamming)
+    Dedup.minLabelClusters(docs.select(col("doc_id")), "doc_id",
+      pairs, "id_a", "id_b", ClusterRounds)
+  }
+
+  val dedupClustersSql: String = {
+    val steps = (0 until ClusterRounds).map { k =>
+      s"""l${k + 1} AS (
+         |    SELECT l.id AS id, least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
+         |    FROM l$k l
+         |    LEFT JOIN edges e ON e.src = l.id
+         |    LEFT JOIN l$k nb ON nb.id = e.dst
+         |    GROUP BY l.id, l.lbl)""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH pairs AS ($simhashPairsSql),
+       |  edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |  l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |  $steps
+       |SELECT id AS doc_id, lbl AS cluster, id = lbl AS keep
+       |FROM l$ClusterRounds""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ANN: brute-force cosine top-k (fixed-point exact arithmetic)
   // ---------------------------------------------------------------------
   val AnnK = 3
@@ -480,6 +512,7 @@ object QueriesML {
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_vector_centroids" -> (vectorCentroids _),
+    "q_dedup_clusters" -> (dedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -501,5 +534,6 @@ object QueriesML {
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_vector_centroids" -> vectorCentroidsSql,
+    "q_dedup_clusters" -> dedupClustersSql,
   )
 }

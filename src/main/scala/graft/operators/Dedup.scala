@@ -197,6 +197,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Duplicate-cluster labels from candidate pairs: `rounds` of
+    * min-label propagation over the (undirected) pair graph. Each node
+    * ends with the smallest id reachable within `rounds` hops — for
+    * near-dup graphs (tiny diameters) a handful of rounds reaches the
+    * fixpoint, turning pairwise candidates into dedup clusters with a
+    * canonical representative (label == id  <=>  keeper).
+    *
+    * The round count is part of the operator contract (label after
+    * exactly `rounds` hops), which keeps it engine-portable: the same
+    * K-step recurrence is expressible as K SQL self-joins. Each round
+    * is one join + one partial-aggregated groupBy on the node key —
+    * at scale, `localCheckpoint` every few rounds to cut lineage, and
+    * switch to alternating small-star/large-star for graphs whose
+    * diameter is not bounded.
+    */
+  def minLabelClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    for (_ <- 0 until rounds) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels.join(neighborMin, labels("id") === neighborMin("src"),
+          "left")
+        .select(col("id"), least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
   /** 32-bit SimHash per document over word tokens (with multiplicity):
     * bit j of the signature is the sign of sum(+-1) of token-hash bit j.
     * One codegen'd per-row kernel (plans.Simhash32): a narrow map with

@@ -50,6 +50,19 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == viaHof)
   }
 
+  test("minLabelClusters: components get min-id labels, keepers flagged") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, isolated 4
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.minLabelClusters(ids, "doc_id", pairs, "id_a", "id_b",
+        rounds = 3)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false)))
+  }
+
   test("ngram jaccard: identical=1.0, disjoint pairs absent") {
     val df = Seq((1L, "aaaaabbbbb", "g"), (2L, "aaaaabbbbb", "g"),
       (3L, "zzzzzyyyyy", "g")).toDF("doc_id", "text", "blk")
