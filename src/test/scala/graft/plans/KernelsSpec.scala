@@ -71,6 +71,28 @@ class KernelsSpec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().mkString(";"))
   }
 
+  test("property: kernels == declarative twins on random strings") {
+    graft.plans.GraftFunctions.register(spark)
+    val gen = new scala.util.Random(42)
+    val alphabet = "ab c.dé!"
+    val rand = (0 until 200).map { i =>
+      (i.toLong, (0 until gen.nextInt(30)).map(_ =>
+        alphabet(gen.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val n = 4
+    val positions = sequence(lit(1), greatest(length($"text") - (n - 1), lit(1)))
+    val declSh = transform(
+      array_distinct(transform(positions, i => $"text".substr(i, lit(n)))),
+      s => StableHash.stable32(s))
+    val bad = rand.select(
+        call_function(GraftFunctions.ShingleHashName, $"text", lit(n)).as("k1"),
+        declSh.as("d1"),
+        call_function(GraftFunctions.WordShinglesName, $"text", lit(2)).as("k2"),
+        Dedup.wordShingleArray($"text", 2).as("d2"))
+      .filter(not($"k1" === $"d1") || not($"k2" === $"d2"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString(";"))
+  }
+
   test("kernels survive whole-stage codegen (no interpreted fallback errors)") {
     graft.plans.GraftFunctions.register(spark)
     val out = df.select(
