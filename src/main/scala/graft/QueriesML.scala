@@ -45,20 +45,24 @@ object QueriesML {
         col("punct_chars"), col("n_chars_m")), 6).as("quality_r"))
   }
 
-  val textStatsSql: String =
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS INT) AS stop_hits,
-      |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_chars,
-      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
-      |  round((
+  /** DuckDB twin of round(TextAnalysis.qualityScore(...), 6). */
+  private val qualitySql: String =
+    """round((
       |    CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0
       |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS DOUBLE)
       |            / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
       |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
       |            / CAST(greatest(length(text), 1) AS DOUBLE))
-      |  ) / 3.0, 6) AS quality_r
-      |FROM documents""".stripMargin
+      |  ) / 3.0, 6)""".stripMargin
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS INT) AS stop_hits,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_chars,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens,
+       |  $qualitySql AS quality_r
+       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
   // Language-ID heuristic (stopword profiles, argmax w/ ordered tiebreak)
@@ -67,25 +71,88 @@ object QueriesML {
     t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
-  val langIdSql: String = {
-    val profiles = TextAnalysis.LangStopwords
-    val countExpr = profiles.map { case (lang, words) =>
+  /** DuckDB per-language stopword-count projections (c_en, c_es, ...). */
+  private val langCountSql: String = TextAnalysis.LangStopwords.map {
+    case (lang, words) =>
       val set = words.map(w => s"'$w'").mkString(",")
       s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS INT) AS c_$lang"
-    }.mkString(",\n    ")
-    val langs = profiles.map(_._1)
+  }.mkString(",\n    ")
+
+  /** DuckDB argmax-with-declared-order-tiebreak over the c_* counts. */
+  private val langCaseSql: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
     val maxExpr = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
     val caseArms = langs.map { l =>
       s"WHEN c_$l > 0 AND c_$l = $maxExpr THEN '$l'"
     }.mkString("\n    ")
-    s"""SELECT doc_id, lang,
-       |  CASE
-       |    $caseArms
-       |    ELSE 'und' END AS lang_pred
-       |FROM (SELECT doc_id, lang,
-       |    $countExpr
-       |  FROM documents)""".stripMargin
+    s"CASE\n    $caseArms\n    ELSE 'und' END"
   }
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang,
+       |  $langCaseSql AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |    $langCountSql
+       |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic train/valid/test split: hash-of-id assignment, stable
+  // across runs, engines, and cluster sizes (never sample() — that
+  // depends on partitioning)
+  // ---------------------------------------------------------------------
+  val SplitSalt = "#graft-split-1"
+
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = StableHash.stable32(
+      concat(col("doc_id").cast("string"), lit(SplitSalt))) % 100
+    t(s, dir, "documents").select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  val sampleSplitSql: String = {
+    val bucket = StableHash.stable32Sql(s"CAST(doc_id AS VARCHAR) || '$SplitSalt'") + " % 100"
+    s"""SELECT doc_id, CAST($bucket AS BIGINT) AS bucket,
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // End-to-end corpus curation: quality threshold x language agreement x
+  // exact-dup keeper — the composed filter chain of a training-data
+  // pipeline, entirely narrow except one window on the dedup key
+  // ---------------------------------------------------------------------
+  val CurationMinQuality = 0.5
+
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = TextAnalysis.stats(t(s, dir, "documents"), "text")
+    st.withColumn("quality_r",
+        round(TextAnalysis.qualityScore(col("n_tokens"), col("stop_hits"),
+          col("punct_chars"), col("n_chars_m")), 6))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("quality_r") >= CurationMinQuality &&
+        col("lang_pred") === col("lang") && col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_r"))
+  }
+
+  val curationPipelineSql: String =
+    s"""SELECT doc_id, lang, n_tokens, quality_r FROM (
+       |  SELECT doc_id, lang, n_tokens, quality_r,
+       |    $langCaseSql AS lang_pred,
+       |    min(doc_id) OVER (PARTITION BY text) AS keep_id
+       |  FROM (
+       |    SELECT doc_id, lang, text,
+       |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |      $qualitySql AS quality_r,
+       |      $langCountSql
+       |    FROM documents))
+       |WHERE quality_r >= $CurationMinQuality AND lang_pred = lang
+       |  AND doc_id = keep_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // TF-IDF top terms per document (exact integer scoring — no float log,
@@ -513,6 +580,8 @@ object QueriesML {
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_sample_split" -> (sampleSplit _),
+    "q_curation_pipeline" -> (curationPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,5 +604,7 @@ object QueriesML {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_sample_split" -> sampleSplitSql,
+    "q_curation_pipeline" -> curationPipelineSql,
   )
 }

@@ -46,13 +46,20 @@ object AbMinhash {
         .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b")).distinct()
     }
-    time("sigs", sigs _)
-    time("bands", bands _)
+    // variant C: repartition between the explodes to spread hot buckets
+    def candsRepart() = {
+      val buckets = bands.groupBy(col("band"), col("band_key"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+      buckets.select(explode(col("ids")).as("id_a"), col("ids"))
+        .repartition(32)
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b")).distinct()
+    }
     time("cands", cands _)
-    time("candsJoin", candsJoin _)
-    time("candsExpl", candsExpl _)
-    println("[ab] rows cands=" + cands.count() + " join=" + candsJoin().count()
-      + " expl=" + candsExpl().count())
+    time("candsRepart", candsRepart _)
+    println("[ab] rows cands=" + cands.count()
+      + " repart=" + candsRepart().count())
     spark.stop()
   }
 }
