@@ -25,3 +25,18 @@ case class ParquetSink(resultPath: String, tableName: String,
 case class ConsoleSink(rows: Int = 10) extends Sink {
   override def write(df: DataFrame): Unit = df.show(rows, truncate = false)
 }
+
+/** Generic file-format sink for the remaining Spark-native formats
+  * (orc, json-lines, csv) — the reference's "change storeData to store
+  * wherever" pluggability (S9) without a per-format class. Parquet
+  * keeps its own sink as the default columnar path. */
+case class FormatSink(resultPath: String, tableName: String,
+                      format: String,
+                      options: Map[String, String] = Map.empty,
+                      partitionBy: Seq[String] = Nil) extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val w = df.write.mode("overwrite").format(format).options(options)
+    val p = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    p.save(s"$resultPath/$tableName")
+  }
+}

@@ -41,6 +41,26 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("range join query plans as an equi-join (no nested loop at any SF)") {
+    val plan = executedPlan("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("curation pipeline is narrow except the dedup-key window") {
+    val plan = executedPlan("q_curation_pipeline")
+    // one exchange for the window on text; no join anywhere
+    assert(!plan.contains("Join"), plan.take(1200))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${plan.take(1500)}")
+  }
+
+  test("tfidf broadcasts the corpus-count side, not the tf side") {
+    val plan = executedPlan("q_tfidf_top_terms")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+  }
+
   test("all graft native functions are SQL-callable after registration") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
