@@ -35,18 +35,22 @@ object KMeans {
     val cLit = typedLit(cScaled.toSeq)
     val cross = call_function(GraftFunctions.DotLongName, xFixed, cLit)
     val cNorm2 = cScaled.map(v => v * v).sum
-    xNorm2 - lit(2L) * cross + lit(cNorm2)
+    // |c|^2 rides in a 1-element ARRAY literal: array literals land in
+    // the codegen references array (a scalar literal is inlined in the
+    // generated source), so the source is byte-identical across fit
+    // iterations -> janino cache hit instead of a recompile per round
+    xNorm2 - lit(2L) * cross + element_at(typedLit(Seq(cNorm2)), 1)
   }
 
-  /** Cluster id of the nearest centroid (ties -> lowest id): a single
-    * `least(struct(dist, id)...)` expression, fully codegen'd. */
+  /** Cluster id of the nearest centroid (ties -> lowest id): one fused
+    * codegen'd expression over the centroid matrix literal
+    * (plans.NearestCentroid). The earlier least(struct(dist,i)...)
+    * forest was correct but Catalyst re-analyzed its 16-branch tree on
+    * every Lloyd iteration — plan-build time dominated the job. */
   def nearestCentroid(xFixed: Column, xNorm2: Column,
-                      centroids: Array[Array[Long]]): Column = {
-    val pairs = centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDistToCentroid(xFixed, xNorm2, c).as("d"), lit(i).as("i"))
-    }
-    least(pairs.toIndexedSeq: _*).getField("i")
-  }
+                      centroids: Array[Array[Long]]): Column =
+    call_function(GraftFunctions.NearestCentroidName, xFixed,
+      typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq))
 
   /** Prepared frame: (id, v: array<long> fixed-point, n2: |v|^2). */
   def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -145,6 +145,87 @@ case class MinhashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment in ONE expression: argmin over k of the
+  * exact integer squared L2 distance |v - c_k|^2, ties to the lowest
+  * index. The centroid matrix travels as a single array<array<long>>
+  * literal (one reference object), so the per-iteration Lloyd plans
+  * stay tiny — the least(struct(dist_k, k)...) formulation it replaces
+  * built a 16-branch expression forest that Catalyst re-analyzed on
+  * every iteration.
+  *
+  * Overflow: |v_j - c_j| < 2^21, squared < 2^42, x dim(<=2^12) < 2^54 —
+  * exact in long.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<array<bigint>>)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Long.MaxValue
+    var k = 0
+    val n = cents.numElements()
+    while (k < n) {
+      val c = cents.getArray(k)
+      val dim = math.min(v.numElements(), c.numElements())
+      var d = 0L
+      var j = 0
+      while (j < dim) {
+        val diff = v.getLong(j) - c.getLong(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = k }
+      k += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cents) => {
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val dim = ctx.freshName("dim")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $best = 0;
+         |long $bestD = Long.MAX_VALUE;
+         |final int $n = $cents.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  final org.apache.spark.sql.catalyst.util.ArrayData $c = $cents.getArray($k);
+         |  final int $dim = java.lang.Math.min($v.numElements(), $c.numElements());
+         |  long $d = 0L;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    final long $diff = $v.getLong($j) - $c.getLong($j);
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $k; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration of graft's native expressions on an existing
   * session (the driver builds the SparkSession, so we register on
   * `sessionState.functionRegistry` rather than via
@@ -156,6 +237,7 @@ object GraftFunctions {
   val ShingleHashName = "graft_shingle_hash32"
   val WordShinglesName = "graft_word_shingles"
   val Simhash32Name = "graft_simhash32"
+  val NearestCentroidName = "graft_nearest_centroid"
 
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
 
@@ -178,7 +260,10 @@ object GraftFunctions {
         (e: Seq[Expression]) => WordShingleArray(e.head, intArg(e(1)))),
       (Simhash32Name,
         new ExpressionInfo(classOf[Simhash32].getName, Simhash32Name),
-        (e: Seq[Expression]) => Simhash32(e.head)))
+        (e: Seq[Expression]) => Simhash32(e.head)),
+      (NearestCentroidName,
+        new ExpressionInfo(classOf[NearestCentroid].getName, NearestCentroidName),
+        (e: Seq[Expression]) => NearestCentroid(e.head, e(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
