@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming over the events table.
   *
@@ -101,6 +101,80 @@ object EventStream {
 
   case class UserEvent(user_id: Long, value_cents: Long)
   case class UserTotal(user_id: Long, n_events: Long, value_cents: Long)
+
+  case class TimedEvent(user_id: Long, ts_us: Long, value_cents: Long)
+  case class SessionRow(user_id: Long, session_idx: Long, n_events: Long,
+                        duration_us: Long, value_cents: Long)
+  case class SessionState(nextIdx: Long, lastTs: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the
+    * one-to-many arbitrary-state shape (mapGroupsWithState is 1:1 per
+    * group per batch; sessions need 0..n emissions). State per user is
+    * O(1): the next session index and last-seen timestamp, carried
+    * across micro-batches; each batch sorts only ITS OWN events for the
+    * user. Semantics match the batch lag+cumsum sessionizer
+    * (Queries.sessionize) when events arrive time-ordered across
+    * batches (guaranteed under Trigger.AvailableNow's single batch).
+    *
+    * Continuous-deployment note: this emits every segment seen in the
+    * batch, including the still-open trailing session — exact for
+    * AvailableNow. A 24/7 deployment should hold the open session in
+    * state and flush it via an event-time timeout instead.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, gapUs: Long,
+                       queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .as[TimedEvent]
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          val evs = it.toArray.sortBy(_.ts_us)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            // session_idx starts at 1 per user (same numbering as the
+            // batch lag+cumsum sessionizer, whose first break flag = 1)
+            val st = state.getOption.getOrElse(SessionState(1L, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var idx = st.nextIdx
+            var start = 0
+            var i = 1
+            while (i <= evs.length) {
+              if (i == evs.length || evs(i).ts_us - evs(i - 1).ts_us > gapUs) {
+                out += sessionOf(user, idx, evs, start, i)
+                idx += 1
+                start = i
+              }
+              i += 1
+            }
+            state.update(SessionState(idx, evs.last.ts_us))
+            out.iterator
+          }
+      }
+    val query = sessions.toDF().writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
+  private def sessionOf(user: Long, idx: Long, evs: Array[TimedEvent],
+                        from: Int, until: Int): SessionRow = {
+    var cents = 0L
+    var i = from
+    while (i < until) { cents += evs(i).value_cents; i += 1 }
+    SessionRow(user, idx, until - from,
+      evs(until - 1).ts_us - evs(from).ts_us, cents)
+  }
 
   /** Typed arbitrary-state streaming (`mapGroupsWithState`): running
     * per-user totals. The state store holds one UserTotal per user —

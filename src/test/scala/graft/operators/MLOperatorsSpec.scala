@@ -240,6 +240,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch sessionizer") {
+    val streamed = graft.streaming.EventStream
+      .sessionizeStream(spark, sfDir, graft.Queries.SessionGapUs, "t_sess")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Queries.sessionize(spark, sfDir)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("duration_us"), col("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming hourly rollup equals the batch equivalent") {
     val streamed = graft.streaming.EventStream
       .hourlyRollup(spark, sfDir, queryName = "t_hourly")
