@@ -67,6 +67,21 @@ class QuantilesSpec extends SparkSpec {
       assert(o3 == pcont(vals, 0.75), s"g=$g q75")
     }
   }
+
+  test("approx path (the 100 TB knob) stays within the sketch's rank error") {
+    val df = (1 to 10000).map(i => (i % 2, i.toDouble)).toDF("g", "v")
+    val exact = Quantiles.perGroup(df, "g", "v", Seq(0.5))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val approx = Quantiles.perGroup(df, "g", "v", Seq(0.5), exact = false,
+        approxAccuracy = 100)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // accuracy=100 -> rank error <= n/100; values are 1..10000 so a
+    // rank error of n/100 = 50 maps to a value error of ~100
+    for (g <- 0 to 1) {
+      assert(math.abs(approx(g) - exact(g)) <= 150.0,
+        s"g=$g approx=${approx(g)} exact=${exact(g)}")
+    }
+  }
 }
 
 class ClassifySpec extends SparkSpec {
