@@ -542,6 +542,27 @@ object QueriesML {
       |WHERE event_type = 'purchase'""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Two-table as-of join (backward, inclusive): purchases x signups —
+  // checked against DuckDB's native ASOF LEFT JOIN
+  // ---------------------------------------------------------------------
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("signup_us"))
+    AsOf.asofJoin(purchases, signups, "user_id", "ts_us", Seq("signup_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_us"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(r.ts) AS signup_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      |  ON l.user_id = r.user_id AND epoch_us(l.ts) >= epoch_us(r.ts)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Structured Streaming: hourly rollup via Trigger.AvailableNow
   // ---------------------------------------------------------------------
   private val streamRun = new AtomicInteger(0)
@@ -576,6 +597,7 @@ object QueriesML {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
+    "q_asof_join" -> (asofJoin _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_vector_centroids" -> (vectorCentroids _),
@@ -600,6 +622,7 @@ object QueriesML {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
+    "q_asof_join" -> asofJoinSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_vector_centroids" -> vectorCentroidsSql,
