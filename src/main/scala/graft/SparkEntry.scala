@@ -605,6 +605,27 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Skew tooling through the gate: salted join must be result-identical
+  // to the plain join (the salt fans a hot key over `salts` reducers
+  // without changing a single output row)
+  // ---------------------------------------------------------------------
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .select(col("user_id").as("c_custkey"), cents(col("value")).as("value_cents"))
+    val customers = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ScaleOps.saltedJoin(events, customers, "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value_cents")).as("value_cents"))
+  }
+
+  val saltedJoinAggSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S7 at scale: partitioned parquet write + partition-pruned read-back.
   // The write is the operator under test; the aggregate proves the
   // round-trip preserved every row and the partition column.
@@ -658,6 +679,7 @@ object Queries {
     "q_count_distinct" -> (countDistinctUsers _),
     "q_range_join" -> (rangeJoinShipments _),
     "q_partitioned_write" -> (partitionedWrite _),
+    "q_salted_join" -> (saltedJoinAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -692,5 +714,6 @@ object Queries {
     "q_count_distinct" -> countDistinctUsersSql,
     "q_range_join" -> rangeJoinShipmentsSql,
     "q_partitioned_write" -> partitionedWriteSql,
+    "q_salted_join" -> saltedJoinAggSql,
   )
 }
