@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite a non-equi "point BETWEEN lo AND hi" inner
   * join into the bucketed equi-join shape of
@@ -45,7 +45,14 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def integral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+    e.dataType == LongType || e.dataType == IntegerType ||
+      e.dataType == DateType // day-precision integers under the hood
+
+  /** Numeric view of a bucketing operand (dates -> epoch days via
+    * UnixDate). The analyzer has already unified operand types across
+    * the predicate, so equal logical values map to equal cells. */
+  private def numeric(e: Expression): Expression =
+    if (e.dataType == DateType) UnixDate(e) else e
 
   /** (point, bound) with point/bound each fully evaluable on opposite
     * sides of the join — normalized so the returned pair is
@@ -96,7 +103,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
       def cellOf(e: Expression): Expression =
-        Cast(Floor(Divide(Cast(e, DoubleType),
+        Cast(Floor(Divide(Cast(numeric(e), DoubleType),
           Literal(width.toDouble))), LongType)
 
       val pCell = Alias(cellOf(p), "__graft_cell_p")()

@@ -43,6 +43,25 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("date-typed BETWEEN joins are rewritten (epoch-day cells)") {
+    val evts = Seq((1L, "2024-01-05"), (2L, "2024-03-01"), (3L, "2024-07-15"))
+      .toDF("eid", "d").select($"eid", to_date($"d").as("d"))
+    val periods = Seq((10L, "2024-01-01", "2024-01-31"),
+      (11L, "2024-02-15", "2024-03-10"), (12L, "2024-07-15", "2024-07-15"))
+      .toDF("pid", "lo", "hi")
+      .select($"pid", to_date($"lo").as("lo"), to_date($"hi").as("hi"))
+    val cond = $"d" >= $"lo" && $"d" <= $"hi"
+    val expected = evts.join(periods, cond)
+      .select($"eid", $"pid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(30) {
+      val out = evts.join(periods, cond)
+      assert(out.queryExecution.optimizedPlan.toString.contains("__graft_cell"),
+        "rewrite must fire for date columns")
+      assert(out.select($"eid", $"pid").as[(Long, Long)]
+        .collect().toSeq.sorted == expected)
+    }
+  }
+
   test("joins with an equi-key are left untouched") {
     withRule(32) {
       val out = points.join(intervals, $"pid" === $"iid" && $"d" >= $"lo")
