@@ -230,6 +230,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("frame sampling honors the everyNth stride") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.toMediaFrame(
+      Seq((1L, "x" * 25)).toDF("doc_id", "text"), "doc_id", "text", "video/fake")
+    // 25 bytes -> 25 % 30 + 1 = 26 frames at stride 1
+    val all = graft.multimodal.Multimodal.sampleFrames(spark, media).collect()
+    val strided = graft.multimodal.Multimodal
+      .sampleFrames(spark, media, everyNth = 2).collect()
+    assert(all.length == 26)
+    assert(strided.map(_.frame_idx).toSeq.sorted == (0 until 26 by 2).toSeq)
+    // strided hashes must match the corresponding full-sample frames
+    val byIdx = all.map(f => f.frame_idx -> f.frame_md5).toMap
+    assert(strided.forall(f => byIdx(f.frame_idx) == f.frame_md5))
+  }
+
   test("watermarked streaming dedup keeps exactly the distinct user set") {
     val streamed = graft.streaming.EventStream
       .dedupedUsers(spark, sfDir, queryName = "t_dedup")

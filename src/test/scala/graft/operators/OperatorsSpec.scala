@@ -68,6 +68,13 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("HLL approx_count_distinct within its error bound (sketch alternative to q_count_distinct)") {
+    val df = (1 to 20000).map(i => i % 1237).toDF("v")
+    val approx = df.select(approx_count_distinct($"v", 0.02)).as[Long].head()
+    assert(math.abs(approx - 1237) <= 1237 * 0.06,
+      s"approx=$approx exact=1237")
+  }
+
   test("approx path (the 100 TB knob) stays within the sketch's rank error") {
     val df = (1 to 10000).map(i => (i % 2, i.toDouble)).toDF("g", "v")
     val exact = Quantiles.perGroup(df, "g", "v", Seq(0.5))
