@@ -562,6 +562,20 @@ object QueriesML {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
       |  ON l.user_id = r.user_id AND epoch_us(l.ts) >= epoch_us(r.ts)""".stripMargin
 
+  /** Same semantics through the custom whole-operator path
+    * (plans.AsofJoinPlan/AsofJoinExec) — one streaming merge with O(1)
+    * task state instead of union + window. Shares the DuckDB native
+    * ASOF JOIN oracle with q_asof_join. */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("signup_us"))
+    AsOf.asofJoinNative(purchases, signups, "user_id", "ts_us",
+      Seq("signup_us"))
+  }
+
   // ---------------------------------------------------------------------
   // Structured Streaming: hourly rollup via Trigger.AvailableNow
   // ---------------------------------------------------------------------
@@ -598,6 +612,7 @@ object QueriesML {
     "q_streaming_hourly" -> (streamingHourly _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
     "q_asof_join" -> (asofJoin _),
+    "q_asof_native" -> (asofNative _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_vector_centroids" -> (vectorCentroids _),
@@ -623,6 +638,7 @@ object QueriesML {
     "q_streaming_hourly" -> streamingHourlySql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
     "q_asof_join" -> asofJoinSql,
+    "q_asof_native" -> asofJoinSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_vector_centroids" -> vectorCentroidsSql,

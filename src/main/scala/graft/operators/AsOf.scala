@@ -63,4 +63,40 @@ object AsOf {
     }
     carried.filter(col("__side") === 1).drop("__side")
   }
+
+  /** Backward as-of join as a NATIVE operator (custom LogicalPlan +
+    * SparkStrategy + SparkPlan, plans.AsofJoinPlan): one streaming
+    * merge per partition with O(1) state, after the same
+    * exchange+sort Spark would plan for a sort-merge join. Same
+    * semantics as [[asofJoin]] (backward, inclusive, right wins ties).
+    * `keyCol`/`orderCol` must be LongType on both sides.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+                     orderCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(left.schema(keyCol).dataType == LongType &&
+      left.schema(orderCol).dataType == LongType &&
+      right.schema(keyCol).dataType == LongType &&
+      right.schema(orderCol).dataType == LongType,
+      "asofJoinNative requires LongType key and order columns")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofStrategy
+    }
+    // fresh exprIds on the right (Alias allocates new ids): safe when
+    // both sides derive from the same source relation (self-as-of)
+    val rightPrep = right.select(
+      (Seq(col(keyCol).as("__asof_key"), col(orderCol).as("__asof_ord")) ++
+        valueCols.map(c => col(c).as(c))): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightPrep.queryExecution.analyzed
+    val rOut = rPlan.output
+    def lAttr(name: String) = lPlan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not in left frame"))
+    org.apache.spark.sql.GraftSqlShims.ofRows(spark,
+      graft.plans.AsofJoinPlan(lPlan, rPlan,
+        lAttr(keyCol), lAttr(orderCol),
+        rOut(0), rOut(1), rOut.drop(2)))
+  }
 }

@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // no-op until spark.graft.rangeJoin.bucketWidth is set > 0
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    // plans AsofJoinPlan nodes (built by AsOf.asofJoinNative)
+    ext.injectPlannerStrategy(_ => AsofStrategy)
   }
 }
