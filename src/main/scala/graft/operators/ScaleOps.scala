@@ -40,6 +40,30 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Small files are the silent scale
+    * killer (a 100 TB table written by 10k tasks/day accumulates
+    * millions of files -> listing, memory and scheduler pressure on
+    * every read). Staged write + two renames, same crash-safe swap as
+    * [[graft.etl.Incremental]]; returns the file count written. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dir + "__compact_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(dir).repartition(parts)
+      .write.parquet(staging.toString)
+    val backup = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.rename(path, backup)
+    fs.rename(staging, path)
+    fs.delete(backup, true)
+    parts
+  }
+
   /** Two-phase (salted) aggregation: partial sums per (key, salt), then
     * final per key. Spark's hash aggregate already map-side-combines,
     * so this matters when the FINAL reducer for one giant key is the

@@ -26,6 +26,21 @@ case class ConsoleSink(rows: Int = 10) extends Sink {
   override def write(df: DataFrame): Unit = df.show(rows, truncate = false)
 }
 
+/** Idempotent partition backfill: overwrite ONLY the partitions
+  * present in `df`, leaving every other partition untouched (dynamic
+  * partitionOverwriteMode). The unit of reprocessing at scale is the
+  * partition — a failed daily job re-runs for its day without
+  * clobbering three years of siblings. */
+case class PartitionBackfillSink(resultPath: String, tableName: String,
+                                 partitionBy: Seq[String]) extends Sink {
+  require(partitionBy.nonEmpty, "backfill needs partition columns")
+  override def write(df: DataFrame): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(s"$resultPath/$tableName")
+}
+
 /** Generic file-format sink for the remaining Spark-native formats
   * (orc, json-lines, csv) — the reference's "change storeData to store
   * wherever" pluggability (S9) without a per-format class. Parquet

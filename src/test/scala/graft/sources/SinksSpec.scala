@@ -22,6 +22,28 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan.take(600))
   }
 
+  test("PartitionBackfillSink rewrites only the partitions in the frame") {
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    ParquetSink(dir, "t", partitionBy = Seq("part")).write(data)
+    // backfill partition x with corrected rows; y must be untouched
+    val fixed = Seq((1L, "a2", "x"), (2L, "b2", "x")).toDF("id", "v", "part")
+    PartitionBackfillSink(dir, "t", Seq("part")).write(fixed)
+    val back = spark.read.parquet(s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == Set((1L, "a2", "x"), (2L, "b2", "x"), (3L, "c", "y")))
+  }
+
+  test("compactParquet collapses a many-file table without changing rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(0, 10000).toDF("id").repartition(20).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 20)
+    val written = graft.operators.ScaleOps.compactParquet(spark, dir)
+    assert(written < 20 && files() == written)
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("FormatSink round-trips orc and json with identical rows") {
     for (fmt <- Seq("orc", "json")) {
       val dir = Files.createTempDirectory(s"graft_sink_$fmt").toString
