@@ -23,8 +23,17 @@ object TextAnalysis {
 
   def tokensOf(text: Column): Column = split(text, " ")
 
-  /** Count of tokens belonging to `set` (array-filter, no explode). */
-  def tokenSetCount(text: Column, set: Seq[String]): Column = {
+  /** Count of tokens belonging to `set`: a codegen'd kernel expression
+    * (plans.TokenSetCount) embedded directly — no registry, works on
+    * any session. Declarative twin (the spec/oracle form) kept in
+    * [[tokenSetCountDeclarative]]. */
+  def tokenSetCount(text: Column, set: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.TokenSetCount(
+        org.apache.spark.sql.GraftSqlShims.expression(text), set))
+
+  /** HOF specification of [[tokenSetCount]] (test oracle). */
+  def tokenSetCountDeclarative(text: Column, set: Seq[String]): Column = {
     val arr = array(set.map(lit): _*)
     size(filter(tokensOf(text), t => array_contains(arr, t)))
   }

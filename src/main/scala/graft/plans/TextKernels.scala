@@ -67,6 +67,21 @@ object Kernels {
 
   private val space = UTF8String.fromString(" ")
 
+  /** Count of space-split tokens (WITH multiplicity) contained in
+    * `set` — the membership loop behind stopword counting and the
+    * language-ID profiles. */
+  def tokenSetCount(text: UTF8String,
+                    set: java.util.HashSet[UTF8String]): Int = {
+    val toks = text.split(space, -1)
+    var i = 0
+    var n = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** 32-bit SimHash over space-split word tokens WITH multiplicity —
     * per-row equivalent of the explode+groupBy formulation
     * `sum(+-1 per token-hash bit j) -> sign -> bit j`: no explode, no
@@ -170,6 +185,42 @@ case class WordShingleArray(child: Expression, w: Int) extends UnaryExpression {
       s"${ev.value} = graft.plans.Kernels.wordShingles($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleArray =
+    copy(child = newChild)
+}
+
+/** `graft_token_set_count(text)`: tokens-in-set count as one compiled
+  * pass, replacing the interpreted `size(filter(split(text),
+  * array_contains(...)))` chain — evaluated once per language profile
+  * per row in language-ID. Constructed directly as an expression (no
+  * registry needed); the set travels via the codegen references array.
+  */
+case class TokenSetCount(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_token_set_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string)")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.tokenSetCount(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.tokenSetCount($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
     copy(child = newChild)
 }
 

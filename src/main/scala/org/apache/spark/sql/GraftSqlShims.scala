@@ -14,4 +14,12 @@ object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): Dataset[Row] =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column <-> Expression bridging (needs no function registry, so
+    * kernel-backed Columns work on any session). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

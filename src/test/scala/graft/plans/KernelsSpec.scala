@@ -52,6 +52,16 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("TokenSetCount kernel == size(filter(split)) declarative twin") {
+    for (set <- Seq(Seq("the", "a"), Seq("one", "café", ""), Seq("zzz"))) {
+      val bad = df.select(
+          graft.operators.TextAnalysis.tokenSetCount($"text", set).as("k"),
+          graft.operators.TextAnalysis.tokenSetCountDeclarative($"text", set).as("d"))
+        .filter($"k" =!= $"d")
+      assert(bad.count() == 0, s"set=$set: ${bad.collect().mkString(";")}")
+    }
+  }
+
   test("Simhash32 kernel == explode+groupBy bit-sum aggregation") {
     graft.plans.GraftFunctions.register(spark)
     val in = df
