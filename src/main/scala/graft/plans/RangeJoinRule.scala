@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a non-equi "point BETWEEN lo AND hi" inner
   * join into the bucketed equi-join shape of
@@ -46,13 +46,21 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType ||
-      e.dataType == DateType // day-precision integers under the hood
+      e.dataType == DateType || // day-precision integers under the hood
+      e.dataType == TimestampType // micros; bucketed at second precision
 
-  /** Numeric view of a bucketing operand (dates -> epoch days via
-    * UnixDate). The analyzer has already unified operand types across
-    * the predicate, so equal logical values map to equal cells. */
-  private def numeric(e: Expression): Expression =
-    if (e.dataType == DateType) UnixDate(e) else e
+  /** Numeric view of a bucketing operand: dates -> epoch days
+    * (UnixDate), timestamps -> epoch SECONDS (Cast). Bucketing only
+    * needs a MONOTONIC map — the residual predicate still compares the
+    * original values — and the analyzer has already unified operand
+    * types across the predicate, so equal logical values land in equal
+    * cells. Width is therefore in days for dates and seconds for
+    * timestamps. */
+  private def numeric(e: Expression): Expression = e.dataType match {
+    case DateType => UnixDate(e)
+    case TimestampType => Cast(e, LongType)
+    case _ => e
+  }
 
   /** (point, bound) with point/bound each fully evaluable on opposite
     * sides of the join — normalized so the returned pair is

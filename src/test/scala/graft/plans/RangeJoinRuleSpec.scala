@@ -62,6 +62,24 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("timestamp-typed BETWEEN joins are rewritten (epoch-second cells)") {
+    val evts = Seq((1L, "2024-01-01 00:00:30"), (2L, "2024-01-01 01:30:00"))
+      .toDF("eid", "t").select($"eid", to_timestamp($"t").as("t"))
+    val spans = Seq((10L, "2024-01-01 00:00:00", "2024-01-01 00:59:59"),
+      (11L, "2024-01-01 01:00:00", "2024-01-01 02:00:00"))
+      .toDF("sid", "lo", "hi")
+      .select($"sid", to_timestamp($"lo").as("lo"), to_timestamp($"hi").as("hi"))
+    val cond = $"t" >= $"lo" && $"t" <= $"hi"
+    val expected = evts.join(spans, cond)
+      .select($"eid", $"sid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(3600) { // 1-hour cells
+      val out = evts.join(spans, cond)
+      assert(out.queryExecution.optimizedPlan.toString.contains("__graft_cell"))
+      assert(out.select($"eid", $"sid").as[(Long, Long)]
+        .collect().toSeq.sorted == expected)
+    }
+  }
+
   test("joins with an equi-key are left untouched") {
     withRule(32) {
       val out = points.join(intervals, $"pid" === $"iid" && $"d" >= $"lo")
