@@ -63,6 +63,42 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false)))
   }
 
+  test("property: minLabelClusters == union-find components on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 80
+    val edges = (1 to 100).map(_ =>
+      (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1)).filter(e => e._1 != e._2)
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n + 1)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val oracle = (1 to n).map { i =>
+      i.toLong -> (1 to n).filter(j => find(j) == find(i)).min.toLong
+    }.toMap
+    // rounds to convergence, simulated driver-side (keeps the iterative
+    // join lineage short instead of worst-casing rounds = n)
+    val adj = edges.flatMap(e => Seq(e._1.toInt -> e._2.toInt,
+      e._2.toInt -> e._1.toInt)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = Array.tabulate(n + 1)(identity)
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = lbl.clone()
+      for (i <- 1 to n; j <- adj.getOrElse(i, Nil)) {
+        if (lbl(j) < next(i)) next(i) = lbl(j)
+      }
+      changed = !next.sameElements(lbl)
+      lbl = next
+      if (changed) rounds += 1
+    }
+    val ids = (1 to n).map(_.toLong).toDF("doc_id")
+    val out = Dedup.minLabelClusters(ids, "doc_id",
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", rounds = rounds)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.map(t => t._1 -> t._2).toMap == oracle)
+    assert(out.forall(t => t._3 == (t._1 == t._2))) // keeper flag
+  }
+
   test("ngram jaccard: identical=1.0, disjoint pairs absent") {
     val df = Seq((1L, "aaaaabbbbb", "g"), (2L, "aaaaabbbbb", "g"),
       (3L, "zzzzzyyyyy", "g")).toDF("doc_id", "text", "blk")

@@ -37,6 +37,22 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1000))
   }
 
+  test("property: random points x intervals == naive theta join, several widths") {
+    val rnd = new scala.util.Random(7)
+    val ps = (1 to 150).map(i => (i.toLong, rnd.nextLong(2000) - 500)).toDF("pid", "d")
+    val ivs = (1 to 150).map { i =>
+      val lo = rnd.nextLong(2000) - 500
+      (i.toLong, lo, lo + rnd.nextLong(90))
+    }.toDF("iid", "lo", "hi")
+    val naive = ps.crossJoin(ivs).filter($"d" >= $"lo" && $"d" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
+    for (w <- Seq(1L, 13L, 64L, 5000L)) {
+      val out = RangeJoin.pointInInterval(ps, ivs, "d", "lo", "hi", w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
+      assert(out == naive, s"width=$w")
+    }
+  }
+
   test("width 1 and huge width both stay correct") {
     for (w <- Seq(1L, 1000000L)) {
       val out = RangeJoin.pointInInterval(points, intervals,
