@@ -630,9 +630,14 @@ object Queries {
   // The write is the operator under test; the aggregate proves the
   // round-trip preserved every row and the partition column.
   // ---------------------------------------------------------------------
+  // per-JVM unique scratch dir: two processes running the query set
+  // concurrently (tests + bench) must not overwrite each other's files
+  private lazy val partitionedWriteDir: String =
+    java.nio.file.Files.createTempDirectory("graft_partitioned_docs")
+      .toAbsolutePath.toString
+
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_partitioned_docs").getAbsolutePath
+    val out = partitionedWriteDir
     graft.sources.ParquetSink(out, "documents", partitionBy = Seq("lang"))
       .write(t(s, dir, "documents"))
     s.read.parquet(s"$out/documents")

@@ -41,12 +41,21 @@ object Incremental {
   }
 
   /** Fold `delta` into the persisted state under `stateDir` and return
-    * the new state frame. */
+    * the new state frame. A crash between the two swap renames leaves
+    * no `current`; the next run detects that and restores the rollback
+    * copy before proceeding, so accumulated state is never silently
+    * dropped. */
   def updateState(spark: SparkSession, stateDir: String, delta: DataFrame,
                   keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = new Path(stateDir, "current")
+    val prevDir = new Path(stateDir, "prev")
+    // crash recovery: died after current->prev but before staging->current
+    if (!fs.exists(current) && fs.exists(prevDir)) {
+      require(fs.rename(prevDir, current),
+        s"state recovery failed: cannot restore $prevDir to $current")
+    }
     val previous =
       if (fs.exists(current)) Some(spark.read.parquet(current.toString))
       else None
@@ -56,10 +65,11 @@ object Incremental {
     // materializes the merge (and with it the read of `current`) BEFORE
     // any rename touches `current`
     merged.write.mode("overwrite").parquet(staging.toString)
-    val prevDir = new Path(stateDir, "prev")
     if (fs.exists(prevDir)) fs.delete(prevDir, true)
-    if (fs.exists(current)) fs.rename(current, prevDir)
-    fs.rename(staging, current)
+    if (fs.exists(current)) {
+      require(fs.rename(current, prevDir), s"cannot archive $current")
+    }
+    require(fs.rename(staging, current), s"cannot publish $staging")
     spark.read.parquet(current.toString)
   }
 }

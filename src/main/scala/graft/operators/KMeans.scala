@@ -96,11 +96,15 @@ object KMeans {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, clusters: Int = 16,
               iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    // fit runs iters+1 actions over the prepared frame and the index
-    // scan reuses it once more — cache instead of re-reading the source
-    // each pass (Spark dedups the cache entry by canonicalized plan)
-    val c = prepare(corpus, idCol, vecCol).cache()
-    val cents = fit(c, clusters, iters)
+    // fit runs iters+1 actions over the prepared frame — cache for its
+    // duration, then release: fit's actions are eager, so the benefit
+    // is fully realized before unpersist, and a long-lived session
+    // doesn't pin the corpus in storage memory. The single lazy index
+    // scan afterwards re-reads the source once.
+    val cached = prepare(corpus, idCol, vecCol).cache()
+    val cents = try fit(cached, clusters, iters)
+                finally cached.unpersist()
+    val c = prepare(corpus, idCol, vecCol)
     val indexed = c.withColumn("cell",
       nearestCentroid(col("v"), col("n2"), cents))
       .withColumnRenamed("id", "cand_id")

@@ -50,16 +50,23 @@ object ScaleOps {
                      targetBytes: Long = 128L * 1024 * 1024): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    // crash recovery: died between the two renames of a previous run
+    if (!fs.exists(path) && fs.exists(backup)) {
+      require(fs.rename(backup, path),
+        s"compaction recovery failed: cannot restore $backup to $path")
+    }
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val staging = new org.apache.hadoop.fs.Path(dir + "__compact_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     spark.read.parquet(dir).repartition(parts)
       .write.parquet(staging.toString)
-    val backup = new org.apache.hadoop.fs.Path(dir + "__compact_old")
     if (fs.exists(backup)) fs.delete(backup, true)
-    fs.rename(path, backup)
-    fs.rename(staging, path)
+    // every rename checked: the backup is deleted ONLY after the new
+    // data is live (rename returning false must never cascade)
+    require(fs.rename(path, backup), s"cannot archive $path")
+    require(fs.rename(staging, path), s"cannot publish $staging")
     fs.delete(backup, true)
     parts
   }

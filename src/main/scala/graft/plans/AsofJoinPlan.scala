@@ -118,6 +118,15 @@ case class AsofJoinExec(leftKey: Expression, leftOrder: Expression,
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsofJoinPlan =>
+      // the exec reads keys/orders with getLong: anything else would
+      // produce silently wrong rows (UnsafeRow.getLong on an int slot
+      // zero-extends), so fail planning loudly instead
+      val longT = org.apache.spark.sql.types.LongType
+      require(Seq(p.leftKey, p.leftOrder, p.rightKey, p.rightOrder)
+        .forall(_.dataType == longT),
+        "AsofJoinPlan requires LongType key and order expressions, got " +
+          Seq(p.leftKey, p.leftOrder, p.rightKey, p.rightOrder)
+            .map(_.dataType.simpleString).mkString(", "))
       AsofJoinExec(p.leftKey, p.leftOrder, p.rightKey, p.rightOrder,
         p.rightValues, p.output.drop(p.left.output.length),
         planLater(p.left), planLater(p.right)) :: Nil

@@ -36,7 +36,9 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthConf, "0").toLong
+    // tolerant parse: a malformed conf value must degrade to a no-op,
+    // not throw inside the optimizer for every query in the session
+    val width = conf.getConfString(WidthConf, "0").toLongOption.getOrElse(0L)
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) =>
@@ -74,8 +76,12 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
 
+    // only a column-to-column equality is an equi-JOIN key; a
+    // column-vs-literal EqualTo is just a filter (canEvaluate is true
+    // for literals on either side) and must not suppress the rewrite
     val hasEqui = conjuncts.exists {
-      case EqualTo(a, b) => sidedPair(a, b, j).isDefined
+      case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
+        sidedPair(a, b, j).isDefined
       case _ => false
     }
     if (hasEqui) return None

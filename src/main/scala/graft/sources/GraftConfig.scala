@@ -48,9 +48,17 @@ final class GraftConfig(overrides: Map[String, String] = Map.empty,
   /** Session conf entries to apply before reading a remote store, e.g.
     * an object-store SAS key (reference ApplaudoETL.scala:33).
     * Each key resolves through [[get]], so the documented precedence
-    * (overrides > env > resource) holds here too. */
+    * (overrides > env > resource) holds here too. Env-only keys are
+    * surfaced best-effort by scanning for the prefix's UPPER_SNAKE
+    * form and mapping `_` back to `.` — exact for the common
+    * `fs.store.key` naming; keys that legitimately contain `_` or `-`
+    * need an override or properties entry to appear here. */
   def sessionConf(prefix: String): Map[String, String] = {
-    val keys = (fromResource.keySet ++ overrides.keySet)
+    val envPrefix = envKey(prefix)
+    val fromEnv = sys.env.keysIterator
+      .filter(_.startsWith(envPrefix))
+      .map(_.toLowerCase.replace('_', '.'))
+    val keys = (fromResource.keySet ++ overrides.keySet ++ fromEnv)
       .filter(_.startsWith(prefix))
     keys.iterator.flatMap(k => get(k).map(k -> _)).toMap
   }

@@ -110,16 +110,20 @@ object EventStream {
   /** Streaming sessionization via `flatMapGroupsWithState` — the
     * one-to-many arbitrary-state shape (mapGroupsWithState is 1:1 per
     * group per batch; sessions need 0..n emissions). State per user is
-    * O(1): the next session index and last-seen timestamp, carried
-    * across micro-batches; each batch sorts only ITS OWN events for the
-    * user. Semantics match the batch lag+cumsum sessionizer
-    * (Queries.sessionize) when events arrive time-ordered across
-    * batches (guaranteed under Trigger.AvailableNow's single batch).
-    *
-    * Continuous-deployment note: this emits every segment seen in the
-    * batch, including the still-open trailing session — exact for
-    * AvailableNow. A 24/7 deployment should hold the open session in
-    * state and flush it via an event-time timeout instead.
+    * O(1): the next session index and last-seen timestamp. Each batch
+    * sorts only ITS OWN events for the user and emits session
+    * FRAGMENTS: if the first event of a batch is within `gapUs` of the
+    * previous batch's last event, its fragment reuses that session's
+    * index, so rows sharing (user_id, session_idx) across batches
+    * belong to one session and aggregate into exact per-session counts
+    * and value sums (duration needs max(end)-min(start) over
+    * fragments). Under Trigger.AvailableNow's single batch every
+    * session is one fragment and the output matches the batch
+    * lag+cumsum sessionizer (Queries.sessionize) row-for-row.
+    * Assumes time-ordered arrival ACROSS batches (file-source batches
+    * are ordered; out-of-order feeds need the watermark variant). A
+    * 24/7 deployment can instead hold the open session in state and
+    * flush complete sessions via an event-time timeout.
     */
   def sessionizeStream(spark: SparkSession, dir: String, gapUs: Long,
                        queryName: String): DataFrame = {
@@ -142,8 +146,12 @@ object EventStream {
             // session_idx starts at 1 per user (same numbering as the
             // batch lag+cumsum sessionizer, whose first break flag = 1)
             val st = state.getOption.getOrElse(SessionState(1L, Long.MinValue))
+            // first fragment continues the previous batch's session when
+            // no gap separates them (st.nextIdx - 1 was its index)
+            val continuing = st.lastTs != Long.MinValue &&
+              evs.head.ts_us - st.lastTs <= gapUs
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-            var idx = st.nextIdx
+            var idx = if (continuing) st.nextIdx - 1 else st.nextIdx
             var start = 0
             var i = 1
             while (i <= evs.length) {

@@ -14,11 +14,13 @@ object AbStream {
     spark.sparkContext.setLogLevel("WARN")
     var n = 0
     def run(parts: Int): Double = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       n += 1
       val t0 = System.nanoTime()
+      // statePartitions passed explicitly — hourlyRollup's own default
+      // would otherwise override whatever we are trying to measure
       graft.streaming.EventStream.hourlyRollup(spark, dir,
-        queryName = s"ab_hourly_$n").count()
+        queryName = s"ab_hourly_$n",
+        statePartitions = Some(parts)).count()
       (System.nanoTime() - t0) / 1e9
     }
     run(32); run(8) // warm both paths

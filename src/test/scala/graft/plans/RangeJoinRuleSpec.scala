@@ -80,6 +80,28 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("a column-vs-literal equality filter does not suppress the rewrite") {
+    val cond = $"d" >= $"lo" && $"d" <= $"hi" && $"iid" === 11L
+    val expected = points.join(intervals, cond)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(32) {
+      val out = points.join(intervals, cond)
+      assert(out.queryExecution.optimizedPlan.toString.contains("__graft_cell"),
+        "literal equality is a filter, not an equi-join key")
+      assert(out.select($"pid", $"iid").as[(Long, Long)]
+        .collect().toSeq.sorted == expected)
+    }
+  }
+
+  test("malformed width conf degrades to a no-op instead of failing queries") {
+    RangeJoinRuleInstaller.install(spark)
+    spark.conf.set(RangeJoinRule.WidthConf, "64m")
+    try {
+      val out = points.join(intervals, $"d" >= $"lo" && $"d" <= $"hi")
+      assert(out.count() == 6) // still answers; rewrite simply off
+    } finally spark.conf.set(RangeJoinRule.WidthConf, "0")
+  }
+
   test("joins with an equi-key are left untouched") {
     withRule(32) {
       val out = points.join(intervals, $"pid" === $"iid" && $"d" >= $"lo")
