@@ -120,6 +120,35 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // Deterministic stratified sample: exactly K docs per language,
+  // selected by salted-hash order (uniform within stratum, stable
+  // across runs/engines/cluster sizes) — the few-shot / eval-subset
+  // selection primitive. One window shuffle on the stratum key.
+  // ---------------------------------------------------------------------
+  val StratifiedK = 20
+  val StratSalt = "#graft-strat-1"
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = StableHash.stable32(
+      concat(col("doc_id").cast("string"), lit(StratSalt)))
+    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= StratifiedK)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val h = StableHash.stable32Sql(s"CAST(doc_id AS VARCHAR) || '$StratSalt'")
+    s"""SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+       |  SELECT doc_id, lang, row_number() OVER
+       |      (PARTITION BY lang ORDER BY $h ASC, doc_id ASC) AS rn
+       |  FROM documents)
+       |WHERE rn <= $StratifiedK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // End-to-end corpus curation: quality threshold x language agreement x
   // exact-dup keeper — the composed filter chain of a training-data
   // pipeline, entirely narrow except one window on the dedup key
@@ -618,6 +647,7 @@ object QueriesML {
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_sample_split" -> (sampleSplit _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_pipeline" -> (curationPipeline _),
   )
 
@@ -644,6 +674,7 @@ object QueriesML {
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_sample_split" -> sampleSplitSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_pipeline" -> curationPipelineSql,
   )
 }
