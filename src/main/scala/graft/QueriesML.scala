@@ -278,26 +278,37 @@ object QueriesML {
 
   val JaccardW = 3
 
-  /** Word 3-gram (w-shingling) Jaccard. Blocking key = language x
-    * 64-char length bucket: bounds the n^2 inverted-index fanout
-    * (near-dups rarely differ much in length); word grams keep
-    * per-shingle document frequency low (char 5-grams over a small
-    * vocabulary each matched hundreds of docs -> join explosion). */
+  /** Near-dup pairs: MinHash-LSH candidate generation -> exact word
+    * 3-gram Jaccard verification of ONLY the candidates (one codegen'd
+    * per-pair kernel, [[graft.plans.WordJaccard]]).
+    *
+    * This is the scale-path composition: the r2 formulation — a blocked
+    * inverted-index self-join ([[Dedup.ngramJaccardPairs]], kept as an
+    * operator + spec) — re-derived the shingling subtree on both join
+    * sides and fanned out quadratically on high-DF shingles within
+    * blocks (8.9 s at sf0.1, 24% of the whole bench; driver BENCH_r02).
+    * Verifying LSH candidates touches O(candidates) rows instead. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").withColumn("blk",
-      concat_ws("_", col("lang"), expr("length(text) DIV 64")))
-    Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk", JaccardW,
-      JaccardThreshold, wordGrams = true)
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      ShingleN, MinhashK, MinhashBands)
+    Dedup.jaccardVerifyPairs(cands, docs, "doc_id", "text", JaccardW,
+      JaccardThreshold)
   }
 
-  private val wordShinglesCte: String =
+  /** Word w-gram shingle CTE (DuckDB) — oracle twin of
+    * [[graft.plans.WordShingleArray]]; retained for the blocked-exact
+    * Jaccard spec oracle (JaccardOracleSpec). */
+  private[graft] val wordShinglesCte: String =
     s"""wsh AS (SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(
        |      generate_series(1, greatest(len(string_split(text, ' ')) - ${3 - 1}, 1)),
        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${3 - 1}), ' '))) AS shingle
        |    FROM documents))""".stripMargin
 
-  val ngramJaccardSql: String =
+  /** Blocked-exact word-gram Jaccard SQL (DuckDB) — the r2 oracle for
+    * [[Dedup.ngramJaccardPairs]], retained for its spec. */
+  private[graft] val ngramJaccardBlockedSql: String =
     s"""WITH $wordShinglesCte,
        |  sizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
        |  blk AS (SELECT s.doc_id,
@@ -316,6 +327,38 @@ object QueriesML {
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $JaccardThreshold""".stripMargin
+
+  /** Composed LSH->verify oracle: the candidate CTEs are byte-identical
+    * to [[minhashLshPairsSql]] (hash-match-proven); verification joins
+    * each candidate pair to its distinct word-shingle set (the
+    * [[graft.plans.WordJaccard]] kernel's declarative twin). */
+  val ngramJaccardSql: String = {
+    val r = MinhashK / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val sigCols = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', $sigCols)) AS bk FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $shinglesCte,
+       |  sig AS ($sigSelect),
+       |  bands AS ($bandSelects),
+       |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |      AND a.doc_id < b.doc_id),
+       |  $wordShinglesCte,
+       |  sizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
+       |  inter AS (
+       |    SELECT c.id_a, c.id_b, count(*) AS i
+       |    FROM cand c
+       |    JOIN wsh a ON a.doc_id = c.id_a
+       |    JOIN wsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |    GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $JaccardThreshold""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // SimHash signatures

@@ -57,8 +57,11 @@ object Dedup {
     graft.plans.GraftFunctions.register(df.sparkSession)
     // shingle + hash (plans.ShingleHash32) then all k minima
     // (plans.MinhashSignature): two codegen'd kernels, zero interpreted
-    // higher-order functions, one long[] intermediate per row
-    val withSig = df
+    // higher-order functions, one long[] intermediate per row.
+    // The md5-per-shingle hashing is the dominant cost — make sure a
+    // small single-file input doesn't serialize it onto one task.
+    val withSig = ScaleOps
+      .ensureParallelism(df, df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__sig",
         call_function(graft.plans.GraftFunctions.MinhashName,
           call_function(graft.plans.GraftFunctions.ShingleHashName,
@@ -103,6 +106,10 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
     buckets
+      // the bucket frame is tiny in BYTES but its expansion is the
+      // quadratic part — AQE's size-based coalescing would run it on
+      // one partition; spread buckets explicitly before exploding
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -175,6 +182,37 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact word w-gram Jaccard verification of candidate pairs — the
+    * verify half of the LSH→verify near-dup pipeline. `pairs` must
+    * carry (id_a, id_b); each side is joined to its text, then ONE
+    * codegen'd kernel ([[graft.plans.WordJaccard]]) builds both shingle
+    * sets and the exact Jaccard per pair in a single compiled pass.
+    *
+    * Why texts + kernel rather than pre-built shingle(-hash) arrays:
+    * the join output materializes its payload per CANDIDATE, and
+    * kilobytes of array per pair dominated the runtime (measured ~8 s
+    * of the sf0.1 query, broadcast or shuffle alike); the pair row here
+    * carries two ~1 KB strings and emits one double. Shuffle volume is
+    * O(pairs · text), with LSH keeping pairs near-linear in docs. */
+  def jaccardVerifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, w: Int,
+                         minJaccard: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val texts = docs.select(col(idCol), col(textCol))
+    pairs
+      // pairs are bytes-tiny but each costs a kernel evaluation — AQE's
+      // size-based coalescing would serialize the verify stage
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(texts.select(col(idCol).as("id_a"),
+        col(textCol).as("__t_a"))), "id_a")
+      .join(broadcast(texts.select(col(idCol).as("id_b"),
+        col(textCol).as("__t_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function(graft.plans.GraftFunctions.WordJaccardName,
+          col("__t_a"), col("__t_b"), lit(w)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** SimHash near-dup candidate pairs: docs whose signatures share the

@@ -22,6 +22,16 @@ object ScaleOps {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Raise the partition count of a compute-heavy frame when the
+    * source offers fewer than `min` partitions. A small parquet table
+    * arrives as ONE task (file < maxPartitionBytes, one row group), so
+    * every per-row kernel downstream runs serialized — measured 1.5 s
+    * of single-threaded md5 shingle hashing on the sf0.1 documents
+    * table. No-op when the input is already parallel: at cluster scale
+    * data arrives pre-split and this never forces a shuffle. */
+  def ensureParallelism(df: DataFrame, min: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
+
   /** Salted inner equi-join for a skewed build side: the small side is
     * replicated `salts` times (one copy per salt value), the big side
     * assigns each row a deterministic pseudo-random salt, and the join

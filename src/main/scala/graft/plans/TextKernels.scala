@@ -109,6 +109,132 @@ object Kernels {
     sig
   }
 
+  /** Exact Jaccard similarity of the DISTINCT word w-gram shingle sets
+    * of two texts — the per-pair verification step of LSH→verify
+    * near-dup dedup. Set semantics identical to [[wordShingles]]
+    * (split on single spaces keeping empties, short-tail slices, min
+    * one shingle), so the DuckDB word-shingle CTE oracle computes the
+    * bit-identical double (intersection/sizes are exact ints; IEEE
+    * division is portable).
+    *
+    * Implementation works on raw UTF-8 bytes: a space-joined w-gram
+    * equals the original byte span from token i's start to token
+    * (i+w-1)'s end (0x20 never occurs inside a multi-byte UTF-8 char),
+    * so shingles are (start,end) spans — no per-shingle string is ever
+    * built. Dedup/intersection run over an open-addressed table of
+    * span hashes with EXACT byte-compare on collision (first cut used
+    * UTF8String.split + concatWs + HashSet: 24 us/pair, all regex +
+    * allocation; this path is ~20x cheaper). */
+  def wordJaccard(a: UTF8String, b: UTF8String, w: Int): Double = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val spansA = shingleSpans(ab, w)
+    val spansB = shingleSpans(bb, w)
+    val ca = spansA.length >> 1
+    val cb = spansB.length >> 1
+    // one shared open-addressed table; capacity pow2 >= 2*(ca+cb).
+    // entries: packed span + owner bit; exact byte equality on probe.
+    var cap = 4
+    while (cap < (ca + cb) * 2) cap <<= 1
+    val mask = cap - 1
+    val slotSrc = new Array[Byte](cap) // 0 empty, 1 = A, 2 = B(new)
+    val slotStart = new Array[Int](cap)
+    val slotEnd = new Array[Int](cap)
+    var na = 0
+    var i = 0
+    while (i < ca) {
+      val s = spansA(2 * i); val e = spansA(2 * i + 1)
+      var slot = slotFor(ab, s, e, mask)
+      var done = false
+      while (!done) {
+        if (slotSrc(slot) == 0) {
+          slotSrc(slot) = 1; slotStart(slot) = s; slotEnd(slot) = e
+          na += 1; done = true
+        } else if (spanEq(ab, slotStart(slot), slotEnd(slot), ab, s, e)) {
+          done = true // duplicate within A
+        } else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    var nb = 0
+    var inter = 0
+    i = 0
+    while (i < cb) {
+      val s = spansB(2 * i); val e = spansB(2 * i + 1)
+      var slot = slotFor(bb, s, e, mask)
+      var done = false
+      while (!done) {
+        val src = slotSrc(slot)
+        if (src == 0) {
+          slotSrc(slot) = 2; slotStart(slot) = s; slotEnd(slot) = e
+          nb += 1; done = true
+        } else {
+          val owner = if (src == 2) bb else ab // src 1|3 spans index into A's bytes
+          if (spanEq(owner, slotStart(slot), slotEnd(slot), bb, s, e)) {
+            if (src == 1) {
+              // shared with A: count once, convert to a B entry too —
+              // mark as counted so later B-duplicates don't recount
+              slotSrc(slot) = 3; inter += 1; nb += 1
+            } // src 2 or 3: duplicate within B
+            done = true
+          } else slot = (slot + 1) & mask
+        }
+      }
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** Word w-gram shingle spans of `bytes` as packed (start,end) pairs —
+    * the byte-span twin of [[wordShingles]]'s enumeration (before
+    * dedup): split on 0x20 keeping empties, count = max(ntok-(w-1),1),
+    * short tail allowed. */
+  private def shingleSpans(bytes: Array[Byte], w: Int): Array[Int] = {
+    var ntok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') ntok += 1; i += 1 }
+    val tokStart = new Array[Int](ntok)
+    val tokEnd = new Array[Int](ntok)
+    var t = 0
+    tokStart(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { tokEnd(t) = i; t += 1; tokStart(t) = i + 1 }
+      i += 1
+    }
+    tokEnd(t) = bytes.length
+    val count = math.max(ntok - (w - 1), 1)
+    val spans = new Array[Int](count * 2)
+    i = 0
+    while (i < count) {
+      spans(2 * i) = tokStart(i)
+      spans(2 * i + 1) = tokEnd(math.min(i + w, ntok) - 1)
+      i += 1
+    }
+    spans
+  }
+
+  /** FNV-1a slot hash of a byte span, folded to table width. */
+  private def slotFor(bytes: Array[Byte], from: Int, until: Int,
+                      mask: Int): Int = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    ((h ^ (h >>> 32)).toInt) & mask
+  }
+
+  private def spanEq(x: Array[Byte], xs: Int, xe: Int,
+                     y: Array[Byte], ys: Int, ye: Int): Boolean = {
+    if (xe - xs != ye - ys) return false
+    var i = xs
+    var j = ys
+    while (i < xe) {
+      if (x(i) != y(j)) return false
+      i += 1; j += 1
+    }
+    true
+  }
+
   /** DISTINCT word w-gram shingles, first-occurrence order. Semantics
     * mirror `array_distinct(transform(sequence(1, greatest(numToks-(w-1)
     * ,1)), i -> concat_ws(' ', slice(split(text,' '), i, w))))`: regex
@@ -186,6 +312,40 @@ case class WordShingleArray(child: Expression, w: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleArray =
     copy(child = newChild)
+}
+
+/** `graft_word_jaccard(text_a, text_b, w)`: exact Jaccard of the two
+  * texts' distinct word w-gram shingle sets as ONE per-pair compiled
+  * pass — the verification step of LSH→verify dedup. Joining each pair
+  * to pre-built shingle(-hash) ARRAYS instead materializes kilobytes of
+  * array payload per candidate through the join output (measured ~8 s
+  * of the sf0.1 near-dup query); this kernel keeps the pair row at two
+  * strings and emits one double.
+  */
+case class WordJaccard(left: Expression, right: Expression, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_word_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if w > 0 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) and w > 0")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.wordJaccard(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.Kernels.wordJaccard($a, $b, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordJaccard =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_token_set_count(text)`: tokens-in-set count as one compiled

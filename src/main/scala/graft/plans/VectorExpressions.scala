@@ -237,6 +237,7 @@ object GraftFunctions {
   val ShingleHashName = "graft_shingle_hash32"
   val WordShinglesName = "graft_word_shingles"
   val Simhash32Name = "graft_simhash32"
+  val WordJaccardName = "graft_word_jaccard"
   val NearestCentroidName = "graft_nearest_centroid"
 
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
@@ -261,6 +262,9 @@ object GraftFunctions {
       (Simhash32Name,
         new ExpressionInfo(classOf[Simhash32].getName, Simhash32Name),
         (e: Seq[Expression]) => Simhash32(e.head)),
+      (WordJaccardName,
+        new ExpressionInfo(classOf[WordJaccard].getName, WordJaccardName),
+        (e: Seq[Expression]) => WordJaccard(e.head, e(1), intArg(e(2)))),
       (NearestCentroidName,
         new ExpressionInfo(classOf[NearestCentroid].getName, NearestCentroidName),
         (e: Seq[Expression]) => NearestCentroid(e.head, e(1))))

@@ -103,6 +103,52 @@ class KernelsSpec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().take(3).mkString(";"))
   }
 
+  test("WordJaccard kernel == array_intersect over wordShingleArray sets") {
+    graft.plans.GraftFunctions.register(spark)
+    // all ordered pairs of the edge-case texts, incl. identical pairs,
+    // empty-vs-empty, unicode, duplicate shingles, empty tokens
+    val pairs = texts.zipWithIndex.flatMap { case (ta, i) =>
+      texts.zipWithIndex.map { case (tb, j) =>
+        (i.toLong * 100 + j, ta, tb)
+      }
+    }.toDF("pid", "ta", "tb")
+    for (w <- Seq(1, 2, 3)) {
+      val sa = Dedup.wordShingleArray($"ta", w)
+      val sb = Dedup.wordShingleArray($"tb", w)
+      val inter = size(array_intersect(sa, sb))
+      val decl = inter.cast("double") /
+        (size(sa) + size(sb) - inter).cast("double")
+      val bad = pairs.select($"pid", $"ta", $"tb",
+          call_function(GraftFunctions.WordJaccardName,
+            $"ta", $"tb", lit(w)).as("k"),
+          decl.as("d"))
+        .filter($"k" =!= $"d")
+      assert(bad.count() == 0, s"w=$w: ${bad.collect().take(3).mkString(";")}")
+    }
+  }
+
+  test("property: WordJaccard == declarative on random string pairs") {
+    graft.plans.GraftFunctions.register(spark)
+    val gen = new scala.util.Random(7)
+    val alphabet = "ab c.dé !x"
+    val rand = (0 until 300).map { i =>
+      def s() = (0 until gen.nextInt(40)).map(_ =>
+        alphabet(gen.nextInt(alphabet.length))).mkString
+      (i.toLong, s(), s())
+    }.toDF("pid", "ta", "tb")
+    val w = 3
+    val sa = Dedup.wordShingleArray($"ta", w)
+    val sb = Dedup.wordShingleArray($"tb", w)
+    val inter = size(array_intersect(sa, sb))
+    val decl = inter.cast("double") /
+      (size(sa) + size(sb) - inter).cast("double")
+    val bad = rand.select($"pid",
+        call_function(GraftFunctions.WordJaccardName, $"ta", $"tb", lit(w)).as("k"),
+        decl.as("d"))
+      .filter($"k" =!= $"d")
+    assert(bad.count() == 0, bad.collect().take(3).mkString(";"))
+  }
+
   test("kernels survive whole-stage codegen (no interpreted fallback errors)") {
     graft.plans.GraftFunctions.register(spark)
     val out = df.select(
