@@ -35,6 +35,12 @@ object Bench {
       // cross-run noise on identical code is +-40% — min approximates
       // the uncontended cost
       val runs = Seq(once(), once(), once())
+      // cross-query hygiene (outside the timed window): drop leftover
+      // temp views (streaming memory sinks accumulate one per run) and
+      // collect garbage so a query's debris never bills its successors
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -509,14 +509,65 @@ object QueriesML {
        |FROM ranked WHERE rank <= $AnnK""".stripMargin
 
   // ---------------------------------------------------------------------
-  // ANN: IVF (k-means coarse quantizer, probe nearest cells). Not
-  // SQL-expressible (iterative fit) -> no oracle; driver records the
-  // rows-only check. Recall vs brute force is covered in SimilaritySpec.
+  // ANN: IVF (k-means coarse quantizer, probe nearest cells). The
+  // iterative fit itself is not SQL, but it is DETERMINISTIC (lowest-k
+  // init, exact integer arithmetic) — so the oracle SQL is GENERATED
+  // after fit with the fitted centroid matrix inlined as literals
+  // (assignment / nprobe / cosine ranking are then pure SQL), the same
+  // literal-inlining annLshTopKSql uses for its hyperplanes.
   // ---------------------------------------------------------------------
+  val IvfClusters = 16
+  val IvfIters = 3
+  val IvfNprobe = 4
+
+  /** Fitted centroids per sf dir, recorded on each query run (identical
+    * every run — fit is deterministic) so [[oracles]] can inline them.
+    * Verify dumps oracle SQL AFTER running the queries. */
+  private val ivfCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    KMeans.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
-      "vec_id", "embedding", AnnK, clusters = 16, iters = 3, nprobe = 4)
+    val cents = KMeans.fitOn(emb, "vec_id", "embedding", IvfClusters, IvfIters)
+    ivfCents.put(dir, cents)
+    KMeans.ivfTopKWith(cents, emb, emb.filter(col("vec_id") < AnnQueryCount),
+      "vec_id", "embedding", AnnK, IvfNprobe)
+  }
+
+  /** DuckDB twin of [[KMeans.ivfTopKWith]] given a fixed centroid
+    * matrix: per-row distance list (exact BIGINT |v|^2-2<v,c>+|c|^2),
+    * assignment = first index of the minimum (ties -> lowest cell,
+    * matching plans.NearestCentroid), probe cells = first nprobe of the
+    * (d, i)-sorted struct list (matching array_sort over struct(d,i)),
+    * then the proven exact-cosine ranking. */
+  def annIvfTopKSql(cents: Array[Array[Long]]): String = {
+    val dists = cents.map { c =>
+      val dot = c.zipWithIndex.map { case (w, j) => s"($w)*v[${j + 1}]" }
+        .mkString(" + ")
+      val cNorm2 = c.map(x => x * x).sum
+      s"n2 - 2*($dot) + $cNorm2"
+    }
+    val dlist = dists.mkString("[", ",\n      ", "]")
+    val structs = cents.indices.map(i => s"{'d': dl[${i + 1}], 'i': $i}")
+      .mkString("[", ", ", "]")
+    s"""WITH $fixedPointCte,
+       |  dlists AS (SELECT vec_id, v, n2, $dlist AS dl FROM nrm),
+       |  assigned AS (SELECT vec_id AS cand_id, v AS cv, n2 AS cn2,
+       |      list_position(dl, list_min(dl)) - 1 AS cell FROM dlists),
+       |  qp AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2,
+       |      unnest(list_transform(list_sort($structs), x -> x.i)[1:$IvfNprobe]) AS cell
+       |    FROM dlists WHERE vec_id < $AnnQueryCount),
+       |  scored AS (SELECT query_id, cand_id,
+       |      CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS DOUBLE)
+       |        / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos
+       |    FROM assigned JOIN qp USING (cell)
+       |    WHERE cand_id <> query_id),
+       |  ranked AS (SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+       |    FROM scored)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 6) AS cos_r
+       |FROM ranked WHERE rank <= $AnnK""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -694,7 +745,20 @@ object QueriesML {
     "q_curation_pipeline" -> (curationPipeline _),
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Oracle map is a def: the IVF entry exists only after its query has
+    * run in this JVM (Verify dumps oracle SQL after the query loop),
+    * and only when a single sf dir was exercised — the centroid
+    * literals must match the dir the driver compares against. */
+  def oracles: Map[String, String] = {
+    val ivf: Map[String, String] =
+      if (ivfCents.size == 1)
+        Map("q_ann_ivf_topk" ->
+          annIvfTopKSql(ivfCents.values.iterator.next()))
+      else Map.empty
+    staticOracles ++ ivf
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,

@@ -91,19 +91,34 @@ object KMeans {
     centroids
   }
 
-  /** IVF ANN: index corpus rows by nearest centroid; per query, probe
-    * the `nprobe` nearest cells and rank exact cosine inside them. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, clusters: Int = 16,
-              iters: Int = 3, nprobe: Int = 2): DataFrame = {
+  /** Fit on a corpus column: prepare, cache for the fit's iters+1
+    * actions, release. Returns the fixed-point centroid matrix —
+    * deterministic given the data, so callers may regenerate it (e.g.
+    * to inline into engine-portable oracle SQL). */
+  def fitOn(corpus: DataFrame, idCol: String, vecCol: String,
+            clusters: Int, iters: Int): Array[Array[Long]] = {
     // fit runs iters+1 actions over the prepared frame — cache for its
     // duration, then release: fit's actions are eager, so the benefit
     // is fully realized before unpersist, and a long-lived session
     // doesn't pin the corpus in storage memory. The single lazy index
     // scan afterwards re-reads the source once.
     val cached = prepare(corpus, idCol, vecCol).cache()
-    val cents = try fit(cached, clusters, iters)
-                finally cached.unpersist()
+    try fit(cached, clusters, iters)
+    finally cached.unpersist()
+  }
+
+  /** IVF ANN: index corpus rows by nearest centroid; per query, probe
+    * the `nprobe` nearest cells and rank exact cosine inside them. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, clusters: Int = 16,
+              iters: Int = 3, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(fitOn(corpus, idCol, vecCol, clusters, iters),
+      corpus, queries, idCol, vecCol, k, nprobe)
+
+  /** IVF search against an already-fitted centroid matrix. */
+  def ivfTopKWith(cents: Array[Array[Long]], corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nprobe: Int): DataFrame = {
     val c = prepare(corpus, idCol, vecCol)
     val indexed = c.withColumn("cell",
       nearestCentroid(col("v"), col("n2"), cents))
