@@ -30,9 +30,10 @@ object SparkEntry {
     Queries.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ QueriesML.all
+    Queries.all ++ QueriesML.all ++ SourceGateQueries.all
 
-  def oracleSql: Map[String, String] = Queries.oracles ++ QueriesML.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ QueriesML.oracles ++ SourceGateQueries.oracles
 }
 
 /** The operator-demonstration query set (SURVEY.md §2 inventory). */
