@@ -30,10 +30,12 @@ object SparkEntry {
     Queries.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ QueriesML.all ++ SourceGateQueries.all
+    Queries.all ++ QueriesML.all ++ SourceGateQueries.all ++
+      ReferenceGateQueries.all
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesML.oracles ++ SourceGateQueries.oracles
+    Queries.oracles ++ QueriesML.oracles ++ SourceGateQueries.oracles ++
+      ReferenceGateQueries.oracles
 }
 
 /** The operator-demonstration query set (SURVEY.md §2 inventory). */

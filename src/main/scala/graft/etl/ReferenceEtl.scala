@@ -105,11 +105,19 @@ object ReferenceEtl {
     * reference-compatible any-row semantics.
     */
   def clientsSegmentation(validated: DataFrame,
-                          deterministic: Boolean = false): DataFrame = {
-    // element-based quantiles: the reference's approxQuantile(err=0)
-    // convention, all 7 days x 3 quartiles in one job
-    val thresholds = Quantiles.perGroupElement(validated, "order_dow",
-        "number_of_products", Seq(0.25, 0.5, 0.75))
+                          deterministic: Boolean = false,
+                          interpolatedQuantiles: Boolean = false): DataFrame = {
+    // default: element-based quantiles — the reference's
+    // approxQuantile(err=0) convention, all 7 days x 3 quartiles in one
+    // job. `interpolatedQuantiles` switches to percentile_cont (==
+    // DuckDB quantile_cont) for cross-engine-exact oracle gating; both
+    // flavors feed the same strict-> comparisons.
+    val thresholds = (if (interpolatedQuantiles)
+        Quantiles.perGroup(validated, "order_dow",
+          "number_of_products", Seq(0.25, 0.5, 0.75))
+      else
+        Quantiles.perGroupElement(validated, "order_dow",
+          "number_of_products", Seq(0.25, 0.5, 0.75)))
       .withColumnRenamed("order_dow", "dow")
     val withTotal = validated.withColumn("total_products_bought",
       sum(col("number_of_products")).over(Window.partitionBy("user_id")))
@@ -147,11 +155,13 @@ object ReferenceEtl {
     * re-explode every source. */
   def run(spark: SparkSession, blobOrders: DataFrame, dbOrders: DataFrame,
           productDim: DataFrame,
-          deterministicSegments: Boolean = false): (DataFrame, DataFrame) = {
+          deterministicSegments: Boolean = false,
+          interpolatedQuantiles: Boolean = false): (DataFrame, DataFrame) = {
     val merged = mergeAndTransform(blobOrders, dbOrders)
     val products = validate(joinProductDetails(merged, productDim)).cache()
     val cat = clientsCategory(products)
-    val seg = clientsSegmentation(products, deterministicSegments)
+    val seg = clientsSegmentation(products, deterministicSegments,
+      interpolatedQuantiles)
     (products, clients(cat, seg))
   }
 }
