@@ -391,13 +391,25 @@ object QueriesML {
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       SimhashMaxHamming)
 
-  val simhashPairsSql: String =
-    s"""WITH base AS ($simhashSql)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  val SimhashBlocks = 4
+
+  /** Bit-block-rotation twin of [[Dedup.simhashPairs]]: candidates are
+    * pairs agreeing on ANY of the 4 8-bit blocks, deduplicated. */
+  val simhashPairsSql: String = {
+    val bits = 32 / SimhashBlocks
+    val mask = (1L << bits) - 1
+    val blockRows = (0 until SimhashBlocks)
+      .map(j => s"($j, $j * $bits)").mkString(", ")
+    s"""WITH base AS ($simhashSql),
+       |  blk AS (SELECT doc_id, simhash, j,
+       |      (simhash >> sh) & $mask AS bkey
+       |    FROM base, (VALUES $blockRows) t(j, sh))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM base a JOIN base b
-       |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+       |FROM blk a JOIN blk b
+       |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Dedup clusters: near-dup pairs -> connected components (K rounds of

@@ -118,6 +118,32 @@ class DedupSpec extends SparkSpec {
     val dist = java.lang.Long.bitCount(out(1L) ^ out(3L))
     assert(dist <= 8, s"near-dup hamming distance $dist too large")
   }
+
+  test("simhash rotation: recall 1 vs naive all-pairs for hamming < blocks (sf0.001)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val maxH = 8
+    // pigeonhole guarantee needs blocks > maxHamming: 16 blocks of 2
+    // bits cover h <= 15 — every hamming<=8 pair must surface
+    val naive = {
+      val sigs = Dedup.simhash32(docs, "doc_id", "text")
+        .as[(Long, Long)].collect()
+      (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+    }
+    val rotated = Dedup.simhashPairs(docs, "doc_id", "text", maxH, blocks = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rotated == naive,
+      s"missed=${(naive -- rotated).take(3)} extra=${(rotated -- naive).take(3)}")
+    // the scale default (4 blocks, guarantee h<=3) must still find every
+    // pair within its guaranteed radius, and emit no false pairs
+    val rotated4 = Dedup.simhashPairs(docs, "doc_id", "text", maxH)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rotated4.subsetOf(naive))
+    assert(naive.filter(_._3 < 4).subsetOf(rotated4),
+      "a hamming<4 pair escaped the 4-block rotation")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
