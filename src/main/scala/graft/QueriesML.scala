@@ -492,11 +492,13 @@ object QueriesML {
 
   /** SRP bucket expression over a fixed-point list column `v` — the
     * SAME deterministic hyperplane weights the Spark plan bakes in as
-    * literals (StableHash.universalConst). */
-  private def srpBucketSqlExpr(v: String): String = {
+    * literals (StableHash.universalConst). `planeOffset` selects a
+    * disjoint hyperplane set per blocking table. */
+  private def srpBucketSqlExpr(v: String, planeOffset: Int = 0): String = {
     val planes = (0 until AnnPlanes).map { p =>
       val terms = (0 until AnnDim).map { j =>
-        val w = StableHash.universalConst(p.toLong * AnnDim + j) % 16 - 8
+        val w = StableHash
+          .universalConst((planeOffset + p).toLong * AnnDim + j) % 16 - 8
         s"($w)*$v[${j + 1}]"
       }.mkString(" + ")
       s"(CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END)"
@@ -600,6 +602,32 @@ object QueriesML {
        |WHERE a.vec_id < b.vec_id
        |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= $NearDupThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Embedding near-dup, SRP-blocked (the scale twin: candidates from 4
+  // independent SRP tables, exact-cosine verified — output ⊆ the exact
+  // all-pairs result; recall measured in SimilaritySpec)
+  // ---------------------------------------------------------------------
+  val NearDupTables = 4
+
+  def embedNearDupBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), "vec_id",
+      "embedding", AnnDim, NearDupThreshold, AnnPlanes, NearDupTables)
+
+  val embedNearDupBlockedSql: String = {
+    val tableSelects = (0 until NearDupTables).map { tbl =>
+      s"SELECT vec_id, v, n2, $tbl AS tbl, ${srpBucketSqlExpr("v", tbl * AnnPlanes)} AS bucket FROM nrm"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $fixedPointCte,
+       |  bk AS ($tableSelects)
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cos_r
+       |FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  AND a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= $NearDupThreshold""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Grouped vector centroids (class prototypes per label, exact ints)
@@ -743,6 +771,7 @@ object QueriesML {
     "q_ann_lsh_topk" -> (annLshTopK _),
     "q_ann_ivf_topk" -> (annIvfTopK _),
     "q_embed_neardup" -> (embedNearDup _),
+    "q_embed_neardup_blocked" -> (embedNearDupBlocked _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
@@ -783,6 +812,7 @@ object QueriesML {
     "q_ann_brute_topk" -> annBruteTopKSql,
     "q_ann_lsh_topk" -> annLshTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_neardup_blocked" -> embedNearDupBlockedSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_asof_prior_signup" -> asofPriorSignupSql,

@@ -103,10 +103,12 @@ object Similarity {
     * hyperplanes; plane p's weights are literal pseudo-random small ints
     * derived from StableHash.universalConst — reproducible anywhere.
     * One native dot product per plane. */
-  def srpBucket(vecFixed: Column, dim: Int, planes: Int): Column = {
+  def srpBucket(vecFixed: Column, dim: Int, planes: Int,
+                planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val weights = (0 until dim).map { j =>
-        graft.functions.StableHash.universalConst(p.toLong * dim + j) % 16 - 8
+        graft.functions.StableHash
+          .universalConst((planeOffset + p).toLong * dim + j) % 16 - 8
       }
       val w = typedLit(weights)
       when(dotFixed(vecFixed, w) > 0, lit(1L << p)).otherwise(lit(0L))
@@ -148,6 +150,42 @@ object Similarity {
         cosFromNorms(dotFixed(col("va"), col("vb")), col("na2"), col("nb2")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** SRP-blocked near-dup pairs — the scale twin of [[nearDupPairs]]:
+    * `tables` independent sign-random-projection bucketings (disjoint
+    * hyperplane sets via `planeOffset`), candidates = pairs sharing a
+    * bucket in ANY table, verified by the exact fixed-point cosine.
+    * Output ⊆ the exact all-pairs result; recall rises with `tables`
+    * (P(hit) = 1-(1-(1-θ/π)^planes)^tables — near 1 for true near-dups,
+    * e.g. ~95% at cos .95 with 6 planes x 4 tables; exact duplicates
+    * are ALWAYS found, θ=0 shares every bucket). Shuffle volume:
+    * tables x corpus on bucket keys, then bucket-local pairs — never
+    * the O(n^2) of the exact verifier. */
+  def nearDupPairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, threshold: Double,
+                          planes: Int = 6, tables: Int = 4): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val p = prep(corpus, idCol, vecCol, "id", "v", "n2")
+    val buckets = (0 until tables).map { tbl =>
+      struct(lit(tbl).as("tbl"),
+        srpBucket(col("v"), dim, planes, tbl * planes).as("bucket"))
+    }
+    val e = p.select(col("id"), col("v"), col("n2"),
+        explode(array(buckets: _*)).as("bk"))
+      .select(col("id"), col("v"), col("n2"),
+        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val a = e.select(col("tbl"), col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("n2").as("na2"))
+    val b = e.select(col("tbl"), col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("n2").as("nb2"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosFromNorms(dotFixed(col("va"), col("vb")), col("na2"), col("nb2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+      .distinct()
   }
 
   /** Per-group vector centroids (class prototypes) in exact fixed-point

@@ -166,6 +166,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head._4 - 1.0) < 1e-4)
   }
 
+  test("SRP-blocked near-dup: subset of exact, recall 1 on planted duplicates") {
+    val dim = 64
+    val base = vecs(11, 60, dim)
+    // plant 10 exact duplicates: ids 60..69 clone ids 0..9. θ=0 pairs
+    // share EVERY bucket, so the blocked variant must always find them.
+    val planted = base ++ (0 until 10).map(i => (60L + i, base(i)._2.clone()))
+    val df = planted.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.nearDupPairsBlocked(df, "vec_id", "embedding",
+        dim, 0.3, planes = 6, tables = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked.subsetOf(exact),
+      s"false pairs: ${(blocked -- exact).take(3)}")
+    val plantedPairs = (0 until 10).map(i => (i.toLong, 60L + i)).toSet
+    assert(plantedPairs.forall(p => blocked.exists(t => (t._1, t._2) == p)),
+      s"missed planted duplicates: ${plantedPairs.filterNot(p => blocked.exists(t => (t._1, t._2) == p))}")
+    // measured recall over ALL exact pairs at this threshold, logged for
+    // the operator's doc contract (deterministic given seed + planes)
+    val recall = if (exact.isEmpty) 1.0 else blocked.size.toDouble / exact.size
+    info(f"blocked recall at cos>=0.3: $recall%.3f (${blocked.size}/${exact.size})")
+  }
+
   test("TopKAggregator variant is row-identical to the window variant") {
     val df = vecs(23, 40, 16).toDF("vec_id", "embedding")
     val q = df.filter($"vec_id" < 4)
