@@ -449,7 +449,7 @@ object QueriesML {
   val AnnK = 3
   val AnnQueryCount = 5
 
-  /** Served by the typed partial-aggregable TopKAggregator (scale path);
+  /** Served by the native partial-aggregable TopKAgg aggregate (scale path);
     * row-identical to the window-function variant (SimilaritySpec). */
   def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -71,32 +71,33 @@ object Similarity {
         round(col("cos"), 6).as("cos_r"))
   }
 
-  /** Top-k via the typed [[graft.functions.TopKAggregator]]: partial
-    * (map-side) top-k cut, so the shuffle carries at most k candidates
-    * per query per partition — the 100 TB path. Row-identical to
-    * [[bruteTopK]] (same score-desc, id-asc order). */
+  /** Top-k via the native [[graft.plans.TopKAgg]]
+    * TypedImperativeAggregate: partial (map-side) top-k cut, so the
+    * shuffle carries at most k candidates per query per partition — the
+    * 100 TB path. Row-identical to [[bruteTopK]] (same score-desc,
+    * id-asc order). The round-2 Dataset-`Aggregator` variant paid
+    * case-class serde per row through ObjectHashAggregate; the native
+    * aggregate updates primitive arrays in place and serializes only at
+    * shuffle boundaries. */
   def bruteTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn2")
     val c = prep(corpus, idCol, vecCol, "cand_id", "cv", "cn2")
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"),
-        col("cand_id").as("id"),
+      .select(col("query_id"), col("cand_id"),
         cosFromNorms(dotFixed(col("qv"), col("cv")), col("qn2"), col("cn2"))
           .as("score"))
-      .as[(Long, Long, Double)]
-      .map { case (qid, id, score) => (qid, graft.functions.ScoredId(id, score)) }
-    val topk = new graft.functions.TopKAggregator(k).toColumn
-    scored.groupByKey(_._1).mapValues(_._2).agg(topk)
-      .flatMap { case (qid, items) =>
-        items.iterator.zipWithIndex.map { case (s, i) => (qid, s.id, i + 1, s.score) }
-      }
-      .toDF("query_id", "cand_id", "rank", "cos")
-      .select(col("query_id"), col("cand_id"), col("rank"),
-        round(col("cos"), 6).as("cos_r"))
+    val topk = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.TopKAgg(
+        org.apache.spark.sql.GraftSqlShims.expression(col("cand_id")),
+        org.apache.spark.sql.GraftSqlShims.expression(col("score")),
+        k).toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col.score"), 6).as("cos_r"))
   }
 
   /** Deterministic sign-random-projection bucket id over `planes`

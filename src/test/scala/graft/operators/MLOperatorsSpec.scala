@@ -189,7 +189,7 @@ class SimilaritySpec extends SparkSpec {
     info(f"blocked recall at cos>=0.3: $recall%.3f (${blocked.size}/${exact.size})")
   }
 
-  test("TopKAggregator variant is row-identical to the window variant") {
+  test("native TopKAgg variant is row-identical to the window variant") {
     val df = vecs(23, 40, 16).toDF("vec_id", "embedding")
     val q = df.filter($"vec_id" < 4)
     val viaWindow = Similarity.bruteTopK(df, q, "vec_id", "embedding", 5)
