@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChangeCapture, Curation, Dedup}
+import graft.sources.FormatSink
+
+/** Round-4 pipeline tier: rule-based quality filtering, repetition,
+  * decontamination, PII redaction, edit-distance near-dup verification,
+  * CDC merge / SCD2 history, extended window functions, bucketed
+  * co-located joins, and non-parquet sink round-trips — each with a
+  * DuckDB oracle twin.
+  */
+object QueriesPipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Rule-based quality filtering (Gopher-style rule audit columns)
+  // ---------------------------------------------------------------------
+  def qualityRules(s: SparkSession, dir: String): DataFrame =
+    Curation.qualityRules(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("mean_wl_e2"),
+        col("symbol_e6"), col("stop_hits"), col("r_words"), col("r_mean_wl"),
+        col("r_symbol"), col("r_stop"), col("keep"))
+
+  val qualityRulesSql: String =
+    s"""SELECT doc_id, n_words, mean_wl_e2, symbol_e6, stop_hits,
+       |  n_words BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords} AS r_words,
+       |  mean_wl_e2 BETWEEN ${Curation.MinMeanWlE2} AND ${Curation.MaxMeanWlE2} AS r_mean_wl,
+       |  symbol_e6 <= ${Curation.MaxSymbolE6} AS r_symbol,
+       |  stop_hits >= 1 AS r_stop,
+       |  (n_words BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords})
+       |    AND (mean_wl_e2 BETWEEN ${Curation.MinMeanWlE2} AND ${Curation.MaxMeanWlE2})
+       |    AND symbol_e6 <= ${Curation.MaxSymbolE6} AND stop_hits >= 1 AS keep
+       |FROM (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |    CAST((length(replace(text, ' ', '')) * 100)
+       |      // len(string_split(text, ' ')) AS BIGINT) AS mean_wl_e2,
+       |    CAST((length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1000000)
+       |      // greatest(length(text), 1) AS BIGINT) AS symbol_e6,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS INT) AS stop_hits
+       |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Intra-document repetition signals
+  // ---------------------------------------------------------------------
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionSignals(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("dup_tok_e6"), col("dup_2gram_e6"),
+        col("repetitive"))
+
+  val repetitionSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |  gm AS (SELECT doc_id, t,
+       |      CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+       |           ELSE list_transform(generate_series(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i + 1]) END AS g
+       |    FROM tk)
+       |SELECT doc_id,
+       |  CAST(((len(t) - len(list_distinct(t))) * 1000000) // len(t) AS BIGINT) AS dup_tok_e6,
+       |  CAST(CASE WHEN len(g) = 0 THEN 0
+       |    ELSE ((len(g) - len(list_distinct(g))) * 1000000) // len(g) END AS BIGINT) AS dup_2gram_e6,
+       |  CASE WHEN len(g) = 0 THEN 0
+       |    ELSE ((len(g) - len(list_distinct(g))) * 1000000) // len(g) END
+       |    > ${Curation.RepetitionMaxDup2gramE6} AS repetitive
+       |FROM gm""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination: word 4-gram collision vs the eval subset
+  // (doc_id % 41 = 0), eval side broadcast
+  // ---------------------------------------------------------------------
+  val DecontamW = 4
+  val EvalMod = 41
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.decontaminate(
+      docs.filter(col("doc_id") % EvalMod =!= 0),
+      docs.filter(col("doc_id") % EvalMod === 0),
+      "doc_id", "text", DecontamW)
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(string_split(text, ' ')) - ${DecontamW - 1}, 1)),
+       |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${DecontamW - 1}), ' '))) AS shingle
+       |    FROM documents)),
+       |  ev AS (SELECT DISTINCT shingle, doc_id AS eval_id FROM sh
+       |    WHERE doc_id % $EvalMod = 0),
+       |  tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $EvalMod <> 0)
+       |SELECT doc_id,
+       |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared_shingles,
+       |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+       |FROM tr JOIN ev USING (shingle)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PII redaction: deterministic synthetic PII injected on both engines
+  // (the corpus has none), then the same RE2-safe patterns redact it
+  // ---------------------------------------------------------------------
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("pii_text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1-555-"), lpad(col("doc_id").cast("string"), 4, "0"),
+            lit(" ssn 123-45-6789"))).otherwise(lit(""))))
+    Curation.redactPii(d, "pii_text")
+      .select(col("doc_id"), col("n_pii"), col("redacted"))
+  }
+
+  val piiRedactSql: String = {
+    val Seq(em, ssn, ph) = Curation.PiiPatterns.map(_._2)
+    s"""WITH p AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN ' call +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ssn 123-45-6789'
+       |      ELSE '' END AS pii_text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pii_text, '$em'))
+       |    + len(regexp_extract_all(pii_text, '$ssn'))
+       |    + len(regexp_extract_all(pii_text, '$ph')) AS INT) AS n_pii,
+       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |    '$em', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'), '$ph', '<PHONE>', 'g') AS redacted
+       |FROM p""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Edit-distance near-dup: LSH candidates -> exact Levenshtein verify
+  // (same LSH→verify composition as q_ngram_jaccard)
+  // ---------------------------------------------------------------------
+  val EditMaxRelE2 = 50
+
+  def editdistNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      QueriesML.ShingleN, QueriesML.MinhashK, QueriesML.MinhashBands)
+    Curation.editDistancePairs(cands, docs, "doc_id", "text", EditMaxRelE2)
+  }
+
+  val editdistNearDupSql: String =
+    s"""WITH cand AS (SELECT * FROM (${QueriesML.minhashLshPairsSql}))
+       |SELECT c.id_a, c.id_b, CAST(levenshtein(a.text, b.text) AS INT) AS lev
+       |FROM cand c
+       |JOIN documents a ON a.doc_id = c.id_a
+       |JOIN documents b ON b.doc_id = c.id_b
+       |WHERE levenshtein(a.text, b.text) * 100
+       |  <= greatest(length(a.text), length(b.text)) * $EditMaxRelE2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CDC apply: latest state per user from the event stream; 'error' is
+  // the delete marker
+  // ---------------------------------------------------------------------
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val changes = t(s, dir, "events").select(col("user_id"), col("ts_ns"),
+      col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+    ChangeCapture.applyLatest(changes, Seq("user_id"),
+        Seq("ts_ns", "event_id"), col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value_cents"), expr("ts_ns DIV 1000").as("ts_us"))
+  }
+
+  val cdcMergeSql: String =
+    """SELECT user_id, event_id, event_type, value_cents, ts_us FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |    epoch_ns(ts) // 1000 AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SCD Type-2 history of each user's event_type state
+  // ---------------------------------------------------------------------
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val changes = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+    ChangeCapture.scd2(changes, "user_id", "event_type", "ts_us", "event_id")
+  }
+
+  val scd2Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |    event_id FROM events),
+      |  ch AS (SELECT *, lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |  f AS (SELECT user_id, event_type, ts_us, event_id FROM ch
+      |    WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from,
+      |  lead(ts_us) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  lead(ts_us) OVER w IS NULL AS is_current
+      |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Extended window-function battery: lag/lead/ntile/percent_rank/
+  // cume_dist in one pass (one shuffle on the partition key)
+  // ---------------------------------------------------------------------
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("price_cents", cents(col("o_totalprice")))
+      .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+        lag("price_cents", 1).over(w).as("prev_cents"),
+        lead("price_cents", 1).over(w).as("next_cents"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val windowFuncsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |  lag(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w AS prev_cents,
+      |  lead(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w AS next_cents,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Bucketed co-located join: both sides written bucketed on the join
+  // key -> SortMergeJoin with ZERO exchanges (asserted in BucketedSpec).
+  // At 100 TB this is the "pay the shuffle once at write time" pattern
+  // for a fact table joined repeatedly on the same key.
+  // ---------------------------------------------------------------------
+  private lazy val warehouseRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_bucket_gate")
+      .toAbsolutePath.toString
+
+  val BucketCount = 8
+
+  /** Bucketed external tables (unique per sf dir), re-read via the
+    * catalog so bucket metadata applies. */
+  private[graft] def bucketedTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val sfx = math.abs(dir.hashCode).toString
+    val (to, tc) = (s"graft_bkt_orders_$sfx", s"graft_bkt_customer_$sfx")
+    t(s, dir, "orders").write.mode("overwrite").format("parquet")
+      .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$warehouseRoot/$to").saveAsTable(to)
+    t(s, dir, "customer").write.mode("overwrite").format("parquet")
+      .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$warehouseRoot/$tc").saveAsTable(tc)
+    (s.table(to), s.table(tc))
+  }
+
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (o, c) = bucketedTables(s, dir)
+    o.hint("merge")
+      .join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Non-parquet sink round-trips: write through FormatSink, read back,
+  // return the re-read rows — any fidelity loss breaks the hash match
+  // against the oracle computed from the ORIGINAL table
+  // ---------------------------------------------------------------------
+  private lazy val sinkRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_sink_gate")
+      .toAbsolutePath.toString
+
+  def sinkJson(s: SparkSession, dir: String): DataFrame = {
+    val sfx = math.abs(dir.hashCode).toString
+    val df = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    FormatSink(sinkRoot, s"json_$sfx", "json").write(df)
+    s.read.schema("o_orderkey LONG, o_orderstatus STRING, price_cents LONG")
+      .json(s"$sinkRoot/json_$sfx")
+  }
+
+  def sinkOrc(s: SparkSession, dir: String): DataFrame = {
+    val sfx = math.abs(dir.hashCode).toString
+    val df = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"), cents(col("o_totalprice")).as("price_cents"))
+    FormatSink(sinkRoot, s"orc_$sfx", "orc").write(df)
+    s.read.orc(s"$sinkRoot/orc_$sfx")
+  }
+
+  val sinkJsonSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders""".stripMargin
+
+  val sinkOrcSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_rules" -> (qualityRules _),
+    "q_repetition" -> (repetition _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_editdist_neardup" -> (editdistNearDup _),
+    "q_cdc_merge" -> (cdcMerge _),
+    "q_scd2" -> (scd2 _),
+    "q_window_funcs" -> (windowFuncs _),
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_sink_json" -> (sinkJson _),
+    "q_sink_orc" -> (sinkOrc _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_rules" -> qualityRulesSql,
+    "q_repetition" -> repetitionSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_pii_redact" -> piiRedactSql,
+    "q_editdist_neardup" -> editdistNearDupSql,
+    "q_cdc_merge" -> cdcMergeSql,
+    "q_scd2" -> scd2Sql,
+    "q_window_funcs" -> windowFuncsSql,
+    "q_bucketed_join" -> bucketedJoinSql,
+    "q_sink_json" -> sinkJsonSql,
+    "q_sink_orc" -> sinkOrcSql,
+  )
+}

@@ -31,11 +31,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesML.all ++ SourceGateQueries.all ++
-      ReferenceGateQueries.all
+      ReferenceGateQueries.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesML.oracles ++ SourceGateQueries.oracles ++
-      ReferenceGateQueries.oracles
+      ReferenceGateQueries.oracles ++ QueriesPipeline.oracles
 }
 
 /** The operator-demonstration query set (SURVEY.md §2 inventory). */

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators: latest-state merge (the MERGE/upsert
+  * apply of a CDC feed) and SCD Type-2 history construction.
+  *
+  * Scale shape: both are ONE window shuffle on the entity key — the
+  * minimum possible for per-key ordering semantics. At 100 TB the
+  * change feed is hash-partitioned by key; no join, no second exchange
+  * (the consecutive-dedup and interval windows share the same
+  * partitioning, so Catalyst plans one Exchange for both).
+  */
+object ChangeCapture {
+
+  /** CDC apply: from a stream of keyed, ordered change rows (upserts +
+    * deletes), produce the current state — the LATEST row per key,
+    * dropped entirely if that row is a delete.
+    *
+    * `orderCols` must make the ordering total per key (include a unique
+    * id as tiebreak — determinism rule shared with AsOf/sampling). */
+  def applyLatest(changes: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String], isDelete: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !isDelete)
+      .drop("__rn")
+  }
+
+  /** SCD Type-2 history: collapse consecutive rows with an unchanged
+    * tracked attribute, then emit validity intervals
+    * [valid_from, valid_to) per key with `version` numbering and
+    * `is_current` on the open interval.
+    *
+    * Two window functions, ONE shuffle: both windows partition on
+    * `keyCol` (lag for change detection, lead/row_number over the
+    * collapsed rows re-use the same hash partitioning). */
+  def scd2(changes: DataFrame, keyCol: String, attrCol: String,
+           orderCol: String, tieBreak: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieBreak))
+    val changed = changes
+      .withColumn("__prev", lag(col(attrCol), 1).over(wOrd))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changed
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(wOrd))
+      .withColumn("version", row_number().over(wOrd))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+  }
+}

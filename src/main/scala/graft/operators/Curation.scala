@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines: rule-based
+  * quality filtering (Gopher-style), intra-document repetition signals,
+  * benchmark decontamination, PII redaction, and edit-distance near-dup
+  * verification.
+  *
+  * Design rules shared with the rest of the engine:
+  *   - exact integer arithmetic (`DIV`, e2/e6 fixed-point) wherever a
+  *     ratio feeds a THRESHOLD, so Spark and the DuckDB oracle agree
+  *     bit-for-bit and the decision is engine-portable;
+  *   - per-document signals are NARROW (array ops in one Project — no
+  *     explode, no shuffle): at 100 TB these run as a pure map stage;
+  *   - cross-document operators (decontamination) join on the shingle
+  *     key with the small side broadcast, never all-pairs.
+  */
+object Curation {
+
+  // -------------------------------------------------------------------
+  // Rule-based quality filtering (the Gopher/C4-style rule family:
+  // doc-length bounds, mean-word-length window, symbol share, stopword
+  // presence). Each rule is a boolean column so downstream can both
+  // filter and AUDIT which rule rejected a document.
+  // -------------------------------------------------------------------
+
+  /** Exact-integer quality signals in one narrow Project:
+    * `n_words`, `mean_wl_e2` (mean word length ×100), `symbol_e6`
+    * (non-alphanumeric-non-space char share ×1e6), `stop_hits`. */
+  def qualitySignals(df: DataFrame, textCol: String,
+                     stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_words", size(split(text, " ")))
+      .withColumn("mean_wl_e2",
+        expr(s"(length(regexp_replace($textCol, ' ', '')) * 100) DIV n_words"))
+      .withColumn("symbol_e6",
+        expr(s"(length(regexp_replace(lower($textCol), '[a-z0-9 ]', '')) * 1000000) " +
+          s"DIV greatest(length($textCol), 1)"))
+      .withColumn("stop_hits", TextAnalysis.tokenSetCount(text, stopwords))
+  }
+
+  /** Default rule thresholds (tuned to split the synthetic corpus; at
+    * production scale these are config). */
+  val MinWords = 20
+  val MaxWords = 90
+  val MinMeanWlE2 = 400
+  val MaxMeanWlE2 = 520
+  val MaxSymbolE6 = 20000 // 2% symbol chars
+
+  /** Signals + one boolean column per rule + the conjunction `keep`. */
+  def qualityRules(df: DataFrame, textCol: String,
+                   stopwords: Seq[String] = Seq("the", "a")): DataFrame =
+    qualitySignals(df, textCol, stopwords)
+      .withColumn("r_words",
+        col("n_words").between(MinWords, MaxWords))
+      .withColumn("r_mean_wl",
+        col("mean_wl_e2").between(MinMeanWlE2, MaxMeanWlE2))
+      .withColumn("r_symbol", col("symbol_e6") <= MaxSymbolE6)
+      .withColumn("r_stop", col("stop_hits") >= 1)
+      .withColumn("keep",
+        col("r_words") && col("r_mean_wl") && col("r_symbol") && col("r_stop"))
+
+  // -------------------------------------------------------------------
+  // Intra-document repetition (the Gopher duplicate-n-gram signals):
+  // fraction of duplicate tokens and duplicate word 2-grams, exact e6
+  // fixed-point. Narrow — size/array_distinct, no explode.
+  // -------------------------------------------------------------------
+
+  val RepetitionMaxDup2gramE6 = 50000 // >5% duplicate 2-grams = repetitive
+
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    df.withColumn("__toks", toks)
+      .withColumn("__grams", grams)
+      .withColumn("dup_tok_e6",
+        expr("((size(__toks) - size(array_distinct(__toks))) * 1000000) " +
+          "DIV size(__toks)"))
+      .withColumn("dup_2gram_e6",
+        expr("CAST(CASE WHEN size(__grams) = 0 THEN 0 ELSE " +
+          "((size(__grams) - size(array_distinct(__grams))) * 1000000) " +
+          "DIV size(__grams) END AS BIGINT)"))
+      .withColumn("repetitive", col("dup_2gram_e6") > RepetitionMaxDup2gramE6)
+      .drop("__toks", "__grams")
+  }
+
+  // -------------------------------------------------------------------
+  // Benchmark decontamination: flag training documents sharing any word
+  // w-gram with an evaluation set (the n-gram-collision protocol of the
+  // GPT-3/PaLM decontamination appendices, on exact shingles).
+  //
+  // Scale shape: the eval side (benchmarks are ~1e4-1e6 shingles) is
+  // DISTINCT'd then broadcast; the training side streams through a
+  // broadcast hash join — no shuffle of the corpus. For an eval set too
+  // big to broadcast, drop the hint and the same plan shuffles on the
+  // shingle key. Counts are partial-aggregable per doc.
+  // -------------------------------------------------------------------
+
+  /** Training docs sharing ≥1 word `w`-gram with `evalDocs`. Returns
+    * (idCol, n_shared_shingles = distinct shared shingles,
+    * n_eval_docs = distinct eval docs hit). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, w: Int): DataFrame = {
+    val evalShingles = Dedup.wordShingles(evalDocs, idCol, textCol, w)
+      .select(col("shingle"), col(idCol).as("__eval_id")).distinct()
+    Dedup.wordShingles(train, idCol, textCol, w)
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("__eval_id")).as("n_eval_docs"))
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction: fold regexp_replace over a pattern table. Patterns
+  // are RE2-compatible (no backrefs/lookarounds) so the oracle engine
+  // applies literally the same regexes.
+  // -------------------------------------------------------------------
+
+  /** (name, pattern, replacement) — applied in declaration order; SSN
+    * before phone so the narrower match wins on overlapping shapes. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "\\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** Adds `n_pii` (total matches across patterns, counted pre-redaction)
+    * and `redacted` (all patterns replaced, in order). Narrow. */
+  def redactPii(df: DataFrame, textCol: String,
+                patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    val text = col(textCol)
+    val counts = patterns.map { case (_, p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0)))
+    }.reduce(_ + _)
+    val redacted = patterns.foldLeft(text) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    df.withColumn("n_pii", counts).withColumn("redacted", redacted)
+  }
+
+  // -------------------------------------------------------------------
+  // Edit-distance near-dup verification: exact Levenshtein distance on
+  // CANDIDATE pairs only (compose with Dedup.minhashCandidates — the
+  // same LSH→verify shape as ngram Jaccard). levenshtein() is a
+  // codegen'd built-in in Spark; the relative threshold is exact
+  // integer: lev * 100 <= maxRelE2 * max(len_a, len_b).
+  // -------------------------------------------------------------------
+
+  def editDistancePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, maxRelE2: Int): DataFrame = {
+    val texts = docs.select(col(idCol), col(textCol))
+    pairs
+      // candidate rows are bytes-tiny but each costs an O(len^2) DP —
+      // spread them before the compute stage (AQE sizes by bytes)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(texts.select(col(idCol).as("id_a"),
+        col(textCol).as("__t_a"))), "id_a")
+      .join(broadcast(texts.select(col(idCol).as("id_b"),
+        col(textCol).as("__t_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__t_a"), col("__t_b")).as("lev"),
+        greatest(length(col("__t_a")), length(col("__t_b"))).as("__max_len"))
+      .filter(col("lev") * 100 <= col("__max_len") * maxRelE2)
+      .select(col("id_a"), col("id_b"), col("lev"))
+  }
+}

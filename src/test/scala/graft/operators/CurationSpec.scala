@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality signals: exact integers on a known document") {
+    val df = Seq((1L, "the cat sat on a mat!!")).toDF("id", "text")
+    val r = Curation.qualitySignals(df, "text").head()
+    assert(r.getAs[Int]("n_words") == 6)
+    // non-space chars = 17, mean_wl_e2 = 1700 DIV 6 = 283
+    assert(r.getAs[Long]("mean_wl_e2") == 283L)
+    // 2 '!' of 22 chars -> 2000000 DIV 22 = 90909
+    assert(r.getAs[Long]("symbol_e6") == 90909L)
+    assert(r.getAs[Int]("stop_hits") == 2) // "the", "a"
+  }
+
+  test("quality rules: keep is the conjunction of the rule columns") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val bad = Curation.qualityRules(docs, "text")
+      .filter(col("keep") =!= (col("r_words") && col("r_mean_wl") &&
+        col("r_symbol") && col("r_stop")))
+    assert(bad.count() == 0)
+  }
+
+  test("repetition: duplicate token and 2-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),    // toks 5 distinct 2 -> 600000; grams [a b, b a, a b, b a] -> 500000
+      (2L, "x y z"),        // no dups
+      (3L, "solo")          // single token: gram guard
+    ).toDF("id", "text")
+    val m = Curation.repetitionSignals(df, "text")
+      .select("id", "dup_tok_e6", "dup_2gram_e6", "repetitive")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m(1L) == ((600000L, 500000L, true)))
+    assert(m(2L) == ((0L, 0L, false)))
+    assert(m(3L) == ((0L, 0L, false)))
+  }
+
+  test("decontaminate: flags only docs sharing a w-gram with the eval set") {
+    val train = Seq(
+      (1L, "one two three four five six"),   // shares "one two three four"
+      (2L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "zzz one two three four"))
+      .toDF("doc_id", "text")
+    val rows = Curation.decontaminate(train, eval_, "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 1 && rows.head._1 == 1L && rows.head._3 == 1L)
+  }
+
+  test("pii redaction: counts and replacements on a known string") {
+    val df = Seq((1L,
+      "mail me at jane.doe+x@corp.example.org or +1-555-0099, ssn 987-65-4321 ok"))
+      .toDF("id", "text")
+    val r = Curation.redactPii(df, "text").head()
+    assert(r.getAs[Int]("n_pii") == 3)
+    val red = r.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+      red.contains("<SSN>"))
+    assert(!red.contains("@") && !red.contains("555-0099") &&
+      !red.contains("987-65-4321"))
+  }
+
+  test("edit-distance pairs: exact levenshtein, relative threshold") {
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghiX"), // lev 1, 10% of 10
+      (3L, "zzzzzzzzzz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Curation.editDistancePairs(pairs, docs, "doc_id", "text", 50)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1))) // (1,3) is lev 10 = 100% > 50%
+  }
+}
