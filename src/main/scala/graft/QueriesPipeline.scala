@@ -312,6 +312,24 @@ object QueriesPipeline {
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Stream-stream interval self-join (attribution shape): purchases x
+  // same-user clicks in the trailing hour, watermark-bounded state
+  // ---------------------------------------------------------------------
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.purchaseClickJoin(s, dir,
+      queryName = s"pc_join_${streamRun.incrementAndGet()}")
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_ns(p.ts) // 1000 AS p_ts_us, epoch_ns(c.ts) // 1000 AS c_ts_us
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND epoch_ns(c.ts) // 1000
+      |    BETWEEN epoch_ns(p.ts) // 1000 - 3600000000 AND epoch_ns(p.ts) // 1000""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -326,6 +344,7 @@ object QueriesPipeline {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_sink_json" -> (sinkJson _),
     "q_sink_orc" -> (sinkOrc _),
+    "q_stream_join" -> (streamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +359,6 @@ object QueriesPipeline {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_sink_json" -> sinkJsonSql,
     "q_sink_orc" -> sinkOrcSql,
+    "q_stream_join" -> streamJoinSql,
   )
 }

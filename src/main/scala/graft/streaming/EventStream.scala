@@ -72,6 +72,49 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval self-join: each purchase joined to the same
+    * user's clicks in the preceding `windowUs` microseconds — the
+    * attribution-join shape. Both sides carry an event-time watermark,
+    * which is what BOUNDS the join state at scale: a click older than
+    * watermark + window can no longer match any future purchase and its
+    * state-store entry is evicted, so state is O(arrival rate × horizon)
+    * instead of O(stream length). Inner join in append mode: every
+    * emitted pair is final, so the result is micro-batch-split
+    * invariant (parity with the batch join: EventStreamSpec). */
+  def purchaseClickJoin(spark: SparkSession, dir: String,
+                        queryName: String,
+                        windowUs: Long = 3600L * 1000000,
+                        delay: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    def side(eventType: String, prefix: String) =
+      spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/events.parque[t]")
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_micros(ts DIV 1000)").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", delay)
+    val joined = side("purchase", "purchase")
+      .join(side("click", "click"),
+        expr(s"""purchase_user = click_user
+                 AND click_ts >= purchase_ts - INTERVAL ${windowUs / 1000000} SECOND
+                 AND click_ts <= purchase_ts"""))
+      .select(col("purchase_id"), col("click_id"),
+        col("purchase_user").as("user_id"),
+        expr("unix_micros(purchase_ts)").as("p_ts_us"),
+        expr("unix_micros(click_ts)").as("c_ts_us"))
+    val query = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming deduplication bounded by the event-time watermark — the
     * training-pipeline "exactly-once per key" ingest shape. State holds
     * one entry per key seen within the watermark horizon (dropped once

@@ -330,6 +330,26 @@ class StreamingSpec extends SparkSpec {
     assert(strided.forall(f => byIdx(f.frame_idx) == f.frame_md5))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = graft.streaming.EventStream
+      .purchaseClickJoin(spark, sfDir, "t_pcjoin")
+      .collect().map(_.toSeq).toSet
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+    val batch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"))
+      .join(e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts_us").as("c_ts_us")),
+        expr("user_id = c_user AND c_ts_us BETWEEN p_ts_us - 3600000000 AND p_ts_us"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts_us"), col("c_ts_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("watermarked streaming dedup keeps exactly the distinct user set") {
     val streamed = graft.streaming.EventStream
       .dedupedUsers(spark, sfDir, queryName = "t_dedup")
