@@ -142,7 +142,11 @@ object QueriesPipeline {
   // Edit-distance near-dup: LSH candidates -> exact Levenshtein verify
   // (same LSH→verify composition as q_ngram_jaccard)
   // ---------------------------------------------------------------------
-  val EditMaxRelE2 = 50
+  /** 10% of the longer text: the observed true near-dups sit at ≤6.3%
+    * relative distance while random same-lang pairs sit at 63–78%, and
+    * a tight radius is what makes the banded DP (levenshtein threshold
+    * + early exit) pay — at 50% the band was as wide as the matrix. */
+  val EditMaxRelE2 = 10
 
   def editdistNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -330,6 +334,77 @@ object QueriesPipeline {
       |    BETWEEN epoch_ns(p.ts) // 1000 - 3600000000 AND epoch_ns(p.ts) // 1000""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Context-window chunking: 32-word chunks, stride 24 (overlap 8)
+  // ---------------------------------------------------------------------
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    operators.Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+      ChunkWindow, ChunkStride)
+
+  val chunkDocsSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |  kk AS (SELECT doc_id, t, len(t) AS n,
+       |    CASE WHEN len(t) <= $ChunkWindow THEN 0
+       |         ELSE (len(t) - $ChunkWindow + ${ChunkStride - 1}) // $ChunkStride END AS k
+       |  FROM tk)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |  array_to_string(t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkWindow], ' ') AS chunk_text,
+       |  CAST(least($ChunkWindow, n - i * $ChunkStride) AS INT) AS n_chunk_words
+       |FROM kk, unnest(generate_series(0, k)) AS u(i)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sequential token-budget packing into training-sequence bins
+  // ---------------------------------------------------------------------
+  val PackBudget = 512
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    operators.Chunking.packSequences(df, "doc_id", "n_tokens", "lang",
+      PackBudget)
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, lang, n_tokens, start_offset // $PackBudget AS bin,
+       |  start_offset
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Single-pass numeric profiling of lineitem (ANALYZE shape)
+  // ---------------------------------------------------------------------
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.numeric(t(s, dir, "lineitem"), Seq(
+      "l_quantity" -> round(col("l_quantity")).cast("long"),
+      "l_extendedprice" -> cents(col("l_extendedprice")),
+      "l_discount" -> cents(col("l_discount")),
+      "l_tax" -> cents(col("l_tax"))))
+
+  val profileLineitemSql: String = {
+    val cols = Seq(
+      "l_quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+      "l_extendedprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "l_discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "l_tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+    cols.map { case (name, e) =>
+      s"""SELECT '$name' AS col_name,
+         |  CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+         |  CAST(min($e) AS BIGINT) AS min_i,
+         |  CAST(max($e) AS BIGINT) AS max_i
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -345,6 +420,9 @@ object QueriesPipeline {
     "q_sink_json" -> (sinkJson _),
     "q_sink_orc" -> (sinkOrc _),
     "q_stream_join" -> (streamJoin _),
+    "q_chunk_docs" -> (chunkDocs _),
+    "q_pack_sequences" -> (packSequences _),
+    "q_profile" -> (profileLineitem _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +438,8 @@ object QueriesPipeline {
     "q_sink_json" -> sinkJsonSql,
     "q_sink_orc" -> sinkOrcSql,
     "q_stream_join" -> streamJoinSql,
+    "q_chunk_docs" -> chunkDocsSql,
+    "q_pack_sequences" -> packSequencesSql,
+    "q_profile" -> profileLineitemSql,
   )
 }

@@ -152,6 +152,15 @@ object Curation {
   def editDistancePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String, maxRelE2: Int): DataFrame = {
     val texts = docs.select(col(idCol), col(textCol))
+    // Global DP band: every per-pair threshold is <= maxRelE2% of the
+    // corpus max length, so levenshtein(..., t0) — Spark's banded
+    // early-exit form, O(len x t0) instead of O(len^2), -1 past the
+    // band — is EXACT for every pair that can pass the filter. The
+    // one-column scan computing maxLen is trivial next to the DP; a
+    // production pipeline passes it from table stats instead.
+    val maxLenRow = docs.agg(max(length(col(textCol)))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val t0 = maxLen * maxRelE2 / 100 + 1
     pairs
       // candidate rows are bytes-tiny but each costs an O(len^2) DP —
       // spread them before the compute stage (AQE sizes by bytes)
@@ -160,10 +169,16 @@ object Curation {
         col(textCol).as("__t_a"))), "id_a")
       .join(broadcast(texts.select(col(idCol).as("id_b"),
         col(textCol).as("__t_b"))), "id_b")
+      .withColumn("__la", length(col("__t_a")))
+      .withColumn("__lb", length(col("__t_b")))
+      // exact prefilter (lev >= |len_a - len_b|): kills a pair without
+      // running any DP at all
+      .filter(abs(col("__la") - col("__lb")) * 100
+        <= greatest(col("__la"), col("__lb")) * maxRelE2)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__t_a"), col("__t_b")).as("lev"),
-        greatest(length(col("__t_a")), length(col("__t_b"))).as("__max_len"))
-      .filter(col("lev") * 100 <= col("__max_len") * maxRelE2)
+        levenshtein(col("__t_a"), col("__t_b"), t0).as("lev"),
+        greatest(col("__la"), col("__lb")).as("__max_len"))
+      .filter(col("lev") >= 0 && col("lev") * 100 <= col("__max_len") * maxRelE2)
       .select(col("id_a"), col("id_b"), col("lev"))
   }
 }

@@ -84,7 +84,8 @@ object EventStream {
   def purchaseClickJoin(spark: SparkSession, dir: String,
                         queryName: String,
                         windowUs: Long = 3600L * 1000000,
-                        delay: String = "1 hour"): DataFrame = {
+                        delay: String = "1 hour",
+                        statePartitions: Option[Int] = Some(8)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = rawSchema(spark, dir)
     def side(eventType: String, prefix: String) =
@@ -105,13 +106,24 @@ object EventStream {
         col("purchase_user").as("user_id"),
         expr("unix_micros(purchase_ts)").as("p_ts_us"),
         expr("unix_micros(click_ts)").as("c_ts_us"))
-    val query = joined.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // a stream-stream join runs FOUR state stores per partition (two
+    // sides x key-to-value + key-to-number); at local state volume 32
+    // partitions is pure store-commit overhead (same mechanism as
+    // hourlyRollup's knob — partitions pin at the first checkpoint)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val query = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(queryName)
   }
 
