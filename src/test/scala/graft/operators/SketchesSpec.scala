@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = graft.Tables.events(spark, sfDir)
+
+  test("approx distinct within the configured error of the exact count") {
+    val exact = events.select("user_id").distinct().count()
+    val approx = Sketches.approxDistinct(
+        events.withColumn("g", lit(1)), Seq("g"), "user_id", rsd = 0.05)
+      .head().getAs[Long]("approx_distinct")
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx exact=$exact") // 3x rsd headroom
+  }
+
+  test("HLL partial sketches merge to the same estimate as one global sketch") {
+    // partial per event_type, merged across all types
+    val partials = Sketches.hllPartial(events, Seq("event_type"), "user_id")
+      .withColumn("g", lit(1))
+    val merged = Sketches.hllMerge(partials, Seq("g"))
+      .head().getAs[Long]("approx_distinct")
+    val global = events.withColumn("g", lit(1))
+      .groupBy("g").agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .head().getAs[Long]("e")
+    assert(merged == global,
+      s"merge-of-partials ($merged) must equal the one-shot sketch ($global)")
+    val exact = events.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact <= 0.1,
+      s"merged=$merged exact=$exact")
+  }
+
+  test("approx quantiles bracket the exact quantiles") {
+    val cents = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val approx = Sketches.approxQuantiles(cents, Seq("event_type"), "cents",
+        Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val exactQ = cents.groupBy("event_type")
+      .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((et, qs) <- approx; (a, e) <- qs.zip(exactQ(et))) {
+      val spread = exactQ(et).last - exactQ(et).head
+      assert(math.abs(a - e) <= math.max(spread * 0.05, 1.0),
+        s"$et: approx=$a exact=$e")
+    }
+  }
+}
