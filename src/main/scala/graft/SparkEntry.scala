@@ -47,7 +47,7 @@ object Queries {
   /** Exact integer cents of a 2-decimal double column (deterministic across
     * engines: products/rounds of identical doubles are IEEE-deterministic;
     * only SUM order varies, and integer sums are order-independent). */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def cents(c: Column): Column = graft.functions.Exact.cents(c)
 
   // ---------------------------------------------------------------------
   // A1/A3/A6-shaped: grouped aggregation (sums, counts, ratio)

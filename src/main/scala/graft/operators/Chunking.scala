@@ -26,11 +26,12 @@ object Chunking {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window (got window=$window stride=$stride)")
     val toks = split(col(textCol), " ")
-    val n = size(toks)
-    // number of ADDITIONAL chunks past the first: ceil((n - window) / stride)
-    val k = when(n <= window, lit(0))
-      .otherwise(expr(s"(size(split($textCol, ' ')) - $window + ${stride - 1}) DIV $stride"))
-    df.select(col(idCol), toks.as("__t"), n.as("__n"), k.as("__k"))
+    df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      // ADDITIONAL chunks past the first: ceil((n - window) / stride);
+      // operands are positive, so double-divide + int cast == DIV
+      .withColumn("__k", when(col("__n") <= window, lit(0)).otherwise(
+        ((col("__n") - window + (stride - 1)) / stride).cast("int")))
       .select(col(idCol), col("__n"),
         explode(transform(sequence(lit(0), col("__k").cast("int")),
           i => struct(i.as("idx"),

@@ -32,11 +32,15 @@ object Curation {
   def qualitySignals(df: DataFrame, textCol: String,
                      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
     val text = col(textCol)
+    // counts are cast to BIGINT BEFORE the e2/e6 multiply: an int count
+    // over ~21k (e6) would overflow 32-bit — ANSI crash or silent
+    // negative — while the DuckDB oracle computes in BIGINT throughout
     df.withColumn("n_words", size(split(text, " ")))
       .withColumn("mean_wl_e2",
-        expr(s"(length(regexp_replace($textCol, ' ', '')) * 100) DIV n_words"))
+        expr(s"(CAST(length(regexp_replace($textCol, ' ', '')) AS BIGINT) * 100) " +
+          "DIV n_words"))
       .withColumn("symbol_e6",
-        expr(s"(length(regexp_replace(lower($textCol), '[a-z0-9 ]', '')) * 1000000) " +
+        expr(s"(CAST(length(regexp_replace(lower($textCol), '[a-z0-9 ]', '')) AS BIGINT) * 1000000) " +
           s"DIV greatest(length($textCol), 1)"))
       .withColumn("stop_hits", TextAnalysis.tokenSetCount(text, stopwords))
   }
@@ -78,11 +82,11 @@ object Curation {
     df.withColumn("__toks", toks)
       .withColumn("__grams", grams)
       .withColumn("dup_tok_e6",
-        expr("((size(__toks) - size(array_distinct(__toks))) * 1000000) " +
+        expr("(CAST(size(__toks) - size(array_distinct(__toks)) AS BIGINT) * 1000000) " +
           "DIV size(__toks)"))
       .withColumn("dup_2gram_e6",
         expr("CAST(CASE WHEN size(__grams) = 0 THEN 0 ELSE " +
-          "((size(__grams) - size(array_distinct(__grams))) * 1000000) " +
+          "(CAST(size(__grams) - size(array_distinct(__grams)) AS BIGINT) * 1000000) " +
           "DIV size(__grams) END AS BIGINT)"))
       .withColumn("repetitive", col("dup_2gram_e6") > RepetitionMaxDup2gramE6)
       .drop("__toks", "__grams")
@@ -165,10 +169,13 @@ object Curation {
       // candidate rows are bytes-tiny but each costs an O(len^2) DP —
       // spread them before the compute stage (AQE sizes by bytes)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .join(broadcast(texts.select(col(idCol).as("id_a"),
-        col(textCol).as("__t_a"))), "id_a")
-      .join(broadcast(texts.select(col(idCol).as("id_b"),
-        col(textCol).as("__t_b"))), "id_b")
+      // no broadcast hint (same reasoning as Dedup.jaccardVerifyPairs):
+      // the planner broadcasts small text tables itself; forcing it
+      // would cap the corpus at driver memory
+      .join(texts.select(col(idCol).as("id_a"),
+        col(textCol).as("__t_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"),
+        col(textCol).as("__t_b")), "id_b")
       .withColumn("__la", length(col("__t_a")))
       .withColumn("__lb", length(col("__t_b")))
       // exact prefilter (lev >= |len_a - len_b|): kills a pair without

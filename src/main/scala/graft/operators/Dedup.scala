@@ -205,10 +205,13 @@ object Dedup {
       // pairs are bytes-tiny but each costs a kernel evaluation — AQE's
       // size-based coalescing would serialize the verify stage
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .join(broadcast(texts.select(col(idCol).as("id_a"),
-        col(textCol).as("__t_a"))), "id_a")
-      .join(broadcast(texts.select(col(idCol).as("id_b"),
-        col(textCol).as("__t_b"))), "id_b")
+      // no broadcast hint: the planner broadcasts a small text table on
+      // its own (it does here, and perf was measured alike either way);
+      // a forced hint would cap the corpus at driver memory at scale
+      .join(texts.select(col(idCol).as("id_a"),
+        col(textCol).as("__t_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"),
+        col(textCol).as("__t_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         call_function(graft.plans.GraftFunctions.WordJaccardName,
           col("__t_a"), col("__t_b"), lit(w)).as("jaccard"))

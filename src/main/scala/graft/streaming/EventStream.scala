@@ -50,7 +50,7 @@ object EventStream {
       .withWatermark("ts_evt", delay)
       .groupBy(window(col("ts_evt"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
       .select(
         expr("unix_timestamp(window.start) DIV 3600").as("epoch_h"),
         col("event_type"), col("cnt"), col("value_cents"))
@@ -79,8 +79,12 @@ object EventStream {
     * watermark + window can no longer match any future purchase and its
     * state-store entry is evicted, so state is O(arrival rate × horizon)
     * instead of O(stream length). Inner join in append mode: every
-    * emitted pair is final, so the result is micro-batch-split
-    * invariant (parity with the batch join: EventStreamSpec). */
+    * emitted pair is final. Split-invariance caveat: `delay` is also
+    * the LATE-DATA horizon — with multi-batch input, a row arriving
+    * more than `delay` behind the watermark is dropped (that is the
+    * watermark contract, not a defect), so exact parity with the batch
+    * join (StreamingSpec, q_stream_join's oracle) holds when input
+    * arrives in order or in a single AvailableNow batch, as here. */
   def purchaseClickJoin(spark: SparkSession, dir: String,
                         queryName: String,
                         windowUs: Long = 3600L * 1000000,
@@ -189,7 +193,7 @@ object EventStream {
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
       .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
-        round(col("value") * 100).cast("long").as("value_cents"))
+        graft.functions.Exact.cents(col("value")).as("value_cents"))
       .as[TimedEvent]
     val sessions = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -253,7 +257,7 @@ object EventStream {
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
       .select(col("user_id"),
-        round(col("value") * 100).cast("long").as("value_cents"))
+        graft.functions.Exact.cents(col("value")).as("value_cents"))
       .as[UserEvent]
     val totals = stream.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
