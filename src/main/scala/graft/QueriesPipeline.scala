@@ -317,6 +317,34 @@ object QueriesPipeline {
     s.read.orc(s"$sinkRoot/orc_$sfx")
   }
 
+  /** S9 realized: write an aggregate through JdbcSink into embedded
+    * Derby, read it back over JDBC, gate the round-tripped rows vs the
+    * oracle computed from the original table. Any write-path defect
+    * (type mapping, batching, overwrite DDL) breaks the hash. */
+  def sinkJdbc(s: SparkSession, dir: String): DataFrame = {
+    val sfx = math.abs(dir.hashCode).toString
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val tbl = s"orders_agg_$sfx"
+    val df = t(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      .coalesce(1) // warehouse ingest parallelism, not shuffle width
+    graft.sources.JdbcSink(url, tbl, driver,
+      createTableColumnTypes = Some("o_orderstatus VARCHAR(10)")).write(df)
+    s.read.format("jdbc").option("url", url).option("dbtable", tbl)
+      .option("driver", driver).load()
+      // Derby folds unquoted identifiers to upper case; restore the
+      // oracle's lower-case contract positionally (JDBC preserves
+      // column order = creation order = df order)
+      .toDF("o_orderstatus", "n_orders", "revenue_cents")
+  }
+
+  val sinkJdbcSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   val sinkJsonSql: String =
     """SELECT o_orderkey, o_orderstatus,
       |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
@@ -431,6 +459,7 @@ object QueriesPipeline {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_sink_json" -> (sinkJson _),
     "q_sink_orc" -> (sinkOrc _),
+    "q_sink_jdbc" -> (sinkJdbc _),
     "q_stream_join" -> (streamJoin _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
@@ -449,6 +478,7 @@ object QueriesPipeline {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_sink_json" -> sinkJsonSql,
     "q_sink_orc" -> sinkOrcSql,
+    "q_sink_jdbc" -> sinkJdbcSql,
     "q_stream_join" -> streamJoinSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,

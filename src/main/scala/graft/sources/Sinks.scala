@@ -41,6 +41,34 @@ case class PartitionBackfillSink(resultPath: String, tableName: String,
       .parquet(s"$resultPath/$tableName")
 }
 
+/** External warehouse sink over a live JDBC connection — the
+  * reference's pluggable "store wherever" slot (S9, notebook cell 24:
+  * BigQuery) realized against a real database: proven end-to-end vs an
+  * embedded Derby (q_sink_jdbc round-trips write → server → read);
+  * pointing url/driver at any warehouse JDBC endpoint is the
+  * reference's intended swap. Zero-egress container rules out a cloud
+  * endpoint itself.
+  *
+  * At scale: `df.write.jdbc` opens one connection per partition and
+  * batches inserts — `coalesce` the frame to the warehouse's ingest
+  * parallelism; `createTableColumnTypes` pins DDL types where the
+  * dialect default (e.g. CLOB for strings on Derby) is wrong for the
+  * target. */
+case class JdbcSink(url: String, table: String, driver: String,
+                    user: String = "", password: String = "",
+                    createTableColumnTypes: Option[String] = None)
+    extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    val w = df.write.mode("overwrite")
+    createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, props)
+  }
+}
+
 /** Generic file-format sink for the remaining Spark-native formats
   * (orc, json-lines, csv) — the reference's "change storeData to store
   * wherever" pluggability (S9) without a per-format class. Parquet

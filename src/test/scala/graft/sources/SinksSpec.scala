@@ -55,4 +55,19 @@ class SinksSpec extends SparkSpec {
         data.collect().map(_.toSeq).toSet, fmt)
     }
   }
+
+  test("JdbcSink overwrite is idempotent against a live database") {
+    val url = "jdbc:derby:memory:graftsinkspec;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val sink = JdbcSink(url, "t_sink", driver,
+      createTableColumnTypes = Some("part VARCHAR(10)"))
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_sink")
+      .option("driver", driver).load()
+      .toDF("id", "v", "part")
+    sink.write(data)
+    sink.write(data) // overwrite must replace, not append
+    assert(readBack().collect().map(_.toSeq).toSet ==
+      data.collect().map(_.toSeq).toSet)
+  }
 }
