@@ -59,3 +59,42 @@ class CurationJob(spark: SparkSession, inputPath: String,
     } finally docs.unpersist()
   }
 }
+
+/** CLI for the curation job (the GraftEtlMain shape applied to the
+  * training-data tier): `-i` corpus parquet, `-o` output root, with
+  * optional window/stride/budget overrides. */
+object CurationJobMain {
+
+  val Usage =
+    "Usage: CurationJobMain -i <inputPath> -o <outputPath> " +
+      "[-w <window>] [-s <stride>] [-b <budget>]"
+
+  case class Args(input: String = "", output: String = "",
+                  window: Int = 32, stride: Int = 24, budget: Int = 512)
+
+  @annotation.tailrec
+  def parseArgs(args: List[String], acc: Args = Args()): Args = args match {
+    case Nil =>
+      require(acc.input.nonEmpty && acc.output.nonEmpty, Usage)
+      acc
+    case "-i" :: v :: rest => parseArgs(rest, acc.copy(input = v))
+    case "-o" :: v :: rest => parseArgs(rest, acc.copy(output = v))
+    case "-w" :: v :: rest => parseArgs(rest, acc.copy(window = v.toInt))
+    case "-s" :: v :: rest => parseArgs(rest, acc.copy(stride = v.toInt))
+    case "-b" :: v :: rest => parseArgs(rest, acc.copy(budget = v.toInt))
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unknown option '$other'. $Usage")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args.toList)
+    val spark = SparkSession.builder()
+      .appName("GraftCuration")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val summary =
+      new CurationJob(spark, a.input, a.output, a.window, a.stride, a.budget)
+        .run()
+    summary.show(truncate = false)
+  }
+}

@@ -97,15 +97,29 @@ object Dedup {
     * which would rebuild the signature pipeline for each join side
     * (measured slower in tools.AbMinhash, exchange reuse or not).
     * Shuffle volume: one exchange of (band, key, id), then one
-    * distinct over candidate pairs. */
+    * distinct over candidate pairs.
+    *
+    * `maxBucketSize`: HOT-BUCKET CAP for corpus scale. A bucket of m
+    * docs emits m(m-1)/2 pairs; one boilerplate-heavy bucket (empty
+    * pages, license headers) of 10^5 docs would emit 5×10^9 pairs and
+    * dominate the job. Buckets over the cap are DROPPED — near-dups of
+    * ultra-common content are better handled by exact dedup upstream
+    * (identical boilerplate hashes equal), and a true near-dup pair
+    * still surfaces through any of its other `bands-1` buckets. Recall
+    * loss is bounded to pairs whose EVERY shared bucket is hot —
+    * measured/characterized in DedupSpec. Default None (exact LSH). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, k: Int = 8, bands: Int = 4): DataFrame = {
+                        n: Int = 5, k: Int = 8, bands: Int = 4,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val b = lshBands(sigs, idCol, k, bands)
     val buckets = b.groupBy(col("band"), col("band_key"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-    buckets
+    val capped = maxBucketSize
+      .map(cap => buckets.filter(size(col("ids")) <= cap))
+      .getOrElse(buckets)
+    capped
       // the bucket frame is tiny in BYTES but its expansion is the
       // quadratic part — AQE's size-based coalescing would run it on
       // one partition; spread buckets explicitly before exploding

@@ -32,4 +32,16 @@ class CurationJobSpec extends SparkSpec {
     assert(bins.count() == nKept)
     assert(bins.filter(col("bin") =!= expr("start_offset DIV 512")).count() == 0)
   }
+
+  test("CLI arg parse: required/optional/unknown") {
+    val a = CurationJobMain.parseArgs(
+      List("-i", "/in", "-o", "/out", "-b", "1024"))
+    assert(a == CurationJobMain.Args("/in", "/out", 32, 24, 1024))
+    intercept[IllegalArgumentException] {
+      CurationJobMain.parseArgs(List("-x", "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      CurationJobMain.parseArgs(List("-i", "/in")) // missing -o
+    }
+  }
 }

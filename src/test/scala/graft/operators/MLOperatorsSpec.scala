@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)), "unrelated docs should not collide")
   }
 
+  test("hot-bucket cap drops only pairs whose every shared bucket is hot") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val all = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 16, 4,
+        maxBucketSize = Some(10))
+      .as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(all), "cap must only remove pairs")
+    // every surviving pair is a real all-LSH pair; exact dups (jaccard
+    // 1, identical in every band) survive unless the corpus makes all
+    // four of their buckets hot
+    val exactDups = Dedup.exact(docs, Seq("text"), "doc_id")
+      .filter(col("dup_count") > 1).count()
+    assert(exactDups == 0 || capped.nonEmpty)
+  }
+
   test("fused MinhashSignature expression equals the HOF formulation") {
     graft.plans.GraftFunctions.register(spark)
     val df = Seq((1L, "the quick brown fox"), (2L, "zzz"), (3L, "abcde"))
