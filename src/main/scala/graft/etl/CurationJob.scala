@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Curation}
+import graft.operators.{Chunking, Curation, Dedup}
 
 /** The training-data counterpart of [[GraftEtl]]: an end-to-end corpus
   * curation job composing the library's operators into the deliverable
@@ -27,23 +27,24 @@ class CurationJob(spark: SparkSession, inputPath: String,
   def corpus(): DataFrame = spark.read.parquet(inputPath)
 
   /** Quality-kept, exact-dup-deduplicated documents. */
-  def curated(): DataFrame = {
-    val kept = Curation.qualityRules(corpus(), "text").filter(col("keep"))
-    kept.withColumn("__keep_id",
-        min(col("doc_id")).over(Window.partitionBy(col("text"))))
-      .filter(col("doc_id") === col("__keep_id"))
-      .drop("__keep_id")
-  }
+  def curated(): DataFrame =
+    Dedup.keepFirst(
+      Curation.qualityRules(corpus(), "text").filter(col("keep")),
+      Seq("text"), "doc_id")
 
   /** Run the full job; returns a one-row summary frame (also written,
     * so the job run is auditable). */
   def run(): DataFrame = {
     val docs = curated().cache()
     try {
-      val chunks = Chunking.chunk(docs, "doc_id", "text", window, stride)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // lang rides the narrow chunk explode as a carry column — a join
+      // against the corpus here would shuffle the whole chunk fan-out
+      val chunks = Chunking.chunk(docs, "doc_id", "text", window, stride,
+        carryCols = Seq("lang"))
+      // n_words is already materialized by qualityRules on this cached
+      // frame — ONE tokenization definition for rules and packing alike
       val bins = Chunking.packSequences(
-        docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+        docs.withColumn("n_tokens", col("n_words").cast("long")),
         "doc_id", "n_tokens", "lang", budget)
       chunks.write.mode("overwrite").partitionBy("lang")
         .parquet(s"$outputPath/chunks")
@@ -53,7 +54,8 @@ class CurationJob(spark: SparkSession, inputPath: String,
         .crossJoin(spark.read.parquet(s"$outputPath/chunks")
           .agg(count(lit(1)).as("n_chunks")))
         .crossJoin(spark.read.parquet(s"$outputPath/bins")
-          .agg((max(col("bin")) + 1).as("n_bins_max_stratum")))
+          .agg(coalesce(max(col("bin")) + 1, lit(0L))
+            .as("n_bins_max_stratum")))
       summary.write.mode("overwrite").parquet(s"$outputPath/summary")
       spark.read.parquet(s"$outputPath/summary")
     } finally docs.unpersist()
@@ -72,6 +74,8 @@ object CurationJobMain {
   case class Args(input: String = "", output: String = "",
                   window: Int = 32, stride: Int = 24, budget: Int = 512)
 
+  private val Flags = Set("-i", "-o", "-w", "-s", "-b")
+
   @annotation.tailrec
   def parseArgs(args: List[String], acc: Args = Args()): Args = args match {
     case Nil =>
@@ -82,6 +86,8 @@ object CurationJobMain {
     case "-w" :: v :: rest => parseArgs(rest, acc.copy(window = v.toInt))
     case "-s" :: v :: rest => parseArgs(rest, acc.copy(stride = v.toInt))
     case "-b" :: v :: rest => parseArgs(rest, acc.copy(budget = v.toInt))
+    case flag :: Nil if Flags(flag) =>
+      throw new IllegalArgumentException(s"missing value for '$flag'. $Usage")
     case other :: _ =>
       throw new IllegalArgumentException(s"unknown option '$other'. $Usage")
   }

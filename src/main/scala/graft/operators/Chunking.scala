@@ -21,26 +21,32 @@ object Chunking {
     * Narrow: chunk construction is per-row array arithmetic (transform
     * + slice) followed by one explode — no shuffle; at 100 TB this is
     * a pure map stage that multiplies rows by ~n/stride. */
+  /** `carryCols`: pass-through columns (e.g. a partitioning key like
+    * lang) that ride the narrow explode for free — recovering them
+    * downstream via a join against the corpus would shuffle the whole
+    * chunk fan-out. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-            window: Int, stride: Int): DataFrame = {
+            window: Int, stride: Int,
+            carryCols: Seq[String] = Nil): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window (got window=$window stride=$stride)")
     val toks = split(col(textCol), " ")
-    df.select(col(idCol), toks.as("__t"))
+    val carry = carryCols.map(col)
+    df.select(col(idCol) +: carry :+ toks.as("__t"): _*)
       .withColumn("__n", size(col("__t")))
       // ADDITIONAL chunks past the first: ceil((n - window) / stride);
       // operands are positive, so double-divide + int cast == DIV
       .withColumn("__k", when(col("__n") <= window, lit(0)).otherwise(
         ((col("__n") - window + (stride - 1)) / stride).cast("int")))
-      .select(col(idCol), col("__n"),
+      .select(col(idCol) +: carry :+ col("__n") :+
         explode(transform(sequence(lit(0), col("__k").cast("int")),
           i => struct(i.as("idx"),
             concat_ws(" ", slice(col("__t"), i * stride + 1, lit(window)))
-              .as("chunk")))).as("c"))
-      .select(col(idCol), col("c.idx").as("chunk_idx"),
-        col("c.chunk").as("chunk_text"),
+              .as("chunk")))).as("c"): _*)
+      .select(col(idCol) +: carry :+ col("c.idx").as("chunk_idx") :+
+        col("c.chunk").as("chunk_text") :+
         least(lit(window), col("__n") - col("c.idx") * stride)
-          .as("n_chunk_words"))
+          .as("n_chunk_words"): _*)
   }
 
   /** Sequential token-budget packing: within each `groupCol` stratum,

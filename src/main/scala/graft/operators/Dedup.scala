@@ -91,6 +91,21 @@ object Dedup {
         col("bk.band_key").as("band_key"))
   }
 
+  /** Exact-dup KEEPER filter: retain only the minimum-id row per key —
+    * the window form of [[exact]] that keeps the full row (exact keeps
+    * only the key + counts). One window shuffle on the dedup key.
+    * The keeper semantics (min-id tiebreak) has one library definition;
+    * QueriesML.curationPipeline inlines the same window because its
+    * keeper is fused into a combined filter with quality/lang
+    * conditions (equivalent here since quality is text-determined). */
+  def keepFirst(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__keep_id",
+        min(col(idCol)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * Pairs are expanded bucket-locally (groupBy bucket -> id list ->
     * double explode with id_a < id_b) instead of a bands self-join,

@@ -11,7 +11,8 @@ class PipelinePlanSpec extends SparkSpec {
   private def shapes(name: String): (Int, Int) = {
     val plan = SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(plan).length
+    val shuffles = "Exchange (hash|range|roundrobin|Single)".r
+      .findAllIn(plan).length
     val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
     (shuffles, broadcasts)
   }

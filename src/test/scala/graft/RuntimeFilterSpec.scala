@@ -37,10 +37,14 @@ class RuntimeFilterSpec extends SparkSpec {
       val plan = joined.queryExecution.optimizedPlan.toString
       assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
         s"expected a runtime bloom filter in:\n$plan")
-      // and the result is unchanged by the rewrite
+      val got = joined.count()
+      // parity baseline computed with the rewrite DISABLED — otherwise
+      // the un-hinted join is bloom-filtered too and a row-dropping
+      // filter defect would cancel out of the comparison
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       val expected = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
         .count()
-      assert(joined.count() == expected)
+      assert(got == expected)
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }

@@ -33,19 +33,28 @@ class DedupSpec extends SparkSpec {
   }
 
   test("hot-bucket cap drops only pairs whose every shared bucket is hot") {
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    val all = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 16, 4)
+    // constructed corpus: 20 identical "boilerplate" clones (they share
+    // ALL buckets, so each of their buckets has >= 20 members) plus one
+    // isolated near-dup pair in cold buckets of size 2
+    val boiler = "common boilerplate license header text repeated verbatim on every page"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 20L).map(i => (i, boiler)) ++
+      Seq((100L, near), (101L, near + " ok")))
+      .toDF("doc_id", "text")
+    // k=8/bands=4 (r=2): the same parameters the LSH collision test
+    // above already proves collide for this exact near-dup text pair
+    val all = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 8, 4)
       .as[(Long, Long)].collect().toSet
-    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 16, 4,
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 8, 4,
         maxBucketSize = Some(10))
       .as[(Long, Long)].collect().toSet
     assert(capped.subsetOf(all), "cap must only remove pairs")
-    // every surviving pair is a real all-LSH pair; exact dups (jaccard
-    // 1, identical in every band) survive unless the corpus makes all
-    // four of their buckets hot
-    val exactDups = Dedup.exact(docs, Seq("text"), "doc_id")
-      .filter(col("dup_count") > 1).count()
-    assert(exactDups == 0 || capped.nonEmpty)
+    assert(all.contains((1L, 2L)), "uncapped finds the clone pairs")
+    // clone pairs live ONLY in hot buckets (>= 20 > 10) -> dropped
+    assert(!capped.exists { case (a, b) => a <= 20 && b <= 20 },
+      s"hot-bucket pairs must be dropped, got $capped")
+    // the cold-bucket near-dup pair survives the cap
+    assert(capped.contains((100L, 101L)), s"cold pair must survive, got $capped")
   }
 
   test("fused MinhashSignature expression equals the HOF formulation") {
