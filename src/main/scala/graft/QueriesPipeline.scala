@@ -356,6 +356,40 @@ object QueriesPipeline {
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Full-outer join: customers x per-customer order rollup, preserving
+  // both unmatched sides with null indicators (the reconciliation-report
+  // shape). One shuffle per side on the join key.
+  // ---------------------------------------------------------------------
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    t(s, dir, "customer")
+      .join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"),
+        col("c_custkey").isNotNull.as("has_customer"),
+        col("o_custkey").isNotNull.as("has_orders"))
+  }
+
+  val outerJoinSql: String =
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(revenue_cents, 0) AS revenue_cents,
+      |  c_custkey IS NOT NULL AS has_customer,
+      |  o_custkey IS NOT NULL AS has_orders
+      |FROM customer
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY o_custkey) o
+      |ON c_custkey = o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Stream-stream interval self-join (attribution shape): purchases x
   // same-user clicks in the trailing hour, watermark-bounded state
   // ---------------------------------------------------------------------
@@ -460,6 +494,7 @@ object QueriesPipeline {
     "q_sink_json" -> (sinkJson _),
     "q_sink_orc" -> (sinkOrc _),
     "q_sink_jdbc" -> (sinkJdbc _),
+    "q_outer_join" -> (outerJoin _),
     "q_stream_join" -> (streamJoin _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
@@ -479,6 +514,7 @@ object QueriesPipeline {
     "q_sink_json" -> sinkJsonSql,
     "q_sink_orc" -> sinkOrcSql,
     "q_sink_jdbc" -> sinkJdbcSql,
+    "q_outer_join" -> outerJoinSql,
     "q_stream_join" -> streamJoinSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
