@@ -162,7 +162,16 @@ object Similarity {
     * e.g. ~95% at cos .95 with 6 planes x 4 tables; exact duplicates
     * are ALWAYS found, θ=0 shares every bucket). Shuffle volume:
     * tables x corpus on bucket keys, then bucket-local pairs — never
-    * the O(n^2) of the exact verifier. */
+    * the O(n^2) of the exact verifier.
+    *
+    * Verify-once shape: candidate generation carries ONLY
+    * (tbl, bucket, id) — the vectors never ride the pair expansion —
+    * and candidate pairs are deduplicated ACROSS tables BEFORE any
+    * cosine work, so a pair colliding in all `tables` bucketings pays
+    * one dot product, not `tables`. Vectors are joined back onto the
+    * deduplicated pairs (texts-last, the [[Dedup.jaccardVerifyPairs]]
+    * shape); at scale those are two hash joins on the (small relative
+    * to pair volume) prepped corpus. */
   def nearDupPairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
                           dim: Int, threshold: Double,
                           planes: Int = 6, tables: Int = 4): DataFrame = {
@@ -172,21 +181,24 @@ object Similarity {
       struct(lit(tbl).as("tbl"),
         srpBucket(col("v"), dim, planes, tbl * planes).as("bucket"))
     }
-    val e = p.select(col("id"), col("v"), col("n2"),
-        explode(array(buckets: _*)).as("bk"))
-      .select(col("id"), col("v"), col("n2"),
-        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
-    val a = e.select(col("tbl"), col("bucket"), col("id").as("id_a"),
-      col("v").as("va"), col("n2").as("na2"))
-    val b = e.select(col("tbl"), col("bucket"), col("id").as("id_b"),
-      col("v").as("vb"), col("n2").as("nb2"))
-    a.join(b, Seq("tbl", "bucket"))
+    val keyed = p.select(col("id"), explode(array(buckets: _*)).as("bk"))
+      .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
+        col("id"))
+    val a = keyed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = keyed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = p.select(col("id").as("id_a"), col("v").as("va"),
+      col("n2").as("na2"))
+    val vb = p.select(col("id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb2"))
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos",
         cosFromNorms(dotFixed(col("va"), col("vb")), col("na2"), col("nb2")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
-      .distinct()
   }
 
   /** Per-group vector centroids (class prototypes) in exact fixed-point
