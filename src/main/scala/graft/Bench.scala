@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * numbers, which is what a long-running cluster job actually sees.
   */
 object Bench {
+
+  /** Fixed 3-decimal (millisecond) formatting keeps the single JSON
+    * line short enough that the driver's output capture never truncates
+    * it (the r3 artifact lost its head to full-precision doubles). */
+  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,6 +26,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Streaming pre-warm, OUTSIDE every timed window: the first
+    // streaming query in a JVM pays one-time micro-batch-engine class
+    // loading and state-store codegen. Run a throwaway stream-stream
+    // join (the heaviest streaming shape in the suite) so that cost is
+    // never billed to a measured query; its wall time is reported
+    // separately as stream_prewarm.
+    val tPre = System.nanoTime()
+    try {
+      graft.streaming.EventStream.purchaseClickJoin(spark, sfDir,
+        queryName = "bench_prewarm").count()
+      spark.catalog.dropTempView("bench_prewarm")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] streaming pre-warm failed: ${t.getMessage}")
+    }
+    val prewarmSec = (System.nanoTime() - tPre) / 1e9
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query records -1, never a green-looking elapsed time
       def once(): Double = {
@@ -43,11 +66,11 @@ object Bench {
       System.gc()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"stream_prewarm":${f3(prewarmSec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
