@@ -479,6 +479,73 @@ object QueriesPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Sketch-tier gate: deterministic INVARIANT queries. A cross-engine
+  // sketch-layout hash match is impossible (Spark HLL++/DataSketches vs
+  // DuckDB's own sketches), but the invariants that make sketches usable
+  // at 100 TB — estimate within the configured error bound of the exact
+  // answer, and merge-of-partials == one-shot — are deterministic
+  // booleans computed Spark-side: sketch register updates are max/set
+  // operations, so estimates are independent of row and partition order.
+  // The oracle recomputes the exact side and asserts TRUE for each
+  // invariant, so the hash compare fails iff an invariant breaks.
+  // ---------------------------------------------------------------------
+  val SketchRsd = 0.05
+  /** 3x the configured rsd as the relative bound, +5 absolute floor for
+    * small groups. */
+  private def withinBound(est: org.apache.spark.sql.Column,
+                          exact: org.apache.spark.sql.Column, relBound: Double) =
+    abs(est.cast("double") - exact.cast("double")) <= exact * relBound + lit(5)
+
+  def sketchDistinctBound(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val est = operators.Sketches.approxDistinct(e, Seq("event_type"),
+      "user_id", SketchRsd)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        withinBound(col("approx_distinct"), col("n_exact"), 3 * SketchRsd)
+          .as("within_bound"))
+  }
+
+  val sketchDistinctBoundSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Mergeable-rollup invariant on the graft-native deterministic HLL
+    * (plans.HllDet, lgK=12, ~1.6% rel std error): per-day partial
+    * sketches merged up to event_type estimate EXACTLY what a one-shot
+    * sketch over the whole group estimates — max-register merge is
+    * associative/commutative, so this holds for any split at any
+    * scale, which is what makes it a gateable boolean. (The
+    * DataSketches twins in operators.Sketches stay spec-checked:
+    * their estimate depends on the production path — HIP vs composite
+    * estimator — so an equality invariant on them is flaky by design;
+    * measured in tools.AbSketch.) */
+  def sketchMergeConsistent(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("day", expr("ts_ns DIV 86400000000000"))
+    val partials = operators.Sketches.detPartial(e,
+      Seq("event_type", "day"), "user_id")
+    val merged = operators.Sketches.detMerge(partials, Seq("event_type"))
+    val oneshot = operators.Sketches.detDistinct(e, Seq("event_type"), "user_id")
+      .withColumnRenamed("approx_distinct", "est_oneshot")
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(oneshot, "event_type").join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("approx_distinct") === col("est_oneshot")).as("merge_consistent"),
+        withinBound(col("approx_distinct"), col("n_exact"), 0.05)
+          .as("within_bound"))
+  }
+
+  val sketchMergeConsistentSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS merge_consistent, TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -499,6 +566,8 @@ object QueriesPipeline {
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
+    "q_sketch_distinct_bound" -> (sketchDistinctBound _),
+    "q_sketch_merge" -> (sketchMergeConsistent _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -519,5 +588,7 @@ object QueriesPipeline {
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,
+    "q_sketch_distinct_bound" -> sketchDistinctBoundSql,
+    "q_sketch_merge" -> sketchMergeConsistentSql,
   )
 }

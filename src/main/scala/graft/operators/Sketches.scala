@@ -48,4 +48,43 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(percentile_approx(col(valueCol),
         array(qs.map(lit): _*), lit(accuracy)).as("approx_quantiles"))
+
+  // -------------------------------------------------------------------
+  // Deterministic mergeable HLL (graft-native, plans.HllDet): unlike
+  // the library sketches above — whose estimate depends on HOW the
+  // sketch was produced (streamed vs union'd applies HIP vs composite
+  // estimators; measured in tools.AbSketch) — these keep only the
+  // max-register state, so merge-of-partials == one-shot EXACTLY for
+  // any split of the input. That equality is what lets the sketch tier
+  // ride the deterministic oracle gate (q_sketch_merge).
+  // -------------------------------------------------------------------
+
+  private def aggCol(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    org.apache.spark.sql.GraftSqlShims.column(f.toAggregateExpression())
+  private def ex(c: Column) = org.apache.spark.sql.GraftSqlShims.expression(c)
+  private def estimateCol(c: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(graft.plans.HllDetEstimate(ex(c)))
+
+  /** One deterministic-HLL register blob (binary) per group. `valueCol`
+    * must be bigint — hash other types upstream (e.g. xxhash64). */
+  def detPartial(df: DataFrame, groupCols: Seq[String],
+                 valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggCol(graft.plans.HllDetAgg(ex(col(valueCol)))).as("hll_det"))
+
+  /** Union pre-aggregated deterministic sketches down to estimates —
+    * bit-identical to estimating one sketch over the combined input. */
+  def detMerge(partials: DataFrame, groupCols: Seq[String],
+               sketchCol: String = "hll_det"): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(aggCol(graft.plans.HllDetMergeAgg(ex(col(sketchCol)))).as("__sk"))
+      .select(groupCols.map(col) :+
+        estimateCol(col("__sk")).as("approx_distinct"): _*)
+
+  /** One-shot deterministic-HLL distinct estimate per group. */
+  def detDistinct(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String): DataFrame =
+    detPartial(df, groupCols, valueCol)
+      .select(groupCols.map(col) :+
+        estimateCol(col("hll_det")).as("approx_distinct"): _*)
 }
