@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * model session) is initialized once per task, not per row — the Scala
   * analogue of a batched pandas UDF.
   *
-  * The actual codec is STUBBED ([[DecodeStub]]): no image/audio libs in
-  * this container. The stub is deterministic so the pipeline around it —
-  * schema, batching, partitioning, feature columns — is fully testable;
-  * swap [[DecodeStub.decode]] for a real codec binding in production.
+  * IMAGES decode for real: [[ImageCodec]] binds `javax.imageio` (in the
+  * JDK, zero-egress) for PNG/BMP/GIF, reading actual pixel data through
+  * the raster. Formats the JDK lacks (video/audio) fall back to the
+  * deterministic [[DecodeStub]] so the pipeline around them — schema,
+  * batching, partitioning, feature columns — stays fully testable; swap
+  * the stub for a codec binding (JNI/FFI) in production.
   */
 object Multimodal {
 
@@ -23,12 +25,66 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, byte_len: Int, content_md5: String,
                            width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder: derives fake-but-deterministic media dimensions from
-    * the payload bytes. Replace with a real codec (JNI/FFI) binding. */
+  /** STUB decoder for formats the JDK can't decode (video/audio):
+    * derives fake-but-deterministic media dimensions from the payload
+    * bytes. Replace with a real codec (JNI/FFI) binding. */
   object DecodeStub {
     def decode(media: Array[Byte]): (Int, Int, Int) = {
       val n = media.length
       (n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1)
+    }
+  }
+
+  /** REAL image codec on `javax.imageio` (JDK-bundled, headless-safe).
+    * Encode writes an 8-bit grayscale PNG; decode reads the image back
+    * and extracts width/height plus the sum of all pixel samples
+    * through the raster — an actual pixel-data pass, so a broken
+    * decode (wrong dims, corrupted pixels) changes the output. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Deterministic grayscale test pattern:
+      * pixel(x, y) = (31x + 7y + base) mod 256. Lossless PNG, so the
+      * decoded raster reproduces it exactly. */
+    def encodePng(w: Int, h: Int, base: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (x * 31 + y * 7 + base) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** (width, height, sum of band-0 samples), or None when no
+      * registered reader recognizes the payload. */
+    def decode(media: Array[Byte]): Option[(Int, Int, Long)] = {
+      val img = ImageIO.read(new ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
     }
   }
 
