@@ -661,8 +661,47 @@ object QueriesML {
       |  md5(text) AS content_md5,
       |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
       |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-      |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+      |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
+      |  CAST(0 AS BIGINT) AS pixel_sum
       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // REAL image decode through the multimodal seam: deterministic
+  // grayscale PNGs (pixel(x,y) = (31x + 7y + base) mod 256, dims and
+  // base derived from doc_id) are encoded with javax.imageio, shipped
+  // as binary media, and decoded back by ImageCodec inside
+  // extractFeatures. The oracle recomputes width/height/pixel-sum
+  // analytically — a wrong decode (dims, pixel data, band layout)
+  // breaks the hash.
+  // ---------------------------------------------------------------------
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        Multimodal.MediaRecord(id,
+          Multimodal.ImageCodec.encodePng(w, h, (id % 256).toInt), "image/png")
+      }.toDF()
+    Multimodal.extractFeatures(s, media)
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("pixel_sum"))
+  }
+
+  val imageDecodeSql: String =
+    """WITH xs AS (
+      |  SELECT doc_id, unnest(generate_series(0, doc_id % 16 + 7)) AS x
+      |  FROM documents
+      |), xy AS (
+      |  SELECT doc_id, x, unnest(generate_series(0, doc_id % 12 + 7)) AS y
+      |  FROM xs
+      |)
+      |SELECT doc_id,
+      |  CAST(doc_id % 16 + 8 AS INT) AS width,
+      |  CAST(doc_id % 12 + 8 AS INT) AS height,
+      |  CAST(1 AS INT) AS n_frames,
+      |  CAST(sum((x*31 + y*7 + doc_id % 256) % 256) AS BIGINT) AS pixel_sum
+      |FROM xy GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Multimodal frame-sampling fan-out (video -> frames shape)
@@ -773,6 +812,7 @@ object QueriesML {
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_blocked" -> (embedNearDupBlocked _),
     "q_multimodal_features" -> (multimodalFeatures _),
+    "q_image_decode" -> (imageDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
     "q_asof_join" -> (asofJoin _),
@@ -814,6 +854,7 @@ object QueriesML {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_blocked" -> embedNearDupBlockedSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_image_decode" -> imageDecodeSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
     "q_asof_join" -> asofJoinSql,

@@ -491,7 +491,12 @@ object QueriesPipeline {
   // ---------------------------------------------------------------------
   val SketchRsd = 0.05
   /** 3x the configured rsd as the relative bound, +5 absolute floor for
-    * small groups. */
+    * small groups. NOTE: the bound gate hard-asserts a probabilistic
+    * property of Spark's HLL++ — deterministic for a FIXED dataset
+    * (green at the driver's sf0.01 and at sf0.1), but a ~3-sigma bound
+    * per group, so a different data seed could fail it spuriously even
+    * with a correct implementation; widen the bound before running the
+    * gate at other scale factors or seeds. */
   private def withinBound(est: org.apache.spark.sql.Column,
                           exact: org.apache.spark.sql.Column, relBound: Double) =
     abs(est.cast("double") - exact.cast("double")) <= exact * relBound + lit(5)

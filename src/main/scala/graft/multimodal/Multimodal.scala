@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
+  /** `pixel_sum` is the sum of band-0 samples from a REAL decode (image
+    * media); 0 on the stub path, where no pixel data exists to sum. */
   case class MediaFeatures(doc_id: Long, byte_len: Int, content_md5: String,
-                           width: Int, height: Int, n_frames: Int)
+                           width: Int, height: Int, n_frames: Int,
+                           pixel_sum: Long)
 
   /** STUB decoder for formats the JDK can't decode (video/audio):
     * derives fake-but-deterministic media dimensions from the payload
@@ -114,18 +117,32 @@ object Multimodal {
 
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_md5: String)
 
+  /** Decode dispatch: image media goes through the real [[ImageCodec]]
+    * (an image is one frame); everything else — and any image payload no
+    * registered reader recognizes — takes the deterministic
+    * [[DecodeStub]] with pixel_sum 0. */
+  private def decodeAny(rec: MediaRecord): (Int, Int, Int, Long) =
+    (if (rec.media_type.startsWith("image")) ImageCodec.decode(rec.media)
+     else None) match {
+      case Some((w, h, pixelSum)) => (w, h, 1, pixelSum)
+      case None =>
+        val (w, h, f) = DecodeStub.decode(rec.media)
+        (w, h, f, 0L)
+    }
+
   /** Frame sampling: one output row per sampled frame — the canonical
-    * media fan-out (video -> frames, audio -> windows). The decode is
-    * the [[DecodeStub]]; the SHAPE (typed flatMap fan-out, per-partition
+    * media fan-out (video -> frames, audio -> windows). Image media
+    * decodes for real (one frame); other media use the [[DecodeStub]]
+    * frame count. The SHAPE (typed flatMap fan-out, per-partition
     * decoder reuse, frame index + content hash schema) is the real
-    * plumbing a codec drop-in would inherit. */
+    * plumbing a video-codec drop-in would inherit. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    everyNth: Int = 1): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { rec =>
-        val (_, _, frames) = DecodeStub.decode(rec.media)
+        val (_, _, frames, _) = decodeAny(rec)
         (0 until frames by everyNth).iterator.map { i =>
           digest.reset()
           digest.update(rec.media)
@@ -145,10 +162,10 @@ object Multimodal {
       // per-partition decoder/session init would go here
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { rec =>
-        val (w, h, f) = DecodeStub.decode(rec.media)
+        val (w, h, f, pixelSum) = decodeAny(rec)
         digest.reset()
         MediaFeatures(rec.doc_id, rec.media.length, hex(digest.digest(rec.media)),
-          w, h, f)
+          w, h, f, pixelSum)
       }
     }
   }

@@ -171,7 +171,13 @@ object Similarity {
     * one dot product, not `tables`. Vectors are joined back onto the
     * deduplicated pairs (texts-last, the [[Dedup.jaccardVerifyPairs]]
     * shape); at scale those are two hash joins on the (small relative
-    * to pair volume) prepped corpus. */
+    * to pair volume) prepped corpus.
+    *
+    * PRECONDITION: `idCol` must be unique in `corpus`. Pair dedup
+    * happens on bare (id_a, id_b) BEFORE the vector join-back, so a
+    * duplicated id would multiply pair rows by its vector count with
+    * an arbitrary winner — run [[graft.operators.Dedup.exact]] on the
+    * id first if uniqueness isn't guaranteed upstream. */
   def nearDupPairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
                           dim: Int, threshold: Double,
                           planes: Int = 6, tables: Int = 4): DataFrame = {

@@ -117,8 +117,12 @@ case class HllDetAgg(child: Expression,
   // clone: the buffer is mutable and reused by the aggregate machinery
   override def eval(buf: Array[Byte]): Any = buf.clone()
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // clone both directions: aliasing the live mutable register array with
+  // its serialized form is safe under current spill paths (bytes are
+  // copied into/out of UnsafeRow immediately) but fragile against
+  // aggregation-iterator changes; 4 KB per spill is negligible
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(o: Int): HllDetAgg =
     copy(mutableAggBufferOffset = o)
@@ -167,8 +171,12 @@ case class HllDetMergeAgg(child: Expression,
 
   override def eval(buf: Array[Byte]): Any = buf.clone()
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // clone both directions: aliasing the live mutable register array with
+  // its serialized form is safe under current spill paths (bytes are
+  // copied into/out of UnsafeRow immediately) but fragile against
+  // aggregation-iterator changes; 4 KB per spill is negligible
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(o: Int): HllDetMergeAgg =
     copy(mutableAggBufferOffset = o)

@@ -323,6 +323,41 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).height == (11 * 7) % 480 + 1)
     assert(feats(2L).content_md5 ==
       "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    // non-image media never takes the real-decode path
+    assert(feats.values.forall(_.pixel_sum == 0L))
+  }
+
+  test("encodePng -> decode round-trips through the extractFeatures pipeline") {
+    import spark.implicits._
+    val recs = Seq((3L, 16, 12, 40), (4L, 9, 23, 250)).map {
+      case (id, w, h, base) =>
+        Multimodal.MediaRecord(id,
+          Multimodal.ImageCodec.encodePng(w, h, base), "image/png")
+    }
+    val feats = Multimodal.extractFeatures(spark, recs.toDF()).collect()
+      .map(f => f.doc_id -> f).toMap
+    def analytic(w: Int, h: Int, base: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 31 + y * 7 + base) % 256).toLong).sum
+    assert(feats(3L).width == 16 && feats(3L).height == 12)
+    assert(feats(3L).n_frames == 1) // an image is one frame
+    assert(feats(3L).pixel_sum == analytic(16, 12, 40))
+    assert(feats(4L).width == 9 && feats(4L).height == 23)
+    assert(feats(4L).pixel_sum == analytic(9, 23, 250))
+    // image fan-out: exactly one sampled frame per image
+    val frames = Multimodal.sampleFrames(spark, recs.toDF()).collect()
+    assert(frames.map(_.doc_id).sorted.toSeq == Seq(3L, 4L))
+    assert(frames.forall(_.frame_idx == 0))
+  }
+
+  test("undecodable image payload falls back to the stub, pixel_sum 0") {
+    import spark.implicits._
+    val garbage = Multimodal.MediaRecord(5L,
+      Array.tabulate[Byte](37)(i => (i * 17).toByte), "image/png")
+    val f = Multimodal.extractFeatures(spark, Seq(garbage).toDF())
+      .collect().head
+    assert(f.width == 37 % 640 + 1 && f.height == (37 * 7) % 480 + 1)
+    assert(f.pixel_sum == 0L)
   }
 }
 
