@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Fixed 3-decimal (millisecond) formatting keeps the single JSON
+  /** Fixed 2-decimal (centisecond) formatting keeps the per-query JSON
     * line short enough that the driver's output capture never truncates
-    * it (the r3 artifact lost its head to full-precision doubles). */
-  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    * it (r3 lost its head to full-precision doubles; r4 to the extra
+    * failed/stream_prewarm fields — those now go to stderr). */
+  private def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,11 +67,18 @@ object Bench {
       System.gc()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"stream_prewarm":${f3(prewarmSec)},"queries":$qs,"sf":"$sfDir"}""")
+    val sf = new java.io.File(sfDir).getName
+    // diagnostics go to stderr so they never lengthen the metric line
+    System.err.println(
+      s"[bench] failed=$failed stream_prewarm=${f2(prewarmSec)}s dir=$sfDir")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    // short fallback summary LAST: even if an output-capture window cuts
+    // the head of the per-query line above, this line still parses
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sf"}""")
     spark.stop()
   }
 }
