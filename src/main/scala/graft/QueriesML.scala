@@ -444,6 +444,33 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // Cluster representative selection: the highest-quality (most words,
+  // then smallest id) member of each near-dup cluster — "keep the best
+  // copy", composing the gated cluster assignment with a quality key
+  // ---------------------------------------------------------------------
+  def clusterKeeper(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    Dedup.clusterRepresentatives(dedupClusters(s, dir), "doc_id", "cluster",
+      quality, "n_words")
+  }
+
+  val clusterKeeperSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+       |  q AS (SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |    FROM documents),
+       |  j AS (SELECT cl.cluster, cl.doc_id, q.n_words,
+       |      CAST(count(*) OVER (PARTITION BY cl.cluster) AS BIGINT)
+       |        AS n_members,
+       |      row_number() OVER (PARTITION BY cl.cluster
+       |        ORDER BY q.n_words DESC, cl.doc_id ASC) AS rn
+       |    FROM cl JOIN q USING (doc_id))
+       |SELECT cluster, doc_id AS keeper_id, n_words, n_members
+       |FROM j WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANN: brute-force cosine top-k (fixed-point exact arithmetic)
   // ---------------------------------------------------------------------
   val AnnK = 3
@@ -821,6 +848,7 @@ object QueriesML {
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_cluster_keeper" -> (clusterKeeper _),
     "q_sample_split" -> (sampleSplit _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_pipeline" -> (curationPipeline _),
@@ -863,6 +891,7 @@ object QueriesML {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_cluster_keeper" -> clusterKeeperSql,
     "q_sample_split" -> sampleSplitSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_pipeline" -> curationPipelineSql,

@@ -553,6 +553,45 @@ object QueriesPipeline {
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
+  // Source-mixture sampling weights: the domain-mixing knob — per-source
+  // token counts and the e6 fixed-point resampling weight toward a
+  // uniform token share (operators.Curation.mixtureWeights)
+  // ---------------------------------------------------------------------
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureWeights(t(s, dir, "documents"), "source", "text")
+
+  val mixtureWeightsSql: String =
+    """SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+      |  CAST((total_tokens * 1000000) // (n_groups * n_tokens) AS BIGINT)
+      |    AS weight_e6
+      |FROM (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    sum(CAST(sum(len(string_split(text, ' '))) AS BIGINT)) OVER ()
+      |      AS total_tokens,
+      |    count(*) OVER () AS n_groups
+      |  FROM documents GROUP BY source)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Boilerplate detection: most frequent word 3-grams corpus-wide with
+  // occurrence + document counts (operators.TextAnalysis.commonNgrams)
+  // ---------------------------------------------------------------------
+  def commonNgrams(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.commonNgrams(t(s, dir, "documents"),
+      "doc_id", "text")
+
+  val commonNgramsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ixs AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+      |  FROM w WHERE len(ws) >= 3),
+      |g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ')
+      |    AS ngram
+      |  FROM ixs)
+      |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM g GROUP BY ngram
+      |ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_rules" -> (qualityRules _),
     "q_repetition" -> (repetition _),
@@ -573,6 +612,8 @@ object QueriesPipeline {
     "q_profile" -> (profileLineitem _),
     "q_sketch_distinct_bound" -> (sketchDistinctBound _),
     "q_sketch_merge" -> (sketchMergeConsistent _),
+    "q_mixture_weights" -> (mixtureWeights _),
+    "q_common_ngrams" -> (commonNgrams _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,5 +636,7 @@ object QueriesPipeline {
     "q_profile" -> profileLineitemSql,
     "q_sketch_distinct_bound" -> sketchDistinctBoundSql,
     "q_sketch_merge" -> sketchMergeConsistentSql,
+    "q_mixture_weights" -> mixtureWeightsSql,
+    "q_common_ngrams" -> commonNgramsSql,
   )
 }

@@ -153,6 +153,36 @@ object Curation {
   // integer: lev * 100 <= maxRelE2 * max(len_a, len_b).
   // -------------------------------------------------------------------
 
+  /** Source-mixture sampling weights: per-group document/token counts
+    * plus the resampling weight that moves the corpus to a UNIFORM
+    * token share per group — weight_e6 = 1e6 x target_share /
+    * current_share = 1e6 x total_tokens / (n_groups x group_tokens).
+    * Weight > 1e6 means upsample, < 1e6 downsample; feed it to a
+    * deterministic hash sampler (the q_sample_split shape) to realize
+    * the mix. The domain-mixing knob every training-data pipeline
+    * tunes (e.g. web vs code vs reference shares).
+    *
+    * Shape: one partial-aggregated groupBy (shuffle O(groups)); the
+    * whole-frame window then runs on the GROUPS frame only — a few
+    * rows — never on the corpus. Exact-integer e6 arithmetic: safe
+    * while total_tokens < 9.2e12 (Long.Max / 1e6); switch the multiply
+    * to DECIMAL(38,0) beyond that. */
+  def mixtureWeights(df: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokensOf(col(textCol))).cast("long"))
+          .as("n_tokens"))
+      .withColumn("__total", sum(col("n_tokens")).over(whole))
+      .withColumn("__groups", count(lit(1)).over(whole))
+      .withColumn("weight_e6",
+        expr("(__total * 1000000) DIV (__groups * n_tokens)"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("weight_e6"))
+  }
+
   def editDistancePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String, maxRelE2: Int): DataFrame = {
     val texts = docs.select(col(idCol), col(textCol))

@@ -322,6 +322,33 @@ object Dedup {
       (col("id") === col("lbl")).as("keep"))
   }
 
+  /** Per-cluster representative selection: given cluster assignments
+    * (from [[minLabelClusters]]) and a per-document quality column,
+    * keep the highest-quality member of each cluster (ties broken by
+    * smallest id, so the choice is total and deterministic). This is
+    * the "keep the best copy" half of dedup — [[exact]]/keepFirst keeps
+    * an arbitrary-but-deterministic member; a curation pipeline wants
+    * the longest/cleanest one.
+    *
+    * Shape: one hash join (assignments x quality, both narrow) and one
+    * window shuffle on the cluster key; both window functions share the
+    * partitioning, so Spark plans a single exchange. */
+  def clusterRepresentatives(clusters: DataFrame, idCol: String,
+                             clusterCol: String, quality: DataFrame,
+                             qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col(clusterCol))
+    val ranked = Window.partitionBy(col(clusterCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    clusters.select(col(idCol), col(clusterCol))
+      .join(quality, idCol)
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("__rn", row_number().over(ranked))
+      .filter(col("__rn") === 1)
+      .select(col(clusterCol), col(idCol).as("keeper_id"),
+        col(qualityCol), col("n_members"))
+  }
+
   /** 32-bit SimHash per document over word tokens (with multiplicity):
     * bit j of the signature is the sign of sum(+-1) of token-hash bit j.
     * One codegen'd per-row kernel (plans.Simhash32): a narrow map with

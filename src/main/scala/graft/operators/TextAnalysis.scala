@@ -105,6 +105,36 @@ object TextAnalysis {
     * 1-row frame (never a window-over-nothing, which would single-
     * partition the data); final top-k is one window shuffle on doc.
     */
+  /** Corpus-level boilerplate detection: the k most frequent word
+    * n-grams with their occurrence and document counts, totally ordered
+    * by (n_docs desc, n_occurrences desc, ngram asc) so the top-k set
+    * is deterministic. High-document-frequency n-grams are navigation
+    * chrome / license headers / template text — the removal list a
+    * curation pipeline feeds back into a filter.
+    *
+    * Shape: tokenize once in a narrow project, explode to (doc, ngram),
+    * one partial-aggregated groupBy on the ngram key (count and
+    * distinct-doc count), then a global top-k — k rows through the
+    * final ordering, never the corpus. The string n-grams ARE the
+    * deliverable here (a human reads the list); the hashed-shingle
+    * kernels (plans.WordShingleArray) remain the match-only scale
+    * path. */
+  def commonNgrams(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 20): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokensOf(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol), explode(
+        expr(s"transform(sequence(1, size(__ws) - ${n - 1}), " +
+          s"i -> array_join(slice(__ws, i, $n), ' '))")).as("ngram"))
+    grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("ngram").asc)
+      .limit(k)
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -64,6 +64,43 @@ class CurationSpec extends SparkSpec {
       !red.contains("987-65-4321"))
   }
 
+  test("mixture weights: exact e6 arithmetic toward a uniform token share") {
+    val df = Seq(
+      (1L, "a b c d", "web"), (2L, "e f", "web"),       // web: 6 tokens
+      (3L, "g h i j k l m n o p q r", "code"))          // code: 12 tokens
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.mixtureWeights(df, "source", "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("web") == ("web", 2L, 6L, 18L * 1000000 / (2 * 6)))   // 1.5e6: upsample
+    assert(rows("code") == ("code", 1L, 12L, 18L * 1000000 / (2 * 12))) // 0.75e6: downsample
+  }
+
+  test("cluster representatives: best quality wins, id breaks ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L))
+      .toDF("doc_id", "n_words")
+    val reps = Dedup.clusterRepresentatives(clusters, "doc_id", "cluster",
+      quality, "n_words").as[(Long, Long, Long, Long)].collect().toSet
+    // cluster 1: docs 2 and 3 tie on quality 9 -> smallest id (2) wins
+    assert(reps == Set((1L, 2L, 9L, 3L), (10L, 10L, 1L, 1L)))
+  }
+
+  test("common ngrams: counts, total order, and short-doc exclusion") {
+    val df = Seq(
+      (1L, "the quick fox jumps"), // "the quick fox", "quick fox jumps"
+      (2L, "the quick fox"),
+      (3L, "the quick fox the quick fox"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.commonNgrams(df, "doc_id", "text", n = 3, k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // "the quick fox": 4 occurrences (doc3 has 2) across 3 docs
+    assert(out.head == ("the quick fox", 4L, 3L))
+    assert(out(1)._3 < 3L) // everything else is rarer
+    assert(out.length == 2)
+  }
+
   test("edit-distance pairs: exact levenshtein, relative threshold") {
     val docs = Seq(
       (1L, "abcdefghij"), (2L, "abcdefghiX"), // lev 1, 10% of 10
