@@ -235,7 +235,7 @@ object QueriesML {
     Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
       ShingleN, MinhashK)
 
-  private val shinglesCte: String =
+  private[graft] val shinglesCte: String =
     s"""sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(
        |      generate_series(1, greatest(length(text) - ${ShingleN - 1}, 1)),
@@ -243,7 +243,7 @@ object QueriesML {
        |    FROM documents)),
        |  hx AS (SELECT doc_id, ${StableHash.stable32Sql("shingle")} AS x FROM sh)""".stripMargin
 
-  private val sigSelect: String = {
+  private[graft] val sigSelect: String = {
     val cols = (0 until MinhashK).map { i =>
       s"CAST(min(${StableHash.universalSql("x", i)}) AS BIGINT) AS mh$i"
     }.mkString(",\n    ")

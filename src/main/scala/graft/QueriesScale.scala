@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, ScaleOps, Stats}
+
+/** Round-5 scale tier: the operators whose whole point is surviving a
+  * 100x scale-up — capped LSH candidate generation (the production
+  * configuration of the dedup path), degree-oriented triangle counting
+  * over the near-dup graph, range-partitioned global rank (no
+  * single-partition window), Z-order layout keys, exact histograms,
+  * and mergeable Misra-Gries heavy hitters — each hash-gated against a
+  * DuckDB oracle twin.
+  */
+object QueriesScale {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // Capped LSH candidates: the production configuration.
+  // q_minhash_lsh_pairs gates the exact-LSH semantics; THIS gates the
+  // hot-bucket cap actually deployed at scale (ScaleProof measured a
+  // 4,093-member bucket at sf1 = 8.4M pair expansions from one key).
+  // Cap chosen to bite at gate scale so the drop path is exercised.
+  // ---------------------------------------------------------------------
+  val LshBucketCap = 8
+
+  def minhashLshCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+      QueriesML.ShingleN, QueriesML.MinhashK, QueriesML.MinhashBands,
+      maxBucketSize = Some(LshBucketCap))
+
+  val minhashLshCappedSql: String = {
+    val r = QueriesML.MinhashK / QueriesML.MinhashBands
+    val bandSelects = (0 until QueriesML.MinhashBands).map { b =>
+      val sigCols = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', $sigCols)) AS bk FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH ${QueriesML.shinglesCte},
+       |  sig AS (${QueriesML.sigSelect}),
+       |  bands AS ($bandSelects),
+       |  kept AS (SELECT band, bk FROM bands GROUP BY band, bk
+       |           HAVING count(*) >= 2 AND count(*) <= $LshBucketCap)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN kept k ON a.band = k.band AND a.bk = k.bk
+       |JOIN bands b ON b.band = k.band AND b.bk = k.bk
+       |  AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Triangle + wedge counts of the near-dup candidate graph
+  // ---------------------------------------------------------------------
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(
+      QueriesML.minhashLshPairs(s, dir), "id_a", "id_b")
+
+  val triangleCountSql: String =
+    s"""WITH cand AS (SELECT * FROM (${QueriesML.minhashLshPairsSql})),
+       |  deg AS (SELECT n, count(*) AS d FROM (
+       |    SELECT id_a AS n FROM cand UNION ALL SELECT id_b FROM cand)
+       |    GROUP BY n)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand e1
+       |    JOIN cand e2 ON e2.id_a = e1.id_b
+       |    JOIN cand e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+       |    AS n_triangles,
+       |  (SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT)
+       |    FROM deg) AS n_wedges""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact equi-width histogram (doc length profile)
+  // ---------------------------------------------------------------------
+  val HistLo = 0L
+  val HistHi = 600L
+  val HistBins = 12
+
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Stats.histogram(t(s, dir, "documents"), "n_chars", HistLo, HistHi,
+      HistBins)
+
+  val histogramSql: String =
+    s"""WITH b AS (SELECT CAST(((n_chars - $HistLo) * $HistBins)
+       |    // ${HistHi - HistLo} AS INT) AS bin
+       |  FROM documents WHERE n_chars >= $HistLo AND n_chars < $HistHi),
+       |  c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+       |SELECT CAST(g.i AS INT) AS bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |FROM generate_series(0, ${HistBins - 1}) g(i)
+       |LEFT JOIN c ON c.bin = g.i""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Global rank without a single-partition window
+  // ---------------------------------------------------------------------
+  def globalRank(s: SparkSession, dir: String): DataFrame =
+    ScaleOps.globalRank(t(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select(col("o_orderkey"), col("rank"))
+
+  val globalRankSql: String =
+    """SELECT o_orderkey, CAST(row_number() OVER (
+      |  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Z-order (Morton) layout key: cluster orders by (customer, day)
+  // ---------------------------------------------------------------------
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      ScaleOps.zorderKey2(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date"))).as("zkey"))
+  }
+
+  val zorderKeySql: String = {
+    val x = "(o_custkey & 65535)"
+    val y = "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535)"
+    val terms = (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey FROM orders"
+  }
+
+  // ---------------------------------------------------------------------
+  // Misra-Gries heavy hitters, gated on the deterministic guarantees
+  // (the raw counts are order-dependent; the BOUNDS are not — same
+  // invariant-projection pattern as the HLL sketch gates)
+  // ---------------------------------------------------------------------
+  val HhK = 64
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(operators.TextAnalysis.tokensOf(col("text"))).as("w"))
+    val exact = words.groupBy("w").agg(count(lit(1)).as("f"))
+    val total = words.agg(count(lit(1)).as("n"))
+    val mg = Stats.heavyHitters(words, col("w"), HhK)
+    // ceil(n/k) slack: floor would assert STRICTLY more than the n/k
+    // guarantee and could fail on a correct implementation
+    exact.crossJoin(total).filter(col("f") * HhK > col("n"))
+      .crossJoin(broadcast(mg))
+      .select(col("w"),
+        element_at(col("mg"), col("w")).isNotNull.as("found"),
+        coalesce(element_at(col("mg"), col("w")) <= col("f"), lit(false))
+          .as("upper_ok"),
+        coalesce(element_at(col("mg"), col("w")) >=
+          col("f") - expr(s"(n + ${HhK - 1}) DIV $HhK"), lit(false))
+          .as("lower_ok"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+       |    FROM documents),
+       |  exact AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+       |  tot AS (SELECT count(*) AS n FROM words)
+       |SELECT w, true AS found, true AS upper_ok, true AS lower_ok
+       |FROM exact, tot WHERE f * $HhK > n""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_lsh_capped" -> (minhashLshCapped _),
+    "q_triangle_count" -> (triangleCount _),
+    "q_histogram" -> (histogram _),
+    "q_global_rank" -> (globalRank _),
+    "q_zorder" -> (zorderKey _),
+    "q_heavy_hitters" -> (heavyHitters _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_minhash_lsh_capped" -> minhashLshCappedSql,
+    "q_triangle_count" -> triangleCountSql,
+    "q_histogram" -> histogramSql,
+    "q_global_rank" -> globalRankSql,
+    "q_zorder" -> zorderKeySql,
+    "q_heavy_hitters" -> heavyHittersSql,
+  )
+}

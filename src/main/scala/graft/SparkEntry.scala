@@ -31,11 +31,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesML.all ++ SourceGateQueries.all ++
-      ReferenceGateQueries.all ++ QueriesPipeline.all
+      ReferenceGateQueries.all ++ QueriesPipeline.all ++ QueriesScale.all
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesML.oracles ++ SourceGateQueries.oracles ++
-      ReferenceGateQueries.oracles ++ QueriesPipeline.oracles
+      ReferenceGateQueries.oracles ++ QueriesPipeline.oracles ++
+      QueriesScale.oracles
 }
 
 /** The operator-demonstration query set (SURVEY.md §2 inventory). */

@@ -1,0 +1,161 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-5 scale tier: triangle counting, global rank, z-order keys,
+  * histograms, Misra-Gries heavy hitters. */
+class ScaleTierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- triangle counting -------------------------------------------------
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val canon = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+    val nodes = adj.keys.toSeq.sorted
+    var tri = 0L
+    for {
+      (a, b) <- canon
+      c <- adj(a) if c > b && adj(b).contains(c)
+    } tri += 1
+    val wedges = nodes.map { n =>
+      val d = adj(n).size.toLong; d * (d - 1) / 2
+    }.sum
+    (tri, wedges)
+  }
+
+  test("triangleStats == brute force on random graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(150)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (expTri, expWedge) = bruteTriangles(edges)
+      val row = Graph.triangleStats(
+        edges.toDF("a", "b"), "a", "b").collect()(0)
+      assert(row.getAs[Long]("n_triangles") === expTri, s"trial $trial")
+      assert(row.getAs[Long]("n_wedges") === expWedge, s"trial $trial")
+    }
+  }
+
+  test("triangleStats collapses duplicates, reversals, self-loops") {
+    // K3 written messily: dups, both directions, a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (2L, 2L)).toDF("a", "b")
+    val row = Graph.triangleStats(edges, "a", "b").collect()(0)
+    assert(row.getAs[Long]("n_triangles") === 1L)
+    assert(row.getAs[Long]("n_wedges") === 3L)
+  }
+
+  test("triangleStats on a triangle-free graph (star)") {
+    val star = (2L to 8L).map(i => (1L, i)).toDF("a", "b")
+    val row = Graph.triangleStats(star, "a", "b").collect()(0)
+    assert(row.getAs[Long]("n_triangles") === 0L)
+    assert(row.getAs[Long]("n_wedges") === 21L) // C(7,2)
+  }
+
+  // --- global rank -------------------------------------------------------
+
+  test("globalRank == window row_number, across partition counts") {
+    val rnd = new Random(7)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(50)))
+      .toDF("id", "v")
+    val expected = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = ScaleOps.globalRank(df,
+          Seq(col("v").desc, col("id").asc), partitions = parts)
+        .select("id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"partitions=$parts")
+    }
+  }
+
+  // --- z-order -----------------------------------------------------------
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zorderKey2 == reference interleave, including masking") {
+    val rnd = new Random(11)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L),
+      (65536L, 2L), (123456L, 654321L)) ++
+      Seq.fill(50)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ScaleOps.zorderKey2(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === mortonRef(x & 0xFFFF, y & 0xFFFF), s"($x,$y)")
+    }
+  }
+
+  test("z-order locality: 2x2 blocks of the 4x4 grid are contiguous") {
+    // first 4 keys of the Morton curve are exactly the top-left 2x2 block
+    val keys = for (y <- 0L until 4L; x <- 0L until 4L)
+      yield ((x, y), mortonRef(x, y))
+    val firstBlock = keys.filter(_._2 < 4).map(_._1).toSet
+    assert(firstBlock === Set((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)))
+  }
+
+  // --- histogram ---------------------------------------------------------
+
+  test("histogram: exact counts, empty bins present, range excluded") {
+    val df = Seq(-5L, 0L, 1L, 9L, 10L, 55L, 99L, 100L, 150L).toDF("v")
+    val h = Stats.histogram(df, "v", 0L, 100L, 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h.keySet === (0 until 10).toSet)
+    assert(h(0) === 3L) // 0, 1, 9
+    assert(h(1) === 1L) // 10
+    assert(h(5) === 1L) // 55
+    assert(h(9) === 1L) // 99; -5, 100, 150 excluded
+    assert(h.values.sum === 6L)
+  }
+
+  // --- Misra-Gries -------------------------------------------------------
+
+  test("MG guarantees hold across partition layouts (merge exercised)") {
+    val rnd = new Random(3)
+    // zipf-ish: word w_i with weight ~ 1/(i+1)
+    val vocab = (0 until 80).map(i => s"w$i")
+    val stream = Seq.fill(20000) {
+      val i = math.min((1.0 / (rnd.nextDouble() + 0.02)).toInt, 79)
+      vocab(i)
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    for (k <- Seq(10, 40); parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(stream.map(Tuple1(_)), parts)
+      ).toDF("w")
+      val mg = Stats.heavyHitters(df, col("w"), k)
+        .collect()(0).getAs[Map[String, Long]]("mg")
+      assert(mg.size <= k - 1, s"k=$k parts=$parts size")
+      mg.foreach { case (w, c) =>
+        assert(c <= exact(w), s"k=$k parts=$parts overestimate $w")
+        assert(c >= exact(w) - n / k - 1,
+          s"k=$k parts=$parts undershoot $w: $c vs ${exact(w)}")
+      }
+      exact.foreach { case (w, f) =>
+        if (f * k > n)
+          assert(mg.contains(w), s"k=$k parts=$parts missing heavy $w ($f/$n)")
+      }
+    }
+  }
+}
