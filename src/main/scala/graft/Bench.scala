@@ -60,10 +60,13 @@ object Bench {
       // the uncontended cost
       val runs = Seq(once(), once(), once())
       // cross-query hygiene (outside the timed window): drop leftover
-      // temp views (streaming memory sinks accumulate one per run) and
-      // collect garbage so a query's debris never bills its successors
+      // temp views (streaming memory sinks accumulate one per run),
+      // evict persisted frames (operators with iterative/multi-ref
+      // plans cache their small intermediates), and collect garbage so
+      // a query's debris never bills its successors
       spark.catalog.listTables().collect().filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
       System.gc()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }

@@ -26,14 +26,22 @@ object Graph {
     * key-partitioned equi-joins; no driver state.
     */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // persist: the edge set is referenced five times below (degree
+    // union x2, orientation join, and the oriented frame three more
+    // times); an expensive edges lineage (LSH candidates) would be
+    // re-evaluated per reference otherwise. Edge/degree/oriented rows
+    // are a few longs each — O(m), tiny next to the corpus.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .persist(mem)
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(mem)
     // unordered wedges (paths of length 2): sum over nodes of C(d, 2)
     val wedges = deg.agg(
       coalesce(sum(expr("(d * (d - 1)) DIV 2")), lit(0L)).as("n_wedges"))
@@ -46,6 +54,7 @@ object Graph {
         when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
         when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dk"))
+      .persist(mem)
     // wedge (x, y) out of src, ordered by the SAME total order — the
     // closing edge {x, y}, if present, is oriented exactly x -> y
     val o1 = oriented.select(col("src"), col("dst").as("x"), col("dk").as("kx"))
