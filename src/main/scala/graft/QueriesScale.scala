@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, ScaleOps, Stats}
+import graft.operators.{Curation, Dedup, Graph, ScaleOps, Spans, Stats}
 
 /** Round-5 scale tier: the operators whose whole point is surviving a
   * 100x scale-up — capped LSH candidate generation (the production
@@ -156,6 +156,86 @@ object QueriesScale {
        |SELECT w, true AS found, true AS upper_ok, true AS lower_ok
        |FROM exact, tot WHERE f * $HhK > n""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Substring-level dedup: corpus-wide repeated k-token spans, merged
+  // into maximal per-document intervals (the passage-level boilerplate
+  // doc-level near-dup cannot see)
+  // ---------------------------------------------------------------------
+  val SpanK = 5
+  val SpanMinDocs = 2
+
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Spans.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      SpanK, SpanMinDocs)
+
+  val repeatedSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |    FROM documents),
+       |  shing AS (
+       |    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |        array_to_string(ts[u.i:u.i+${SpanK - 1}], ' ') AS sh
+       |    FROM toks, UNNEST(range(1, len(ts) - ${SpanK - 2})) AS u(i)
+       |    WHERE len(ts) >= $SpanK),
+       |  rep AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd
+       |      FROM shing GROUP BY sh) WHERE nd >= $SpanMinDocs),
+       |  rpos AS (SELECT s.doc_id, s.pos FROM shing s JOIN rep USING (sh)),
+       |  isl AS (SELECT doc_id, pos,
+       |      CASE WHEN max(pos) OVER w IS NULL
+       |            OR pos > max(pos) OVER w + $SpanK THEN 1 ELSE 0 END AS ni
+       |    FROM rpos
+       |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |  grp AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS g FROM isl),
+       |  spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + ${SpanK - 1}
+       |      AS e FROM grp GROUP BY doc_id, g),
+       |  agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |      CAST(sum(e - s + 1) AS BIGINT) AS repeated_tokens
+       |    FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+       |    coalesce(repeated_tokens, 0) AS repeated_tokens
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Mixture realization + domain caps: deterministic hash sampling to
+  // target per-source rates, and per-domain top-n caps via the
+  // partial-aggregable TopKAgg cut (no full-domain window shuffle)
+  // ---------------------------------------------------------------------
+  val MixRatesPpm: Map[String, Int] = Map("src0" -> 800000, "src1" -> 500000)
+  val MixDefaultPpm = 250000
+  val MixSalt = "mix1"
+  val CapN = 10
+  val CapSalt = "cap1"
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+      MixRatesPpm, MixDefaultPpm, MixSalt)
+      .select(col("doc_id"), col("source"))
+
+  val mixtureSampleSql: String = {
+    val hash = graft.functions.StableHash
+      .stable32Sql(s"CAST(doc_id AS VARCHAR) || '$MixSalt'")
+    val cases = MixRatesPpm.toSeq.sortBy(_._1)
+      .map { case (g, p) => s"WHEN source = '$g' THEN $p" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE $hash % 1000000 < CASE $cases ELSE $MixDefaultPpm END""".stripMargin
+  }
+
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(t(s, dir, "documents"), "source", "doc_id",
+      CapN, CapSalt)
+      .select(col("doc_id"), col("source"))
+
+  val domainCapSql: String = {
+    val hash = graft.functions.StableHash
+      .stable32Sql(s"CAST(doc_id AS VARCHAR) || '$CapSalt'")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+       |      ORDER BY $hash, doc_id) AS rn
+       |  FROM documents) WHERE rn <= $CapN""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh_capped" -> (minhashLshCapped _),
     "q_triangle_count" -> (triangleCount _),
@@ -163,6 +243,9 @@ object QueriesScale {
     "q_global_rank" -> (globalRank _),
     "q_zorder" -> (zorderKey _),
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_repeated_spans" -> (repeatedSpans _),
+    "q_mixture_sample" -> (mixtureSample _),
+    "q_domain_cap" -> (domainCap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +255,8 @@ object QueriesScale {
     "q_global_rank" -> globalRankSql,
     "q_zorder" -> zorderKeySql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_repeated_spans" -> repeatedSpansSql,
+    "q_mixture_sample" -> mixtureSampleSql,
+    "q_domain_cap" -> domainCapSql,
   )
 }

@@ -218,4 +218,69 @@ object Curation {
       .filter(col("lev") >= 0 && col("lev") * 100 <= col("__max_len") * maxRelE2)
       .select(col("id_a"), col("id_b"), col("lev"))
   }
+
+  // -------------------------------------------------------------------
+  // Mixture REALIZATION: materialize a target domain mix with a
+  // deterministic hash sampler. mixtureWeights (above) computes the
+  // knob; this applies it — together they are the plan+execute halves
+  // of domain re-weighting.
+  // -------------------------------------------------------------------
+
+  /** Deterministic per-group subsample: keep a row iff its salted hash
+    * bucket (out of 1e6) falls below the group's rate. Rates are given
+    * in parts-per-million so the threshold compare is exact integer —
+    * the same row set is selected by any engine, any partitioning, any
+    * cluster size (no `sample()`, no RNG state). Groups absent from
+    * `ratesPpm` keep `defaultPpm`.
+    *
+    * Scale shape: pure narrow map — one md5 per row, no shuffle, no
+    * per-group state; composes with mixtureWeights by converting
+    * weight_e6 below 1e6 into a ppm rate (upsampling instead needs
+    * integer replication + fractional hash keep; see Chunking for the
+    * fan-out shape).
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    ratesPpm: Map[String, Int], defaultPpm: Int,
+                    salt: String): DataFrame = {
+    require((defaultPpm +: ratesPpm.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000000), "rates are ppm in [0, 1e6]")
+    val thr = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    val bucket = graft.functions.StableHash.stable32(
+      concat(col(idCol).cast("string"), lit(salt))) % 1000000
+    df.filter(bucket < thr)
+  }
+
+  /** Per-domain document cap: keep at most `n` rows per group, chosen
+    * by salted-hash priority (uniform within the group, stable across
+    * engines/cluster sizes; ties broken by id). The anti-skew guard
+    * for web corpora where a handful of domains contribute unbounded
+    * document counts.
+    *
+    * NOT a window row_number: that shuffles every row of the hottest
+    * domain to one reducer. The top-n cut runs as a
+    * TypedImperativeAggregate ([[graft.plans.TopKAgg]]) — each map
+    * task reduces its partition to at most n candidates per group
+    * BEFORE the shuffle (volume O(groups x n x partitions), corpus-
+    * size independent), then a semi join keeps the winners. Requires
+    * long ids (the TopKAgg key type).
+    */
+  def domainCap(df: DataFrame, groupCol: String, idCol: String,
+                n: Int, salt: String): DataFrame = {
+    require(n > 0, "cap must be positive")
+    // negate: TopKAgg keeps score DESC (id ASC on ties) => smallest
+    // hash wins, matching ORDER BY priority, id in the SQL twin.
+    // Hash < 2^32 is exact in Double, so negation loses nothing.
+    val priority = graft.functions.StableHash.stable32(
+      concat(col(idCol).cast("string"), lit(salt)))
+    val topk = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.TopKAgg(
+        org.apache.spark.sql.GraftSqlShims.expression(col(idCol).cast("long")),
+        org.apache.spark.sql.GraftSqlShims.expression(-priority.cast("double")),
+        n).toAggregateExpression())
+    val keep = df.groupBy(col(groupCol)).agg(topk.as("__topk"))
+      .select(explode(col("__topk.id")).as("__keep_id"))
+    df.join(keep, col(idCol) === col("__keep_id"), "left_semi")
+  }
 }
