@@ -222,6 +222,30 @@ object QueriesScale {
        |WHERE $hash % 1000000 < CASE $cases ELSE $MixDefaultPpm END""".stripMargin
   }
 
+  val ResampleRatesPpm: Map[String, Int] =
+    Map("src0" -> 2500000, "src1" -> 400000)
+  val ResampleDefaultPpm = 1000000
+  val ResampleSalt = "re1"
+
+  def mixtureResample(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureResample(t(s, dir, "documents"), "source", "doc_id",
+      ResampleRatesPpm, ResampleDefaultPpm, ResampleSalt)
+      .select(col("doc_id"), col("source"), col("copy"))
+
+  val mixtureResampleSql: String = {
+    val hash = graft.functions.StableHash
+      .stable32Sql(s"CAST(doc_id AS VARCHAR) || '$ResampleSalt'")
+    val cases = ResampleRatesPpm.toSeq.sortBy(_._1)
+      .map { case (g, p) => s"WHEN source = '$g' THEN $p" }.mkString(" ")
+    val rate = s"(CASE $cases ELSE $ResampleDefaultPpm END)"
+    s"""SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy FROM (
+       |  SELECT doc_id, source,
+       |      $rate // 1000000
+       |      + CASE WHEN $hash % 1000000 < $rate % 1000000
+       |             THEN 1 ELSE 0 END AS n
+       |  FROM documents) d, UNNEST(range(d.n)) AS u(c)""".stripMargin
+  }
+
   def domainCap(s: SparkSession, dir: String): DataFrame =
     Curation.domainCap(t(s, dir, "documents"), "source", "doc_id",
       CapN, CapSalt)
@@ -245,6 +269,7 @@ object QueriesScale {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_repeated_spans" -> (repeatedSpans _),
     "q_mixture_sample" -> (mixtureSample _),
+    "q_mixture_resample" -> (mixtureResample _),
     "q_domain_cap" -> (domainCap _),
   )
 
@@ -257,6 +282,7 @@ object QueriesScale {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_repeated_spans" -> repeatedSpansSql,
     "q_mixture_sample" -> mixtureSampleSql,
+    "q_mixture_resample" -> mixtureResampleSql,
     "q_domain_cap" -> domainCapSql,
   )
 }

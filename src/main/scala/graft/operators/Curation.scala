@@ -252,6 +252,39 @@ object Curation {
     df.filter(bucket < thr)
   }
 
+  /** Mixture realization with UPSAMPLING: rates may exceed 1e6 ppm, in
+    * which case a row is replicated `rate DIV 1e6` times plus one more
+    * iff its hash bucket falls under the fractional remainder — e.g.
+    * 2_500_000 ppm emits every row twice and half the rows (chosen by
+    * hash) a third time. Output adds a `copy` column (0-based replica
+    * index) so downstream shuffles spread the replicas and exact dedup
+    * keys stay unique. Downsampling (rate < 1e6) degenerates to
+    * [[mixtureSample]] with `copy = 0`.
+    *
+    * Scale shape: narrow map + bounded fan-out (`explode` of a
+    * sequence literal-sized per row) — no shuffle; the expected output
+    * volume is exactly sum(rate_g x |g|) / 1e6. Epoch-varying `salt`
+    * rotates WHICH rows get the extra fractional copy, so repeated
+    * epochs don't always over-train the same documents.
+    */
+  def mixtureResample(df: DataFrame, groupCol: String, idCol: String,
+                      ratesPpm: Map[String, Int], defaultPpm: Int,
+                      salt: String): DataFrame = {
+    require((defaultPpm +: ratesPpm.values.toSeq).forall(_ >= 0),
+      "rates are ppm >= 0")
+    val thr = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    val bucket = graft.functions.StableHash.stable32(
+      concat(col(idCol).cast("string"), lit(salt))) % 1000000
+    val copies = (thr.cast("long") / 1000000).cast("long") +
+      when(bucket < thr % 1000000, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Per-domain document cap: keep at most `n` rows per group, chosen
     * by salted-hash priority (uniform within the group, stable across
     * engines/cluster sizes; ties broken by id). The anti-skew guard

@@ -31,23 +31,33 @@ object Spans {
     * shuffled once to count document frequency, partial-aggregated on
     * the shingle key, then a semi join back onto positions and ONE
     * per-document window (keyed by doc id, partial interval state).
-    * At 100 TB, hash each shingle to a 64/128-bit key first so the
-    * exchange ships fixed-width keys instead of k-word strings
-    * (collision risk bounded by corpus shingle count; the gate keeps
-    * raw strings so the DuckDB oracle can reproduce counts exactly).
+    * At 100 TB, set `hashShingles=true` so the exchange ships
+    * fixed-width 64-bit keys instead of k-word strings (collision
+    * risk bounded by corpus shingle count; the gate keeps raw strings
+    * so the DuckDB oracle can reproduce counts exactly).
     * Within-document repetition is deliberately out of scope here —
     * `Curation.repetitionSignals` covers it.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    k: Int, minDocs: Int): DataFrame = {
+                    k: Int, minDocs: Int,
+                    hashShingles: Boolean = false): DataFrame = {
     require(k >= 1 && minDocs >= 1, "k and minDocs must be positive")
     val toks = split(col(textCol), " ")
     // positions are 1-based; guard short docs — sequence(1, n) with
     // n <= 0 would step BACKWARDS (sequence infers step -1), not empty
-    val shingles = when(size(toks) >= k,
+    val shingleStrs = when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
+    // hashShingles: the 100 TB configuration — the DF exchange ships an
+    // 8-byte xxhash64 key per shingle instead of the k-word string
+    // (~50x narrower at k=5). A collision can only over-merge two
+    // shingles' doc sets (flagging at most k extra tokens); expected
+    // collisions ~ m^2 / 2^65 for m distinct shingles — negligible
+    // until m approaches 2^32. The gate keeps raw strings so the
+    // DuckDB oracle reproduces counts exactly.
+    val shingles = if (hashShingles)
+      transform(shingleStrs, s => xxhash64(s)) else shingleStrs
     val posShingle = df
       .select(col(idCol).as("doc_id"), posexplode(shingles).as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))

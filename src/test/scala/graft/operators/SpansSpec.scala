@@ -54,6 +54,14 @@ class SpansSpec extends SparkSpec {
     assert(out(1L) == (0L, 0L)) // repeats only within doc 1; minDocs=2
   }
 
+  test("repeatedSpans: hashed-shingle scale variant matches strings") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val s = Spans.repeatedSpans(docs, "doc_id", "text", 5, 2)
+    val h = Spans.repeatedSpans(docs, "doc_id", "text", 5, 2,
+      hashShingles = true)
+    assert(s.except(h).count() == 0 && h.except(s).count() == 0)
+  }
+
   test("repeatedSpans: minDocs threshold respected") {
     val rows = Seq(
       (1L, "c1 c2 c3 one"),
@@ -100,6 +108,29 @@ class MixtureCapSpec extends SparkSpec {
       .filter(col("rn") <= 3).select("doc_id")
     assert(capped.select("doc_id").except(oracle).count() == 0)
     assert(oracle.except(capped.select("doc_id")).count() == 0)
+  }
+
+  test("mixtureResample: copy counts follow the integer + fraction split") {
+    val out = Curation.mixtureResample(docs, "source", "doc_id",
+      Map("src0" -> 2500000), 1000000, "r")
+    val per = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+    // copies are a dense 0..n-1 index
+    assert(per.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+      .count() == 0)
+    // src0 rows appear 2 or 3 times; all other rows exactly once
+    assert(per.filter(col("source") === "src0" &&
+      !col("n").isin(2L, 3L)).count() == 0)
+    assert(per.filter(col("source") =!= "src0" && col("n") =!= 1L)
+      .count() == 0)
+    // fractional share: some src0 row got 2 and some got 3 copies
+    val ns = per.filter(col("source") === "src0")
+      .select("n").distinct().as[Long].collect().toSet
+    assert(ns == Set(2L, 3L))
+    // rate 0 drops the group entirely
+    assert(Curation.mixtureResample(docs, "source", "doc_id",
+      Map("src0" -> 0), 1000000, "r")
+      .filter(col("source") === "src0").count() == 0)
   }
 
   test("domainCap: groups smaller than the cap pass through whole") {
