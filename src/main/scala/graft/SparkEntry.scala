@@ -654,10 +654,81 @@ object Queries {
       |FROM documents GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
+  // The limit-after-sort plans as TakeOrderedAndProject — each
+  // partition keeps its local top 10, the driver merges O(partitions
+  // x 10) rows; NOT a global sort. Revenue in exact e4 integers so
+  // the ordering (and the hash gate) is engine-portable.
+  // ---------------------------------------------------------------------
+  def shippingPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > lit("1998-01-01"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000).cast("long")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+      |    AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_e4 DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q5-shaped: 6-way star join (local supplier volume). The
+  // region->nation->customer chain and supplier prune to broadcast
+  // dims; only lineitem x orders shuffles — the canonical "one big
+  // fact, many small dims" plan a 100 TB star schema wants.
+  // ---------------------------------------------------------------------
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000).cast("long")).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+      |    AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |  count(*) AS n_items
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (pricingSummary _),
+    "q_shipping_priority" -> (shippingPriority _),
+    "q_local_supplier_volume" -> (localSupplierVolume _),
     "q_filter_project" -> (filterProject _),
     "q_union_positional" -> (unionPositional _),
     "q_tokenize_explode" -> (tokenizeExplode _),
@@ -693,6 +764,8 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_pricing_summary" -> pricingSummarySql,
+    "q_shipping_priority" -> shippingPrioritySql,
+    "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_filter_project" -> filterProjectSql,
     "q_union_positional" -> unionPositionalSql,
     "q_tokenize_explode" -> tokenizeExplodeSql,

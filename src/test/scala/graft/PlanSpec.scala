@@ -36,6 +36,20 @@ class PlanSpec extends SparkSpec {
       "query side must be broadcast")
   }
 
+  test("top-k after sort is a distributed TakeOrdered, not a global sort") {
+    val plan = executedPlan("q_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("star join broadcasts every dimension (single fact pipeline)") {
+    val plan = executedPlan("q_local_supplier_volume")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 5,
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("semi/anti joins stay joins (no subquery materialization)") {
     assert(executedPlan("q_semi_join").contains("LeftSemi"))
     assert(executedPlan("q_anti_join").contains("LeftAnti"))
