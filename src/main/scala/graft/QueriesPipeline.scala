@@ -399,6 +399,14 @@ object QueriesPipeline {
     graft.streaming.EventStream.purchaseClickJoin(s, dir,
       queryName = s"pc_join_${streamRun.incrementAndGet()}")
 
+  /** Streaming LSH near-dup: same pair set as q_minhash_lsh_pairs
+    * (shared oracle), but discovered incrementally with bucket state. */
+  def streamNeardup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.NearDupStream.candidatePairs(s, dir,
+      queryName = s"nd_stream_${streamRun.incrementAndGet()}",
+      shingleN = QueriesML.ShingleN, k = QueriesML.MinhashK,
+      bands = QueriesML.MinhashBands)
+
   val streamJoinSql: String =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
       |  epoch_ns(p.ts) // 1000 AS p_ts_us, epoch_ns(c.ts) // 1000 AS c_ts_us
@@ -607,6 +615,7 @@ object QueriesPipeline {
     "q_sink_jdbc" -> (sinkJdbc _),
     "q_outer_join" -> (outerJoin _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_neardup" -> (streamNeardup _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
@@ -631,6 +640,7 @@ object QueriesPipeline {
     "q_sink_jdbc" -> sinkJdbcSql,
     "q_outer_join" -> outerJoinSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,

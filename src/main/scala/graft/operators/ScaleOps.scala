@@ -30,7 +30,12 @@ object ScaleOps {
     * table. No-op when the input is already parallel: at cluster scale
     * data arrives pre-split and this never forces a shuffle. */
   def ensureParallelism(df: DataFrame, min: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
+    // streams: partitioning is the source/shuffle's concern and .rdd
+    // would throw; map-side kernels downstream are still parallel per
+    // microbatch
+    if (df.isStreaming) df
+    else if (df.rdd.getNumPartitions >= min) df
+    else df.repartition(min)
 
   /** Salted inner equi-join for a skewed build side: the small side is
     * replicated `salts` times (one copy per salt value), the big side
