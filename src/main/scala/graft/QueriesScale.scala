@@ -157,6 +157,43 @@ object QueriesScale {
        |FROM exact, tot WHERE f * $HhK > n""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Exact-integer PageRank over the near-dup candidate graph: high
+  // scores = documents embedded in dense duplicate families (template
+  // spam); e9 fixed-point so the iterative scores hash-match exactly
+  // ---------------------------------------------------------------------
+  val PrIters = 3
+  val PrNum = 85
+  val PrDen = 100
+
+  def pageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(t(s, dir, "documents").select(col("doc_id")), "doc_id",
+      QueriesML.minhashLshPairs(s, dir), "id_a", "id_b",
+      PrIters, PrNum, PrDen)
+
+  val pageRankSql: String = {
+    val base = 1000000000L * (PrDen - PrNum) / PrDen
+    val iters = (0 until PrIters).map { k =>
+      s"""p${k + 1} AS (SELECT n.id,
+         |      CAST($base + ($PrNum * coalesce(c.s, 0)) // $PrDen AS BIGINT)
+         |        AS pr
+         |    FROM p$k n LEFT JOIN (
+         |      SELECT e.dst AS id, sum(p.pr // o.d) AS s
+         |      FROM edges e
+         |      JOIN od o ON o.src = e.src
+         |      JOIN p$k p ON p.id = e.src
+         |      GROUP BY e.dst) c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH cand AS (${QueriesML.minhashLshPairsSql}),
+       |  edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |    UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+       |  od AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |  p0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS pr
+       |    FROM documents),
+       |  $iters
+       |SELECT id AS doc_id, pr AS pr_e9 FROM p$PrIters""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Substring-level dedup: corpus-wide repeated k-token spans, merged
   // into maximal per-document intervals (the passage-level boilerplate
   // doc-level near-dup cannot see)
@@ -263,6 +300,7 @@ object QueriesScale {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh_capped" -> (minhashLshCapped _),
     "q_triangle_count" -> (triangleCount _),
+    "q_pagerank" -> (pageRank _),
     "q_histogram" -> (histogram _),
     "q_global_rank" -> (globalRank _),
     "q_zorder" -> (zorderKey _),
@@ -276,6 +314,7 @@ object QueriesScale {
   val oracles: Map[String, String] = Map(
     "q_minhash_lsh_capped" -> minhashLshCappedSql,
     "q_triangle_count" -> triangleCountSql,
+    "q_pagerank" -> pageRankSql,
     "q_histogram" -> histogramSql,
     "q_global_rank" -> globalRankSql,
     "q_zorder" -> zorderKeySql,

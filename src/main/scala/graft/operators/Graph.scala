@@ -65,4 +65,70 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     tri.crossJoin(wedges)
   }
+
+  /** Exact-integer PageRank over the undirected graph induced by
+    * `pairs`, `iterations` synchronous rounds in e9 fixed-point:
+    *
+    *   pr_0(v)   = 1e9  (unnormalized; sums to nodes x 1e9)
+    *   pr_k+1(v) = (1e9 x (den-num)) DIV den
+    *             + (num x sum_{u->v} (pr_k(u) DIV outdeg(u))) DIV den
+    *
+    * with damping num/den (default 85/100). Every operation is integer
+    * (DIV truncates), so the scores are bit-identical in any engine
+    * and the hash gate is exact — float PageRank can only ever be
+    * compared with tolerance. Isolated nodes keep the (1-d) base;
+    * there are no other dangling nodes in an undirected graph. Long
+    * arithmetic holds while nodes x 1e9 x num < 2^63 (~1e8 nodes at
+    * num=85); shift the fixed point down or go DECIMAL beyond that.
+    *
+    * Execution is the same Pregel RDD shape as
+    * [[Dedup.minLabelClusters]]: edges (with out-degree precomputed)
+    * and scores hash-partitioned ONCE on the same partitioner, each
+    * round = narrow co-partitioned join + one map-side-combined
+    * reduceByKey shuffle of O(nodes) contribution sums + narrow left
+    * join — constant-size lineage, no per-round plan compile. Unlike
+    * min-label there is no delta trick: every node re-emits every
+    * round (scores keep changing), which is why iterations is a
+    * bounded knob, not a convergence loop.
+    *
+    * `pairs` must be distinct undirected pairs (the dedup candidate
+    * operators' output shape); duplicates would double-count edges.
+    */
+  def pageRank(ids: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String, bCol: String, iterations: Int,
+               dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 0 && dampDen > 0 && dampNum >= 0 &&
+      dampNum <= dampDen, "need 0 <= dampNum <= dampDen")
+    val spark = ids.sparkSession
+    val base = 1000000000L * (dampDen - dampNum) / dampDen
+    val edgeRows = pairs.select(col(aCol).cast("long"),
+      col(bCol).cast("long")).queryExecution.toRdd
+      .map(ir => (ir.getLong(0), ir.getLong(1)))
+    val idRows = ids.select(col(idCol).cast("long")).queryExecution.toRdd
+      .map(ir => ir.getLong(0))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(edgeRows.getNumPartitions, idRows.getNumPartitions))
+    val edges = edgeRows
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+    val outdeg = edges.mapValues(_ => 1L)
+      .reduceByKey(part, (a: Long, b: Long) => a + b)
+    // (src, (dst, outdeg(src))) — degree joined ONCE, then reused
+    val edgesWithDeg = edges.join(outdeg) // narrow: same partitioner
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = idRows.map(id => (id, 1000000000L)).partitionBy(part)
+    for (_ <- 0 until iterations) {
+      val contrib = edgesWithDeg.join(pr) // narrow: same partitioner
+        .map { case (_, ((dst, deg), p)) => (dst, p / deg) }
+        .reduceByKey(part, (a: Long, b: Long) => a + b)
+      pr = pr.leftOuterJoin(contrib) // narrow: same partitioner
+        .mapValues { case (_, s) =>
+          base + dampNum * s.getOrElse(0L) / dampDen }
+    }
+    val out = pr.map { case (id, p) => org.apache.spark.sql.Row(id, p) }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      ids.select(col(idCol)).schema.head,
+      org.apache.spark.sql.types.StructField("pr_e9",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

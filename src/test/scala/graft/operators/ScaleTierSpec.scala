@@ -158,4 +158,48 @@ class ScaleTierSpec extends SparkSpec {
       }
     }
   }
+
+  test("pageRank == driver-simulated fixed-point recurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 60
+    val pairs = (1 to 90)
+      .map(_ => (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    // driver-side oracle: identical integer recurrence
+    val adj = pairs.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var pr = (1L to n).map(_ -> 1000000000L).toMap
+    val (num, den, iters) = (85L, 100L, 4)
+    for (_ <- 0 until iters) {
+      val base = 1000000000L * (den - num) / den
+      pr = (1L to n).map { v =>
+        val s = adj.getOrElse(v, Nil).map(u => pr(u) / deg(u)).sum
+        v -> (base + num * s / den)
+      }.toMap
+    }
+    for (parts <- Seq(1, 5)) {
+      val ids = spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to n).map(Tuple1(_)), parts)
+      ).toDF("doc_id")
+      val got = Graph.pageRank(ids, "doc_id",
+          pairs.toDF("id_a", "id_b"), "id_a", "id_b", iters,
+          num.toInt, den.toInt)
+        .as[(Long, Long)].collect().toMap
+      assert(got == pr, s"parts=$parts")
+    }
+  }
+
+  test("pageRank: zero iterations returns the uniform base score") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = Graph.pageRank(ids, "doc_id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b", 0)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L))
+  }
 }
