@@ -48,7 +48,19 @@ object Bench {
       // a failed query records -1, never a green-looking elapsed time
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // toRdd.count(), NOT count(): a count() on top lets Catalyst
+        // prune every column and then ELIMINATE whole subtrees — a
+        // zero-preserving left join (unique key, no referenced
+        // columns) drops its entire right side, so operators shaped
+        // "enrich all rows, zeros for absentees" would bench their
+        // input scan instead of their work (measured: the 6-round
+        // cluster query "ran" in 1.1 s that way). toRdd executes the
+        // plan with every output column materialized — the same work
+        // Verify's parquet dump and any real consumer pays.
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
           -1.0

@@ -49,13 +49,16 @@ object Spans {
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    // hashShingles: the 100 TB configuration — the DF exchange ships an
-    // 8-byte xxhash64 key per shingle instead of the k-word string
+    // hashShingles: the CLUSTER configuration — the DF exchange ships
+    // an 8-byte xxhash64 key per shingle instead of the k-word string
     // (~50x narrower at k=5). A collision can only over-merge two
     // shingles' doc sets (flagging at most k extra tokens); expected
     // collisions ~ m^2 / 2^65 for m distinct shingles — negligible
-    // until m approaches 2^32. The gate keeps raw strings so the
-    // DuckDB oracle reproduces counts exactly.
+    // until m approaches 2^32. Measured single-node it is ~20% SLOWER
+    // (hashing is extra CPU and a local shuffle never leaves the
+    // memory bus — PERF.md round-5); the trade wins once shuffle
+    // crosses a network. The gate keeps raw strings so the DuckDB
+    // oracle reproduces counts exactly.
     val shingles = if (hashShingles)
       transform(shingleStrs, s => xxhash64(s)) else shingleStrs
     val posShingle = df

@@ -22,7 +22,9 @@ object BenchOne {
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // toRdd.count: force every output column (same protocol as
+        // Bench — plain count() lets join elimination skip the work)
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       once()

@@ -141,6 +141,24 @@ object ScaleProof {
         QueriesML.AnnDim, QueriesML.NearDupThreshold, QueriesML.AnnPlanes,
         QueriesML.NearDupTables).count()
     }
+    // round-5 additions: span-level dedup at the hashed-shingle scale
+    // configuration, PageRank over the (cached) candidate graph, and
+    // the TopKAgg per-domain cap
+    phase("repeated_spans_hash") {
+      // toRdd: plain count() would let Catalyst eliminate the
+      // zero-preserving left join and skip the span work entirely
+      graft.operators.Spans.repeatedSpans(docs, "doc_id", "text",
+        k = 5, minDocs = 2, hashShingles = true)
+        .queryExecution.toRdd.count()
+    }
+    phase("pagerank_3it") {
+      graft.operators.Graph.pageRank(docs.select("doc_id"), "doc_id",
+        cands, "id_a", "id_b", iterations = 3).count()
+    }
+    phase("domain_cap") {
+      graft.operators.Curation.domainCap(docs, "source", "doc_id",
+        n = 1000, salt = "sp").count()
+    }
 
     println(s"[scaleproof] === summary (factor=$factor, docs=$nDocs, vecs=$nVecs) ===")
     results.foreach(l => println(s"[scaleproof] $l"))
