@@ -75,21 +75,23 @@ object Curation {
   val RepetitionMaxDup2gramE6 = 50000 // >5% duplicate 2-grams = repetitive
 
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-    df.withColumn("__toks", toks)
-      .withColumn("__grams", grams)
+    // one compiled pass ([[graft.plans.DupStats]]: token + bigram
+    // counts and distinct counts) instead of interpreted split +
+    // transform(sequence) + two array_distinct — four array
+    // materializations per row (2.11 -> 0.35 s at sf0.1, honest toRdd
+    // protocol). Identical split/concat semantics, spec-pinned against
+    // the declarative twin.
+    val stats = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.DupStats(
+        org.apache.spark.sql.GraftSqlShims.expression(col(textCol))))
+    df.withColumn("__ds", stats)
       .withColumn("dup_tok_e6",
-        expr("(CAST(size(__toks) - size(array_distinct(__toks)) AS BIGINT) * 1000000) " +
-          "DIV size(__toks)"))
+        expr("((__ds[0] - __ds[1]) * 1000000) DIV __ds[0]"))
       .withColumn("dup_2gram_e6",
-        expr("CAST(CASE WHEN size(__grams) = 0 THEN 0 ELSE " +
-          "(CAST(size(__grams) - size(array_distinct(__grams)) AS BIGINT) * 1000000) " +
-          "DIV size(__grams) END AS BIGINT)"))
+        expr("CAST(CASE WHEN __ds[2] = 0 THEN 0 ELSE " +
+          "((__ds[2] - __ds[3]) * 1000000) DIV __ds[2] END AS BIGINT)"))
       .withColumn("repetitive", col("dup_2gram_e6") > RepetitionMaxDup2gramE6)
-      .drop("__toks", "__grams")
+      .drop("__ds")
   }
 
   // -------------------------------------------------------------------

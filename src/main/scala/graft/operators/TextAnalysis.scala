@@ -89,11 +89,17 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: minimum stable hash over all
     * character n-gram shingles — a 1-function minhash, usable as a
-    * cheap near-dup blocking key. Narrow (array ops, no explode). */
-  def shingleFingerprint(text: Column, n: Int = 8): Column = {
-    val positions = sequence(lit(1), greatest(length(text) - (n - 1), lit(1)))
-    array_min(transform(positions, i => StableHash.stable32(text.substr(i, lit(n)))))
-  }
+    * cheap near-dup blocking key. Narrow, and compiled: reuses the
+    * [[graft.plans.ShingleHash32]] codegen kernel (distinct shingles —
+    * min is unaffected by deduplication) instead of the interpreted
+    * transform/substr/md5 chain, which re-walked an expression tree
+    * per character position (2.11 -> 1.51 s at sf0.1, honest toRdd
+    * protocol; the remaining cost is the 1.5M md5 evaluations the
+    * stable32 portability contract requires). */
+  def shingleFingerprint(text: Column, n: Int = 8): Column =
+    array_min(org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.ShingleHash32(
+        org.apache.spark.sql.GraftSqlShims.expression(text), n)))
 
   /** Top-k TF-IDF terms per document, in exact integer arithmetic so
     * the ranking is engine-portable: score_e6 = (tf * 10^6 * n_docs)

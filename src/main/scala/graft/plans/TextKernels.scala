@@ -67,6 +67,52 @@ object Kernels {
 
   private val space = UTF8String.fromString(" ")
 
+  /** One-pass duplication stats over the space-split token stream:
+    * `[n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams]`.
+    * Split semantics mirror `split(text, ' ')` (empty tokens from
+    * consecutive/leading/trailing separators KEPT; splitting "" yields
+    * one empty token), bigram text mirrors `concat_ws(" ", t_i,
+    * t_i+1)`. Replaces an interpreted split + transform(sequence) +
+    * two array_distinct chain — four array materializations per row —
+    * with one compiled scan and two hash sets.
+    */
+  def dupStats(text: UTF8String): UnsafeArrayData = {
+    // split on the SPACE BYTE: 0x20 in UTF-8 is always the space
+    // character (continuation bytes are >= 0x80), so byte scanning is
+    // char-correct and allocation-free until a token is materialized
+    val b = text.getBytes
+    val toks = new java.util.ArrayList[UTF8String]()
+    var start = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) {
+        toks.add(UTF8String.fromBytes(b, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    toks.add(UTF8String.fromBytes(b, start, b.length - start))
+    val nToks = toks.size()
+    val seenT = new java.util.HashSet[UTF8String](nToks * 2)
+    var dT = 0
+    var j = 0
+    while (j < nToks) {
+      if (seenT.add(toks.get(j))) dT += 1
+      j += 1
+    }
+    val nGrams = math.max(nToks - 1, 0)
+    val seenG = new java.util.HashSet[UTF8String](nGrams * 2 + 1)
+    var dG = 0
+    j = 0
+    while (j < nGrams) {
+      val g = UTF8String.concat(toks.get(j), space, toks.get(j + 1))
+      if (seenG.add(g)) dG += 1
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array[Long](nToks.toLong, dT.toLong, nGrams.toLong, dG.toLong))
+  }
+
   /** Count of space-split tokens (WITH multiplicity) contained in
     * `set` — the membership loop behind stopword counting and the
     * language-ID profiles. */
@@ -283,6 +329,31 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.plans.Kernels.shingleHash32($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
+/** `graft_dup_stats(text)`: `[n_tokens, n_distinct_tokens, n_bigrams,
+  * n_distinct_bigrams]` of the space-split token stream in one compiled
+  * pass — the kernel behind intra-document repetition signals.
+  */
+case class DupStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dup_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string)")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.dupStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.dupStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DupStats =
     copy(child = newChild)
 }
 

@@ -239,6 +239,7 @@ object GraftFunctions {
   val Simhash32Name = "graft_simhash32"
   val WordJaccardName = "graft_word_jaccard"
   val NearestCentroidName = "graft_nearest_centroid"
+  val DupStatsName = "graft_dup_stats"
 
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
 
@@ -267,7 +268,10 @@ object GraftFunctions {
         (e: Seq[Expression]) => WordJaccard(e.head, e(1), intArg(e(2)))),
       (NearestCentroidName,
         new ExpressionInfo(classOf[NearestCentroid].getName, NearestCentroidName),
-        (e: Seq[Expression]) => NearestCentroid(e.head, e(1))))
+        (e: Seq[Expression]) => NearestCentroid(e.head, e(1))),
+      (DupStatsName,
+        new ExpressionInfo(classOf[DupStats].getName, DupStatsName),
+        (e: Seq[Expression]) => DupStats(e.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

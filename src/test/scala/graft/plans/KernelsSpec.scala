@@ -149,6 +149,31 @@ class KernelsSpec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().take(3).mkString(";"))
   }
 
+  test("DupStats kernel == declarative split/array_distinct twin") {
+    graft.plans.GraftFunctions.register(spark)
+    val gen = new scala.util.Random(7)
+    val alphabet = "ab α💡 "
+    val texts = (1 to 300).map { i =>
+      val s = (0 until gen.nextInt(30))
+        .map(_ => alphabet(gen.nextInt(alphabet.length))).mkString
+      (i.toLong, s)
+    } ++ Seq((0L, ""), (1000L, " "), (1001L, "  "), (1002L, "a a a"),
+      (1003L, "a b a b"), (1004L, " lead"), (1005L, "trail "))
+    val df = texts.toDF("id", "text")
+    val toks = split($"text", " ")
+    val grams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val bad = df.select($"id",
+        call_function(GraftFunctions.DupStatsName, $"text").as("k"),
+        array(size(toks).cast("long"),
+          size(array_distinct(toks)).cast("long"),
+          size(grams).cast("long"),
+          size(array_distinct(grams)).cast("long")).as("d"))
+      .filter($"k" =!= $"d")
+    assert(bad.count() == 0, bad.collect().take(5).mkString(";"))
+  }
+
   test("kernels survive whole-stage codegen (no interpreted fallback errors)") {
     graft.plans.GraftFunctions.register(spark)
     val out = df.select(
