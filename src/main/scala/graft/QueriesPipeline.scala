@@ -407,6 +407,35 @@ object QueriesPipeline {
       shingleN = QueriesML.ShingleN, k = QueriesML.MinhashK,
       bands = QueriesML.MinhashBands)
 
+  /** Checkpointed exactly-once incremental ingest, exercised END TO
+    * END inside the gate: half the corpus arrives, a drain runs; the
+    * other half arrives, a SECOND drain resumes from the same
+    * checkpoint. The final parquet table must equal the plain batch
+    * transform of the whole corpus — any re-processing (duplicates) or
+    * missed files (gaps) breaks the hash. */
+  def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_incr").toAbsolutePath.toString
+    val docs = t(s, dir, "documents")
+    def transform(df: DataFrame): DataFrame =
+      df.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    def drain(): Unit =
+      graft.streaming.IncrementalIngest.drainToParquet(s, s"$work/src",
+        docs.schema, s"$work/out", s"$work/ckpt")(transform)
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    s.read.parquet(s"$work/out")
+  }
+
+  val incrementalIngestSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE n_chars >= 100""".stripMargin
+
   val streamJoinSql: String =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
       |  epoch_ns(p.ts) // 1000 AS p_ts_us, epoch_ns(c.ts) // 1000 AS c_ts_us
@@ -616,6 +645,7 @@ object QueriesPipeline {
     "q_outer_join" -> (outerJoin _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_neardup" -> (streamNeardup _),
+    "q_incremental_ingest" -> (incrementalIngest _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
@@ -641,6 +671,7 @@ object QueriesPipeline {
     "q_outer_join" -> outerJoinSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
+    "q_incremental_ingest" -> incrementalIngestSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,
