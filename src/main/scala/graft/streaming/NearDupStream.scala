@@ -28,6 +28,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * grow state AND emit O(m^2) pairs forever. Pairs emitted before the
   * overflow are not retracted (append mode); an exact-capped result
   * needs the batch operator.
+  *
+  * State backend: the operator is provider-agnostic — at corpus scale
+  * set `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+  * provider so bucket state lives off-heap/on-disk instead of in the
+  * executor heap (spec-verified to produce identical pairs).
   */
 object NearDupStream {
 

@@ -32,6 +32,27 @@ class NearDupStreamSpec extends SparkSpec {
     assert(st.except(bt).count() == 0 && bt.except(st).count() == 0)
   }
 
+  test("RocksDB state store produces identical pairs (100 TB backend)") {
+    // the default HDFS-backed provider keeps state on-heap; a corpus-
+    // scale bucket index needs RocksDB. The operator must be backend-
+    // agnostic: same pairs, bit for bit.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val st = NearDupStream.candidatePairs(spark, sfDir, "nds_rocks",
+        5, 8, 4)
+      val bt = batchPairs(sfDir)
+      assert(st.except(bt).count() == 0 && bt.except(st).count() == 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("hot-bucket overflow truncates state and stops emitting") {
     // 5 identical docs all land in the same buckets; cap 2 admits two
     // members per bucket -> exactly 1 pair, then the bucket overflows
