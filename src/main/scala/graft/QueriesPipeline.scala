@@ -436,6 +436,38 @@ object QueriesPipeline {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE n_chars >= 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Time-series gap fill: sparse hourly purchase sums -> dense per-user
+  // series with forward-filled values
+  // ---------------------------------------------------------------------
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("ts_ns DIV 1000 DIV 3600000000").as("h"),
+        cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("h")).agg(sum(col("v")).as("v_cents"))
+    operators.TimeSeries.gapFillForward(hourly, "user_id", "h", "v_cents")
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 // 3600000000 AS h,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly
+      |  GROUP BY user_id),
+      |dense AS (SELECT user_id, CAST(u.h AS BIGINT) AS h
+      |  FROM b, UNNEST(range(lo, hi + 1)) AS u(h)),
+      |j AS (SELECT d.user_id, d.h, hourly.v_cents FROM dense d
+      |  LEFT JOIN hourly ON hourly.user_id = d.user_id AND hourly.h = d.h)
+      |SELECT user_id, h,
+      |  last_value(v_cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS v_cents_filled,
+      |  v_cents IS NULL AS is_gap
+      |FROM j""".stripMargin
+
   val streamJoinSql: String =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
       |  epoch_ns(p.ts) // 1000 AS p_ts_us, epoch_ns(c.ts) // 1000 AS c_ts_us
@@ -646,6 +678,7 @@ object QueriesPipeline {
     "q_stream_join" -> (streamJoin _),
     "q_stream_neardup" -> (streamNeardup _),
     "q_incremental_ingest" -> (incrementalIngest _),
+    "q_gapfill" -> (gapFill _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
@@ -672,6 +705,7 @@ object QueriesPipeline {
     "q_stream_join" -> streamJoinSql,
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
     "q_incremental_ingest" -> incrementalIngestSql,
+    "q_gapfill" -> gapFillSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,
