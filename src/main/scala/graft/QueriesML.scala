@@ -510,11 +510,12 @@ object QueriesML {
   // ---------------------------------------------------------------------
   val AnnDim = 64
   val AnnPlanes = 6
+  val AnnTables = 4
 
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
-      "vec_id", "embedding", AnnDim, AnnK, AnnPlanes)
+      "vec_id", "embedding", AnnDim, AnnK, AnnPlanes, AnnTables)
   }
 
   /** SRP bucket expression over a fixed-point list column `v` — the
@@ -533,21 +534,37 @@ object QueriesML {
     planes.mkString("(", " + ", ")")
   }
 
-  val annLshTopKSql: String =
+  val annLshTopKSql: String = {
+    // one equi-join per SRP table (disjoint hyperplane sets via
+    // planeOffset), UNION-deduplicated BEFORE cosine — the same
+    // candidates-across-tables-then-verify-once semantics as
+    // Similarity.lshBucketTopK
+    val perTable = (0 until AnnTables).map { tbl =>
+      s"""    SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+         |    FROM bk$tbl q JOIN bk$tbl c ON q.bucket = c.bucket
+         |    WHERE q.vec_id < $AnnQueryCount AND c.vec_id <> q.vec_id""".stripMargin
+    }.mkString("\n    UNION\n")
+    val tableCtes = (0 until AnnTables).map { tbl =>
+      s"bk$tbl AS (SELECT vec_id, ${srpBucketSqlExpr("v", tbl * AnnPlanes)} AS bucket FROM nrm)"
+    }.mkString(",\n  ")
     s"""WITH $fixedPointCte,
-       |  bk AS (SELECT vec_id, v, n2, ${srpBucketSqlExpr("v")} AS bucket FROM nrm),
+       |  $tableCtes,
+       |  cand AS (
+       |$perTable),
        |  scored AS (
-       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    SELECT cand.query_id, cand.cand_id,
        |      CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS DOUBLE)
        |        / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
-       |    FROM bk q JOIN bk c ON q.bucket = c.bucket
-       |    WHERE q.vec_id < $AnnQueryCount AND c.vec_id <> q.vec_id),
+       |    FROM cand
+       |    JOIN nrm q ON q.vec_id = cand.query_id
+       |    JOIN nrm c ON c.vec_id = cand.cand_id),
        |  ranked AS (SELECT *, row_number() OVER
        |      (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
        |    FROM scored)
        |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
        |  round(cos, 6) AS cos_r
        |FROM ranked WHERE rank <= $AnnK""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // ANN: IVF (k-means coarse quantizer, probe nearest cells). The
