@@ -296,6 +296,49 @@ object QueriesML {
       JaccardThreshold)
   }
 
+  /** Fuzzy JOIN across two corpora: the parity split of `documents`
+    * stands in for two distinct corpora (scraped vs curated) — LSH
+    * candidates LEFT(even ids) × RIGHT(odd ids), word-Jaccard verified
+    * once per pair. Exercises [[Dedup.fuzzyJoin]], the cross-corpus
+    * twin of q_ngram_jaccard's self-join composition. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.fuzzyJoin(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", ShingleN, MinhashK, MinhashBands,
+      JaccardW, JaccardThreshold)
+  }
+
+  // lazy: interpolates wordShinglesCte, declared further down the file
+  lazy val fuzzyJoinSql: String = {
+    val r = MinhashK / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val sigCols = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', $sigCols)) AS bk FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $shinglesCte,
+       |  sig AS ($sigSelect),
+       |  bands AS ($bandSelects),
+       |  cand AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+       |    FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |  $wordShinglesCte,
+       |  sizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
+       |  inter AS (
+       |    SELECT c.id_l, c.id_r, count(*) AS i
+       |    FROM cand c
+       |    JOIN wsh a ON a.doc_id = c.id_l
+       |    JOIN wsh b ON b.doc_id = c.id_r AND b.shingle = a.shingle
+       |    GROUP BY 1, 2)
+       |SELECT id_l, id_r,
+       |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_l
+       |JOIN sizes sb ON sb.doc_id = id_r
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $JaccardThreshold""".stripMargin
+  }
+
   /** Word w-gram shingle CTE (DuckDB) — oracle twin of
     * [[graft.plans.WordShingleArray]]; retained for the blocked-exact
     * Jaccard spec oracle (JaccardOracleSpec). */
@@ -848,6 +891,7 @@ object QueriesML {
     "q_minhash_signatures" -> (minhashSignatures _),
     "q_minhash_lsh_pairs" -> (minhashLshPairs _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_fuzzy_join" -> (fuzzyJoin _),
     "q_simhash" -> (simhash _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_ann_brute_topk" -> (annBruteTopK _),
@@ -892,6 +936,7 @@ object QueriesML {
     "q_minhash_signatures" -> minhashSignaturesSql,
     "q_minhash_lsh_pairs" -> minhashLshPairsSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_brute_topk" -> annBruteTopKSql,

@@ -247,6 +247,66 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Fuzzy (similarity) JOIN across two corpora: MinHash-LSH candidate
+    * generation between `left` and `right`, exact word w-gram Jaccard
+    * verification once per deduplicated (id_l, id_r) pair.
+    *
+    * The cross-corpus twin of the self-join near-dup pipeline
+    * ([[minhashCandidates]] → [[jaccardVerifyPairs]]) — the everyday
+    * shape is "which scraped documents fuzzily match the curated /
+    * licensed / already-ingested set". Both sides are shingled and
+    * banded with IDENTICAL parameters (the bucket join only works if
+    * band keys are computed the same way), candidates are the banded
+    * bucket join left×right (never the |L|·|R| cross product), pairs
+    * are deduplicated across bands BEFORE the texts join back, and the
+    * verification kernel runs once per pair.
+    *
+    * Shuffle: O(docs) signature rows on band keys + O(pairs · text) in
+    * the verify join. `maxBucketSize` caps boilerplate-bucket blowup
+    * exactly as in [[minhashCandidates]] — at 100 TB the cap is what
+    * bounds the candidate volume under adversarial near-constant
+    * documents. Ids on the two sides may overlap (they are separate
+    * keyspaces); the output never pairs a row with itself only if the
+    * caller's corpora are genuinely disjoint — identity filtering is
+    * the caller's semantics, not the join's. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, idCol: String,
+                textCol: String, n: Int = 5, k: Int = 8, bands: Int = 4,
+                w: Int = 3, minJaccard: Double = 0.5,
+                maxBucketSize: Option[Int] = None): DataFrame = {
+    val spark = left.sparkSession
+    val bl = lshBands(minhashSignatures(left, idCol, textCol, n, k),
+      idCol, k, bands)
+      .select(col("band"), col("band_key"), col(idCol).as("id_l"))
+    val br = lshBands(minhashSignatures(right, idCol, textCol, n, k),
+      idCol, k, bands)
+      .select(col("band"), col("band_key"), col(idCol).as("id_r"))
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        // cap the LEFT occupancy per bucket (mirrors minhashCandidates:
+        // a bucket hit by > cap rows is boilerplate, not similarity)
+        val sizes = bl.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__bsz"))
+        bl.join(sizes, Seq("band", "band_key"))
+          .filter(col("__bsz") <= cap).drop("__bsz")
+      case None => bl
+    }
+    val cands = capped.join(br, Seq("band", "band_key"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+    val lt = left.select(col(idCol).as("id_l"), col(textCol).as("__t_l"))
+    val rt = right.select(col(idCol).as("id_r"), col(textCol).as("__t_r"))
+    cands
+      // candidate rows are bytes-tiny; AQE would serialize the verify
+      // kernel onto one task (same measured pitfall as jaccardVerifyPairs)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .join(lt, "id_l")
+      .join(rt, "id_r")
+      .select(col("id_l"), col("id_r"),
+        call_function(graft.plans.GraftFunctions.WordJaccardName,
+          col("__t_l"), col("__t_r"), lit(w)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup candidate pairs by BIT-BLOCK ROTATION: the 32-bit
     * signature is split into `blocks` equal blocks and candidates are
     * pairs agreeing on ANY block (each within `maxHamming` total bit

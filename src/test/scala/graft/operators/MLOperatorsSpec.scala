@@ -124,6 +124,37 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(t => t._3 == (t._1 == t._2))) // keeper flag
   }
 
+  test("fuzzyJoin: cross-corpus duplicates found, disjoint texts absent") {
+    val sharedA = "the quick brown fox jumps over the lazy dog again and again"
+    val sharedB = sharedA + " ok" // near-dup of sharedA
+    val left = Seq((10L, sharedA),
+      (11L, "left only content that matches nothing on the other side"))
+      .toDF("doc_id", "text")
+    val right = Seq((20L, sharedA), (21L, sharedB),
+      (22L, "right side text entirely unrelated to anything in left"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyJoin(left, right, "doc_id", "text",
+        n = 5, k = 8, bands = 4, w = 3, minJaccard = 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(out.contains((10L, 20L)), "exact cross-corpus dup must match")
+    assert(!out.exists(p => p._1 == 11L || p._2 == 22L),
+      s"unrelated docs must not pair: $out")
+    // never pairs within one corpus: all outputs are (left, right)
+    assert(out.forall(p => p._1 < 20L && p._2 >= 20L))
+  }
+
+  test("fuzzyJoin: hot-bucket cap bounds candidates from boilerplate left rows") {
+    val boiler = "identical boilerplate text repeated across every left document"
+    val left = (0L until 10L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val right = Seq((100L, boiler)).toDF("doc_id", "text")
+    val uncapped = Dedup.fuzzyJoin(left, right, "doc_id", "text",
+      minJaccard = 0.9).count()
+    val capped = Dedup.fuzzyJoin(left, right, "doc_id", "text",
+      minJaccard = 0.9, maxBucketSize = Some(5)).count()
+    assert(uncapped == 10L)
+    assert(capped == 0L, "a 10-deep left bucket must be dropped at cap 5")
+  }
+
   test("ngram jaccard: identical=1.0, disjoint pairs absent") {
     val df = Seq((1L, "aaaaabbbbb", "g"), (2L, "aaaaabbbbb", "g"),
       (3L, "zzzzzyyyyy", "g")).toDF("doc_id", "text", "blk")
