@@ -210,6 +210,46 @@ object QueriesML {
        |FROM ranked WHERE rnk <= $TfidfK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Vocabulary building + per-doc OOV stats (tokenizer-prep primitives)
+  // ---------------------------------------------------------------------
+  val VocabV = 500
+
+  def vocabulary(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(t(s, dir, "documents"), "text", VocabV)
+
+  val vocabularySql: String =
+    s"""WITH toks AS (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |  counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+       |  ranked AS (SELECT token, cnt, row_number() OVER
+       |      (ORDER BY cnt DESC, token ASC) AS rank
+       |    FROM counts)
+       |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $VocabV""".stripMargin
+
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.oovStats(docs, "doc_id", "text",
+      TextAnalysis.vocabulary(docs, "text", VocabV))
+  }
+
+  val oovRateSql: String =
+    s"""WITH vocab AS (
+       |    SELECT token FROM (
+       |      SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |      GROUP BY token)
+       |    WHERE rank <= $VocabV),
+       |  toks AS (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS oov_rate_e6
+       |FROM toks LEFT JOIN vocab v USING (token)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprints: content md5 + rolling-hash shingle min
   // ---------------------------------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -907,6 +947,8 @@ object QueriesML {
     "q_asof_native" -> (asofNative _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q_vocabulary" -> (vocabulary _),
+    "q_oov_rate" -> (oovRate _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
@@ -951,6 +993,8 @@ object QueriesML {
     "q_asof_native" -> asofJoinSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q_vocabulary" -> vocabularySql,
+    "q_oov_rate" -> oovRateSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

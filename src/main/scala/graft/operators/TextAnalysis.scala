@@ -157,4 +157,47 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score_e6"), col("rnk"))
   }
+
+  /** Corpus vocabulary: the `topV` most frequent whitespace tokens with
+    * total count and deterministic rank (count desc, token asc).
+    *
+    * Shape at 100 TB: explode is narrow; the token count is one
+    * partial-aggregated shuffle on the token key (map-side combine
+    * collapses each partition to its distinct-token counts); the top-V
+    * cut plans as TakeOrderedAndProject — every partition forwards at
+    * most V rows, no global sort. */
+  def vocabulary(df: DataFrame, textCol: String, topV: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokensOf(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
+    // rank over the V-row result: the window partitions a frame that is
+    // already <= V rows, so the single-partition window is O(V), not a
+    // corpus-wide serialization
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+      .select(col("token"), col("cnt"), col("rank"))
+  }
+
+  /** Per-document out-of-vocabulary statistics against a vocabulary
+    * frame (as produced by [[vocabulary]]): token count, OOV token
+    * count, and OOV rate in exact e6 fixed-point (engine-portable —
+    * no float division).
+    *
+    * The vocabulary is broadcast (V is small by construction); the
+    * per-doc aggregation is partial map-side. A doc with zero tokens
+    * never occurs (split of "" yields [""]), so the division is safe. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokensOf(col(textCol))).as("token"))
+    toks.join(broadcast(vocab.select(col("token"),
+        lit(1).as("__in_vocab"))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate_e6", expr("n_oov * 1000000 DIV n_tokens"))
+  }
 }

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class TfIdfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocabulary: top-V by count with count-desc/token-asc rank") {
+    val df = Seq("b b b a a c", "a d", "e e").toDF("text")
+    val v = TextAnalysis.vocabulary(df, "text", 3)
+      .as[(String, Long, Int)].collect().toList
+    // counts: a=3, b=3, e=2, c=1, d=1 — tie a/b broken by token asc
+    assert(v == List(("a", 3L, 1), ("b", 3L, 2), ("e", 2L, 3)))
+  }
+
+  test("oovStats: exact counts and e6 rate, all-OOV and all-in-vocab docs") {
+    val docs = Seq((1L, "a b oov1"), (2L, "oov2 oov3"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L, 1), ("b", 2L, 2)).toDF("token", "cnt", "rank")
+    val out = TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 1L, 333333L)))
+    assert(out(2L) == ((2L, 2L, 1000000L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; k and ties respected") {
     // "common" appears in every doc; each doc has one unique term
     val docs = Seq(
