@@ -712,6 +712,103 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // ANN: product quantization (ADC over per-subspace codebooks). Like
+  // IVF, the fit is deterministic, so the oracle SQL is generated
+  // post-fit with the codebooks inlined as literals. The same per-row
+  // distance lists serve corpus rows (argmin -> code) and query rows
+  // (the ADC lookup table) in both engines.
+  // ---------------------------------------------------------------------
+  val PqM = 8      // subspaces over AnnDim=64 -> subdim 8
+  val PqKsub = 16  // sub-centroids per subspace -> 4-bit codes
+  val PqIters = 2
+
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+
+  /** Codebooks per sf dir: fit once, shared by both PQ queries (the
+    * fit is deterministic, so either query computes the same books). */
+  private def pqBooksFor(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    pqBooks.computeIfAbsent(dir, _ =>
+      ProductQuant.fitCodebooks(t(s, dir, "embeddings"), "vec_id",
+        "embedding", AnnDim, PqM, PqKsub, PqIters))
+
+  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ProductQuant.adcTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
+      "vec_id", "embedding", AnnDim, AnnK, pqBooksFor(s, dir))
+  }
+
+  def annPqTopKSql(books: Array[Array[Array[Long]]]): String = {
+    val subdim = AnnDim / PqM
+    def distExpr(j: Int, c: Array[Long]): String = {
+      val idx = (0 until subdim).map(d => j * subdim + d + 1)
+      val n2j = idx.map(i => s"v[$i]*v[$i]").mkString(" + ")
+      val dot = c.zip(idx).map { case (w, i) => s"($w)*v[$i]" }.mkString(" + ")
+      val cn2 = c.map(x => x * x).sum
+      s"($n2j) - 2*($dot) + $cn2"
+    }
+    val dlCols = (0 until PqM).map { j =>
+      books(j).map(c => distExpr(j, c))
+        .mkString("[", ",\n      ", s"] AS dl_$j")
+    }.mkString(",\n    ")
+    val codeCols = (0 until PqM).map(j =>
+      s"list_position(dl_$j, list_min(dl_$j)) - 1 AS code_$j").mkString(",\n      ")
+    val qCols = (0 until PqM).map(j => s"dl_$j").mkString(", ")
+    val adist = (0 until PqM).map(j =>
+      s"qp.dl_$j[enc.code_$j + 1]").mkString(" + ")
+    s"""WITH $fixedPointCte,
+       |  dlists AS (SELECT vec_id,
+       |    $dlCols
+       |    FROM nrm),
+       |  enc AS (SELECT vec_id AS cand_id,
+       |      $codeCols
+       |    FROM dlists),
+       |  qp AS (SELECT vec_id AS query_id, $qCols FROM dlists
+       |    WHERE vec_id < $AnnQueryCount),
+       |  scored AS (SELECT query_id, cand_id, $adist AS adist
+       |    FROM enc CROSS JOIN qp
+       |    WHERE cand_id <> query_id),
+       |  ranked AS (SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rank
+       |    FROM scored)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+       |  CAST(adist AS BIGINT) AS adist
+       |FROM ranked WHERE rank <= $AnnK""".stripMargin
+  }
+
+  val PqShortlist = 50
+
+  def annPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ProductQuant.adcRerankTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
+      "vec_id", "embedding", AnnDim, AnnK, PqShortlist, pqBooksFor(s, dir))
+  }
+
+  /** DuckDB twin of [[ProductQuant.adcRerankTopK]]: the ADC shortlist
+    * CTEs from [[annPqTopKSql]] widened to `PqShortlist`, then exact
+    * fixed-point L2 on the shortlist only. */
+  def annPqRerankSql(books: Array[Array[Array[Long]]]): String = {
+    val adc = annPqTopKSql(books)
+    // reuse the generated ADC query as a shortlist CTE: swap its final
+    // top-k cut for the shortlist width, then re-rank exactly
+    val shortlisted = adc.replace(s"FROM ranked WHERE rank <= $AnnK",
+      s"FROM ranked WHERE rank <= $PqShortlist")
+    s"""WITH short AS ($shortlisted),
+       |  $fixedPointCte,
+       |  ex AS (SELECT s.query_id, s.cand_id,
+       |      q.n2 - 2 * list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) + c.n2 AS dist
+       |    FROM short s
+       |    JOIN nrm q ON q.vec_id = s.query_id
+       |    JOIN nrm c ON c.vec_id = s.cand_id),
+       |  rr AS (SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY dist ASC, cand_id ASC) AS rank
+       |    FROM ex)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM rr WHERE rank <= $AnnK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Embedding near-dup pairs (exact cosine threshold)
   // ---------------------------------------------------------------------
   val NearDupThreshold = 0.3
@@ -937,6 +1034,8 @@ object QueriesML {
     "q_ann_brute_topk" -> (annBruteTopK _),
     "q_ann_lsh_topk" -> (annLshTopK _),
     "q_ann_ivf_topk" -> (annIvfTopK _),
+    "q_ann_pq_topk" -> (annPqTopK _),
+    "q_ann_pq_rerank" -> (annPqRerank _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_blocked" -> (embedNearDupBlocked _),
     "q_multimodal_features" -> (multimodalFeatures _),
@@ -967,7 +1066,14 @@ object QueriesML {
         Map("q_ann_ivf_topk" ->
           annIvfTopKSql(ivfCents.values.iterator.next()))
       else Map.empty
-    staticOracles ++ ivf
+    val pq: Map[String, String] =
+      if (pqBooks.size == 1)
+        Map("q_ann_pq_topk" ->
+          annPqTopKSql(pqBooks.values.iterator.next()),
+          "q_ann_pq_rerank" ->
+          annPqRerankSql(pqBooks.values.iterator.next()))
+      else Map.empty
+    staticOracles ++ ivf ++ pq
   }
 
   private val staticOracles: Map[String, String] = Map(

@@ -77,6 +77,49 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"IVF recall collapsed: $r")
   }
 
+  test("PQ/ADC recall@10 above floor at the gate config") {
+    // PQ approximates L2, not cosine — ground truth is the exact
+    // fixed-point L2 top-k, computed locally as an independent oracle
+    // (500 x 64 is trivial on the driver; same round(x * Scale)
+    // conversion the operator applies)
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * Similarity.Scale)).toArray)
+      .toMap
+    def l2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val l2Truth: Map[Long, Set[Long]] = (0L until NQueries).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (l2(vecs(q), vecs(c)), c)).take(K).toSet
+    }.toMap
+    val books = ProductQuant.fitCodebooks(emb, "vec_id", "embedding",
+      graft.QueriesML.AnnDim, graft.QueriesML.PqM, graft.QueriesML.PqKsub,
+      graft.QueriesML.PqIters)
+    val approx = candSets(ProductQuant.adcTopK(emb, queries,
+      "vec_id", "embedding", graft.QueriesML.AnnDim, K, books))
+    def recallVsL2(m: Map[Long, Set[Long]]): Double = {
+      val per = l2Truth.map { case (q, t) =>
+        m.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+      per.sum / per.size
+    }
+    val r = recallVsL2(approx)
+    info(f"PQ recall@$K vs exact L2 (m=${graft.QueriesML.PqM}, ksub=${graft.QueriesML.PqKsub}): $r%.3f")
+    // near-random synthetic embeddings concentrate distances — the
+    // hardest case for quantization; measured 0.282. The production
+    // path is the rerank below.
+    assert(r >= 0.2, s"PQ recall collapsed: $r")
+
+    // ADC shortlist + exact re-rank: the deployment shape. Shortlist 50
+    // of 499 (10%) must recover most of the exact top-10.
+    val reranked = candSets(ProductQuant.adcRerankTopK(emb, queries,
+      "vec_id", "embedding", graft.QueriesML.AnnDim, K, 50, books))
+    val rr = recallVsL2(reranked)
+    info(f"PQ+rerank recall@$K (shortlist 50): $rr%.3f")
+    assert(rr >= r, "exact re-ranking must never lose recall")
+    assert(rr >= 0.5, s"reranked recall too low: $rr")
+  }
+
   test("IVF recall rises with nprobe and reaches 1 at nprobe=clusters") {
     val cents = KMeans.fitOn(emb, "vec_id", "embedding",
       graft.QueriesML.IvfClusters, graft.QueriesML.IvfIters)
