@@ -250,6 +250,31 @@ object QueriesML {
        |GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Collocation mining: top bigrams by exact-integer PMI ratio
+  // ---------------------------------------------------------------------
+  val CollocMinCount = 5L
+  val CollocTopK = 50
+
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), "text",
+      CollocMinCount, CollocTopK)
+
+  val collocationsSql: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |  bg AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks),
+       |  big AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+       |    FROM bg GROUP BY 1, 2 HAVING count(*) >= $CollocMinCount),
+       |  unic AS (SELECT w, count(*) AS c FROM
+       |    (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |  n AS (SELECT sum(len(t)) AS n_tokens FROM toks)
+       |SELECT w1, w2, c12,
+       |  CAST(c12 * n_tokens * 1000000 // (u1.c * u2.c) AS BIGINT) AS pmi_ratio_e6
+       |FROM big JOIN unic u1 ON u1.w = big.w1
+       |JOIN unic u2 ON u2.w = big.w2 CROSS JOIN n
+       |ORDER BY pmi_ratio_e6 DESC, c12 DESC, w1 ASC, w2 ASC
+       |LIMIT $CollocTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprints: content md5 + rolling-hash shingle min
   // ---------------------------------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1048,6 +1073,7 @@ object QueriesML {
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_vocabulary" -> (vocabulary _),
     "q_oov_rate" -> (oovRate _),
+    "q_collocations" -> (collocations _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
@@ -1101,6 +1127,7 @@ object QueriesML {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_vocabulary" -> vocabularySql,
     "q_oov_rate" -> oovRateSql,
+    "q_collocations" -> collocationsSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

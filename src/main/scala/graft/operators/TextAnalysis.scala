@@ -181,6 +181,46 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("rank"))
   }
 
+  /** Collocation mining: adjacent token pairs ranked by pointwise
+    * mutual information — the association statistic behind BPE merge
+    * selection and phrase vocabularies. For each bigram (a, b) with
+    * count >= `minCount`:
+    * pmi_ratio_e6 = c(a,b) · N · 1e6 / (c(a) · c(b))  (exact integer),
+    * where N is the corpus token count. Output is the deterministic
+    * top-`topK` by (pmi desc, bigram count desc, a asc, b asc).
+    *
+    * Shape at 100 TB: bigram fan-out is narrow (zip of the token array
+    * with its tail); both count aggregations are partial map-side; the
+    * top-K cut is TakeOrderedAndProject. The e6 numerator
+    * c(a,b)·N·1e6 fits a long up to N ~ 10^12 tokens ONLY for bigram
+    * counts < 10^6 / (N/10^12); past that, swap the expression to
+    * DECIMAL(38,0) — the formula is unchanged. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+                   topK: Int): DataFrame = {
+    val toks = df.select(tokensOf(col(textCol)).as("toks"))
+    val tail1 = greatest(size(col("toks")) - 1, lit(0))
+    val bigrams = toks.select(explode(
+        zip_with(slice(col("toks"), lit(1), tail1),
+          slice(col("toks"), lit(2), tail1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.select(sum(size(col("toks"))).as("n_tokens"))
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_ratio_e6",
+        expr("c12 * n_tokens * 1000000 DIV (c1 * c2)"))
+      .orderBy(col("pmi_ratio_e6").desc, col("c12").desc,
+        col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_ratio_e6"))
+  }
+
   /** Per-document out-of-vocabulary statistics against a vocabulary
     * frame (as produced by [[vocabulary]]): token count, OOV token
     * count, and OOV rate in exact e6 fixed-point (engine-portable —

@@ -57,4 +57,30 @@ class TfIdfSpec extends SparkSpec {
     assert(out((1L, "b")) == 1L * 1000000 * 2 / 2)
     assert(out((2L, "c")) == 1L * 1000000 * 2 / 1)
   }
+
+  test("collocations: exact PMI ratio, minCount cut, deterministic order") {
+    // corpus: "x y" ×3 (tight pair), "a b" ×3 with a,b also frequent
+    // standalone — PMI(x,y) should beat PMI(a,b).
+    val docs = Seq(
+      "x y", "x y", "x y",
+      "a b", "a b", "a b",
+      "a c", "a d", "b e", "b f"
+    ).toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 3L, topK = 10)
+      .as[(String, String, Long, Long)].collect().toList
+    // N = 20 tokens; c(x)=c(y)=3, c(x,y)=3 → 3*20*1e6/(3*3) = 6666666
+    // c(a)=c(b)=5, c(a,b)=3 → 3*20*1e6/25 = 2400000
+    assert(out == List(
+      ("x", "y", 3L, 6666666L),
+      ("a", "b", 3L, 2400000L)))
+  }
+
+  test("collocations: single-token and empty docs contribute no bigrams") {
+    val docs = Seq("solo", "", "p q", "p q", "p q").toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", 3L, 5)
+      .as[(String, String, Long, Long)].collect().toList
+    // split("", " ") = [""] — the empty doc contributes one empty token.
+    // N = 8 tokens (solo + "" + 3×2); c(p)=c(q)=3 → 3*8*1e6/9 = 2666666
+    assert(out == List(("p", "q", 3L, 2666666L)))
+  }
 }
