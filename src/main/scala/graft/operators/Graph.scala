@@ -63,7 +63,17 @@ object Graph {
     val tri = o1.join(o2, Seq("src")).filter(col("kx") < col("ky"))
       .join(closing, Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"))
-    tri.crossJoin(wedges)
+    // The output is ONE row of two counts: realize it eagerly so the
+    // three O(m) persisted intermediates can be released immediately
+    // instead of living until session end (collect of a single
+    // aggregate row is driver-safe at any scale).
+    val result = tri.crossJoin(wedges)
+    val rows = result.collect()
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    edges.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** Exact-integer PageRank over the undirected graph induced by
@@ -125,7 +135,14 @@ object Graph {
         .mapValues { case (_, s) =>
           base + dampNum * s.getOrElse(0L) / dampDen }
     }
-    val out = pr.map { case (id, p) => org.apache.spark.sql.Row(id, p) }
+    // Truncate the K-round lineage to the O(nodes) final scores and
+    // release the edge working set — same session hygiene as
+    // [[Dedup.minLabelClusters]]: without it every pageRank call
+    // leaves an O(m) block-store footprint for the session lifetime.
+    val prFinal = pr.localCheckpoint()
+    prFinal.count()
+    edgesWithDeg.unpersist(blocking = false)
+    val out = prFinal.map { case (id, p) => org.apache.spark.sql.Row(id, p) }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       ids.select(col(idCol)).schema.head,
       org.apache.spark.sql.types.StructField("pr_e9",
