@@ -275,6 +275,68 @@ object QueriesML {
        |LIMIT $CollocTopK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BM25 ranking: integer fixed-point, literal term query, top-k docs
+  // ---------------------------------------------------------------------
+  val Bm25Terms = Seq("join", "window", "dup") // common, common, rare
+  val Bm25TopK = 20
+  val Bm25K1E1 = 12 // k1 = 1.2
+  val Bm25BE2 = 75  // b  = 0.75
+
+  def bm25Rank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopDocs(t(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, Bm25TopK, Bm25K1E1, Bm25BE2)
+
+  val bm25RankSql: String = {
+    val terms = Bm25Terms.map(q => s"'$q'").mkString(", ")
+    val k1b = Bm25K1E1.toLong * (100 - Bm25BE2) * 1000 // k1(1-b)·1e6
+    val k1bb = Bm25K1E1.toLong * Bm25BE2               // k1·b·1e3
+    val satNum = (Bm25K1E1 + 10).toLong * 100000000000L
+    s"""WITH b2 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |  totals AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM b2),
+       |  tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+       |  tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |    WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |  sc AS (SELECT doc_id,
+       |      ((nd * 1000000 // df) *
+       |       ((tf * $satNum) //
+       |        (tf * 1000000 + $k1b + ($k1bb * (dl * nd * 1000000 // tt)) // 1000))
+       |      ) // 1000000 AS s
+       |    FROM tf JOIN dfreq USING (term) CROSS JOIN totals)
+       |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_e6,
+       |  count(*) AS n_terms_hit
+       |FROM sc GROUP BY 1
+       |ORDER BY bm25_e6 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Kneser-Ney LM count tables: bigram counts + continuation diversity
+  // ---------------------------------------------------------------------
+  val LmMinCount = 5L
+  val LmTopK = 50
+
+  def lmCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramLmCounts(t(s, dir, "documents"), "text",
+      LmMinCount, LmTopK)
+
+  val lmCountsSql: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |  bg AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks),
+       |  allbig AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+       |    FROM bg GROUP BY 1, 2),
+       |  unic AS (SELECT w, count(*) AS c FROM
+       |    (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |  lt AS (SELECT w2, count(*) AS left_types FROM allbig GROUP BY 1),
+       |  rt AS (SELECT w1, count(*) AS right_types FROM allbig GROUP BY 1)
+       |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2, left_types, right_types
+       |FROM allbig JOIN unic u1 ON u1.w = allbig.w1
+       |JOIN unic u2 ON u2.w = allbig.w2
+       |JOIN rt USING (w1) JOIN lt USING (w2)
+       |WHERE c12 >= $LmMinCount
+       |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT $LmTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprints: content md5 + rolling-hash shingle min
   // ---------------------------------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1074,6 +1136,8 @@ object QueriesML {
     "q_vocabulary" -> (vocabulary _),
     "q_oov_rate" -> (oovRate _),
     "q_collocations" -> (collocations _),
+    "q_bm25_rank" -> (bm25Rank _),
+    "q_lm_counts" -> (lmCounts _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
@@ -1128,6 +1192,8 @@ object QueriesML {
     "q_vocabulary" -> vocabularySql,
     "q_oov_rate" -> oovRateSql,
     "q_collocations" -> collocationsSql,
+    "q_bm25_rank" -> bm25RankSql,
+    "q_lm_counts" -> lmCountsSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

@@ -216,6 +216,71 @@ object Queries {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Bounded-frame window: trailing moving average per user (exact — the
+  // average is an integer DIV of window sum by window count; both
+  // operands are non-negative so Spark DIV (trunc) == DuckDB // (floor))
+  // ---------------------------------------------------------------------
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id")).rowsBetween(-3, 0)
+    t(s, dir, "events")
+      .withColumn("value_cents", cents(col("value")))
+      .select(col("event_id"), col("user_id"),
+        sum(col("value_cents")).over(w).as("win_sum_cents"),
+        count(lit(1)).over(w).as("win_n"))
+      .withColumn("moving_avg_cents", expr("win_sum_cents DIV win_n"))
+  }
+
+  val movingAvgSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS win_sum_cents,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+      |    // COUNT(*) OVER w AS moving_avg_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact-integer covariance numerator per group: cov = cov_num / n²
+  // with cov_num = n·Σxy − Σx·Σy over (quantity, price cents), grouped
+  // by supplier nation. Broadcast dims; single partial-agg shuffle.
+  // Long bounds: n·Σxy per group needs n²·E[xy] < 2^63 — holds through
+  // ~sf1 at this schema (240k rows/nation); beyond, lift the three
+  // sums to DECIMAL(38,0) in both engines, formula unchanged.
+  // ---------------------------------------------------------------------
+  def covarianceByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      col("l_quantity").cast("long").as("qty"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("sx"),
+        sum(col("price_cents")).as("sy"),
+        sum(expr("qty * price_cents")).as("sxy"))
+      .select(col("n_name"), col("n"),
+        expr("n * sxy - sx * sy").as("cov_num_cents"))
+  }
+
+  val covarianceByNationSql: String =
+    """WITH g AS (
+      |  SELECT n_name, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sxy
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, n, n * sxy - sx * sy AS cov_num_cents FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A3: exact per-group quantiles, ONE job (vs reference's 7 serial jobs)
   // ---------------------------------------------------------------------
   def groupQuantiles(s: SparkSession, dir: String): DataFrame =
@@ -738,6 +803,8 @@ object Queries {
     "q_join_using_inner" -> (joinUsingInner _),
     "q_window_user_total" -> (windowUserTotal _),
     "q_window_cond_sums" -> (windowCondSums _),
+    "q_moving_avg" -> (movingAvg _),
+    "q_covariance_nation" -> (covarianceByNation _),
     "q_group_quantiles" -> (groupQuantiles _),
     "q_distinct_pairs" -> (distinctPairs _),
     "q_group_count" -> (groupCount _),
@@ -775,6 +842,8 @@ object Queries {
     "q_join_using_inner" -> joinUsingInnerSql,
     "q_window_user_total" -> windowUserTotalSql,
     "q_window_cond_sums" -> windowCondSumsSql,
+    "q_moving_avg" -> movingAvgSql,
+    "q_covariance_nation" -> covarianceByNationSql,
     "q_group_quantiles" -> groupQuantilesSql,
     "q_distinct_pairs" -> distinctPairsSql,
     "q_group_count" -> groupCountSql,

@@ -221,6 +221,97 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c12"), col("pmi_ratio_e6"))
   }
 
+  /** BM25 document ranking for a literal term query, in exact integer
+    * fixed point. Per matching term t in doc d:
+    *
+    *   idf_e6(t)  = N · 1e6 DIV df(t)            (same integer-ratio IDF
+    *                family as [[tfidfTopTerms]] — monotone in 1/df; the
+    *                ln() of textbook BM25 is float and engine-varying)
+    *   L_e6(d)    = dl(d) · N · 1e6 DIV total_tokens   (dl/avgdl)
+    *   D_e6       = tf·1e6 + k1(1-b)·1e6 + (k1·b)·L_e6
+    *   sat_e6     = tf·(k1+1)·1e12 DIV D_e6      (the saturating-tf term,
+    *                ≤ (k1+1)·1e6 by construction)
+    *   score_e6(d)= Σ_t idf_e6 · sat_e6 DIV 1e6
+    *
+    * k1 and b arrive as fixed-point ints (k1E1 = 10·k1, bE2 = 100·b) so
+    * every engine computes bit-identical scores. Output: top-`topK`
+    * docs by (score desc, id asc) with the matched-term count.
+    *
+    * Shape at 100 TB: the term filter lands BEFORE the tf aggregation,
+    * so only postings of the query's terms flow into the shuffle —
+    * O(Σ df(t)) rows, not O(corpus). df and the corpus totals are
+    * broadcast (|query| rows and 1 row). The top-K cut is
+    * TakeOrderedAndProject. Long bounds: tf·(k1E1+10)·1e11 needs
+    * tf < ~4·10^6 — any real document qualifies. */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], topK: Int,
+                  k1E1: Int = 12, bE2: Int = 75): DataFrame = {
+    val base = df.select(col(idCol),
+      tokensOf(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val totals = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val toks = base.select(col(idCol), col("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_e6", expr("nd * 1000000 DIV df"))
+      .withColumn("l_e6", expr("dl * nd * 1000000 DIV tt"))
+      .withColumn("d_e6", expr(
+        s"tf * 1000000 + ${k1E1.toLong * (100 - bE2) * 1000}" +
+          s" + (${k1E1.toLong * bE2} * l_e6) DIV 1000"))
+      .withColumn("sc", expr(
+        s"(idf_e6 * ((tf * ${(k1E1 + 10).toLong * 100000000000L}) DIV d_e6)) DIV 1000000"))
+      .groupBy(col(idCol))
+      .agg(sum(col("sc")).as("bm25_e6"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_e6").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Language-model count tables with Kneser-Ney continuation counts:
+    * for each bigram (w1, w2) seen at least `minCount` times —
+    * bigram count c12, unigram counts c1/c2, and the KN diversity
+    * statistics computed over ALL observed bigram TYPES (not just the
+    * frequent ones): left_types(w2) = |{w : c(w, w2) > 0}| (the KN
+    * continuation numerator) and right_types(w1) = |{w : c(w1, w) > 0}|
+    * (the KN back-off normalizer). Deterministic top-`topK` by
+    * (c12 desc, w1 asc, w2 asc).
+    *
+    * Shape at 100 TB: one shuffle builds the distinct bigram-type
+    * counts (map-side combined); the type-diversity tables are second
+    * aggregations OVER that already-collapsed table (O(bigram types),
+    * not O(tokens)); unigram counts are partial-agg; the final joins
+    * key on single tokens. Top-K is TakeOrderedAndProject. */
+  def ngramLmCounts(df: DataFrame, textCol: String, minCount: Long,
+                    topK: Int): DataFrame = {
+    val toks = df.select(tokensOf(col(textCol)).as("toks"))
+    val tail1 = greatest(size(col("toks")) - 1, lit(0))
+    val allBig = toks.select(explode(
+        zip_with(slice(col("toks"), lit(1), tail1),
+          slice(col("toks"), lit(2), tail1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val leftTypes = allBig.groupBy("w2")
+      .agg(count(lit(1)).as("left_types"))
+    val rightTypes = allBig.groupBy("w1")
+      .agg(count(lit(1)).as("right_types"))
+    allBig.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .join(rightTypes, "w1")
+      .join(leftTypes, "w2")
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("left_types"), col("right_types"))
+  }
+
   /** Per-document out-of-vocabulary statistics against a vocabulary
     * frame (as produced by [[vocabulary]]): token count, OOV token
     * count, and OOV rate in exact e6 fixed-point (engine-portable —

@@ -83,4 +83,34 @@ class TfIdfSpec extends SparkSpec {
     // N = 8 tokens (solo + "" + 3×2); c(p)=c(q)=3 → 3*8*1e6/9 = 2666666
     assert(out == List(("p", "q", 3L, 2666666L)))
   }
+
+  test("bm25: rare term outranks common at equal tf/dl; tf saturates") {
+    val docs = Seq(
+      (1L, "rare x x x"),    // rare term, dl=4
+      (2L, "common x x x"),  // common term, dl=4
+      (3L, "common y y y"),
+      (4L, "common z z z"),
+      (5L, "rare rare rare x") // tf=3 of rare, dl=4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      Seq("rare", "common"), 5).as[(Long, Long, Long)].collect().toList
+    val score = out.map(r => r._1 -> r._2).toMap
+    // df(rare)=2 < df(common)=3 → at equal tf and dl, rare scores higher
+    assert(score(1L) > score(2L))
+    // saturation: tf=3 scores more than tf=1 but far less than 3×
+    assert(score(5L) > score(1L) && score(5L) < 3 * score(1L))
+    // every returned doc matched exactly one query term
+    assert(out.forall(_._3 == 1L))
+    // deterministic ordering: scores descending, then id
+    assert(out.map(r => (-r._2, r._1)) == out.map(r => (-r._2, r._1)).sorted)
+  }
+
+  test("ngramLmCounts: continuation counts over ALL bigram types") {
+    // bigrams: (a b)×3, (c b)×1, (b d)×1 — left_types(b)=2 even though
+    // (c b) is below minCount; right_types(a)=1; c(a)=3, c(b)=5
+    val docs = Seq("a b", "a b", "a b", "c b", "b d").toDF("text")
+    val out = TextAnalysis.ngramLmCounts(docs, "text", minCount = 2L, topK = 5)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(("a", "b", 3L, 3L, 5L, 2L, 1L)))
+  }
 }
