@@ -1104,6 +1104,21 @@ object QueriesML {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  def streamingSliding(s: SparkSession, dir: String): DataFrame =
+    EventStream.slidingRollup(s, dir,
+      queryName = s"events_sliding_${streamRun.incrementAndGet()}")
+
+  /** Oracle: a size/slide = 2h/1h sliding window assigns each event to
+    * exactly the two windows starting at its hour and the hour before. */
+  val streamingSlidingSql: String =
+    """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |  x AS (SELECT h AS ws, event_type, c FROM ev
+      |    UNION ALL SELECT h - 1 AS ws, event_type, c FROM ev)
+      |SELECT ws AS win_start_h, event_type, count(*) AS cnt,
+      |  CAST(sum(c) AS BIGINT) AS value_cents
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -1128,6 +1143,7 @@ object QueriesML {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_decode" -> (imageDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
+    "q_streaming_sliding" -> (streamingSliding _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_native" -> (asofNative _),
@@ -1184,6 +1200,7 @@ object QueriesML {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_decode" -> imageDecodeSql,
     "q_streaming_hourly" -> streamingHourlySql,
+    "q_streaming_sliding" -> streamingSlidingSql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_native" -> asofJoinSql,

@@ -587,6 +587,33 @@ object QueriesPipeline {
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** GK-quantile invariant gate: percentile_approx at accuracy A has a
+    * DETERMINISTIC worst-case rank-error guarantee of n/A (not a
+    * probabilistic bound like HLL), so the approx p-quantile element
+    * must lie between the exact (p-1%) and (p+1%) quantile elements
+    * whenever A > 100 — a boolean that holds for ANY dataset or seed,
+    * making it a clean oracle-gate row for the quantile sketch tier. */
+  def sketchQuantileBound(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("value_cents"))
+    val approx = operators.Quantiles.perGroupElement(e, "event_type",
+        "value_cents", Seq(0.5, 0.9), accuracy = 1000)
+      .select(col("event_type"), col("q50").as("a50"), col("q90").as("a90"))
+    // exact element quantiles: accuracy >> group size => zero rank error
+    val exact = operators.Quantiles.perGroupElement(e, "event_type",
+      "value_cents", Seq(0.49, 0.51, 0.89, 0.91))
+    approx.join(exact, "event_type")
+      .select(col("event_type"),
+        (col("a50") >= col("q49") && col("a50") <= col("q51"))
+          .as("p50_in_bound"),
+        (col("a90") >= col("q89") && col("a90") <= col("q91"))
+          .as("p90_in_bound"))
+  }
+
+  val sketchQuantileBoundSql: String =
+    """SELECT event_type, TRUE AS p50_in_bound, TRUE AS p90_in_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Mergeable-rollup invariant on the graft-native deterministic HLL
     * (plans.HllDet, lgK=12, ~1.6% rel std error): per-day partial
     * sketches merged up to event_type estimate EXACTLY what a one-shot
@@ -683,6 +710,7 @@ object QueriesPipeline {
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
     "q_sketch_distinct_bound" -> (sketchDistinctBound _),
+    "q_sketch_quantile_bound" -> (sketchQuantileBound _),
     "q_sketch_merge" -> (sketchMergeConsistent _),
     "q_mixture_weights" -> (mixtureWeights _),
     "q_common_ngrams" -> (commonNgrams _),
@@ -710,6 +738,7 @@ object QueriesPipeline {
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,
     "q_sketch_distinct_bound" -> sketchDistinctBoundSql,
+    "q_sketch_quantile_bound" -> sketchQuantileBoundSql,
     "q_sketch_merge" -> sketchMergeConsistentSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_common_ngrams" -> commonNgramsSql,

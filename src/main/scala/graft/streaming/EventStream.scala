@@ -72,6 +72,54 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Sliding-window rollup: overlapping event-time windows (`size`
+    * wide, advancing every `slide`), so each event contributes to
+    * size/slide windows — the standard trailing-rate shape (e.g. "2-hour
+    * request volume, refreshed hourly"). Same watermark/state-partition
+    * contract as [[hourlyRollup]]; state per key-window expires once the
+    * watermark passes window end, so state is bounded by
+    * (size/slide) × |active keys| regardless of stream length.
+    *
+    * At 100 TB scale the multiplier is the cost knob: a size/slide of k
+    * multiplies the shuffled aggregation rows by k. Keep k small (2-4)
+    * and widen `slide` rather than `size` when the consumer tolerates
+    * coarser refresh. */
+  def slidingRollup(spark: SparkSession, dir: String,
+                    size: String = "2 hours", slide: String = "1 hour",
+                    delay: String = "1 hour",
+                    queryName: String = "events_sliding",
+                    statePartitions: Option[Int] = Some(8)): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_evt", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts_evt", delay)
+      .groupBy(window(col("ts_evt"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+      .select(
+        expr("unix_timestamp(window.start) DIV 3600").as("win_start_h"),
+        col("event_type"), col("cnt"), col("value_cents"))
+
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(queryName)
+  }
+
   /** Stream-stream interval self-join: each purchase joined to the same
     * user's clicks in the preceding `windowUs` microseconds — the
     * attribution-join shape. Both sides carry an event-time watermark,

@@ -462,6 +462,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding rollup equals the batch two-window expansion") {
+    val streamed = graft.streaming.EventStream
+      .slidingRollup(spark, sfDir, queryName = "t_sliding")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(expr("ts_ns DIV 3600000000000").as("h"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val batch = ev.select(col("h").as("ws"), col("event_type"), col("c"))
+      .unionAll(ev.select((col("h") - 1).as("ws"), col("event_type"), col("c")))
+      .groupBy(col("ws").as("win_start_h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c")).as("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming hourly rollup equals the batch equivalent") {
     val streamed = graft.streaming.EventStream
       .hourlyRollup(spark, sfDir, queryName = "t_hourly")
