@@ -560,6 +560,156 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Ordered funnel: view -> click -> purchase, each stage anchored
+  // strictly after the user's previous stage time. Stage frames are
+  // per-user min-timestamp aggregates (one shuffle each on user_id);
+  // the stage joins are user-keyed equi-joins — no window needed, no
+  // event-order state, scales as three filtered aggregations.
+  // ---------------------------------------------------------------------
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_ns")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_ns") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts_ns")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_ns") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts_ns")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t_view FROM events
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |  c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+      |    FROM events e JOIN v ON e.user_id = v.user_id
+      |    WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+      |    GROUP BY 1),
+      |  p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+      |    FROM events e JOIN c ON e.user_id = c.user_id
+      |    WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |    GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cohort retention: users grouped by first-activity day; for each
+  // (cohort, day offset) the distinct returning users. Two user-keyed
+  // aggregations plus one join — the standard retention-triangle shape.
+  // ---------------------------------------------------------------------
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+      .distinct()
+    val f = a.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    a.join(f, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_d"))
+      .filter(col("offset_d") <= 7)
+      .groupBy("cohort_day", "offset_d")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |  f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS offset_d, count(*) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |WHERE day - cohort_day <= 7
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Correlated-subquery shape (TPC-H Q2's core): per part, the
+  // supplier rows achieving the minimum unit cost. Expressed as a
+  // window min over the part key — one shuffle, no re-scan of the
+  // probe side, which is how the correlated form should execute at
+  // scale (Catalyst decorrelates to the same shape).
+  // ---------------------------------------------------------------------
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_suppkey"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)")
+        .as("unit_cost_cents"))
+    val w = Window.partitionBy("l_partkey")
+    li.withColumn("min_cost", min(col("unit_cost_cents")).over(w))
+      .filter(col("unit_cost_cents") === col("min_cost"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("best_suppkey"),
+        min(col("unit_cost_cents")).as("unit_cost_cents"))
+  }
+
+  val minCostSupplierSql: String =
+    """WITH li AS (SELECT l_partkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      // CAST(l_quantity AS BIGINT) AS unit_cost_cents
+      |  FROM lineitem)
+      |SELECT l_partkey, min(l_suppkey) AS best_suppkey,
+      |  min(unit_cost_cents) AS unit_cost_cents
+      |FROM li
+      |WHERE unit_cost_cents = (
+      |  SELECT min(unit_cost_cents) FROM li li2
+      |  WHERE li2.l_partkey = li.l_partkey)
+      |GROUP BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Unpivot / melt: wide numeric columns to (metric, amount) rows —
+  // narrow per-row fan-out (no shuffle), the inverse of pivot.
+  // ---------------------------------------------------------------------
+  def unpivotCharges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        cents(col("l_tax")).as("tax_e2"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("price_cents"), col("tax_e2")),
+        "metric", "amount")
+
+  val unpivotChargesSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+      |  'qty' AS metric, CAST(l_quantity AS BIGINT) AS amount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS INT), 'price_cents',
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS INT), 'tax_e2',
+      |  CAST(round(l_tax * 100) AS BIGINT) FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Feature scaling: per-group min-max normalization in exact e6
+  // fixed point — (x - min) * 1e6 DIV (max - min), 0 for constant
+  // groups. Two window aggregates over one partition pass.
+  // ---------------------------------------------------------------------
+  def normalizeMinMax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    t(s, dir, "events")
+      .withColumn("value_cents", cents(col("value")))
+      .withColumn("mn", min(col("value_cents")).over(w))
+      .withColumn("mx", max(col("value_cents")).over(w))
+      .select(col("event_id"), col("event_type"),
+        when(col("mx") === col("mn"), 0L).otherwise(
+          expr("(value_cents - mn) * 1000000 DIV (mx - mn)"))
+          .as("norm_e6"))
+  }
+
+  val normalizeMinMaxSql: String =
+    """SELECT event_id, event_type,
+      |  CASE WHEN mx = mn THEN 0
+      |    ELSE (value_cents - mn) * 1000000 // (mx - mn) END AS norm_e6
+      |FROM (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |    min(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mn,
+      |    max(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mx
+      |  FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Beyond-reference: ranking window functions (rank / dense_rank)
   // ---------------------------------------------------------------------
   def rankWindow(s: SparkSession, dir: String): DataFrame = {
@@ -805,6 +955,11 @@ object Queries {
     "q_window_cond_sums" -> (windowCondSums _),
     "q_moving_avg" -> (movingAvg _),
     "q_covariance_nation" -> (covarianceByNation _),
+    "q_funnel" -> (funnel _),
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_min_cost_supplier" -> (minCostSupplier _),
+    "q_unpivot_charges" -> (unpivotCharges _),
+    "q_normalize_minmax" -> (normalizeMinMax _),
     "q_group_quantiles" -> (groupQuantiles _),
     "q_distinct_pairs" -> (distinctPairs _),
     "q_group_count" -> (groupCount _),
@@ -844,6 +999,11 @@ object Queries {
     "q_window_cond_sums" -> windowCondSumsSql,
     "q_moving_avg" -> movingAvgSql,
     "q_covariance_nation" -> covarianceByNationSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_min_cost_supplier" -> minCostSupplierSql,
+    "q_unpivot_charges" -> unpivotChargesSql,
+    "q_normalize_minmax" -> normalizeMinMaxSql,
     "q_group_quantiles" -> groupQuantilesSql,
     "q_distinct_pairs" -> distinctPairsSql,
     "q_group_count" -> groupCountSql,
