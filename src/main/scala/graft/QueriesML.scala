@@ -904,6 +904,51 @@ object QueriesML {
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       NearDupThreshold)
 
+  // ---------------------------------------------------------------------
+  // SemDeDup: k-means partition, then near-dup flags WITHIN cells only
+  // (the published semantic-dedup recipe — pair work n^2/k, not n^2).
+  // Like IVF/PQ, the deterministic fit's centroid matrix is inlined
+  // into oracle SQL generated post-fit.
+  // ---------------------------------------------------------------------
+  val SemClusters = 16
+  val SemIters = 3
+
+  private val semCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = KMeans.fitOn(emb, "vec_id", "embedding", SemClusters, SemIters)
+    semCents.put(dir, cents)
+    Similarity.semDedup(cents, emb, "vec_id", "embedding", NearDupThreshold)
+  }
+
+  /** DuckDB twin of [[Similarity.semDedup]]: the IVF oracle's exact
+    * integer assignment (argmin of |v|^2-2<v,c>+|c|^2, ties -> lowest
+    * cell), a within-cell self-join for duplicate ids, LEFT JOIN back
+    * for the per-row flag. */
+  def semDedupSql(cents: Array[Array[Long]]): String = {
+    val dists = cents.map { c =>
+      val dot = c.zipWithIndex.map { case (w, j) => s"($w)*v[${j + 1}]" }
+        .mkString(" + ")
+      val cNorm2 = c.map(x => x * x).sum
+      s"n2 - 2*($dot) + $cNorm2"
+    }
+    val dlist = dists.mkString("[", ",\n      ", "]")
+    s"""WITH $fixedPointCte,
+       |  dlists AS (SELECT vec_id, v, n2, $dlist AS dl FROM nrm),
+       |  assigned AS (SELECT vec_id, v, n2,
+       |      list_position(dl, list_min(dl)) - 1 AS cell FROM dlists),
+       |  dup AS (SELECT DISTINCT b.vec_id
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |    WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= $NearDupThreshold)
+       |SELECT a.vec_id AS id, CAST(a.cell AS INT) AS cell,
+       |  (d.vec_id IS NOT NULL) AS is_dup
+       |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   val embedNearDupSql: String =
     s"""WITH $fixedPointCte
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1140,6 +1185,7 @@ object QueriesML {
     "q_ann_pq_rerank" -> (annPqRerank _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_blocked" -> (embedNearDupBlocked _),
+    "q_semdedup" -> (semDedup _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_decode" -> (imageDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
@@ -1179,7 +1225,11 @@ object QueriesML {
           "q_ann_pq_rerank" ->
           annPqRerankSql(pqBooks.values.iterator.next()))
       else Map.empty
-    staticOracles ++ ivf ++ pq
+    val sem: Map[String, String] =
+      if (semCents.size == 1)
+        Map("q_semdedup" -> semDedupSql(semCents.values.iterator.next()))
+      else Map.empty
+    staticOracles ++ ivf ++ pq ++ sem
   }
 
   private val staticOracles: Map[String, String] = Map(

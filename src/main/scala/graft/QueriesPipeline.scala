@@ -669,6 +669,51 @@ object QueriesPipeline {
       |  FROM documents GROUP BY source)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Snapshot diff: reconcile two table versions into added / removed /
+  // changed rows (ChangeCapture.snapshotDiff). Fixture: both snapshots
+  // derived deterministically from orders — %97 keys absent from the
+  // old snapshot (-> added), %89 keys absent from the new (-> removed),
+  // %13 keys get a doubled price in the new (-> changed).
+  // ---------------------------------------------------------------------
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 13 === 0, col("price_cents") * 2)
+          .otherwise(col("price_cents")))
+    ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+      Seq("price_cents", "o_orderstatus"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH base AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    o_orderstatus FROM orders),
+      |  os AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+      |  ns AS (SELECT o_orderkey,
+      |      CASE WHEN o_orderkey % 13 = 0 THEN price_cents * 2
+      |           ELSE price_cents END AS price_cents,
+      |      o_orderstatus FROM base WHERE o_orderkey % 89 <> 0)
+      |SELECT coalesce(os.o_orderkey, ns.o_orderkey) AS o_orderkey,
+      |  os.price_cents AS old_price_cents,
+      |  os.o_orderstatus AS old_o_orderstatus,
+      |  ns.price_cents AS new_price_cents,
+      |  ns.o_orderstatus AS new_o_orderstatus,
+      |  CASE WHEN os.o_orderkey IS NULL THEN 'added'
+      |       WHEN ns.o_orderkey IS NULL THEN 'removed'
+      |       WHEN os.price_cents IS DISTINCT FROM ns.price_cents
+      |         OR os.o_orderstatus IS DISTINCT FROM ns.o_orderstatus
+      |       THEN 'changed' END AS change_type
+      |FROM os FULL OUTER JOIN ns ON os.o_orderkey = ns.o_orderkey
+      |WHERE CASE WHEN os.o_orderkey IS NULL THEN 'added'
+      |       WHEN ns.o_orderkey IS NULL THEN 'removed'
+      |       WHEN os.price_cents IS DISTINCT FROM ns.price_cents
+      |         OR os.o_orderstatus IS DISTINCT FROM ns.o_orderstatus
+      |       THEN 'changed' END IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Boilerplate detection: most frequent word 3-grams corpus-wide with
   // occurrence + document counts (operators.TextAnalysis.commonNgrams)
   // ---------------------------------------------------------------------
@@ -714,6 +759,7 @@ object QueriesPipeline {
     "q_sketch_merge" -> (sketchMergeConsistent _),
     "q_mixture_weights" -> (mixtureWeights _),
     "q_common_ngrams" -> (commonNgrams _),
+    "q_snapshot_diff" -> (snapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -742,5 +788,6 @@ object QueriesPipeline {
     "q_sketch_merge" -> sketchMergeConsistentSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_common_ngrams" -> commonNgramsSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
   )
 }

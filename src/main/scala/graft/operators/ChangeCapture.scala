@@ -30,6 +30,44 @@ object ChangeCapture {
       .drop("__rn")
   }
 
+  /** Snapshot diff: reconcile two keyed snapshots of a table into the
+    * rows that were `added`, `removed`, or `changed` between them —
+    * the reverse of CDC apply (recover a change feed from two states),
+    * and the standard data-validation / backfill-audit primitive.
+    *
+    * Unchanged rows are NOT emitted: at 100 TB the overwhelming
+    * majority of rows are unchanged between snapshots, and a diff that
+    * materializes them is a full table copy. Output volume is
+    * O(changes).
+    *
+    * Shape: ONE full outer shuffle join on the key; `changed` is a
+    * null-safe comparison over `compareCols` evaluated in the join
+    * projection (no second pass). Snapshots written bucketed on the key
+    * ([[graft.operators.ScaleOps.writeBucketed]]) diff with ZERO
+    * exchanges. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n0 = newSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(true))
+    val n = compareCols.foldLeft(n0)((d, c) =>
+      d.withColumnRenamed(c, s"__new_$c"))
+    val changed = compareCols.map(c =>
+      !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"old_$c")) ++
+        compareCols.map(c => col(s"__new_$c").as(s"new_$c")) :+
+        col("change_type"): _*)
+  }
+
   /** SCD Type-2 history: collapse consecutive rows with an unchanged
     * tracked attribute, then emit validity intervals
     * [valid_from, valid_to) per key with `version` numbering and

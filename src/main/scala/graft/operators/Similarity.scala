@@ -260,4 +260,44 @@ object Similarity {
       .groupBy(col(groupCol), col("dim"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("x")).as("sum_fp"))
       .withColumn("mean_fp", expr("sum_fp DIV n_vecs"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    * relationally: partition the corpus by a k-means coarse quantizer,
+    * then mark as semantic duplicates the rows whose cosine to a
+    * LOWER-ID row of the SAME cluster meets `threshold` — the keeper of
+    * every semantic-duplicate group is its lowest id, everything else
+    * is flagged. Returns one row per corpus row: (id, cell, is_dup).
+    *
+    * Scale shape: the quadratic pair check runs WITHIN cells only —
+    * one O(n) shuffle on the cell key, then per-cell m_c^2/2 local
+    * pairs, so total pair work is n^2/k for balanced cells (the paper's
+    * reason for clustering first; k grows with the corpus, holding
+    * per-cell volume constant). The centroid matrix rides the plan as
+    * a broadcast-sized literal; no driver collect of row data. Cells
+    * with runaway m_c are the same hot-bucket failure mode as LSH
+    * buckets — bound them upstream by raising k (cells track corpus
+    * density, unlike hash buckets, so skew here means genuinely dense
+    * semantic regions that SHOULD be deduped).
+    *
+    * `cents` comes from [[KMeans.fitOn]] — deterministic, so oracle SQL
+    * can inline the same matrix and reproduce assignment bit-exactly. */
+  def semDedup(cents: Array[Array[Long]], corpus: DataFrame, idCol: String,
+               vecCol: String, threshold: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val p = prep(corpus, idCol, vecCol, "id", "v", "n2")
+      .withColumn("cell", KMeans.nearestCentroid(col("v"), col("n2"), cents))
+    val a = p.select(col("cell"), col("id").as("id_a"), col("v").as("va"),
+      col("n2").as("na2"))
+    val b = p.select(col("cell"), col("id").as("id_b"), col("v").as("vb"),
+      col("n2").as("nb2"))
+    val dupIds = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosFromNorms(dotFixed(col("va"), col("vb")),
+        col("na2"), col("nb2")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    p.select(col("id"), col("cell"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -14,12 +14,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Schema of the events parquet as Spark reads it (ts as raw nanos —
-    * see graft.Tables.events). */
+  /** Schema of the events parquet as Spark reads it (either raw long
+    * nanos under the legacy conf, or native TIMESTAMP_NTZ micros — see
+    * graft.Tables.events for the dual-layout contract). */
   private def rawSchema(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet").schema
   }
+
+  /** `ts` as an event-time TimestampType, for either physical layout
+    * (long nanos → truncate to micros; NTZ micros → plain cast, with
+    * session TZ pinned UTC by every harness). */
+  private def tsEvt(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts DIV 1000)")
+      case _ => expr("cast(ts AS timestamp)")
+    }
+
+  /** `ts` as integer epoch-micros, for either physical layout. */
+  private def tsUs(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => expr("unix_micros(cast(ts AS timestamp))")
+    }
 
   /** Hourly event counts/volumes computed via readStream +
     * Trigger.AvailableNow into an in-memory sink; returns the final
@@ -46,7 +64,7 @@ object EventStream {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts_evt", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_evt", tsEvt(schema))
       .withWatermark("ts_evt", delay)
       .groupBy(window(col("ts_evt"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -94,7 +112,7 @@ object EventStream {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts_evt", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_evt", tsEvt(schema))
       .withWatermark("ts_evt", delay)
       .groupBy(window(col("ts_evt"), size, slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -147,7 +165,7 @@ object EventStream {
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
-          expr("timestamp_micros(ts DIV 1000)").as(s"${prefix}_ts"))
+          tsEvt(schema).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", delay)
     val joined = side("purchase", "purchase")
       .join(side("click", "click"),
@@ -192,7 +210,7 @@ object EventStream {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts_evt", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_evt", tsEvt(schema))
       .withWatermark("ts_evt", delay)
       .dropDuplicatesWithinWatermark("user_id")
       .select(col("user_id"))
@@ -240,7 +258,7 @@ object EventStream {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("user_id"), tsUs(schema).as("ts_us"),
         graft.functions.Exact.cents(col("value")).as("value_cents"))
       .as[TimedEvent]
     val sessions = stream.groupByKey(_.user_id)

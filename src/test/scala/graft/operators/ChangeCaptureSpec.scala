@@ -82,4 +82,33 @@ class ChangeCaptureSpec extends SparkSpec {
     val users = e.select("user_id").distinct().count()
     assert(hist.filter(col("is_current")).count() == users)
   }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged omitted") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"), (4L, 400L, "D"))
+      .toDF("k", "v", "s")
+    val newSnap = Seq(
+      (1L, 100L, "A"),          // unchanged -> omitted
+      (2L, 250L, "B"),          // value changed
+      (3L, 300L, "X"),          // attr changed
+      (5L, 500L, "E"))          // added; 4 removed
+      .toDF("k", "v", "s")
+    val out = ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("k"),
+        Seq("v", "s"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshotDiff: null-safe comparison treats null==null as unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Option.empty[Long]), (2L, Some(5L)))
+      .toDF("k", "v")
+    val newSnap = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "v")
+    val out = ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed"))
+  }
 }

@@ -305,6 +305,48 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.map(r => (r._1, r._2)).toSet == Set((2L, 29L)))
   }
+
+  test("semDedup matches a driver-local within-cell recompute; keepers kept") {
+    val dim = 16
+    val base = vecs(41, 50, dim)
+    // plant exact duplicates: 50..54 clone 0..4 (same cell by construction)
+    val planted = base ++ (0 until 5).map(i => (50L + i, base(i)._2.clone()))
+    val df = planted.toDF("vec_id", "embedding")
+    val cents = KMeans.fitOn(df, "vec_id", "embedding", 4, 3)
+    val out = Similarity.semDedup(cents, df, "vec_id", "embedding", 0.3)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length == planted.size)
+
+    // driver-local oracle in the SAME fixed-point arithmetic
+    val fixed = planted.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * Similarity.Scale))
+    }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cell(v: Array[Long]): Int = {
+      val n2 = dot(v, v)
+      val d = cents.map(c => n2 - 2 * dot(v, c) + dot(c, c))
+      d.indexOf(d.min)
+    }
+    val cellOf = fixed.map { case (id, v) => id -> cell(v) }
+    val expectDup = fixed.keys.map { id =>
+      id -> fixed.keys.exists { other =>
+        other < id && cellOf(other) == cellOf(id) && {
+          val (a, b) = (fixed(other), fixed(id))
+          dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble) >= 0.3
+        }
+      }
+    }.toMap
+    out.foreach { case (id, c, isDup) =>
+      assert(c == cellOf(id), s"cell mismatch for $id")
+      assert(isDup == expectDup(id), s"flag mismatch for $id")
+    }
+    // every planted clone is flagged; each keeper (lower id) group survives
+    (0 until 5).foreach { i =>
+      assert(out.find(_._1 == 50L + i).get._3, s"planted clone ${50 + i} not flagged")
+    }
+    assert(out.count(!_._3) >= 1)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
