@@ -90,6 +90,37 @@ object QueriesScale {
        |LEFT JOIN c ON c.bin = g.i""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Robust outliers: top-k rows per group by median/MAD z-score, exact
+  // integer scoring end-to-end (Stats.outliersMad)
+  // ---------------------------------------------------------------------
+  val OutlierTopK = 10
+
+  def outlierMad(s: SparkSession, dir: String): DataFrame =
+    Stats.outliersMad(
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"),
+        graft.functions.Exact.cents(col("l_extendedprice")).as("price_cents")),
+      "l_returnflag", "price_cents", Seq("l_orderkey", "l_linenumber"),
+      OutlierTopK)
+
+  val outlierMadSql: String =
+    s"""WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+       |  FROM lineitem),
+       |  m AS (SELECT *, CAST(median(price_cents)
+       |      OVER (PARTITION BY l_returnflag) * 2 AS BIGINT) AS med2 FROM b),
+       |  d AS (SELECT *, abs(price_cents * 2 - med2) AS dev2 FROM m),
+       |  md AS (SELECT *, CAST(median(dev2)
+       |      OVER (PARTITION BY l_returnflag) * 2 AS BIGINT) AS mad4 FROM d),
+       |  sc AS (SELECT *, CASE WHEN mad4 = 0 THEN -1
+       |      ELSE (dev2 * 2000000) // mad4 END AS rz_e6 FROM md),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY rz_e6 DESC, l_orderkey, l_linenumber) AS rank FROM sc)
+       |SELECT l_returnflag, l_orderkey, l_linenumber, price_cents,
+       |  CAST(rz_e6 AS BIGINT) AS rz_e6, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $OutlierTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Global rank without a single-partition window
   // ---------------------------------------------------------------------
   def globalRank(s: SparkSession, dir: String): DataFrame =
@@ -302,6 +333,7 @@ object QueriesScale {
     "q_triangle_count" -> (triangleCount _),
     "q_pagerank" -> (pageRank _),
     "q_histogram" -> (histogram _),
+    "q_outlier_mad" -> (outlierMad _),
     "q_global_rank" -> (globalRank _),
     "q_zorder" -> (zorderKey _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -316,6 +348,7 @@ object QueriesScale {
     "q_triangle_count" -> triangleCountSql,
     "q_pagerank" -> pageRankSql,
     "q_histogram" -> histogramSql,
+    "q_outlier_mad" -> outlierMadSql,
     "q_global_rank" -> globalRankSql,
     "q_zorder" -> zorderKeySql,
     "q_heavy_hitters" -> heavyHittersSql,

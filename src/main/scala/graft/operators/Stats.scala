@@ -44,4 +44,47 @@ object Stats {
     df.agg(GraftSqlShims.column(
       graft.plans.MisraGriesAgg(GraftSqlShims.expression(valueCol), k)
         .toAggregateExpression()).as("mg"))
+
+  /** Robust per-group outlier ranking by median/MAD z-score: for each
+    * group, the `topK` rows with the largest |x - median| / MAD, with
+    * the exact integer score `rz_e6 = 1e6 * |x - med| / MAD` (floored).
+    *
+    * Median and MAD are interpolated medians over an INTEGRAL column:
+    * midpoints are either .0 or .5, so `2 x median` is an exact
+    * integer in every IEEE engine and the whole score pipeline stays
+    * in exact integer arithmetic — `dev2 = |2x - med2|`,
+    * `mad4 = median of dev2 doubled`, `rz_e6 = 2e6 * dev2 DIV mad4`
+    * (2x because dev2/mad4 carry one doubling each). Engine-portable
+    * and hash-gateable; no doubles survive into the output.
+    *
+    * Shape: both medians and the final rank partition on `groupCol` —
+    * Catalyst plans ONE Exchange reused by all three window passes.
+    * At 100 TB exact per-group medians require a per-group sort, which
+    * is what the single hash partition + in-partition sort pays for;
+    * for a first pass at scale, substitute the GK sketch
+    * ([[Sketches.approxQuantiles]]) and keep the same score shape.
+    * Groups must individually fit a partition (same contract as every
+    * exact per-group quantile, [[Quantiles.perGroup]]); MAD = 0 groups
+    * (over half the values at the median) emit rz_e6 = -1 sentinel
+    * rows rather than dividing by zero. */
+  def outliersMad(df: DataFrame, groupCol: String, valCol: String,
+                  tieCols: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val med2 = (expr(s"percentile($valCol, 0.5)").over(byGroup) * 2)
+      .cast("long")
+    val scored = df
+      .withColumn("dev2", abs(col(valCol) * 2 - med2))
+      .withColumn("mad4",
+        (expr("percentile(dev2, 0.5)").over(byGroup) * 2).cast("long"))
+      .withColumn("rz_e6",
+        when(col("mad4") === 0, lit(-1L))
+          .otherwise(expr("(dev2 * 2000000) DIV mad4")))
+    val rankW = Window.partitionBy(col(groupCol))
+      .orderBy(col("rz_e6").desc +: tieCols.map(col): _*)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .select(col(groupCol) +: tieCols.map(col) :+ col(valCol) :+
+        col("rz_e6") :+ col("rank"): _*)
+  }
 }

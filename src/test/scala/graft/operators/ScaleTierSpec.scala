@@ -128,6 +128,40 @@ class ScaleTierSpec extends SparkSpec {
     assert(h.values.sum === 6L)
   }
 
+  // --- robust outliers ---------------------------------------------------
+
+  test("outliersMad: exact integer robust z-scores vs driver recompute") {
+    val rows = Seq(
+      // group A: median 10, MAD 2 -> 100 is the screaming outlier
+      ("A", 1L, 8L), ("A", 2L, 10L), ("A", 3L, 12L), ("A", 4L, 100L),
+      ("A", 5L, 9L),
+      // group B: all equal -> MAD 0 -> sentinel -1 scores
+      ("B", 1L, 7L), ("B", 2L, 7L), ("B", 3L, 7L))
+      .toDF("g", "k", "x")
+    val out = Stats.outliersMad(rows, "g", "x", Seq("k"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    def rz(xs: Seq[Long], x: Long): Long = {
+      def med2(s: Seq[Long]): Long = { // 2x interpolated median, exact
+        val v = s.sorted
+        if (v.size % 2 == 1) 2 * v(v.size / 2)
+        else v(v.size / 2 - 1) + v(v.size / 2)
+      }
+      val m2 = med2(xs)
+      val dev2 = xs.map(v => math.abs(2 * v - m2))
+      val mad4 = med2(dev2)
+      if (mad4 == 0) -1L else math.abs(2 * x - m2) * 2000000 / mad4
+    }
+    val aVals = Seq(8L, 10L, 12L, 100L, 9L)
+    // x=8 (k=1) and x=12 (k=3) tie at rz=1e6; the key tiebreak keeps k=1
+    val expectA = Seq((100L, 4L), (8L, 1L))
+      .map { case (x, k) => ("A", k, rz(aVals, x)) }
+    assert(out.filter(_._1 == "A").map(t => (t._1, t._2, t._3)).toSeq
+      .sortBy(_._2) == expectA.sortBy(_._2))
+    // MAD=0 group: every row carries the -1 sentinel, rank by tiebreak
+    val b = out.filter(_._1 == "B")
+    assert(b.forall(_._3 == -1L) && b.map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+
   // --- Misra-Gries -------------------------------------------------------
 
   test("MG guarantees hold across partition layouts (merge exercised)") {
