@@ -1143,6 +1143,30 @@ object QueriesML {
     EventStream.hourlyRollup(s, dir,
       queryName = s"events_hourly_${streamRun.incrementAndGet()}")
 
+  val SessionGapUs: Long = 1800L * 1000000 // 30 minutes
+
+  def streamingSessions(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionWindowRollup(s, dir, SessionGapUs,
+      queryName = s"events_sessions_${streamRun.incrementAndGet()}")
+
+  /** Batch islands twin of the native session_window: break when the
+    * gap to the previous event is >= gapUs (session_window merges an
+    * event iff it lands strictly inside prev_end = prev_ts + gap);
+    * session end = last event + gap, matching window.end. */
+  val streamingSessionsSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+       |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |  o AS (SELECT *, lag(ts_us) OVER
+       |      (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+       |  m AS (SELECT *, CASE WHEN prev IS NULL
+       |      OR ts_us - prev >= $SessionGapUs THEN 1 ELSE 0 END AS brk FROM o),
+       |  sid AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS s FROM m)
+       |SELECT user_id, min(ts_us) AS start_us,
+       |  max(ts_us) + $SessionGapUs AS end_us,
+       |  count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_cents
+       |FROM sid GROUP BY user_id, s""".stripMargin
+
   val streamingHourlySql: String =
     """SELECT epoch_ns(ts) // 3600000000000 AS epoch_h, event_type,
       |  count(*) AS cnt,
@@ -1190,6 +1214,7 @@ object QueriesML {
     "q_image_decode" -> (imageDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_streaming_sliding" -> (streamingSliding _),
+    "q_streaming_sessions" -> (streamingSessions _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_native" -> (asofNative _),
@@ -1250,6 +1275,7 @@ object QueriesML {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_decode" -> imageDecodeSql,
     "q_streaming_hourly" -> streamingHourlySql,
+    "q_streaming_sessions" -> streamingSessionsSql,
     "q_streaming_sliding" -> streamingSlidingSql,
     "q_asof_prior_signup" -> asofPriorSignupSql,
     "q_asof_join" -> asofJoinSql,

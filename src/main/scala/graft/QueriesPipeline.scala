@@ -570,6 +570,62 @@ object QueriesPipeline {
                           exact: org.apache.spark.sql.Column, relBound: Double) =
     abs(est.cast("double") - exact.cast("double")) <= exact * relBound + lit(5)
 
+  // ---------------------------------------------------------------------
+  // Count-Min frequency sketch gate. Unlike the HLL/GK tiers (invariant
+  // gates only — library sketch layouts differ per engine), the CMS is
+  // built RELATIONALLY from md5 universal hashes, so the ESTIMATES
+  // themselves hash-match the oracle exactly, plus the two classic CMS
+  // guarantees as boolean columns.
+  // ---------------------------------------------------------------------
+  val CmsDepth = 3
+  val CmsWidth = 256
+  val CmsTopK = 20
+
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val cells = operators.Sketches.countMinCells(toks, "w", CmsDepth, CmsWidth)
+    val top = toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w").asc).limit(CmsTopK)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    operators.Sketches.countMinEstimate(cells, top, "w", CmsDepth, CmsWidth)
+      .join(top, Seq("w"))
+      .crossJoin(total)
+      .select(col("w"), col("exact_n"), col("cms_est"),
+        (col("cms_est") >= col("exact_n")).as("never_under"),
+        (col("cms_est") <= col("exact_n") +
+          expr(s"(2 * n_total) DIV $CmsWidth")).as("within_bound"))
+  }
+
+  val cmsFreqSql: String = {
+    import graft.functions.StableHash
+    def h(r: Int) =
+      s"(${StableHash.universalSql(StableHash.stable32Sql("w"), r)}) % $CmsWidth"
+    val cellSelects = (0 until CmsDepth).map(r =>
+      s"SELECT $r AS r, ${h(r)} AS cell, count(*) AS n FROM toks GROUP BY 2")
+      .mkString("\n    UNION ALL ")
+    val probeSelects = (0 until CmsDepth).map(r =>
+      s"SELECT w, $r AS r, ${h(r)} AS cell FROM top")
+      .mkString("\n    UNION ALL ")
+    s"""WITH toks AS (SELECT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    WHERE length(w) > 0),
+       |  cells AS ($cellSelects),
+       |  top AS (SELECT w, count(*) AS exact_n FROM toks GROUP BY w
+       |    ORDER BY exact_n DESC, w LIMIT $CmsTopK),
+       |  probes AS ($probeSelects),
+       |  est AS (SELECT w, min(n) AS cms_est
+       |    FROM probes JOIN cells USING (r, cell) GROUP BY w),
+       |  tot AS (SELECT count(*) AS n_total FROM toks)
+       |SELECT t.w, CAST(t.exact_n AS BIGINT) AS exact_n,
+       |  CAST(e.cms_est AS BIGINT) AS cms_est,
+       |  e.cms_est >= t.exact_n AS never_under,
+       |  e.cms_est <= t.exact_n + (2 * tot.n_total) // $CmsWidth
+       |    AS within_bound
+       |FROM top t JOIN est e USING (w), tot""".stripMargin
+  }
+
   def sketchDistinctBound(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val est = operators.Sketches.approxDistinct(e, Seq("event_type"),
@@ -754,6 +810,7 @@ object QueriesPipeline {
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
+    "q_cms_freq" -> (cmsFreq _),
     "q_sketch_distinct_bound" -> (sketchDistinctBound _),
     "q_sketch_quantile_bound" -> (sketchQuantileBound _),
     "q_sketch_merge" -> (sketchMergeConsistent _),
@@ -783,6 +840,7 @@ object QueriesPipeline {
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,
+    "q_cms_freq" -> cmsFreqSql,
     "q_sketch_distinct_bound" -> sketchDistinctBoundSql,
     "q_sketch_quantile_bound" -> sketchQuantileBoundSql,
     "q_sketch_merge" -> sketchMergeConsistentSql,

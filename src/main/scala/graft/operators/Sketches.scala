@@ -87,4 +87,45 @@ object Sketches {
     detPartial(df, groupCols, valueCol)
       .select(groupCols.map(col) :+
         estimateCol(col("hll_det")).as("approx_distinct"): _*)
+
+  // -------------------------------------------------------------------
+  // Deterministic Count-Min sketch, expressed RELATIONALLY: the sketch
+  // is a (row, cell) -> count table built by one partial-aggregated
+  // groupBy, so it is mergeable by construction (cell counts are exact
+  // sums — union sketches by summing cells) and, unlike every library
+  // sketch above, the ESTIMATES are engine-portable integers: the same
+  // md5-based universal hashes compute the same cells anywhere, which
+  // lets CMS estimates ride the hash-match oracle gate directly.
+  // -------------------------------------------------------------------
+
+  /** CMS cell table: `depth` x `width` rows of (r, cell, n). Shuffle
+    * O(depth x width x partitions) after map-side partial aggregation,
+    * regardless of input size — the 100 TB frequency-table contract.
+    * State 3x256 longs ~ 6 KB at the defaults. */
+  def countMinCells(tokens: DataFrame, tokenCol: String,
+                    depth: Int = 3, width: Int = 256): DataFrame = {
+    val x = graft.functions.StableHash.stable32(col(tokenCol))
+    val rows = (0 until depth).map(r => struct(lit(r).as("r"),
+      (graft.functions.StableHash.universal(x, r) % width).as("cell")))
+    tokens.select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-frequency estimates for `words` against a cell table:
+    * est(w) = min over rows of the w-hashed cell — the classic CMS
+    * read, never an underestimate, overestimate bounded by collisions
+    * (~ 2N/width with constant probability per row). Broadcast-sized
+    * probes join the tiny cell table; no scan of the base data. */
+  def countMinEstimate(cells: DataFrame, words: DataFrame,
+                       wordCol: String, depth: Int = 3,
+                       width: Int = 256): DataFrame = {
+    val x = graft.functions.StableHash.stable32(col(wordCol))
+    val rows = (0 until depth).map(r => struct(lit(r).as("r"),
+      (graft.functions.StableHash.universal(x, r) % width).as("cell")))
+    words.select(col(wordCol), explode(array(rows: _*)).as("rc"))
+      .select(col(wordCol), col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .join(cells, Seq("r", "cell"))
+      .groupBy(col(wordCol)).agg(min(col("n")).as("cms_est"))
+  }
 }

@@ -138,6 +138,55 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Per-user session rollup via Spark's NATIVE `session_window` — the
+    * idiomatic surface for gap-based sessions (dynamic windows that
+    * merge as events arrive), complementing the explicit
+    * [[sessionizeStream]] flatMapGroupsWithState variant. A session
+    * window spans [first event, last event + gap); two events of one
+    * user belong to one session iff consecutive gaps stay under `gapUs`
+    * microseconds.
+    *
+    * Complete output mode (like [[hourlyRollup]]): under
+    * Trigger.AvailableNow the memory sink then holds every session —
+    * identical to the batch islands computation, which is what the
+    * oracle checks. A 24/7 deployment switches to append mode +
+    * watermark so closed sessions flush incrementally and state stays
+    * bounded by open sessions only. */
+  def sessionWindowRollup(spark: SparkSession, dir: String,
+                          gapUs: Long = 1800L * 1000000,
+                          queryName: String = "events_sessions",
+                          statePartitions: Option[Int] = Some(8)): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_evt", tsEvt(schema))
+      .groupBy(session_window(col("ts_evt"), s"${gapUs / 1000000} seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("start_us"),
+        expr("unix_micros(session_window.end)").as("end_us"),
+        col("n_events"), col("value_cents"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(queryName)
+  }
+
   /** Stream-stream interval self-join: each purchase joined to the same
     * user's clicks in the preceding `windowUs` microseconds — the
     * attribution-join shape. Both sides carry an event-time watermark,

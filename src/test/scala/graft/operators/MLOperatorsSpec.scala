@@ -436,6 +436,31 @@ class MultimodalSpec extends SparkSpec {
 
 class StreamingSpec extends SparkSpec {
 
+  test("native session_window rollup equals the batch islands sessionizer") {
+    val streamed = graft.streaming.EventStream
+      .sessionWindowRollup(spark, sfDir, gapUs = 1800L * 1000000,
+        queryName = "t_sesswin")
+      .collect().map(_.toSeq).toSet
+    // batch islands twin: break at gap >= 30 min, end = last + gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts_us") - col("prev") >= 1800L * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) + 1800L * 1000000).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"))
+      .select("user_id", "start_us", "end_us", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful mapGroupsWithState totals equal the batch groupBy") {
     val streamed = graft.streaming.EventStream
       .runningUserTotals(spark, sfDir, "t_totals")

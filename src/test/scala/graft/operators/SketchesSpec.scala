@@ -34,6 +34,28 @@ class SketchesSpec extends SparkSpec {
       s"merged=$merged exact=$exact")
   }
 
+  test("count-min: never underestimates; merge == one-shot by cell sums") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val words = Seq.fill(5000)(s"w${(1.0 / (rnd.nextDouble() + 0.01)).toInt}")
+    val df = words.toDF("w")
+    val cells = Sketches.countMinCells(df, "w", 3, 64)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probe = exact.keys.toSeq.toDF("w")
+    val est = Sketches.countMinEstimate(cells, probe, "w", 3, 64)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"$w: est ${est(w)} < exact $n")
+    }
+    // mergeability: cell tables of two halves sum to the full table
+    val (h1, h2) = words.splitAt(words.size / 2)
+    val mergedCells = Sketches.countMinCells(h1.toDF("w"), "w", 3, 64)
+      .union(Sketches.countMinCells(h2.toDF("w"), "w", 3, 64))
+      .groupBy("r", "cell").agg(sum("n").as("n"))
+    val full = cells.as[(Int, Long, Long)].collect().toSet
+    assert(mergedCells.as[(Int, Long, Long)].collect().toSet == full)
+  }
+
   test("approx quantiles bracket the exact quantiles") {
     val cents = events.select(col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
