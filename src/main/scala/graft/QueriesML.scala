@@ -340,9 +340,14 @@ object QueriesML {
   // Document fingerprints: content md5 + rolling-hash shingle min
   // ---------------------------------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
-      TextAnalysis.shingleFingerprint(col("text"), 8).as("shingle_fp"))
+    // ~chars-per-doc md5 calls per row: a single-file table would run
+    // the whole kernel in ONE task without the parallelism guard
+    // (measured 1.87 s -> task-parallel after the split)
+    operators.ScaleOps.ensureParallelism(t(s, dir, "documents"),
+        s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+        TextAnalysis.shingleFingerprint(col("text"), 8).as("shingle_fp"))
 
   val fingerprintSql: String =
     s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,

@@ -525,7 +525,12 @@ object QueriesPipeline {
   // Single-pass numeric profiling of lineitem (ANALYZE shape)
   // ---------------------------------------------------------------------
   def profileLineitem(s: SparkSession, dir: String): DataFrame =
-    operators.Profile.numeric(t(s, dir, "lineitem"), Seq(
+    // the 4-way distinct expands rows 5x BEFORE the first exchange; a
+    // single-row-group input file would push the whole expand through
+    // one task without the parallelism guard
+    operators.Profile.numeric(
+      operators.ScaleOps.ensureParallelism(t(s, dir, "lineitem"),
+        s.sparkContext.defaultParallelism), Seq(
       "l_quantity" -> round(col("l_quantity")).cast("long"),
       "l_extendedprice" -> cents(col("l_extendedprice")),
       "l_discount" -> cents(col("l_discount")),

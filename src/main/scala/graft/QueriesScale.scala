@@ -233,8 +233,13 @@ object QueriesScale {
   val SpanMinDocs = 2
 
   def repeatedSpans(s: SparkSession, dir: String): DataFrame =
-    Spans.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
-      SpanK, SpanMinDocs)
+    // the shingle explode (the operator's heaviest narrow stage, run
+    // for both the DF-count and the semi-join branch) inherits input
+    // parallelism — guard against single-row-group files
+    Spans.repeatedSpans(
+      ScaleOps.ensureParallelism(t(s, dir, "documents"),
+        s.sparkContext.defaultParallelism),
+      "doc_id", "text", SpanK, SpanMinDocs)
 
   val repeatedSpansSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
