@@ -337,6 +337,50 @@ object QueriesML {
        |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT $LmTopK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Text normalization: NFC + lower + whitespace collapse. The corpus
+  // is already clean, so decomposed accents / case / ragged whitespace
+  // are injected deterministically on both engines (the PII-fixture
+  // pattern), then both run the same ladder.
+  // ---------------------------------------------------------------------
+  def normalizeText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("  Café   du  Monde\t")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" Über  ALLES\n")).otherwise(lit(""))).as("raw"))
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(col("raw")).as("norm"))
+
+  val normalizeTextSql: String =
+    """WITH p AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN '  Cafe' || chr(769) || '   du  Monde' || chr(9)
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' U' || chr(776) || 'ber  ALLES' || chr(10)
+      |      ELSE '' END AS raw
+      |  FROM documents)
+      |SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(raw)),
+      |  '[ \t\n\r]+', ' ', 'g')) AS norm
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Unigram LM quality score: mean corpus token probability in exact ppm
+  // ---------------------------------------------------------------------
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmUnigramScore(t(s, dir, "documents"), "doc_id", "text")
+
+  val lmScoreSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents),
+      |  c AS (SELECT w, count(*) AS cw FROM tk GROUP BY w),
+      |  n AS (SELECT count(*) AS nt FROM tk)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum((cw * 1000000) // nt) // count(*) AS BIGINT) AS score_ppm
+      |FROM tk JOIN c USING (w), n
+      |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprints: content md5 + rolling-hash shingle min
   // ---------------------------------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1230,6 +1274,8 @@ object QueriesML {
     "q_collocations" -> (collocations _),
     "q_bm25_rank" -> (bm25Rank _),
     "q_lm_counts" -> (lmCounts _),
+    "q_lm_score" -> (lmScore _),
+    "q_normalize_text" -> (normalizeText _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
@@ -1292,6 +1338,8 @@ object QueriesML {
     "q_collocations" -> collocationsSql,
     "q_bm25_rank" -> bm25RankSql,
     "q_lm_counts" -> lmCountsSql,
+    "q_lm_score" -> lmScoreSql,
+    "q_normalize_text" -> normalizeTextSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

@@ -331,4 +331,48 @@ object TextAnalysis {
         sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate_e6", expr("n_oov * 1000000 DIV n_tokens"))
   }
+
+  /** Standard text-normalization ladder for dedup/canonicalization:
+    * Unicode NFC composition (codegen'd [[graft.plans.NfcNormalize]]
+    * kernel — `java.text.Normalizer`, same canonical composition as
+    * DuckDB's `nfc_normalize`), Unicode lowercasing, whitespace-run
+    * collapse, and edge trim. Pure narrow map, stays inside
+    * whole-stage codegen; run it BEFORE hashing/shingling so visually
+    * identical text (composed vs decomposed accents, case, spacing)
+    * dedups together. */
+  def normalizeText(text: Column): Column = {
+    val nfc = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.GraftSqlShims.expression(text)))
+    trim(regexp_replace(lower(nfc), "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Corpus-frequency language-model score per document: the mean
+    * corpus probability of the document's tokens, in exact ppm
+    * integers — `score_ppm = avg over tokens of (count(token) * 1e6
+    * DIV corpus_tokens)`. The integer-exact stand-in for perplexity
+    * filtering (CCNet-style): documents dominated by rare/garbage
+    * tokens score near 0, template/stopword text scores high; rank or
+    * threshold on it exactly like a MONOTONE transform of a unigram
+    * LM's per-token probability (no float log, so the score — unlike a
+    * log-likelihood — is engine-portable and hash-gateable).
+    *
+    * Scale shape: token frequencies are one partial-aggregated groupBy
+    * on the token key; the corpus total rides in as a broadcast 1-row
+    * frame; scoring re-joins tokens to frequencies on the token key
+    * (hash join, partial-aggregable final per-doc fold). Two shuffles
+    * total, both on compact keys. A 100 TB deployment freezes the
+    * frequency table once (it IS [[vocabulary]] without the cut) and
+    * scores any stream against it with the join alone. */
+  def lmUnigramScore(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val tk = df.select(col(idCol), explode(tokensOf(col(textCol))).as("w"))
+    val freq = tk.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = tk.agg(count(lit(1)).as("nt"))
+    tk.join(freq, Seq("w")).crossJoin(broadcast(total))
+      .withColumn("ppm", expr("(cw * 1000000) DIV nt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(ppm) DIV count(1)").cast("long").as("score_ppm"))
+  }
 }

@@ -65,6 +65,16 @@ object Kernels {
       if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** Unicode NFC canonical composition; returns the input object
+    * unchanged (no copy) when already normalized — the common case for
+    * ASCII-dominated corpora. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   private val space = UTF8String.fromString(" ")
 
   /** One-pass duplication stats over the space-split token stream:
@@ -478,5 +488,36 @@ case class Simhash32(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.plans.Kernels.simhash32($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+/** `graft_nfc(text)`: Unicode NFC normalization (canonical composition)
+  * as a codegen'd scalar — the first step of the standard text-cleanup
+  * ladder (NFC -> case fold -> whitespace collapse). Backed by
+  * `java.text.Normalizer`, which implements the same Unicode canonical
+  * composition as DuckDB's `nfc_normalize`, so normalized output is
+  * engine-portable and the downstream pipeline hash-gates. The kernel
+  * short-circuits via `Normalizer.isNormalized` — for the typical
+  * mostly-ASCII corpus the cost is one scan of the string, no
+  * allocation.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string)")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }

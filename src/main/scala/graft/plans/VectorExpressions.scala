@@ -240,6 +240,7 @@ object GraftFunctions {
   val WordJaccardName = "graft_word_jaccard"
   val NearestCentroidName = "graft_nearest_centroid"
   val DupStatsName = "graft_dup_stats"
+  val NfcName = "graft_nfc"
 
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
 
@@ -271,7 +272,10 @@ object GraftFunctions {
         (e: Seq[Expression]) => NearestCentroid(e.head, e(1))),
       (DupStatsName,
         new ExpressionInfo(classOf[DupStats].getName, DupStatsName),
-        (e: Seq[Expression]) => DupStats(e.head)))
+        (e: Seq[Expression]) => DupStats(e.head)),
+      (NfcName,
+        new ExpressionInfo(classOf[NfcNormalize].getName, NfcName),
+        (e: Seq[Expression]) => NfcNormalize(e.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -352,6 +352,36 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeText: NFC composes, case folds, whitespace collapses") {
+    val rows = Seq(
+      (1L, "Café   du\tMonde "),   // decomposed e + acute
+      (2L, "Café du Monde"),        // precomposed
+      (3L, "  A\n\nB  "),
+      (4L, ""))
+      .toDF("id", "raw")
+    val out = rows.select($"id",
+        TextAnalysis.normalizeText($"raw").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "café du monde")
+    assert(out(1L) == out(2L)) // decomposed == composed after the ladder
+    assert(out(3L) == "a b")
+    assert(out(4L) == "")
+    // kernel == driver-local java.text.Normalizer on the same input
+    val viaJava = java.text.Normalizer
+      .normalize("Café", java.text.Normalizer.Form.NFC).toLowerCase
+    assert(out(1L).startsWith(viaJava))
+  }
+
+  test("lmUnigramScore: exact ppm means vs driver recompute") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmUnigramScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus: a=3, b=2, c=1, N=6 -> ppm(a)=500000, ppm(b)=333333, ppm(c)=166666
+    assert(out(1L) == (3L, (500000L + 500000L + 333333L) / 3))
+    assert(out(2L) == (2L, (333333L + 166666L) / 2))
+    assert(out(3L) == (1L, 500000L))
+  }
+
   test("langId picks the profile with most stopword hits, first-wins ties") {
     val df = Seq(
       (1L, "the cat of the house is here"), // en
