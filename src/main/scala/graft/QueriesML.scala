@@ -472,6 +472,32 @@ object QueriesML {
       JaccardThreshold)
   }
 
+  /** EXACT similarity self-join via prefix filtering — recall-1 twin
+    * of q_ngram_jaccard's LSH→verify composition: the oracle here is
+    * the full all-pairs ground truth, so a single missed pair fails
+    * the gate (LSH cannot make that promise; its oracle mirrors the
+    * banding). */
+  def jaccardPrefixJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixJoin(t(s, dir, "documents"), "doc_id", "text",
+      JaccardW, JaccardThreshold)
+
+  // lazy: interpolates wordShinglesCte, declared further down the file
+  lazy val jaccardPrefixJoinSql: String =
+    s"""WITH $wordShinglesCte,
+       |  sizes AS (SELECT doc_id, count(*) AS sz FROM wsh GROUP BY doc_id),
+       |  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      count(*) AS i
+       |    FROM wsh a JOIN wsh b
+       |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+       |  >= $JaccardThreshold""".stripMargin
+
   /** Fuzzy JOIN across two corpora: the parity split of `documents`
     * stands in for two distinct corpora (scraped vs curated) — LSH
     * candidates LEFT(even ids) × RIGHT(odd ids), word-Jaccard verified
@@ -1276,6 +1302,7 @@ object QueriesML {
     "q_lm_counts" -> (lmCounts _),
     "q_lm_score" -> (lmScore _),
     "q_normalize_text" -> (normalizeText _),
+    "q_jaccard_prefix_join" -> (jaccardPrefixJoin _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
@@ -1340,6 +1367,7 @@ object QueriesML {
     "q_lm_counts" -> lmCountsSql,
     "q_lm_score" -> lmScoreSql,
     "q_normalize_text" -> normalizeTextSql,
+    "q_jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

@@ -213,6 +213,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. 2007; Xiao et al. 2008) — the recall-1
+    * alternative to LSH candidates: every pair with word-w-gram
+    * Jaccard >= `minJaccard` is RETURNED, guaranteed, yet the join
+    * touches only token PREFIXES.
+    *
+    * Principle: order each doc's shingles by one GLOBAL total order
+    * (document frequency ascending, then shingle — rarest first); a
+    * pair at Jaccard >= t must share at least one shingle within both
+    * docs' first `|d| - ceil(t*|d|) + 1` shingles (if the whole
+    * intersection sat in the suffix, it would have fewer than
+    * ceil(t*|d|) elements — below the t-threshold minimum). Candidates
+    * are therefore the prefix-token self-join only; exact
+    * [[jaccardVerifyPairs]] removes false positives.
+    *
+    * Scale shape: rarest-first ordering is the skew story — a
+    * boilerplate shingle shared by half the corpus sorts LAST and
+    * never enters a prefix unless t is tiny, inverting LSH's
+    * hot-bucket problem instead of capping it. Work: one DF aggregate,
+    * one per-doc window (rank within doc), prefix self-join emitting
+    * bare id pairs, dedup BEFORE the texts-last verify. At t = 0.8
+    * prefixes are ~20% of tokens; candidate volume falls quadratically
+    * in (1 - t). */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, minJaccard: Double): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, w)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    // ceil on a double product can land one integer HIGH when t*sz is
+    // not representable (e.g. 0.7*10); subtracting an epsilon only ever
+    // LENGTHENS the prefix — the safe direction for recall
+    val prefixLen = col("sz") -
+      ceil(col("sz") * lit(minJaccard) - lit(1e-9)).cast("long") + 1
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .join(sizes, Seq(idCol))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= prefixLen)
+      .select(col(idCol), col("shingle"))
+    val a = prefix.select(col("shingle"), col(idCol).as("id_a"))
+    val b = prefix.select(col("shingle"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardVerifyPairs(cands, df, idCol, textCol, w, minJaccard)
+  }
+
   /** Exact word w-gram Jaccard verification of candidate pairs — the
     * verify half of the LSH→verify near-dup pipeline. `pairs` must
     * carry (id_a, id_b); each side is joined to its text, then ONE

@@ -57,6 +57,32 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((100L, 101L)), s"cold pair must survive, got $capped")
   }
 
+  test("jaccardPrefixJoin == brute-force all-pairs at every threshold") {
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted near-dups: 30/31 clone 0/1 with one word changed
+    val docs = (base ++ Seq(
+      (30L, base(0)._2.replaceFirst("\\w+", "changed")),
+      (31L, base(1)._2))).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val viaPrefix = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      val brute = Dedup.ngramJaccardPairs(
+          docs.withColumn("blk", lit(1)), "doc_id", "text", "blk",
+          3, t, wordGrams = true)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      assert(viaPrefix == brute,
+        s"t=$t missing=${brute -- viaPrefix} extra=${viaPrefix -- brute}")
+    }
+    // the exact clone must always be found
+    val out = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 31L && r._3 == 1.0))
+  }
+
   test("fused MinhashSignature expression equals the HOF formulation") {
     graft.plans.GraftFunctions.register(spark)
     val df = Seq((1L, "the quick brown fox"), (2L, "zzz"), (3L, "abcde"))
