@@ -122,7 +122,9 @@ object Bench {
       "q_chunk_docs", "q_pack_sequences", "q_tfidf_top_terms",
       "q_stream_join", "q_streaming_hourly", "q_cdc_merge",
       "q_salted_join", "q_bucketed_join", "q_pricing_summary",
-      "q_shipping_priority")
+      "q_shipping_priority", "q_semdedup", "q_jaccard_prefix_join",
+      "q_repeated_spans", "q_pagerank", "q_cluster_keeper",
+      "q_profile", "q_fingerprint")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     println(jsonLine(head, s""","n_queries":${results.size},"failed":$failed"""))

@@ -159,6 +159,22 @@ object ScaleProof {
       graft.operators.Curation.domainCap(docs, "source", "doc_id",
         n = 1000, salt = "sp").count()
     }
+    // round-5 additions: the EXACT prefix-filter join (recall-1 rival
+    // of lsh_candidates + jaccard_verify above — same threshold, same
+    // shingles, no banding misses) and SemDeDup over the replicated
+    // embedding families (within-cell pair work only)
+    phase("jaccard_prefix_join") {
+      Dedup.jaccardPrefixJoin(docs, "doc_id", "text",
+        QueriesML.JaccardW, QueriesML.JaccardThreshold).count()
+    }
+    phase("semdedup") {
+      val cents = graft.operators.KMeans.fitOn(emb, "vec_id", "embedding",
+        QueriesML.SemClusters, QueriesML.SemIters)
+      // toRdd: count() would eliminate the unique-key left join that
+      // carries the is_dup flag and skip the pair work
+      Similarity.semDedup(cents, emb, "vec_id", "embedding",
+        QueriesML.NearDupThreshold).queryExecution.toRdd.count()
+    }
 
     println(s"[scaleproof] === summary (factor=$factor, docs=$nDocs, vecs=$nVecs) ===")
     results.foreach(l => println(s"[scaleproof] $l"))
