@@ -407,6 +407,13 @@ object QueriesPipeline {
       shingleN = QueriesML.ShingleN, k = QueriesML.MinhashK,
       bands = QueriesML.MinhashBands)
 
+  /** Streaming CDC apply: latest row per key via mapGroupsWithState —
+    * shares q_cdc_merge's oracle (identical semantics to the batch
+    * ChangeCapture.applyLatest, discovered incrementally). */
+  def streamCdc(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.latestPerUserStream(s, dir,
+      queryName = s"cdc_stream_${streamRun.incrementAndGet()}")
+
   /** Checkpointed exactly-once incremental ingest, exercised END TO
     * END inside the gate: half the corpus arrives, a drain runs; the
     * other half arrives, a SECOND drain resumes from the same
@@ -810,6 +817,7 @@ object QueriesPipeline {
     "q_outer_join" -> (outerJoin _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_neardup" -> (streamNeardup _),
+    "q_stream_cdc" -> (streamCdc _),
     "q_incremental_ingest" -> (incrementalIngest _),
     "q_gapfill" -> (gapFill _),
     "q_chunk_docs" -> (chunkDocs _),
@@ -840,6 +848,7 @@ object QueriesPipeline {
     "q_outer_join" -> outerJoinSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
+    "q_stream_cdc" -> cdcMergeSql,
     "q_incremental_ingest" -> incrementalIngestSql,
     "q_gapfill" -> gapFillSql,
     "q_chunk_docs" -> chunkDocsSql,

@@ -363,6 +363,53 @@ object EventStream {
     * bounded by user cardinality, partitioned by the grouping key, the
     * canonical shape for per-entity rolling state at scale (add a
     * timeout to evict idle entities in a continuous deployment). */
+  case class CdcRow(user_id: Long, ts_us: Long, event_id: Long,
+                    event_type: String, value_cents: Long)
+
+  /** Streaming CDC apply: the latest row per key, maintained
+    * incrementally in O(1) state per key — the streaming twin of
+    * [[graft.operators.ChangeCapture.applyLatest]] (same total order
+    * (ts_us, event_id), same delete semantics: a key whose LATEST row
+    * is a delete disappears from the result). Under a single
+    * AvailableNow batch the memory sink holds exactly the batch CDC
+    * result; a 24/7 deployment swaps the sink for foreachBatch MERGE
+    * (update-mode emissions are per-key upserts by construction). */
+  def latestPerUserStream(spark: SparkSession, dir: String,
+                          queryName: String,
+                          deleteType: String = "error"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(col("user_id"), tsUs(schema).as("ts_us"), col("event_id"),
+        col("event_type"),
+        graft.functions.Exact.cents(col("value")).as("value_cents"))
+      .as[CdcRow]
+    val latest = stream.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[CdcRow], state: GroupState[CdcRow]) =>
+          val best = (rows ++ state.getOption.iterator)
+            .maxBy(r => (r.ts_us, r.event_id))
+          state.update(best)
+          best
+      }
+    val query = latest.toDF().writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // delete filtering happens on the RESULT (the latest row decides),
+    // exactly like the batch operator
+    spark.table(queryName)
+      .filter(col("event_type") =!= deleteType)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value_cents"), col("ts_us"))
+  }
+
   def runningUserTotals(spark: SparkSession, dir: String,
                         queryName: String): DataFrame = {
     import spark.implicits._

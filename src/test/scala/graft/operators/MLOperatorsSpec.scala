@@ -517,6 +517,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming CDC latest-per-key equals the batch applyLatest") {
+    val streamed = graft.streaming.EventStream
+      .latestPerUserStream(spark, sfDir, "t_cdc")
+      .collect().map(_.toSeq).toSet
+    val changes = graft.Tables.events(spark, sfDir).select(col("user_id"),
+      expr("ts_ns DIV 1000").as("ts_us"), col("event_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("value_cents"))
+    val batch = graft.operators.ChangeCapture.applyLatest(changes,
+        Seq("user_id"), Seq("ts_us", "event_id"),
+        col("event_type") === "error")
+      .select("user_id", "event_id", "event_type", "value_cents", "ts_us")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful mapGroupsWithState totals equal the batch groupBy") {
     val streamed = graft.streaming.EventStream
       .runningUserTotals(spark, sfDir, "t_totals")
