@@ -365,6 +365,67 @@ object QueriesML {
       |FROM p""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Subword tokenization: greedy longest-match against a fixed piece
+  // vocabulary (the wordpiece/BPE-apply shape). ONE vocabulary constant
+  // (plans.Kernels.WordpieceVocab) drives both the codegen kernel and
+  // the generated recursive-CTE oracle, and the md5 of the full piece
+  // string rides the gate — a single mis-segmented word anywhere in
+  // the corpus fails the hash.
+  // ---------------------------------------------------------------------
+  def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.WordpieceEncode(
+        org.apache.spark.sql.GraftSqlShims.expression(col("text"))))
+    t(s, dir, "documents").select(col("doc_id"), enc.as("pieces"))
+      .select(col("doc_id"),
+        when(col("pieces") === "", 0)
+          .otherwise(size(split(col("pieces"), " "))).as("n_pieces"),
+        when(col("pieces") === "", 0).otherwise(expr(
+          "size(filter(split(pieces, ' '), x -> x = '<unk>'))")).as("n_unk"),
+        md5(col("pieces")).as("pieces_md5"))
+  }
+
+  lazy val wordpieceTokensSql: String = {
+    val vocab = graft.plans.Kernels.WordpieceVocab
+    val byLen = vocab.groupBy(_.length)
+    val lens = byLen.keys.toSeq.sorted(Ordering[Int].reverse)
+    def inList(l: Int) = byLen(l).map(p => s"'$p'").mkString("(", ", ", ")")
+    val pieceCase = lens.map(l =>
+      s"WHEN substr(rest, 1, $l) IN ${inList(l)} THEN substr(rest, 1, $l)")
+      .mkString("CASE ", "\n             ", " ELSE '<unk>' END")
+    val advCase = lens.map(l =>
+      s"WHEN substr(rest, 1, $l) IN ${inList(l)} THEN $l")
+      .mkString("CASE ", "\n             ", " ELSE 1 END")
+    s"""WITH RECURSIVE
+       |  w AS (SELECT doc_id, i AS wid, s[i] AS word FROM (
+       |      SELECT doc_id, string_split(lower(text), ' ') AS s
+       |      FROM documents) t,
+       |      unnest(generate_series(1, len(s))) AS g(i)
+       |    WHERE length(s[i]) > 0),
+       |  seg AS (
+       |    SELECT doc_id, wid, word AS rest, CAST('' AS VARCHAR) AS pieces
+       |    FROM w
+       |    UNION ALL
+       |    SELECT doc_id, wid, substr(rest, adv + 1),
+       |      pieces || CASE WHEN pieces = '' THEN '' ELSE ' ' END || piece
+       |    FROM (SELECT doc_id, wid, rest, pieces,
+       |        $pieceCase AS piece,
+       |        $advCase AS adv
+       |      FROM seg WHERE rest <> '') x),
+       |  done AS (SELECT doc_id, wid, pieces FROM seg WHERE rest = ''),
+       |  dp AS (SELECT doc_id, string_agg(pieces, ' ' ORDER BY wid)
+       |      AS pieces FROM done GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN coalesce(p.pieces, '') = '' THEN 0
+       |       ELSE CAST(len(string_split(p.pieces, ' ')) AS INT) END AS n_pieces,
+       |  CASE WHEN coalesce(p.pieces, '') = '' THEN 0
+       |       ELSE CAST(len(list_filter(string_split(p.pieces, ' '),
+       |         x -> x = '<unk>')) AS INT) END AS n_unk,
+       |  md5(coalesce(p.pieces, '')) AS pieces_md5
+       |FROM documents d LEFT JOIN dp p USING (doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Unigram LM quality score: mean corpus token probability in exact ppm
   // ---------------------------------------------------------------------
   def lmScore(s: SparkSession, dir: String): DataFrame =
@@ -1303,6 +1364,7 @@ object QueriesML {
     "q_lm_score" -> (lmScore _),
     "q_normalize_text" -> (normalizeText _),
     "q_jaccard_prefix_join" -> (jaccardPrefixJoin _),
+    "q_wordpiece" -> (wordpieceTokens _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
@@ -1368,6 +1430,7 @@ object QueriesML {
     "q_lm_score" -> lmScoreSql,
     "q_normalize_text" -> normalizeTextSql,
     "q_jaccard_prefix_join" -> jaccardPrefixJoinSql,
+    "q_wordpiece" -> wordpieceTokensSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

@@ -75,6 +75,63 @@ object Kernels {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** Fixed subword vocabulary for [[wordpiece]]: all lowercase ASCII
+    * letters and digits as singletons (so alphanumeric text never
+    * yields <unk>), common English digraphs/trigraphs, and a few
+    * 4-grams. ONE definition — oracle SQL is generated from this list
+    * (QueriesML.wordpieceSql), never duplicated. */
+  val WordpieceVocab: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+        "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+        "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+        "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her",
+        "ter", "tion", "atio")
+
+  val WordpieceUnk = "<unk>"
+  private val WpMaxLen = WordpieceVocab.map(_.length).max
+  private val wpSets: Array[java.util.HashSet[String]] = {
+    val a = Array.fill(WpMaxLen + 1)(new java.util.HashSet[String]())
+    WordpieceVocab.foreach(p => a(p.length).add(p))
+    a
+  }
+
+  /** Greedy longest-match segmentation of every space-split word of
+    * `text` (lowercased) against [[WordpieceVocab]]; pieces joined by
+    * single spaces across the whole document; unmatched positions emit
+    * [[WordpieceUnk]] and advance one char. Empty words skipped. */
+  def wordpiece(text: UTF8String): UTF8String = {
+    val doc = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.lang.StringBuilder(doc.length * 2)
+    var wStart = 0
+    val n = doc.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || doc.charAt(i) == ' ') {
+        var p = wStart
+        while (p < i) {
+          var len = math.min(WpMaxLen, i - p)
+          var matched = 0
+          while (len >= 1 && matched == 0) {
+            if (wpSets(len).contains(doc.substring(p, p + len))) matched = len
+            len -= 1
+          }
+          if (out.length > 0) out.append(' ')
+          if (matched > 0) {
+            out.append(doc, p, p + matched)
+            p += matched
+          } else {
+            out.append(WordpieceUnk)
+            p += 1
+          }
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   private val space = UTF8String.fromString(" ")
 
   /** One-pass duplication stats over the space-split token stream:
@@ -519,5 +576,41 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.plans.Kernels.nfc($c);")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** `graft_wordpiece(text)`: greedy longest-match subword segmentation
+  * against the FIXED vocabulary [[Kernels.WordpieceVocab]], returning
+  * every word's pieces joined by single spaces (words are the
+  * space-split tokens; empty tokens are skipped). A position with no
+  * matching piece emits `<unk>` and advances one character. This is
+  * the wordpiece/BPE-apply shape (greedy maximal munch over a piece
+  * vocabulary) with a literal vocabulary, so the segmentation is
+  * reproducible by any engine that can express "longest prefix in a
+  * fixed set" — the DuckDB oracle does it with a recursive CTE.
+  *
+  * Scale: pure per-row narrow map inside whole-stage codegen; the
+  * vocabulary lives in a shared immutable lookup (length-bucketed hash
+  * sets), so cost is O(chars x maxPieceLen) per row with zero
+  * allocation beyond the output builder.
+  */
+case class WordpieceEncode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wordpiece"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string)")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordpiece(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.wordpiece($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordpieceEncode =
     copy(child = newChild)
 }

@@ -241,6 +241,7 @@ object GraftFunctions {
   val NearestCentroidName = "graft_nearest_centroid"
   val DupStatsName = "graft_dup_stats"
   val NfcName = "graft_nfc"
+  val WordpieceName = "graft_wordpiece"
 
   private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
 
@@ -275,7 +276,10 @@ object GraftFunctions {
         (e: Seq[Expression]) => DupStats(e.head)),
       (NfcName,
         new ExpressionInfo(classOf[NfcNormalize].getName, NfcName),
-        (e: Seq[Expression]) => NfcNormalize(e.head)))
+        (e: Seq[Expression]) => NfcNormalize(e.head)),
+      (WordpieceName,
+        new ExpressionInfo(classOf[WordpieceEncode].getName, WordpieceName),
+        (e: Seq[Expression]) => WordpieceEncode(e.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

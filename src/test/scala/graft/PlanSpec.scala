@@ -96,7 +96,8 @@ class PlanSpec extends SparkSpec {
     assert(graft.plans.GraftFunctions.builders.map(_._1).toSet ==
       Set("graft_dot_long", "graft_minhash", "graft_shingle_hash32",
         "graft_word_shingles", "graft_simhash32", "graft_nearest_centroid",
-        "graft_word_jaccard", "graft_dup_stats", "graft_nfc"))
+        "graft_word_jaccard", "graft_dup_stats", "graft_nfc",
+        "graft_wordpiece"))
   }
 
   test("whole-stage codegen covers the narrow transform pipeline") {

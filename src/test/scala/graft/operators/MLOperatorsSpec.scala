@@ -398,6 +398,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).startsWith(viaJava))
   }
 
+  test("wordpiece kernel: greedy maximal munch, reconstruction, unk") {
+    import graft.plans.Kernels
+    def wp(s: String): String =
+      Kernels.wordpiece(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toString
+    // greedy longest match: "the" is a vocab trigram, taken whole;
+    // "theory" = the + or + y (maximal munch at each position)
+    assert(wp("the") == "the")
+    assert(wp("theory") == "the or y")
+    // unknown char emits <unk> and advances one
+    assert(wp("a!b") == "a <unk> b")
+    // case folded; words processed independently; empties skipped
+    assert(wp("The  THE") == "the the")
+    assert(wp("") == "")
+    // reconstruction: joining non-unk pieces re-yields the word's
+    // matched characters in order
+    val pieces = wp("information").split(" ")
+    assert(pieces.mkString("") == "information")
+    // every piece is in the vocabulary (or <unk>)
+    val vocab = Kernels.WordpieceVocab.toSet
+    assert(wp("quantization").split(" ")
+      .forall(p => vocab.contains(p) || p == Kernels.WordpieceUnk))
+    // greedy maximality: no piece could be extended by its successor's
+    // first char and stay in vocab — spot-check a real segmentation
+    val segs = wp("attention").split(" ")
+    segs.sliding(2).foreach {
+      case Array(p, q) if p != Kernels.WordpieceUnk =>
+        assert(!vocab.contains(p + q.head),
+          s"$p + ${q.head} in vocab — not maximal")
+      case _ =>
+    }
+  }
+
   test("lmUnigramScore: exact ppm means vs driver recompute") {
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
     val out = TextAnalysis.lmUnigramScore(docs, "doc_id", "text")
