@@ -214,6 +214,52 @@ object QueriesPipeline {
       |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Point-in-time (temporal) join: each probe row looks up the SCD2
+  // version valid AT its timestamp — the time-travel join every
+  // versioned warehouse needs, composed from two gated operators:
+  // ChangeCapture.scd2 builds the versioned dim, AsOf.asofJoinNative
+  // (backward-inclusive on valid_from) finds the containing interval —
+  // intervals tile each key's timeline, so "latest valid_from <= ts"
+  // IS containment, with no range join and O(1) state per merge task.
+  // Same-instant version collisions resolve to the latest version
+  // (row_number DESC on version) in both engines.
+  // ---------------------------------------------------------------------
+  def temporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val changes = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+    val hist = ChangeCapture.scd2(changes, "user_id", "event_type",
+      "ts_us", "event_id")
+    val wTie = Window.partitionBy(col("user_id"), col("valid_from"))
+      .orderBy(col("version").desc)
+    val dim = hist.withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from"), col("version"),
+        col("valid_from").as("ts_us"))
+    val probes = t(s, dir, "events").filter(col("event_id") % 5 === 0)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        col("event_id"))
+    operators.AsOf.asofJoinNative(probes, dim, "user_id", "ts_us",
+        Seq("state", "valid_from", "version"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("state"), col("valid_from"), col("version"))
+  }
+
+  val temporalJoinSql: String =
+    s"""WITH hist AS ($scd2Sql),
+       |  dim AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |      PARTITION BY user_id, valid_from ORDER BY version DESC) AS rn
+       |    FROM hist) WHERE rn = 1),
+       |  probes AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+       |    event_id FROM events WHERE event_id % 5 = 0)
+       |SELECT p.user_id, p.event_id, p.ts_us, h.event_type AS state,
+       |  h.valid_from, h.version
+       |FROM probes p JOIN dim h ON h.user_id = p.user_id
+       |  AND h.valid_from <= p.ts_us
+       |QUALIFY row_number() OVER (PARTITION BY p.user_id, p.event_id
+       |  ORDER BY h.valid_from DESC) = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Extended window-function battery: lag/lead/ntile/percent_rank/
   // cume_dist in one pass (one shuffle on the partition key)
   // ---------------------------------------------------------------------
@@ -809,6 +855,7 @@ object QueriesPipeline {
     "q_editdist_neardup" -> (editdistNearDup _),
     "q_cdc_merge" -> (cdcMerge _),
     "q_scd2" -> (scd2 _),
+    "q_temporal_join" -> (temporalJoin _),
     "q_window_funcs" -> (windowFuncs _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_sink_json" -> (sinkJson _),
@@ -840,6 +887,7 @@ object QueriesPipeline {
     "q_editdist_neardup" -> editdistNearDupSql,
     "q_cdc_merge" -> cdcMergeSql,
     "q_scd2" -> scd2Sql,
+    "q_temporal_join" -> temporalJoinSql,
     "q_window_funcs" -> windowFuncsSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_sink_json" -> sinkJsonSql,

@@ -83,6 +83,26 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(hist.filter(col("is_current")).count() == users)
   }
 
+  test("point-in-time lookup via scd2 + asof: boundary probes hit the opening version") {
+    import spark.implicits._
+    // user 1: A at t=10, B at t=30, C at t=50
+    val hist = Seq((1L, "A", 10L, 1L), (1L, "B", 30L, 2L), (1L, "C", 50L, 3L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val scd = ChangeCapture.scd2(hist, "user_id", "event_type", "ts_us",
+        "event_id")
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from"), col("version"),
+        col("valid_from").as("ts_us"))
+    val probes = Seq((1L, 10L, 100L), (1L, 29L, 101L), (1L, 30L, 102L),
+      (1L, 49L, 103L), (1L, 99L, 104L))
+      .toDF("user_id", "ts_us", "event_id")
+    val out = AsOf.asofJoinNative(probes, scd, "user_id", "ts_us",
+        Seq("state", "valid_from", "version"))
+      .select("event_id", "state").as[(Long, String)].collect().toMap
+    assert(out == Map(100L -> "A", 101L -> "A", 102L -> "B",
+      103L -> "B", 104L -> "C"))
+  }
+
   test("snapshotDiff: added/removed/changed classified; unchanged omitted") {
     import spark.implicits._
     val oldSnap = Seq(
