@@ -241,6 +241,33 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Time-RANGE windowed aggregate: each event's trailing-hour sum and
+    * count for its user — the interval-based sibling of [[movingAvg]]'s
+    * row-count frame (a RANGE frame admits every row within the time
+    * bound, however many; peers at the same instant are all included,
+    * which is also what makes the result deterministic under ties).
+    * One shuffle on the user key; in-partition the frame is a sliding
+    * two-pointer over the sorted run — O(rows), not O(rows x frame). */
+  def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    t(s, dir, "events")
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("value_cents", cents(col("value")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("value_cents")).over(w).as("hour_sum_cents"),
+        count(lit(1)).over(w).as("hour_n"))
+  }
+
+  val rangeWindowSql: String =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+      |    AS hour_sum_cents,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Exact-integer covariance numerator per group: cov = cov_num / n²
   // with cov_num = n·Σxy − Σx·Σy over (quantity, price cents), grouped
@@ -954,6 +981,7 @@ object Queries {
     "q_window_user_total" -> (windowUserTotal _),
     "q_window_cond_sums" -> (windowCondSums _),
     "q_moving_avg" -> (movingAvg _),
+    "q_range_window" -> (rangeWindow _),
     "q_covariance_nation" -> (covarianceByNation _),
     "q_funnel" -> (funnel _),
     "q_cohort_retention" -> (cohortRetention _),
@@ -998,6 +1026,7 @@ object Queries {
     "q_window_user_total" -> windowUserTotalSql,
     "q_window_cond_sums" -> windowCondSumsSql,
     "q_moving_avg" -> movingAvgSql,
+    "q_range_window" -> rangeWindowSql,
     "q_covariance_nation" -> covarianceByNationSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
