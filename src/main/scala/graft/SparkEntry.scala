@@ -931,6 +931,41 @@ object Queries {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TPC-H Q18-shaped: large-order customers. The HAVING aggregate runs
+  // FIRST — one partial-aggregated shuffle of lineitem on its join key
+  // — and only the few thousand qualifying keys flow into the
+  // orders/customer joins (AQE sees the tiny filtered side and
+  // broadcasts it), so the 3-way join never touches disqualified rows.
+  // The scale lesson: aggregate-then-join beats join-then-aggregate
+  // whenever the HAVING is selective.
+  // ---------------------------------------------------------------------
+  val LargeOrderQty = 250L
+
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"), col("sum_qty"))
+  }
+
+  val largeOrdersSql: String =
+    s"""SELECT c_custkey, o_orderkey, o_orderdate,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       |  CAST(sq.sum_qty AS BIGINT) AS sum_qty
+       |FROM orders
+       |JOIN (SELECT l_orderkey,
+       |      sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+       |    FROM lineitem GROUP BY 1
+       |    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > $LargeOrderQty) sq
+       |  ON o_orderkey = sq.l_orderkey
+       |JOIN customer ON c_custkey = o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q5-shaped: 6-way star join (local supplier volume). The
   // region->nation->customer chain and supplier prune to broadcast
   // dims; only lineitem x orders shuffles — the canonical "one big
@@ -970,6 +1005,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> (pricingSummary _),
     "q_shipping_priority" -> (shippingPriority _),
+    "q_large_orders" -> (largeOrders _),
     "q_local_supplier_volume" -> (localSupplierVolume _),
     "q_filter_project" -> (filterProject _),
     "q_union_positional" -> (unionPositional _),
@@ -1015,6 +1051,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_pricing_summary" -> pricingSummarySql,
     "q_shipping_priority" -> shippingPrioritySql,
+    "q_large_orders" -> largeOrdersSql,
     "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_filter_project" -> filterProjectSql,
     "q_union_positional" -> unionPositionalSql,
