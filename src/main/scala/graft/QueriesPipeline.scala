@@ -485,6 +485,49 @@ object QueriesPipeline {
     s.read.parquet(s"$work/out")
   }
 
+  /** Streaming CDC → warehouse MERGE, end to end INSIDE the gate: the
+    * change feed arrives in two drains split by event-id parity — so
+    * the second drain carries rows both OLDER and NEWER than the
+    * first's per user — and the Derby target must still converge to
+    * the global latest row per user. A blind (unguarded) MERGE would
+    * let an older odd-id row clobber a newer even-id row and fail the
+    * hash; the newer-than guard is what the gate is proving. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toAbsolutePath.toString
+    val sfx = math.abs(dir.hashCode).toString
+    val url = s"jdbc:derby:memory:graftupsert$sfx;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val flat = t(s, dir, "events").select(col("user_id"),
+      col("event_id"), col("event_type"),
+      cents(col("value")).as("value_cents"),
+      expr("ts_ns DIV 1000").as("ts_us"))
+    val sink = graft.sources.JdbcUpsertSink(url, s"user_latest_$sfx", driver,
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"),
+      createTableColumnTypes = Some("event_type VARCHAR(32)"))
+    def drain(): Unit = graft.streaming.IncrementalIngest.drainToJdbcUpsert(
+      s, s"$work/src", flat.schema, sink, s"$work/ckpt")
+    flat.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    flat.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    s.read.format("jdbc").option("url", url)
+      .option("dbtable", s"user_latest_$sfx").option("driver", driver).load()
+      // Derby folds unquoted identifiers upper; restore positionally
+      .toDF("user_id", "event_id", "event_type", "value_cents", "ts_us")
+  }
+
+  val streamUpsertSql: String =
+    """SELECT user_id, event_id, event_type, value_cents, ts_us FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |    epoch_ns(ts) // 1000 AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
   val incrementalIngestSql: String =
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE n_chars >= 100""".stripMargin
@@ -866,6 +909,7 @@ object QueriesPipeline {
     "q_stream_neardup" -> (streamNeardup _),
     "q_stream_cdc" -> (streamCdc _),
     "q_incremental_ingest" -> (incrementalIngest _),
+    "q_stream_upsert" -> (streamUpsert _),
     "q_gapfill" -> (gapFill _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_pack_sequences" -> (packSequences _),
@@ -898,6 +942,7 @@ object QueriesPipeline {
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
     "q_stream_cdc" -> cdcMergeSql,
     "q_incremental_ingest" -> incrementalIngestSql,
+    "q_stream_upsert" -> streamUpsertSql,
     "q_gapfill" -> gapFillSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -83,3 +83,60 @@ case class FormatSink(resultPath: String, tableName: String,
     p.save(s"$resultPath/$tableName")
   }
 }
+
+/** Idempotent keyed JDBC UPSERT sink — the warehouse MERGE pattern: the
+  * micro-batch is staged through the distributed JDBC writer, then ONE
+  * server-side MERGE folds it into the target with a newer-than guard
+  * on `orderCols` (lexicographic), so batch replays and out-of-order
+  * arrivals converge to the same final state (an older staged row can
+  * never clobber a newer target row). Designed as the foreachBatch
+  * sink of a streaming CDC drain; cloud warehouses are the same MERGE
+  * with a different url/driver. */
+case class JdbcUpsertSink(url: String, table: String, driver: String,
+                          keyCols: Seq[String], orderCols: Seq[String],
+                          createTableColumnTypes: Option[String] = None)
+    extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val staging = s"${table}_stg"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    val w = df.write.mode("overwrite")
+    createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, staging, props)
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Spark's JDBC writer creates QUOTED (case-exact) identifiers —
+      // every driver-side reference must quote identically
+      def q(n: String) = "\"" + n + "\""
+      val cols = df.columns.toSeq
+      // table NAMES pass through Spark's writer verbatim (unquoted ->
+      // Derby folds them upper); only COLUMN identifiers are quoted
+      val tgtExists = {
+        val rs = conn.getMetaData.getTables(null, null,
+          table.toUpperCase(java.util.Locale.ROOT), null)
+        try rs.next() finally rs.close()
+      }
+      val st = conn.createStatement()
+      try {
+        if (!tgtExists)
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+        val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val newer = orderCols.indices.map { i =>
+          val eqs = (0 until i).map(j =>
+            s"s.${q(orderCols(j))} = t.${q(orderCols(j))}")
+          (eqs :+ s"s.${q(orderCols(i))} > t.${q(orderCols(i))}")
+            .mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+        val sets = cols.filterNot(keyCols.contains)
+          .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+        st.executeUpdate(
+          s"""MERGE INTO $table t USING $staging s ON $on
+             |WHEN MATCHED AND ($newer) THEN UPDATE SET $sets
+             |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+             |  VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
+      } finally st.close()
+    } finally conn.close()
+  }
+}

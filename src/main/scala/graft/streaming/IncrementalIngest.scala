@@ -48,4 +48,32 @@ object IncrementalIngest {
     q.stop()
     batches.toLong
   }
+
+  /** Drain new files into a keyed warehouse table via
+    * [[graft.sources.JdbcUpsertSink]]: each micro-batch is first
+    * reduced to its latest row per key (one window — intra-batch
+    * dedup), then MERGEd with the sink's newer-than guard (cross-batch
+    * ordering), so the target converges to "latest row per key over
+    * everything drained" regardless of how arrivals split into
+    * batches or replays. The streaming CDC → warehouse path. */
+  def drainToJdbcUpsert(spark: SparkSession, sourceDir: String,
+                        schema: StructType,
+                        sink: graft.sources.JdbcUpsertSink,
+                        checkpointDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window
+          .partitionBy(sink.keyCols.map(col): _*)
+          .orderBy(sink.orderCols.map(col(_).desc): _*)
+        sink.write(batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -70,4 +70,31 @@ class SinksSpec extends SparkSpec {
     assert(readBack().collect().map(_.toSeq).toSet ==
       data.collect().map(_.toSeq).toSet)
   }
+
+  test("JdbcUpsertSink: newer-guard MERGE converges under out-of-order batches") {
+    val url = "jdbc:derby:memory:graftupsertspec;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val sink = JdbcUpsertSink(url, "t_up", driver,
+      keyCols = Seq("k"), orderCols = Seq("ts", "sid"),
+      createTableColumnTypes = Some("v VARCHAR(10)"))
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t_up")
+      .option("driver", driver).load()
+      .toDF("k", "ts", "sid", "v")
+      .collect().map(_.toSeq).toSet
+    // batch 1: the NEWER rows arrive first
+    sink.write(Seq((1L, 20L, 1L, "new"), (2L, 10L, 1L, "b"))
+      .toDF("k", "ts", "sid", "v"))
+    // batch 2: older row for key 1 (must NOT clobber), newer for key 2,
+    // tie-on-ts for key 2 resolved by sid, and a fresh key 3
+    sink.write(Seq((1L, 5L, 9L, "old"), (2L, 10L, 2L, "b2"),
+        (3L, 1L, 1L, "c")).toDF("k", "ts", "sid", "v"))
+    assert(readBack() == Set(
+      Seq(1L, 20L, 1L, "new"), Seq(2L, 10L, 2L, "b2"), Seq(3L, 1L, 1L, "c")))
+    // replay of batch 2 is a no-op (idempotent)
+    sink.write(Seq((1L, 5L, 9L, "old"), (2L, 10L, 2L, "b2"),
+        (3L, 1L, 1L, "c")).toDF("k", "ts", "sid", "v"))
+    assert(readBack() == Set(
+      Seq(1L, 20L, 1L, "new"), Seq(2L, 10L, 2L, "b2"), Seq(3L, 1L, 1L, "c")))
+  }
 }
