@@ -1041,6 +1041,41 @@ object QueriesML {
       NearDupThreshold)
 
   // ---------------------------------------------------------------------
+  // Contrastive negative sampling: k other-label rows per anchor via
+  // salted-hash slot probing (no anchor x candidate expansion)
+  // ---------------------------------------------------------------------
+  val NegK = 4
+  val NegSlots = 64
+  val NegSalt = "ns1"
+
+  def negativeSample(s: SparkSession, dir: String): DataFrame =
+    Similarity.negativeSamples(t(s, dir, "embeddings"), "vec_id", "label",
+      NegK, NegSlots, NegSalt)
+
+  val negativeSampleSql: String = {
+    import graft.functions.StableHash
+    def h32(e: String) = StableHash.stable32Sql(e)
+    s"""WITH cand AS (SELECT vec_id AS cand_id, label AS cand_label,
+       |    ${h32(s"CAST(vec_id AS VARCHAR) || '$NegSalt'")} % $NegSlots AS slot,
+       |    ${h32("'c' || CAST(vec_id AS VARCHAR)")} AS h
+       |  FROM embeddings),
+       |  reps AS (SELECT slot, cand_label, cand_id, h FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY slot, cand_label
+       |      ORDER BY h, cand_id) AS rn FROM cand) WHERE rn = 1),
+       |  anchors AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+       |    CAST(g.i AS INT) AS i,
+       |    ${h32(s"CAST(vec_id AS VARCHAR) || '#' || CAST(g.i AS VARCHAR) || '$NegSalt'")}
+       |      % $NegSlots AS slot
+       |  FROM embeddings, unnest(generate_series(0, ${NegK - 1})) AS g(i)),
+       |  j AS (SELECT a.anchor_id, a.i, r.cand_id, r.cand_label, r.h
+       |    FROM anchors a JOIN reps r USING (slot)
+       |    WHERE r.cand_label <> a.anchor_label)
+       |SELECT anchor_id, i, cand_id AS neg_id, cand_label AS neg_label
+       |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id, i
+       |    ORDER BY h, cand_id) AS rn FROM j) WHERE rn = 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // SemDeDup: k-means partition, then near-dup flags WITHIN cells only
   // (the published semantic-dedup recipe — pair work n^2/k, not n^2).
   // Like IVF/PQ, the deterministic fit's centroid matrix is inlined
@@ -1346,6 +1381,7 @@ object QueriesML {
     "q_embed_neardup" -> (embedNearDup _),
     "q_embed_neardup_blocked" -> (embedNearDupBlocked _),
     "q_semdedup" -> (semDedup _),
+    "q_negative_sample" -> (negativeSample _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_decode" -> (imageDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
@@ -1431,6 +1467,7 @@ object QueriesML {
     "q_normalize_text" -> normalizeTextSql,
     "q_jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "q_wordpiece" -> wordpieceTokensSql,
+    "q_negative_sample" -> negativeSampleSql,
     "q_vector_centroids" -> vectorCentroidsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,

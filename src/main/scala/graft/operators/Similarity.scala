@@ -261,6 +261,52 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("x")).as("sum_fp"))
       .withColumn("mean_fp", expr("sum_fp DIV n_vecs"))
 
+  /** Deterministic negative sampling for contrastive training: for
+    * each anchor row, `k` pseudo-random negatives — rows with a
+    * DIFFERENT label — chosen by salted-hash slot probing, without
+    * ever materializing anchor x candidate pairs.
+    *
+    * Shape: candidates hash into `slots` buckets; ONE window pass
+    * elects each (slot, label)'s min-hash representative (a tiny
+    * slots x labels table); each anchor probes k hash-derived slots
+    * and takes the min-hash other-label representative per probe. Work
+    * is O(n + slots x labels + n x k x labels) through equi-joins on
+    * the slot key — never the O(n^2) of "rank all other rows per
+    * anchor". Sampling is with replacement across probes (two probes
+    * can land the same representative); raise `slots` for diversity.
+    * Fully deterministic given (data, salt): the engine-portable
+    * StableHash drives both slot assignment and representative
+    * election, so an oracle reproduces the exact sample. */
+  def negativeSamples(df: DataFrame, idCol: String, labelCol: String,
+                      k: Int, slots: Int, salt: String): DataFrame = {
+    import graft.functions.StableHash
+    val cand = df.select(col(idCol).as("cand_id"),
+        col(labelCol).as("cand_label"))
+      .withColumn("slot", StableHash.stable32(
+        concat(col("cand_id").cast("string"), lit(salt))) % slots)
+      .withColumn("h", StableHash.stable32(
+        concat(lit("c"), col("cand_id").cast("string"))))
+    val wRep = Window.partitionBy(col("slot"), col("cand_label"))
+      .orderBy(col("h"), col("cand_id"))
+    val reps = cand.withColumn("__rn", row_number().over(wRep))
+      .filter(col("__rn") === 1)
+      .select(col("slot"), col("cand_label"), col("cand_id"), col("h"))
+    val anchors = df.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"))
+      .withColumn("i", explode(array((0 until k).map(lit): _*)))
+      .withColumn("slot", StableHash.stable32(concat(
+        col("anchor_id").cast("string"), lit("#"),
+        col("i").cast("string"), lit(salt))) % slots)
+    val wPick = Window.partitionBy(col("anchor_id"), col("i"))
+      .orderBy(col("h"), col("cand_id"))
+    anchors.join(reps, Seq("slot"))
+      .filter(col("cand_label") =!= col("anchor_label"))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("anchor_id"), col("i"),
+        col("cand_id").as("neg_id"), col("cand_label").as("neg_label"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
     * relationally: partition the corpus by a k-means coarse quantizer,
     * then mark as semantic duplicates the rows whose cosine to a

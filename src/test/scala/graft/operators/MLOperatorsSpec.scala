@@ -332,6 +332,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSet == Set((2L, 29L)))
   }
 
+  test("negativeSamples: never same-label, deterministic, k probes per anchor") {
+    val rows = (0 until 60).map(i => (i.toLong, i % 3)).toDF("id", "label")
+    val out = Similarity.negativeSamples(rows, "id", "label", k = 4,
+        slots = 16, salt = "t")
+      .as[(Long, Int, Long, Int)].collect()
+    val labelOf = (0 until 60).map(i => i.toLong -> i % 3).toMap
+    out.foreach { case (a, _, n, nl) =>
+      assert(labelOf(n) == nl && nl != labelOf(a),
+        s"negative $n shares anchor $a's label")
+    }
+    // at most k negatives per anchor; a probe whose slot holds no
+    // other-label representative emits nothing (documented semantics),
+    // so counts may dip below k — but never to zero here, and most
+    // anchors fill all k probes
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perAnchor.size == 60 && perAnchor.values.forall(n => n >= 1 && n <= 4))
+    assert(perAnchor.values.count(_ == 4) >= 45,
+      s"too many starved probes: ${perAnchor.count(_._2 != 4)} anchors short")
+    // re-run identical
+    val again = Similarity.negativeSamples(rows, "id", "label", k = 4,
+        slots = 16, salt = "t")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("semDedup matches a driver-local within-cell recompute; keepers kept") {
     val dim = 16
     val base = vecs(41, 50, dim)
