@@ -825,6 +825,19 @@ object QueriesPipeline {
       |    count(*) OVER () AS n_groups
       |  FROM documents GROUP BY source)""".stripMargin
 
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureTemperature(t(s, dir, "documents"), "source", "text")
+
+  val mixtureTemperatureSql: String =
+    """SELECT source, n_tokens,
+      |  CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt,
+      |  CAST((CAST(floor(sqrt(n_tokens)) AS BIGINT) * 1000000) //
+      |    sum(CAST(floor(sqrt(n_tokens)) AS BIGINT)) OVER () AS BIGINT)
+      |    AS share_ppm
+      |FROM (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Snapshot diff: reconcile two table versions into added / removed /
   // changed rows (ChangeCapture.snapshotDiff). Fixture: both snapshots
@@ -919,6 +932,7 @@ object QueriesPipeline {
     "q_sketch_quantile_bound" -> (sketchQuantileBound _),
     "q_sketch_merge" -> (sketchMergeConsistent _),
     "q_mixture_weights" -> (mixtureWeights _),
+    "q_mixture_temperature" -> (mixtureTemperature _),
     "q_common_ngrams" -> (commonNgrams _),
     "q_snapshot_diff" -> (snapshotDiff _),
   )
@@ -952,6 +966,7 @@ object QueriesPipeline {
     "q_sketch_quantile_bound" -> sketchQuantileBoundSql,
     "q_sketch_merge" -> sketchMergeConsistentSql,
     "q_mixture_weights" -> mixtureWeightsSql,
+    "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_common_ngrams" -> commonNgramsSql,
     "q_snapshot_diff" -> snapshotDiffSql,
   )

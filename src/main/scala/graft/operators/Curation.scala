@@ -185,6 +185,29 @@ object Curation {
         col("weight_e6"))
   }
 
+  /** Temperature-scaled mixture shares (alpha = 0.5, the multilingual-
+    * corpus standard: sampling probability proportional to size^alpha
+    * up-weights small sources relative to proportional sampling while
+    * still favoring large ones). share_ppm = floor(sqrt(n_tokens)) *
+    * 1e6 DIV sum of floor-sqrts — floor(sqrt) of an int64 below 2^52
+    * is exact in every IEEE engine (sqrt is correctly rounded), so the
+    * shares stay integer-deterministic with no float pow anywhere.
+    * One partial-aggregated groupBy + a window over the tiny
+    * groups-only frame. */
+  def mixtureTemperature(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(sum(size(TextAnalysis.tokensOf(col(textCol))).cast("long"))
+        .as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens"))).cast("long"))
+      .withColumn("__total", sum(col("w_sqrt")).over(whole))
+      .withColumn("share_ppm", expr("(w_sqrt * 1000000) DIV __total"))
+      .select(col(groupCol), col("n_tokens"), col("w_sqrt"),
+        col("share_ppm"))
+  }
+
   def editDistancePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String, maxRelE2: Int): DataFrame = {
     val texts = docs.select(col(idCol), col(textCol))
