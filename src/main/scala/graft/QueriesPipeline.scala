@@ -803,6 +803,51 @@ object QueriesPipeline {
       |  TRUE AS merge_consistent, TRUE AS within_bound
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sliding distinct-users rollup — the incremental READ path at
+    * scale: one deterministic-HLL partial per hour (built once, the
+    * write-time cost), then each trailing 3-hour window's estimate is
+    * a MERGE of 3 tiny sketches, never a rescan of events. Gated on
+    * the two invariants that make the pattern trustworthy: the rolled
+    * estimate equals the one-shot sketch over the same window's raw
+    * rows (detHLL merge==one-shot is exact for ANY input split — here
+    * the split is by hour), and it lands within the error bound of the
+    * exact windowed distinct. */
+  def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("epoch_h", expr("ts_ns DIV 3600000000000"))
+    val partials = operators.Sketches.detPartial(e, Seq("epoch_h"), "user_id")
+    val spine = partials.select(col("epoch_h").as("win_h")).distinct()
+    val rolled = operators.Sketches.detMerge(
+      spine.join(partials,
+        col("epoch_h").between(col("win_h") - 2, col("win_h"))),
+      Seq("win_h"))
+    // one-shot twin over the same window's RAW rows: replicate each
+    // event into the <=3 windows it belongs to (bounded explode)
+    val windowedRows = e.withColumn("win_h", explode(array(
+        col("epoch_h"), col("epoch_h") + 1, col("epoch_h") + 2)))
+      .join(spine, Seq("win_h"), "left_semi")
+    val oneshot = operators.Sketches.detDistinct(
+        windowedRows, Seq("win_h"), "user_id")
+      .withColumnRenamed("approx_distinct", "est_oneshot")
+    val exact = windowedRows.groupBy(col("win_h"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    rolled.join(oneshot, "win_h").join(exact, "win_h")
+      .select(col("win_h"), col("n_exact"),
+        (col("approx_distinct") === col("est_oneshot")).as("merge_consistent"),
+        withinBound(col("approx_distinct"), col("n_exact"), 0.05)
+          .as("within_bound"))
+  }
+
+  val slidingDistinctSql: String =
+    """WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS epoch_h, user_id
+      |    FROM events),
+      |  spine AS (SELECT DISTINCT epoch_h AS win_h FROM e)
+      |SELECT s.win_h,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS merge_consistent, TRUE AS within_bound
+      |FROM spine s JOIN e ON e.epoch_h BETWEEN s.win_h - 2 AND s.win_h
+      |GROUP BY s.win_h""".stripMargin
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -931,6 +976,7 @@ object QueriesPipeline {
     "q_sketch_distinct_bound" -> (sketchDistinctBound _),
     "q_sketch_quantile_bound" -> (sketchQuantileBound _),
     "q_sketch_merge" -> (sketchMergeConsistent _),
+    "q_sliding_distinct" -> (slidingDistinct _),
     "q_mixture_weights" -> (mixtureWeights _),
     "q_mixture_temperature" -> (mixtureTemperature _),
     "q_common_ngrams" -> (commonNgrams _),
@@ -965,6 +1011,7 @@ object QueriesPipeline {
     "q_sketch_distinct_bound" -> sketchDistinctBoundSql,
     "q_sketch_quantile_bound" -> sketchQuantileBoundSql,
     "q_sketch_merge" -> sketchMergeConsistentSql,
+    "q_sliding_distinct" -> slidingDistinctSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_common_ngrams" -> commonNgramsSql,
