@@ -54,8 +54,10 @@ object ChangeCapture {
       .withColumn("__in_new", lit(true))
     val n = compareCols.foldLeft(n0)((d, c) =>
       d.withColumnRenamed(c, s"__new_$c"))
+    // foldLeft, not reduce: an empty compareCols is the legitimate
+    // membership-only diff (added/removed, nothing ever 'changed')
     val changed = compareCols.map(c =>
-      !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
+      !(col(c) <=> col(s"__new_$c"))).foldLeft(lit(false))(_ || _)
     o.join(n, keyCols, "full_outer")
       .withColumn("change_type",
         when(col("__in_old").isNull, lit("added"))

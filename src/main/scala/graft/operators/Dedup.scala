@@ -252,11 +252,20 @@ object Dedup {
       .join(sizes, Seq(idCol))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= prefixLen)
-      .select(col(idCol), col("shingle"))
-    val a = prefix.select(col("shingle"), col(idCol).as("id_a"))
-    val b = prefix.select(col("shingle"), col(idCol).as("id_b"))
+      .select(col(idCol), col("shingle"), col("sz"))
+    val a = prefix.select(col("shingle"), col(idCol).as("id_a"),
+      col("sz").as("sz_a"))
+    val b = prefix.select(col("shingle"), col(idCol).as("id_b"),
+      col("sz").as("sz_b"))
     val cands = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      // AllPairs length filter: J(A,B) <= min/max of the set sizes, so
+      // a size-incompatible pair can never verify — prune it BEFORE the
+      // dedup exchange and the kernel verify (8 bytes of sz per row buys
+      // dropping candidates that are pure shuffle waste)
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        ceil(greatest(col("sz_a"), col("sz_b")) * lit(minJaccard) -
+          lit(1e-9)).cast("long"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     jaccardVerifyPairs(cands, df, idCol, textCol, w, minJaccard)

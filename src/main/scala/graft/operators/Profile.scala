@@ -27,14 +27,22 @@ object Profile {
         struct(lit(name).as("k"), c.cast("long").as("v"))
       }: _*)).as("kv"))
       .select(col("kv.k").as("k"), col("kv.v").as("v"))
-    kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val stats = kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
       .groupBy(col("k"))
       .agg(
         coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_nulls"),
         count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
         min(col("v")).as("min_i"),
         max(col("v")).as("max_i"))
-      .select(col("k").as("col_name"), col("n_nulls"), col("n_distinct"),
+    // column spine: a profile reports one row per PROFILED COLUMN even
+    // over an empty table (zero counts, null min/max) — the ANALYZE
+    // contract, and what a per-column aggregate oracle returns
+    import df.sparkSession.implicits._
+    cols.map(_._1).toDF("col_name")
+      .join(stats, col("col_name") === col("k"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_i"), col("max_i"))
   }
 }

@@ -326,7 +326,11 @@ object Similarity {
     * semantic regions that SHOULD be deduped).
     *
     * `cents` comes from [[KMeans.fitOn]] — deterministic, so oracle SQL
-    * can inline the same matrix and reproduce assignment bit-exactly. */
+    * can inline the same matrix and reproduce assignment bit-exactly.
+    *
+    * PRECONDITION: `idCol` unique (same contract as
+    * [[nearDupPairsBlocked]] — a duplicated id multiplies its output
+    * rows and pair checks); dedup ids upstream if not guaranteed. */
   def semDedup(cents: Array[Array[Long]], corpus: DataFrame, idCol: String,
                vecCol: String, threshold: Double): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)

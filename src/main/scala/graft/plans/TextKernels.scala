@@ -122,7 +122,11 @@ object Kernels {
             p += matched
           } else {
             out.append(WordpieceUnk)
-            p += 1
+            // advance a full CODE POINT, not a UTF-16 unit: the oracle's
+            // substr() is character-based, and splitting a surrogate
+            // pair would emit two <unk>s where any char-addressed
+            // engine emits one
+            p += Character.charCount(doc.codePointAt(p))
           }
         }
         wStart = i + 1

@@ -97,6 +97,9 @@ case class JdbcUpsertSink(url: String, table: String, driver: String,
                           createTableColumnTypes: Option[String] = None)
     extends Sink {
   override def write(df: DataFrame): Unit = {
+    // staging is deliberately left in place between batches: the next
+    // batch's overwrite replaces it, and dropping it here would race a
+    // concurrent reader's MERGE on some warehouses
     val staging = s"${table}_stg"
     val props = new java.util.Properties()
     props.setProperty("driver", driver)
@@ -110,13 +113,17 @@ case class JdbcUpsertSink(url: String, table: String, driver: String,
       // every driver-side reference must quote identically
       def q(n: String) = "\"" + n + "\""
       val cols = df.columns.toSeq
-      // table NAMES pass through Spark's writer verbatim (unquoted ->
-      // Derby folds them upper); only COLUMN identifiers are quoted
-      val tgtExists = {
-        val rs = conn.getMetaData.getTables(null, null,
-          table.toUpperCase(java.util.Locale.ROOT), null)
+      // table NAMES pass through Spark's writer verbatim (unquoted —
+      // each warehouse folds per its dialect: Derby upper, Postgres
+      // lower); only COLUMN identifiers are quoted. Probe existence
+      // case-insensitively so the CREATE runs exactly once anywhere.
+      def probe(n: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, n, null)
         try rs.next() finally rs.close()
       }
+      val tgtExists = probe(table) ||
+        probe(table.toUpperCase(java.util.Locale.ROOT)) ||
+        probe(table.toLowerCase(java.util.Locale.ROOT))
       val st = conn.createStatement()
       try {
         if (!tgtExists)

@@ -162,7 +162,7 @@ object EventStream {
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
       .withColumn("ts_evt", tsEvt(schema))
-      .groupBy(session_window(col("ts_evt"), s"${gapUs / 1000000} seconds"),
+      .groupBy(session_window(col("ts_evt"), s"$gapUs microseconds"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
@@ -402,12 +402,19 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    // delete filtering happens on the RESULT (the latest row decides),
-    // exactly like the batch operator
+    // update-mode memory sink appends one row per key per micro-batch;
+    // keep only the final state per key — max by the same (ts_us,
+    // event_id) total order the state transition uses — THEN apply the
+    // delete filter (the latest row decides), like the batch operator
     spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value_cents"))).as("s"))
+      .select(col("user_id"), col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"),
+        col("s.value_cents").as("value_cents"),
+        col("s.ts_us").as("ts_us"))
       .filter(col("event_type") =!= deleteType)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value_cents"), col("ts_us"))
   }
 
   def runningUserTotals(spark: SparkSession, dir: String,
