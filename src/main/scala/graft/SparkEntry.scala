@@ -568,6 +568,56 @@ object Queries {
        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
        |FROM z GROUP BY 1, 2""".stripMargin
 
+  /** Interval-concurrency sweep: how many sessions are open at every
+    * instant the count changes — the classic interval problem that a
+    * naive interval-overlap self-join makes quadratic, swept here in
+    * O(n log n): +1/-1 boundary deltas aggregated per timestamp, then
+    * ONE distributed global prefix sum ([[ScaleOps.globalRunningSum]]:
+    * range-partitioned local sums + per-partition offsets — never a
+    * single-partition `Window.orderBy`). Sessions are [start, end]
+    * inclusive; deltas collapse per instant BEFORE the sweep, so ties
+    * are unambiguous. */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    val sess = t(s, dir, "events")
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("brk")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val deltas = sess.select(col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .union(sess.select((col("end_us") + 1).as("ts_us"),
+        lit(-1L).as("delta")))
+      .groupBy(col("ts_us")).agg(sum(col("delta")).as("delta"))
+    operators.ScaleOps.globalRunningSum(deltas, Seq(col("ts_us")),
+        "delta", "concurrent")
+      .select(col("ts_us"), col("concurrent"))
+  }
+
+  val concurrencySql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, epoch_us(ts) AS tn,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+       |  FROM events),
+       |y AS (SELECT user_id, tn,
+       |    CASE WHEN prev IS NULL OR tn - prev > $SessionGapUs THEN 1 ELSE 0 END AS brk
+       |  FROM x),
+       |z AS (SELECT user_id, tn,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY tn
+       |      ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM y),
+       |s AS (SELECT user_id, sess, min(tn) AS start_us, max(tn) AS end_us
+       |  FROM z GROUP BY 1, 2),
+       |d AS (SELECT ts_us, CAST(sum(delta) AS BIGINT) AS delta FROM (
+       |    SELECT start_us AS ts_us, 1 AS delta FROM s
+       |    UNION ALL SELECT end_us + 1, -1 FROM s) GROUP BY ts_us)
+       |SELECT ts_us, CAST(sum(delta) OVER (ORDER BY ts_us
+       |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+       |FROM d""".stripMargin
+
   // ---------------------------------------------------------------------
   // Beyond-reference: pivot (wide conditional aggregation)
   // ---------------------------------------------------------------------
@@ -1037,6 +1087,7 @@ object Queries {
     "q_semi_join" -> (semiJoin _),
     "q_rollup_orders" -> (rollupOrders _),
     "q_sessionize" -> (sessionize _),
+    "q_concurrency" -> (concurrency _),
     "q_pivot_counts" -> (pivotCounts _),
     "q_rank_window" -> (rankWindow _),
     "q_cube_orders" -> (cubeOrders _),
@@ -1083,6 +1134,7 @@ object Queries {
     "q_semi_join" -> semiJoinSql,
     "q_rollup_orders" -> rollupOrdersSql,
     "q_sessionize" -> sessionizeSql,
+    "q_concurrency" -> concurrencySql,
     "q_pivot_counts" -> pivotCountsSql,
     "q_rank_window" -> rankWindowSql,
     "q_cube_orders" -> cubeOrdersSql,

@@ -118,6 +118,46 @@ object ScaleOps {
     * The sorted frame is cached: the size pass and the caller's action
     * would otherwise each re-sort. Caller unpersists via the returned
     * frame's lineage going cold (short jobs) or explicitly. */
+  /** Global running (prefix) sum over a total order WITHOUT a
+    * single-partition window — [[globalRank]]'s shape generalized from
+    * counts to sums: range-partition on the sort key, one local pass
+    * per partition, then a driver-side scan of ONE partial sum per
+    * partition broadcast back as offsets. Driver state is O(partitions)
+    * longs; the global sort-and-sum a naive
+    * `Window.orderBy(...)` would serialize through one task instead
+    * runs fully parallel. The primitive behind interval sweeps
+    * (concurrency counting), cumulative distributions, and exclusive
+    * bin-packing offsets at 100 TB. */
+  def globalRunningSum(df: DataFrame,
+                       sortCols: Seq[org.apache.spark.sql.Column],
+                       valueCol: String,
+                       sumName: String = "running_sum",
+                       partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .cache()
+    val sums = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, {
+        var s = 0L; while (it.hasNext) { s += it.next().getLong(valueIdx) }; s
+      })), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    val schema = sorted.schema
+      .add(sumName, org.apache.spark.sql.types.LongType, nullable = false)
+    val summed = sorted.rdd.mapPartitionsWithIndex({ (i, it) =>
+      var s = offsets.value(i)
+      it.map { row =>
+        s += row.getLong(valueIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s)
+      }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(summed, schema)
+  }
+
   def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                  rankName: String = "rank",
                  partitions: Int = 0): DataFrame = {

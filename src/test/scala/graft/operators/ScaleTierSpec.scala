@@ -80,6 +80,24 @@ class ScaleTierSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum == window cumsum, across partition counts") {
+    val rnd = new Random(11)
+    val df = (1 to 400).map(i => (i.toLong, (rnd.nextInt(21) - 10).toLong))
+      .toDF("k", "delta")
+    val expected = df.withColumn("running_sum",
+        sum(col("delta")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("k", "running_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = ScaleOps.globalRunningSum(df, Seq(col("k")), "delta",
+          partitions = parts)
+        .select("k", "running_sum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"partitions=$parts")
+    }
+  }
+
   // --- z-order -----------------------------------------------------------
 
   private def mortonRef(x: Long, y: Long): Long = {
