@@ -901,6 +901,70 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Beyond-reference: interval x interval overlap join — the session/
+  // shipment-window self-join Spark would otherwise plan as a nested
+  // loop. Bucketed cells + overlap-start ownership emit each pair
+  // exactly once (operators.RangeJoin.intervalOverlap); per-supplier
+  // equi-key bounds the pair space, iid ordering dedups the self-join
+  // mirror. Output: per-supplier overlapping-shipment pair counts and
+  // total overlap days — all exact integers.
+  // ---------------------------------------------------------------------
+  def overlapJoinShipments(s: SparkSession, dir: String): DataFrame = {
+    val lo = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+      .cast("long")
+    val iv = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+        lo.as("lo"),
+        (lo + col("l_quantity").cast("long") % 30).as("hi"))
+    val a = iv.select(col("l_suppkey"), col("iid").as("iid_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = iv.select(col("l_suppkey"), col("iid").as("iid_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 32, extraKeys = Seq("l_suppkey"))
+      .filter(col("iid_a") < col("iid_b"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(least(col("hi_a"), col("hi_b")) -
+          greatest(col("lo_a"), col("lo_b")) + 1).as("overlap_days"))
+  }
+
+  val overlapJoinShipmentsSql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey,
+      |         l_orderkey * 10 + l_linenumber AS iid,
+      |         CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS lo,
+      |         CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |           + CAST(l_quantity AS BIGINT) % 30 AS hi
+      |  FROM lineitem WHERE l_orderkey % 7 = 0)
+      |SELECT a.l_suppkey AS l_suppkey, count(*) AS pairs,
+      |  CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1) AS BIGINT)
+      |    AS overlap_days
+      |FROM iv a JOIN iv b
+      |  ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
+      | AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Beyond-reference: key-skew profile (Stats.keySkew) — the per-key
+  // distribution diagnostic that decides salt-vs-broadcast-vs-AQE
+  // before a 100 TB join. Exact-integer output, one summary row.
+  // ---------------------------------------------------------------------
+  def keySkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.keySkew(t(s, dir, "events"), col("user_id"))
+
+  val keySkewProfileSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+      |SELECT count(*) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS total_rows,
+      |  max(cnt) AS max_cnt, min(cnt) AS min_cnt,
+      |  CAST(sum(cnt) AS BIGINT) * 1000 // count(*) AS avg_x1000,
+      |  max(cnt) * 1000000 // CAST(sum(cnt) AS BIGINT) AS top_share_ppm
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Skew tooling through the gate: salted join must be result-identical
   // to the plain join (the salt fans a hot key over `salts` reducers
   // without changing a single output row)
@@ -1095,6 +1159,8 @@ object Queries {
     "q_except_customers" -> (exceptCustomers _),
     "q_count_distinct" -> (countDistinctUsers _),
     "q_range_join" -> (rangeJoinShipments _),
+    "q_overlap_join" -> (overlapJoinShipments _),
+    "q_key_skew" -> (keySkewProfile _),
     "q_partitioned_write" -> (partitionedWrite _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
@@ -1142,6 +1208,8 @@ object Queries {
     "q_except_customers" -> exceptCustomersSql,
     "q_count_distinct" -> countDistinctUsersSql,
     "q_range_join" -> rangeJoinShipmentsSql,
+    "q_overlap_join" -> overlapJoinShipmentsSql,
+    "q_key_skew" -> keySkewProfileSql,
     "q_partitioned_write" -> partitionedWriteSql,
     "q_salted_join" -> saltedJoinAggSql,
   )

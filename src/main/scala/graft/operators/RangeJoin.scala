@@ -40,4 +40,38 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__cell")
   }
+
+  /** Interval × interval overlap join: keep pairs where
+    * `[loL,hiL]` and `[loR,hiR]` (inclusive long bounds) intersect,
+    * optionally under additional equi-keys (`extraKeys`, same-named on
+    * both sides). Both sides replicate into every `bucketWidth` cell
+    * they touch; a qualifying pair shares every cell covering the
+    * intersection, so ownership is assigned to EXACTLY ONE of them —
+    * the cell containing the overlap start `max(loL, loR)` (which lies
+    * in both intervals whenever they overlap). No post-join dedup, no
+    * double counting, and the join stays a hash/SMJ equi-join on
+    * (cell, extraKeys) — never a nested loop.
+    *
+    * Scale: fanout per row = interval length / width + 1; pick the
+    * width near the typical interval length. A hot cell (a time range
+    * everyone overlaps) is an ordinary skewed equi-key — salt it or
+    * let AQE split it. Column names must not collide across sides
+    * except for `extraKeys`.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loL: String, hiL: String, loR: String, hiR: String,
+                      bucketWidth: Long,
+                      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def cells(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__cell", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    cells(left, loL, hiL)
+      .join(cells(right, loR, hiR), "__cell" +: extraKeys)
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("__cell") ===
+          floor(greatest(col(loL), col(loR)) / bucketWidth).cast("long"))
+      .drop("__cell")
+  }
 }

@@ -87,4 +87,27 @@ object Stats {
       .select(col(groupCol) +: tieCols.map(col) :+ col(valCol) :+
         col("rz_e6") :+ col("rank"): _*)
   }
+
+  /** Key-skew profile: ONE summary row describing how unevenly rows
+    * distribute over a key — the diagnostic you run BEFORE picking a
+    * join/aggregation strategy at scale (salt? AQE skew split?
+    * broadcast?). Emits exact integers only:
+    * n_keys, total_rows, max_cnt, min_cnt,
+    * avg_x1000 = total*1000 DIV n_keys, and
+    * top_share_ppm = max*1e6 DIV total (the hottest key's row share —
+    * the number that predicts a straggler task).
+    *
+    * Shape: partial-aggregated groupBy on the key (the same shuffle
+    * the real query would pay) followed by a single scalar aggregate —
+    * shuffle O(distinct keys x partitions), driver receives one row.
+    */
+  def keySkew(df: DataFrame, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .withColumn("avg_x1000", expr("total_rows * 1000 DIV n_keys"))
+      .withColumn("top_share_ppm", expr("max_cnt * 1000000 DIV total_rows"))
 }

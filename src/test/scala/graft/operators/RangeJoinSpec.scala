@@ -61,4 +61,45 @@ class RangeJoinSpec extends SparkSpec {
       assert(out.sorted == out.toSet.toSeq.sorted && out.size == 6, s"w=$w")
     }
   }
+
+  test("property: intervalOverlap == naive theta join, exactly once per pair") {
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextLong(1500) - 400
+      (i.toLong, lo, lo + rnd.nextLong(80))
+    }.toDF(s"id_$tag", s"lo_$tag", s"hi_$tag")
+    val l = mk(120, "a"); val r = mk(120, "b")
+    val naive = l.crossJoin(r)
+      .filter($"lo_a" <= $"hi_b" && $"lo_b" <= $"hi_a")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq.sorted
+    for (w <- Seq(1L, 17L, 64L, 100000L)) {
+      val out = RangeJoin.intervalOverlap(l, r, "lo_a", "hi_a", "lo_b",
+          "hi_b", bucketWidth = w)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq.sorted
+      assert(out == naive, s"width=$w (dups or misses)")
+    }
+  }
+
+  test("intervalOverlap honors extra equi-keys and plans no nested loop") {
+    val l = Seq((1L, "x", 0L, 10L), (2L, "y", 0L, 10L))
+      .toDF("id_a", "grp", "lo_a", "hi_a")
+    val r = Seq((7L, "x", 5L, 6L), (8L, "y", 40L, 50L))
+      .toDF("id_b", "grp", "lo_b", "hi_b")
+    val df = RangeJoin.intervalOverlap(l, r, "lo_a", "hi_a", "lo_b",
+      "hi_b", bucketWidth = 8, extraKeys = Seq("grp"))
+    assert(df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      == Set((1L, 7L))) // (2,y) overlaps nothing; (1,x)x(8,y) cross-group
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1000))
+  }
+
+  test("intervalOverlap: touching endpoints count, disjoint do not") {
+    val l = Seq((1L, 0L, 10L)).toDF("id_a", "lo_a", "hi_a")
+    val r = Seq((1L, 10L, 20L), (2L, 11L, 20L)).toDF("id_b", "lo_b", "hi_b")
+    val out = RangeJoin.intervalOverlap(l, r, "lo_a", "hi_a", "lo_b",
+        "hi_b", bucketWidth = 4)
+      .select($"id_b").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
 }

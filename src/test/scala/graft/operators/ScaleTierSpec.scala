@@ -254,4 +254,17 @@ class ScaleTierSpec extends SparkSpec {
     assert(out == Map(1L -> 1000000000L, 2L -> 1000000000L,
       3L -> 1000000000L))
   }
+
+  // --- key-skew profile --------------------------------------------------
+
+  test("keySkew: exact integer profile vs driver recompute") {
+    import spark.implicits._
+    // key 1 hot (5 rows), keys 2..4 one row each -> 8 rows, 4 keys
+    val df = (Seq.fill(5)(1L) ++ Seq(2L, 3L, 4L)).toDF("k0")
+    val r = Stats.keySkew(df, col("k0")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 8L, 5L, 1L)))
+    assert(r.getLong(4) == 8L * 1000 / 4)         // avg_x1000 = 2000
+    assert(r.getLong(5) == 5L * 1000000 / 8)      // top_share_ppm = 625000
+  }
 }
