@@ -727,6 +727,76 @@ object QueriesPipeline {
        |FROM top t JOIN est e USING (w), tot""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Bloom filter through the gate: build over the even-doc_id batch,
+  // probe EVERY doc. Like the CMS, the filter is relational (md5
+  // universal hashes, 32-bit word packing), so the probe results are
+  // engine-exact: every built key must probe true (no false negatives
+  // — the gate breaks if one ever goes missing) and the odd keys'
+  // false positives are the same deterministic set in both engines.
+  // The cross-batch ingest-dedup primitive: yesterday's filter rows
+  // union with today's by bit_or, no history rescan.
+  // ---------------------------------------------------------------------
+  val BloomBitsLog2 = 16
+  val BloomK = 4
+
+  def bloomProbeDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val built = operators.Sketches.bloomBuild(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("string").as("doc_key")),
+      col("doc_key"), BloomBitsLog2, BloomK)
+    operators.Sketches.bloomProbe(built,
+      docs.select(col("doc_id").cast("string").as("doc_key")),
+      "doc_key", BloomBitsLog2, BloomK)
+  }
+
+  val bloomProbeDocsSql: String = {
+    import graft.functions.StableHash
+    val m = 1L << BloomBitsLog2
+    def pos(i: Int) =
+      s"(${StableHash.universalSql(StableHash.stable32Sql("doc_key"), i)}) % $m"
+    def cells(src: String, keep: String) = (0 until BloomK).map(i =>
+      s"SELECT $keep ${pos(i)} // 32 AS word_idx," +
+        s" CAST(1 AS BIGINT) << CAST(${pos(i)} % 32 AS INT) AS bit FROM $src")
+      .mkString("\n    UNION ALL ")
+    s"""WITH built AS (SELECT CAST(doc_id AS VARCHAR) AS doc_key
+       |    FROM documents WHERE doc_id % 2 = 0),
+       |  probes AS (SELECT CAST(doc_id AS VARCHAR) AS doc_key FROM documents),
+       |  words AS (SELECT word_idx, bit_or(bit) AS bits FROM (
+       |    ${cells("built", "")}) GROUP BY 1),
+       |  pc AS (${cells("probes", "doc_key,")})
+       |SELECT doc_key,
+       |  bool_and((coalesce(bits, CAST(0 AS BIGINT)) & bit) != 0) AS member
+       |FROM pc LEFT JOIN words USING (word_idx) GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // TWAP: duration-weighted mean of each user's event values over the
+  // irregular event stream — exact integers (cents x micros), ties
+  // broken by event_id so "which sample is last" is deterministic.
+  // ---------------------------------------------------------------------
+  def twapUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      expr("ts_ns DIV 1000").as("ts_us"), col("event_id"),
+      cents(col("value")).as("value_cents"))
+    operators.TimeSeries.twap(e, "user_id", "ts_us", "value_cents",
+      tieCols = Seq("event_id"))
+  }
+
+  val twapUsersSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents FROM events),
+      |  d AS (SELECT user_id, value_cents,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |      - ts_us AS dur
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(CAST(sum(value_cents * dur) AS BIGINT)
+      |    // CAST(sum(dur) AS BIGINT) AS BIGINT) AS twap,
+      |  CAST(sum(dur) AS BIGINT) AS span
+      |FROM d WHERE dur IS NOT NULL GROUP BY 1""".stripMargin
+
   def sketchDistinctBound(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val est = operators.Sketches.approxDistinct(e, Seq("event_type"),
@@ -973,6 +1043,8 @@ object QueriesPipeline {
     "q_pack_sequences" -> (packSequences _),
     "q_profile" -> (profileLineitem _),
     "q_cms_freq" -> (cmsFreq _),
+    "q_bloom_probe" -> (bloomProbeDocs _),
+    "q_twap" -> (twapUsers _),
     "q_sketch_distinct_bound" -> (sketchDistinctBound _),
     "q_sketch_quantile_bound" -> (sketchQuantileBound _),
     "q_sketch_merge" -> (sketchMergeConsistent _),
@@ -1008,6 +1080,8 @@ object QueriesPipeline {
     "q_pack_sequences" -> packSequencesSql,
     "q_profile" -> profileLineitemSql,
     "q_cms_freq" -> cmsFreqSql,
+    "q_bloom_probe" -> bloomProbeDocsSql,
+    "q_twap" -> twapUsersSql,
     "q_sketch_distinct_bound" -> sketchDistinctBoundSql,
     "q_sketch_quantile_bound" -> sketchQuantileBoundSql,
     "q_sketch_merge" -> sketchMergeConsistentSql,

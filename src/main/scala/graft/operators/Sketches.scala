@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * rescanning history, so a year of daily distinct-user sketches rolls
   * up in milliseconds where an exact count would re-shuffle the year.
   *
-  * These are deliberately NOT oracle-gated: a cross-engine hash match
-  * is impossible by construction (DuckDB's approx_count_distinct and
-  * Spark's HLL/KLL use different sketch layouts), so correctness is
-  * spec-verified instead — error bounds vs the exact answers (which
-  * ARE oracle-gated: q_count_distinct, q_group_quantiles) and
-  * merge-consistency properties (SketchesSpec).
+  * The native-layout sketches (HLL, KLL/GK) cannot hash-match across
+  * engines (different register layouts), so they gate via
+  * deterministic INVARIANT queries (error bound vs the oracle-gated
+  * exact twins; merge == one-shot) plus SketchesSpec. The relational
+  * sketches built on md5-stable hashes (Count-Min, Bloom) are fully
+  * engine-portable and hash-gate directly.
   */
 object Sketches {
 
@@ -128,4 +128,53 @@ object Sketches {
       .join(cells, Seq("r", "cell"))
       .groupBy(col(wordCol)).agg(min(col("n")).as("cms_est"))
   }
+
+  // --- Bloom filter (relational, mergeable) ------------------------------
+
+  /** Per-row (word_idx, bit) cells for a Bloom filter of `1 << bitsLog2`
+    * bits packed into 32-bit words (32-bit packing keeps every shifted
+    * value positive in int64 — no sign-bit divergence across engines).
+    * `k` universal hashes over the md5-stable key. */
+  private def bloomCells(df: DataFrame, keyCol: Column, bitsLog2: Int,
+                         k: Int, keep: Seq[Column]): DataFrame = {
+    require(bitsLog2 >= 5 && bitsLog2 <= 30, "need 32..2^30 bits")
+    val m = 1L << bitsLog2
+    val x = graft.functions.StableHash.stable32(keyCol)
+    val pos = (0 until k).map(i =>
+      graft.functions.StableHash.universal(x, i) % m)
+    df.select(keep :+ explode(array(pos: _*)).as("pos"): _*)
+      .withColumn("word_idx", expr("pos DIV 32"))
+      .withColumn("bit",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .drop("pos")
+  }
+
+  /** Build a Bloom filter over a key column: rows (word_idx, bits) —
+    * only words with at least one set bit are materialized (sparse).
+    * MERGEABLE: filters from different batches/days union by
+    * `groupBy(word_idx).agg(bit_or(bits))` — the cross-batch "have I
+    * seen this key before" primitive for ingest dedup at 100 TB, where
+    * re-scanning history per batch is the thing you cannot do.
+    * Deterministic (md5-stable hashes), so probes are engine-portable
+    * and oracle-gateable — unlike a native sketch layout. */
+  def bloomBuild(df: DataFrame, keyCol: Column, bitsLog2: Int = 16,
+                 k: Int = 4): DataFrame =
+    bloomCells(df, keyCol, bitsLog2, k, Nil)
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(bit)").as("bits"))
+
+  /** Probe membership of `probes(keyCol)` against a built filter:
+    * member = every one of the k bits set (absent word = unset).
+    * NO false negatives ever (a built key's bits are all present by
+    * construction); false positives bounded by the classic
+    * (1 - e^{-kn/m})^k. The probe side joins the filter on word_idx —
+    * a filter of 2^16 bits is 2 K words, broadcast everywhere. */
+  def bloomProbe(words: DataFrame, probes: DataFrame, keyCol: String,
+                 bitsLog2: Int = 16, k: Int = 4): DataFrame =
+    bloomCells(probes, col(keyCol), bitsLog2, k, Seq(col(keyCol)))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .groupBy(col(keyCol))
+      .agg(expr(
+        "bool_and((coalesce(bits, CAST(0 AS BIGINT)) & bit) != 0)")
+        .as("member"))
 }

@@ -42,4 +42,35 @@ object TimeSeries {
       .select(col(keyCol), col(bucketCol),
         col("__filled").as(s"${valCol}_filled"), col("is_gap"))
   }
+
+  /** Time-weighted average over IRREGULAR samples: each observation
+    * holds its value until the next one, so the mean must weight by
+    * holding duration, not by sample count (the spot-price/TWAP
+    * contract; a plain avg() over-weights bursts). Integral value
+    * column in, exact integers out:
+    * `twap = sum(value * dur) DIV sum(dur)` — same unit as the value
+    * column (feed cents/ppm fixed-point in for sub-unit resolution) —
+    * where `dur = next_ts - ts` (the key's last sample, with no
+    * successor, carries no weight). Keys with a single sample emit no
+    * row. sum(value x dur) must fit int64: pick value/time units so
+    * max|value| x key-span < 2^63 (cents x micros over a year of a
+    * hot key is ~1e17 per 1e6-cent value — at that envelope, coarsen
+    * dur to millis or widen to decimal(38,0) on both sides).
+    *
+    * Scale: ONE per-key window (lead) feeding a partial-aggregated
+    * groupBy on the same key — Catalyst reuses the single hash
+    * Exchange for both. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+           valCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    df.withColumn("__dur", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col(valCol) * col("__dur")).as("__wsum"),
+        sum(col("__dur")).as("__dsum"))
+      .select(col(keyCol),
+        expr("__wsum DIV __dsum").as("twap"),
+        col("__dsum").as("span"))
+  }
 }

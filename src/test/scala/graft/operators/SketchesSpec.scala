@@ -71,4 +71,36 @@ class SketchesSpec extends SparkSpec {
         s"$et: approx=$a exact=$e")
     }
   }
+
+  // --- Bloom filter ------------------------------------------------------
+
+  test("bloom: no false negatives, merged batches == one-shot build") {
+    import spark.implicits._
+    val keys = (1 to 400).map(i => s"k$i").toDF("key")
+    val one = Sketches.bloomBuild(keys, col("key"), bitsLog2 = 12, k = 4)
+    // split into two batches, build separately, merge by bit_or
+    val a = Sketches.bloomBuild(
+      keys.filter(expr("substring(key, 2) % 2 = 0")), col("key"), 12, 4)
+    val b = Sketches.bloomBuild(
+      keys.filter(expr("substring(key, 2) % 2 = 1")), col("key"), 12, 4)
+    val merged = a.union(b).groupBy("word_idx")
+      .agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.as[(Long, Long)].collect().toMap ==
+      one.as[(Long, Long)].collect().toMap)
+    // every built key probes true
+    val probed = Sketches.bloomProbe(one, keys, "key", 12, 4)
+    assert(probed.filter(!col("member")).count() == 0)
+  }
+
+  test("bloom: unseen keys mostly reject; fp rate within 4x formula bound") {
+    import spark.implicits._
+    val built = (1 to 400).map(i => s"k$i").toDF("key")
+    val words = Sketches.bloomBuild(built, col("key"), bitsLog2 = 12, k = 4)
+    val unseen = (1 to 1000).map(i => s"other$i").toDF("key")
+    val fp = Sketches.bloomProbe(words, unseen, "key", 12, 4)
+      .filter(col("member")).count()
+    // (1 - e^{-kn/m})^k with k=4, n=400, m=4096 -> ~0.7% expected
+    val bound = math.pow(1 - math.exp(-4.0 * 400 / 4096), 4)
+    assert(fp <= math.max(1000 * bound * 4, 25.0), s"fp=$fp")
+  }
 }

@@ -34,4 +34,27 @@ class TimeSeriesSpec extends SparkSpec {
       hourly.withColumnRenamed("count", "v"), "user_id", "h", "v").count()
     assert(got == expected)
   }
+
+  test("twap: duration-weighted mean, exact vs hand computation") {
+    // key 1: value 10 held for 4 ticks, 30 held for 1, last sample
+    // (99 at t=5) carries no weight -> twap = (10*4 + 30*1) DIV 5 = 14
+    val df = Seq(
+      (1L, 0L, 1L, 10L), (1L, 4L, 2L, 30L), (1L, 5L, 3L, 99L),
+      (2L, 7L, 4L, 50L))                  // single sample: no row
+      .toDF("k", "ts", "eid", "v")
+    val rows = TimeSeries.twap(df, "k", "ts", "v", Seq("eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((1L, 14L, 5L)))
+  }
+
+  test("twap: tied timestamps are deterministic (zero-duration ties)") {
+    val df = Seq(
+      (1L, 0L, 1L, 100L), (1L, 10L, 2L, 200L), (1L, 10L, 3L, 999L),
+      (1L, 20L, 4L, 0L))
+      .toDF("k", "ts", "eid", "v")
+    // eid order: 100 held 10, 200 held 0 (tie), 999 held 10, 0 last
+    val rows = TimeSeries.twap(df, "k", "ts", "v", Seq("eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((1L, (100L * 10 + 999L * 10) / 20, 20L)))
+  }
 }
