@@ -999,6 +999,54 @@ object QueriesPipeline {
       |       THEN 'changed' END IS NOT NULL""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Merkle-style sync: range digests of the SAME two snapshots as
+  // q_snapshot_diff, diffed at bucket granularity. The gate checks the
+  // digest math end to end — a changed/added/removed row must flip its
+  // bucket's (count, digest) identically in both engines.
+  // ---------------------------------------------------------------------
+  def rangeDigestDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 13 === 0, col("price_cents") * 2)
+          .otherwise(col("price_cents")))
+    val cols = Seq("price_cents", "o_orderstatus")
+    ChangeCapture.digestDiff(
+      ChangeCapture.rangeDigest(oldSnap, "o_orderkey", 64L, cols),
+      ChangeCapture.rangeDigest(newSnap, "o_orderkey", 64L, cols))
+  }
+
+  val rangeDigestDiffSql: String = {
+    import graft.functions.StableHash
+    val h = StableHash.stable32Sql(
+      "concat_ws(chr(1), o_orderkey, price_cents, o_orderstatus)")
+    s"""WITH base AS (SELECT o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       |    o_orderstatus FROM orders),
+       |  os AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+       |  ns AS (SELECT o_orderkey,
+       |      CASE WHEN o_orderkey % 13 = 0 THEN price_cents * 2
+       |           ELSE price_cents END AS price_cents,
+       |      o_orderstatus FROM base WHERE o_orderkey % 89 <> 0),
+       |  od AS (SELECT o_orderkey // 64 AS bucket, count(*) AS n_old,
+       |      CAST(sum($h) AS BIGINT) AS digest_old FROM os GROUP BY 1),
+       |  nd AS (SELECT o_orderkey // 64 AS bucket, count(*) AS n_new,
+       |      CAST(sum($h) AS BIGINT) AS digest_new FROM ns GROUP BY 1)
+       |SELECT bucket, n_old, digest_old, n_new, digest_new,
+       |  CASE WHEN n_old IS NULL THEN 'added'
+       |       WHEN n_new IS NULL THEN 'removed'
+       |       WHEN n_old <> n_new OR digest_old <> digest_new
+       |         THEN 'changed' END AS status
+       |FROM od FULL OUTER JOIN nd USING (bucket)
+       |WHERE CASE WHEN n_old IS NULL THEN 'added'
+       |       WHEN n_new IS NULL THEN 'removed'
+       |       WHEN n_old <> n_new OR digest_old <> digest_new
+       |         THEN 'changed' END IS NOT NULL""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Boilerplate detection: most frequent word 3-grams corpus-wide with
   // occurrence + document counts (operators.TextAnalysis.commonNgrams)
   // ---------------------------------------------------------------------
@@ -1053,6 +1101,7 @@ object QueriesPipeline {
     "q_mixture_temperature" -> (mixtureTemperature _),
     "q_common_ngrams" -> (commonNgrams _),
     "q_snapshot_diff" -> (snapshotDiff _),
+    "q_range_digest" -> (rangeDigestDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1090,5 +1139,6 @@ object QueriesPipeline {
     "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_common_ngrams" -> commonNgramsSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_range_digest" -> rangeDigestDiffSql,
   )
 }

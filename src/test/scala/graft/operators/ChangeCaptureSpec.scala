@@ -131,4 +131,30 @@ class ChangeCaptureSpec extends SparkSpec {
       .select("k", "change_type").as[(Long, String)].collect().toMap
     assert(out == Map(2L -> "changed"))
   }
+
+  test("rangeDigest: row-order and partitioning invariant; equal tables diff empty") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    val a = ChangeCapture.rangeDigest(rows.repartition(7), "k", 16L, Seq("v"))
+    val b = ChangeCapture.rangeDigest(
+      rows.orderBy(col("k").desc).repartition(2), "k", 16L, Seq("v"))
+    assert(a.as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap == b.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap)
+    assert(ChangeCapture.digestDiff(a, b).count() == 0)
+  }
+
+  test("digestDiff: a single changed/added/removed row flips exactly its bucket") {
+    import spark.implicits._
+    val old = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    val neu = old.filter(col("k") =!= 40L)                    // removed in b2
+      .withColumn("v", when(col("k") === 100L, lit("CHANGED")) // changed in b6
+        .otherwise(col("v")))
+      .union(Seq((300L, "new")).toDF("k", "v"))                // added in b18
+    val diff = ChangeCapture.digestDiff(
+        ChangeCapture.rangeDigest(old, "k", 16L, Seq("v")),
+        ChangeCapture.rangeDigest(neu, "k", 16L, Seq("v")))
+      .select("bucket", "status").as[(Long, String)].collect().toMap
+    assert(diff == Map(2L -> "changed", 6L -> "changed", 18L -> "added"))
+  }
 }
