@@ -1047,6 +1047,36 @@ object QueriesPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Digest-driven selective re-sync, end to end: digest both versions,
+  // keep ONLY the flagged buckets of each snapshot (left_semi — at
+  // 100 TB with bucket-aligned partitioning this is partition pruning,
+  // not a scan), row-diff the survivors. Gated against the SAME oracle
+  // as q_snapshot_diff: the cheap path must reproduce the full diff
+  // row for row — every changed/added/removed row provably lives in a
+  // digest-flagged bucket.
+  // ---------------------------------------------------------------------
+  def digestResync(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 13 === 0, col("price_cents") * 2)
+          .otherwise(col("price_cents")))
+    val cols = Seq("price_cents", "o_orderstatus")
+    val flagged = ChangeCapture.digestDiff(
+        ChangeCapture.rangeDigest(oldSnap, "o_orderkey", 64L, cols),
+        ChangeCapture.rangeDigest(newSnap, "o_orderkey", 64L, cols))
+      .select(col("bucket"))
+    def restrict(snap: org.apache.spark.sql.DataFrame) = snap
+      .withColumn("bucket", expr("o_orderkey DIV 64"))
+      .join(broadcast(flagged), Seq("bucket"), "left_semi")
+      .drop("bucket")
+    ChangeCapture.snapshotDiff(restrict(oldSnap), restrict(newSnap),
+      Seq("o_orderkey"), cols)
+  }
+
+  // ---------------------------------------------------------------------
   // Boilerplate detection: most frequent word 3-grams corpus-wide with
   // occurrence + document counts (operators.TextAnalysis.commonNgrams)
   // ---------------------------------------------------------------------
@@ -1102,6 +1132,7 @@ object QueriesPipeline {
     "q_common_ngrams" -> (commonNgrams _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_range_digest" -> (rangeDigestDiff _),
+    "q_digest_resync" -> (digestResync _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1140,5 +1171,6 @@ object QueriesPipeline {
     "q_common_ngrams" -> commonNgramsSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_range_digest" -> rangeDigestDiffSql,
+    "q_digest_resync" -> snapshotDiffSql,
   )
 }
