@@ -965,6 +965,44 @@ object Queries {
       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Grouped mode: each user's most frequent event_type (count-desc,
+  // value-asc tiebreak) — Stats.modePerGroup.
+  // ---------------------------------------------------------------------
+  def modeEventType(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.modePerGroup(t(s, dir, "events"),
+      "user_id", "event_type")
+
+  val modeEventTypeSql: String =
+    """SELECT user_id, event_type AS mode_value, cnt FROM (
+      |  SELECT user_id, event_type, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY count(*) DESC, event_type ASC) AS rn
+      |  FROM events GROUP BY user_id, event_type)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Equi-depth discretization: 8 near-equal-count value bins per
+  // event_type with [lo, hi] cent bounds — Stats.equiDepthBins,
+  // event_id tiebreak making the positional ntile deterministic.
+  // ---------------------------------------------------------------------
+  def equiDepthValueBins(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("event_id"), cents(col("value")).as("value_cents"))
+    graft.operators.Stats.equiDepthBins(e, "event_type", "value_cents",
+      Seq("event_id"), k = 8)
+  }
+
+  val equiDepthValueBinsSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents FROM events),
+      |  b AS (SELECT event_type, value_cents,
+      |    ntile(8) OVER (PARTITION BY event_type
+      |      ORDER BY value_cents, event_id) AS bin FROM e)
+      |SELECT event_type, CAST(bin AS INT) AS bin, count(*) AS n,
+      |  min(value_cents) AS lo, max(value_cents) AS hi
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Skew tooling through the gate: salted join must be result-identical
   // to the plain join (the salt fans a hot key over `salts` reducers
   // without changing a single output row)
@@ -1161,6 +1199,8 @@ object Queries {
     "q_range_join" -> (rangeJoinShipments _),
     "q_overlap_join" -> (overlapJoinShipments _),
     "q_key_skew" -> (keySkewProfile _),
+    "q_mode_event" -> (modeEventType _),
+    "q_equidepth_bins" -> (equiDepthValueBins _),
     "q_partitioned_write" -> (partitionedWrite _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
@@ -1210,6 +1250,8 @@ object Queries {
     "q_range_join" -> rangeJoinShipmentsSql,
     "q_overlap_join" -> overlapJoinShipmentsSql,
     "q_key_skew" -> keySkewProfileSql,
+    "q_mode_event" -> modeEventTypeSql,
+    "q_equidepth_bins" -> equiDepthValueBinsSql,
     "q_partitioned_write" -> partitionedWriteSql,
     "q_salted_join" -> saltedJoinAggSql,
   )

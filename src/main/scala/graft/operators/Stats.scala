@@ -101,6 +101,43 @@ object Stats {
     * the real query would pay) followed by a single scalar aggregate —
     * shuffle O(distinct keys x partitions), driver receives one row.
     */
+  /** Most frequent value per group (grouped mode) with a total
+    * tiebreak (highest count, then smallest value — deterministic in
+    * every engine). Shape: partial-aggregated groupBy(group, value)
+    * first — the heavy input collapses to distinct pairs BEFORE the
+    * per-group rank window, so the window sorts counts, not rows. */
+  def modePerGroup(df: DataFrame, groupCol: String,
+                   valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(valCol).asc)
+    df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valCol).as("mode_value"), col("cnt"))
+  }
+
+  /** Equi-depth discretization: per group, split rows into `k`
+    * near-equal-count bins by value order (ntile) and emit per-bin
+    * count + [min, max] value bounds — the feature-bucketing /
+    * histogram-equalization pass. `tieCols` must make the ordering
+    * total: ntile is POSITIONAL, so tied values are deterministic only
+    * under a total order (same rule as every ranking op here).
+    * ONE exchange on the group key shared by the window and the
+    * following (group, bin) aggregate. */
+  def equiDepthBins(df: DataFrame, groupCol: String, valCol: String,
+                    tieCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((valCol +: tieCols).map(col): _*)
+    df.withColumn("bin", ntile(k).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
+
   def keySkew(df: DataFrame, keyCol: Column): DataFrame =
     df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("cnt"))
       .agg(

@@ -257,6 +257,30 @@ class ScaleTierSpec extends SparkSpec {
 
   // --- key-skew profile --------------------------------------------------
 
+  test("modePerGroup: highest count wins, value-asc tiebreak") {
+    import spark.implicits._
+    val df = Seq(("g1", "b"), ("g1", "b"), ("g1", "a"),
+      ("g2", "z"), ("g2", "y"))  // g2: tie -> smaller value 'y' wins
+      .toDF("g", "v")
+    val out = Stats.modePerGroup(df, "g", "v")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("g1", "b", 2L), ("g2", "y", 1L)))
+  }
+
+  test("equiDepthBins: near-equal counts, contiguous non-overlapping bounds") {
+    import spark.implicits._
+    val df = (1L to 103L).map(i => ("g", i, i * 10)).toDF("g", "id", "x")
+    val bins = Stats.equiDepthBins(df, "g", "x", Seq("id"), k = 4)
+      .orderBy("bin")
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(bins.map(_._2).toSeq == Seq(1, 2, 3, 4))
+    assert(bins.map(_._3).sum == 103L)
+    assert(bins.map(_._3).max - bins.map(_._3).min <= 1) // 26,26,26,25
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, "bin bounds must not overlap")
+    }
+  }
+
   test("keySkew: exact integer profile vs driver recompute") {
     import spark.implicits._
     // key 1 hot (5 rows), keys 2..4 one row each -> 8 rows, 4 keys
