@@ -965,6 +965,24 @@ object Queries {
       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Join-size estimator: exact events x lineitem-on-user/supp join
+  // cardinality from per-key count tables — the gate also proves the
+  // estimate equals the REAL join's count (same SQL shape both ways).
+  // ---------------------------------------------------------------------
+  def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id").as("k"))
+    val l = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+    graft.operators.Stats.joinSizeEstimate(e, l, "k")
+  }
+
+  val joinSizeEstSql: String =
+    """SELECT CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+      |  count(*) AS matched_keys
+      |FROM (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1) a
+      |JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) b
+      |  USING (k)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Grouped mode: each user's most frequent event_type (count-desc,
   // value-asc tiebreak) — Stats.modePerGroup.
   // ---------------------------------------------------------------------
@@ -1201,6 +1219,7 @@ object Queries {
     "q_key_skew" -> (keySkewProfile _),
     "q_mode_event" -> (modeEventType _),
     "q_equidepth_bins" -> (equiDepthValueBins _),
+    "q_join_size_est" -> (joinSizeEst _),
     "q_partitioned_write" -> (partitionedWrite _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
@@ -1252,6 +1271,7 @@ object Queries {
     "q_key_skew" -> keySkewProfileSql,
     "q_mode_event" -> modeEventTypeSql,
     "q_equidepth_bins" -> equiDepthValueBinsSql,
+    "q_join_size_est" -> joinSizeEstSql,
     "q_partitioned_write" -> partitionedWriteSql,
     "q_salted_join" -> saltedJoinAggSql,
   )

@@ -138,6 +138,23 @@ object Stats {
         min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
   }
 
+  /** Exact inner-equi-join output cardinality WITHOUT running the
+    * join: |A ⋈ B| = Σ_k cntA(k)·cntB(k). Both sides collapse to
+    * per-key counts first (partial-agg, shuffle O(distinct keys)),
+    * so the estimate costs two count-aggregates and a count-table
+    * join — not the data-sized shuffle the real join pays. The
+    * planner-advisor companion to [[keySkew]]: run both, then decide
+    * broadcast / salt / proceed. One row: (join_rows, matched_keys).
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+                       keyCol: String): DataFrame = {
+    val a = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__ca"))
+    val b = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__cb"))
+    a.join(b, Seq(keyCol))
+      .agg(sum(col("__ca") * col("__cb")).as("join_rows"),
+        count(lit(1)).as("matched_keys"))
+  }
+
   def keySkew(df: DataFrame, keyCol: Column): DataFrame =
     df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("cnt"))
       .agg(

@@ -281,6 +281,16 @@ class ScaleTierSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeEstimate == the real join's count") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val est = Stats.joinSizeEstimate(a, b, "k")
+      .as[(Long, Long)].collect().head
+    assert(est == ((3L * 2 + 1L * 1, 2L)))
+    assert(est._1 == a.join(b, "k").count())
+  }
+
   test("keySkew: exact integer profile vs driver recompute") {
     import spark.implicits._
     // key 1 hot (5 rows), keys 2..4 one row each -> 8 rows, 4 keys
