@@ -1030,9 +1030,11 @@ object QueriesPipeline {
        |      CASE WHEN o_orderkey % 13 = 0 THEN price_cents * 2
        |           ELSE price_cents END AS price_cents,
        |      o_orderstatus FROM base WHERE o_orderkey % 89 <> 0),
-       |  od AS (SELECT o_orderkey // 64 AS bucket, count(*) AS n_old,
+       |  od AS (SELECT (o_orderkey - ((o_orderkey % 64 + 64) % 64)) // 64
+       |      AS bucket, count(*) AS n_old,
        |      CAST(sum($h) AS BIGINT) AS digest_old FROM os GROUP BY 1),
-       |  nd AS (SELECT o_orderkey // 64 AS bucket, count(*) AS n_new,
+       |  nd AS (SELECT (o_orderkey - ((o_orderkey % 64 + 64) % 64)) // 64
+       |      AS bucket, count(*) AS n_new,
        |      CAST(sum($h) AS BIGINT) AS digest_new FROM ns GROUP BY 1)
        |SELECT bucket, n_old, digest_old, n_new, digest_new,
        |  CASE WHEN n_old IS NULL THEN 'added'

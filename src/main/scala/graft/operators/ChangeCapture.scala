@@ -95,7 +95,7 @@ object ChangeCapture {
   }
 
   /** Merkle-style range digest for cheap table sync: bucket the key
-    * space (`bucket = key DIV width`) and emit per bucket a row count
+    * space (`bucket = floor(key / width)`) and emit per bucket a row count
     * and an ORDER- AND PARTITIONING-INSENSITIVE content digest — the
     * sum of each row's md5-stable hash over (key + compared columns).
     * Two table versions agree on a bucket iff (n_rows, digest) match
@@ -113,11 +113,21 @@ object ChangeCapture {
     * up to ~2^31 rows per bucket — unreachable with any sane width.
     * concat_ws skips null columns (same rule both engines); a column
     * whose value could collide with the skip (empty vs null) needs an
-    * explicit sentinel upstream. */
+    * explicit sentinel upstream.
+    *
+    * Bucketing is FLOOR division, spelled in pmod arithmetic
+    * (`(key - pmod(key, w)) DIV w` — the numerator is exactly
+    * divisible, so truncating and flooring engines agree on it) rather
+    * than a bare `key DIV w`: Spark's DIV truncates toward zero while
+    * floor-division engines (DuckDB `//`) floor, and the two diverge
+    * on negative keys. The pmod spelling is exact over the whole
+    * signed-long domain, so negative keys bucket identically
+    * everywhere. */
   def rangeDigest(df: DataFrame, keyCol: String, width: Long,
                   cols: Seq[String]): DataFrame = {
     require(width > 0, "width must be positive")
-    df.select(expr(s"$keyCol DIV $width").as("bucket"),
+    df.select(expr(
+        s"($keyCol - pmod($keyCol, $width)) DIV $width").as("bucket"),
         graft.functions.StableHash.stable32(
           concat_ws("\u0001", (keyCol +: cols).map(col): _*)).as("__h"))
       .groupBy(col("bucket"))

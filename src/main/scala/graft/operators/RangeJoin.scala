@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor-division of a long column expression by a positive literal
+    * width, in EXACT long arithmetic: `(x - pmod(x, w)) DIV w`. The
+    * numerator is an exact multiple of `w`, so integral DIV equals
+    * floor over the entire signed-long domain — unlike
+    * `floor(x / w)`, which routes through double division and loses
+    * exactness for |x| > 2^53. `colSql` is a SQL expression string
+    * (column name or composite like `greatest(a, b)`). */
+  private def floorDivCell(colSql: String, width: Long) =
+    expr(s"($colSql - pmod($colSql, ${width}L)) DIV ${width}L")
+
   /** Inner-join `points` (with long column `pointCol`) to `intervals`
     * (with long columns `loCol`, `hiCol`, inclusive bounds), keeping
     * pairs where `lo <= p <= hi`. Column names must not collide across
@@ -31,11 +41,11 @@ object RangeJoin {
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__cell",
-      floor(col(pointCol) / bucketWidth).cast("long"))
+      floorDivCell(pointCol, bucketWidth))
     val iv = intervals.withColumn("__cell",
       explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+        floorDivCell(loCol, bucketWidth),
+        floorDivCell(hiCol, bucketWidth))))
     p.join(iv, Seq("__cell"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__cell")
@@ -65,13 +75,13 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def cells(df: DataFrame, lo: String, hi: String) =
       df.withColumn("__cell", explode(sequence(
-        floor(col(lo) / bucketWidth).cast("long"),
-        floor(col(hi) / bucketWidth).cast("long"))))
+        floorDivCell(lo, bucketWidth),
+        floorDivCell(hi, bucketWidth))))
     cells(left, loL, hiL)
       .join(cells(right, loR, hiR), "__cell" +: extraKeys)
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
         col("__cell") ===
-          floor(greatest(col(loL), col(loR)) / bucketWidth).cast("long"))
+          floorDivCell(s"greatest($loL, $loR)", bucketWidth))
       .drop("__cell")
   }
 }

@@ -100,24 +100,6 @@ object ScaleOps {
       .agg(sum(col("__partial")).as(as))
   }
 
-  /** Global dense 1-based rank over a total order WITHOUT the
-    * single-partition window that `row_number() OVER (ORDER BY ...)`
-    * plans (Spark moves the whole table to ONE task when the window
-    * has no PARTITION BY — the canonical driver-shaped scale killer).
-    *
-    * Two-pass range-partitioned form instead: range-shuffle + local
-    * sort (exactly a global sort's plan), count each partition (a
-    * #partitions-sized driver array — bounded by cluster width, not
-    * data), then add per-partition offsets in a narrow map. The rank
-    * values depend only on the total order, not on where the range
-    * boundaries land, so the result is deterministic even though
-    * RangePartitioner samples. `sortCols` must be a total order (tie
-    * rows would get an arbitrary-but-deterministic order; give a
-    * unique tiebreak column for cross-engine stability).
-    *
-    * The sorted frame is cached: the size pass and the caller's action
-    * would otherwise each re-sort. Caller unpersists via the returned
-    * frame's lineage going cold (short jobs) or explicitly. */
   /** Global running (prefix) sum over a total order WITHOUT a
     * single-partition window — [[globalRank]]'s shape generalized from
     * counts to sums: range-partition on the sort key, one local pass
@@ -127,7 +109,16 @@ object ScaleOps {
     * `Window.orderBy(...)` would serialize through one task instead
     * runs fully parallel. The primitive behind interval sweeps
     * (concurrency counting), cumulative distributions, and exclusive
-    * bin-packing offsets at 100 TB. */
+    * bin-packing offsets at 100 TB.
+    *
+    * Block-store hygiene: nothing is persisted. The offsets job and
+    * the caller's action share the range-exchange's ShuffleMapStage
+    * (same memoized `Dataset.rdd`), so the second job re-reads the
+    * shuffle files (skipped map stage) and only re-runs the cheap
+    * in-partition sort — cheaper than parking the whole sorted frame
+    * in executor memory across gate runs. Callers that iterate the
+    * result many times can `.cache()` the RETURNED frame themselves
+    * and own its unpersist. */
   def globalRunningSum(df: DataFrame,
                        sortCols: Seq[org.apache.spark.sql.Column],
                        valueCol: String,
@@ -139,7 +130,6 @@ object ScaleOps {
     val valueIdx = df.schema.fieldIndex(valueCol)
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .cache()
     val sums = sorted.rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var s = 0L; while (it.hasNext) { s += it.next().getLong(valueIdx) }; s
@@ -158,6 +148,24 @@ object ScaleOps {
     spark.createDataFrame(summed, schema)
   }
 
+  /** Global dense 1-based rank over a total order WITHOUT the
+    * single-partition window that `row_number() OVER (ORDER BY ...)`
+    * plans (Spark moves the whole table to ONE task when the window
+    * has no PARTITION BY — the canonical driver-shaped scale killer).
+    *
+    * Two-pass range-partitioned form instead: range-shuffle + local
+    * sort (exactly a global sort's plan), count each partition (a
+    * #partitions-sized driver array — bounded by cluster width, not
+    * data), then add per-partition offsets in a narrow map. The rank
+    * values depend only on the total order, not on where the range
+    * boundaries land, so the result is deterministic even though
+    * RangePartitioner samples. `sortCols` must be a total order (tie
+    * rows would get an arbitrary-but-deterministic order; give a
+    * unique tiebreak column for cross-engine stability).
+    *
+    * Block-store hygiene: nothing is persisted — the two jobs share
+    * the range-exchange's shuffle files (see [[globalRunningSum]]);
+    * only the in-partition sort re-runs on the caller's action. */
   def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                  rankName: String = "rank",
                  partitions: Int = 0): DataFrame = {
@@ -166,7 +174,6 @@ object ScaleOps {
             else spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .cache()
     val sizes = sorted.rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c

@@ -88,19 +88,6 @@ object Stats {
         col("rz_e6") :+ col("rank"): _*)
   }
 
-  /** Key-skew profile: ONE summary row describing how unevenly rows
-    * distribute over a key — the diagnostic you run BEFORE picking a
-    * join/aggregation strategy at scale (salt? AQE skew split?
-    * broadcast?). Emits exact integers only:
-    * n_keys, total_rows, max_cnt, min_cnt,
-    * avg_x1000 = total*1000 DIV n_keys, and
-    * top_share_ppm = max*1e6 DIV total (the hottest key's row share —
-    * the number that predicts a straggler task).
-    *
-    * Shape: partial-aggregated groupBy on the key (the same shuffle
-    * the real query would pay) followed by a single scalar aggregate —
-    * shuffle O(distinct keys x partitions), driver receives one row.
-    */
   /** Most frequent value per group (grouped mode) with a total
     * tiebreak (highest count, then smallest value — deterministic in
     * every engine). Shape: partial-aggregated groupBy(group, value)
@@ -155,6 +142,19 @@ object Stats {
         count(lit(1)).as("matched_keys"))
   }
 
+  /** Key-skew profile: ONE summary row describing how unevenly rows
+    * distribute over a key — the diagnostic you run BEFORE picking a
+    * join/aggregation strategy at scale (salt? AQE skew split?
+    * broadcast?). Emits exact integers only:
+    * n_keys, total_rows, max_cnt, min_cnt,
+    * avg_x1000 = total*1000 DIV n_keys, and
+    * top_share_ppm = max*1e6 DIV total (the hottest key's row share —
+    * the number that predicts a straggler task).
+    *
+    * Shape: partial-aggregated groupBy on the key (the same shuffle
+    * the real query would pay) followed by a single scalar aggregate —
+    * shuffle O(distinct keys x partitions), driver receives one row.
+    */
   def keySkew(df: DataFrame, keyCol: Column): DataFrame =
     df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("cnt"))
       .agg(

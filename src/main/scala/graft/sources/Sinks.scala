@@ -96,7 +96,36 @@ case class JdbcUpsertSink(url: String, table: String, driver: String,
                           keyCols: Seq[String], orderCols: Seq[String],
                           createTableColumnTypes: Option[String] = None)
     extends Sink {
-  override def write(df: DataFrame): Unit = {
+  // MERGE/CREATE SQL interpolates the table and column names — if they
+  // ever arrive from untrusted config, an identifier like
+  // `t; DROP TABLE x` would become live SQL. Reject anything but plain
+  // SQL identifiers up front (quoting alone can't save the UNQUOTED
+  // table name, which must stay unquoted so each warehouse applies its
+  // own case folding — see the write() comments).
+  private val SafeIdent = "[A-Za-z][A-Za-z0-9_]*".r
+  require(SafeIdent.matches(table),
+    s"unsafe table identifier: '$table'")
+  require(keyCols.nonEmpty && orderCols.nonEmpty,
+    "keyCols and orderCols must be non-empty")
+  (keyCols ++ orderCols).foreach(c => require(SafeIdent.matches(c),
+    s"unsafe column identifier: '$c'"))
+
+  override def write(df0: DataFrame): Unit = {
+    df0.columns.foreach(c => require(SafeIdent.matches(c),
+      s"unsafe column identifier in frame: '$c'"))
+    // Standard-SQL MERGE fails on multiple source matches per target
+    // key, so the sink OWNS the per-key cut: keep only the newest row
+    // per key (by orderCols desc) in this batch. Idempotent — a
+    // pre-deduped batch passes through unchanged for one cheap
+    // window over the (small) micro-batch.
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(df0.col): _*)
+      .orderBy(orderCols.map(df0.col(_).desc): _*)
+    val df: DataFrame = df0
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(dedupW))
+      .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+      .drop("__rn")
     // staging is deliberately left in place between batches: the next
     // batch's overwrite replaces it, and dropping it here would race a
     // concurrent reader's MERGE on some warehouses

@@ -60,17 +60,10 @@ object IncrementalIngest {
                         schema: StructType,
                         sink: graft.sources.JdbcUpsertSink,
                         checkpointDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val q = spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w = Window
-          .partitionBy(sink.keyCols.map(col): _*)
-          .orderBy(sink.orderCols.map(col(_).desc): _*)
-        sink.write(batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn"))
-      }
+      // per-key newest-row dedup lives INSIDE the sink (MERGE precondition)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink.write(batch) }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
