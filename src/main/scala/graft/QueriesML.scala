@@ -1189,7 +1189,8 @@ object QueriesML {
       |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
       |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
       |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
-      |  CAST(0 AS BIGINT) AS pixel_sum
+      |  CAST(0 AS BIGINT) AS pixel_sum,
+      |  CAST(0 AS BIGINT) AS sample_sum
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1229,6 +1230,44 @@ object QueriesML {
       |  CAST(1 AS INT) AS n_frames,
       |  CAST(sum((x*31 + y*7 + doc_id % 256) % 256) AS BIGINT) AS pixel_sum
       |FROM xy GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // REAL audio decode through the multimodal seam: deterministic 16-bit
+  // mono PCM (sample(i) = (doc_id*31 + i*17) mod 2003 - 1001, length
+  // derived from doc_id) is encoded as WAV with javax.sound.sampled,
+  // shipped as binary media, and decoded back by AudioCodec inside
+  // extractFeatures. The oracle recomputes rate/channels/window-count/
+  // sample-sum analytically — a wrong decode (rate, dropped frames,
+  // endianness, corrupted samples) breaks the hash.
+  // ---------------------------------------------------------------------
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (id % 3000 + 100).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i * 17) % 2003 - 1001).toShort)
+        Multimodal.MediaRecord(id,
+          Multimodal.AudioCodec.encodeWav(16000, samples), "audio/wav")
+      }.toDF()
+    Multimodal.extractFeatures(s, media)
+      .select(col("doc_id"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames").as("n_windows"),
+        col("sample_sum"))
+  }
+
+  val audioDecodeSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, unnest(generate_series(0, doc_id % 3000 + 99)) AS i
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(16000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST((doc_id % 3000 + 100 + 1023) // 1024 AS INT) AS n_windows,
+      |  CAST(sum((doc_id * 31 + i * 17) % 2003 - 1001) AS BIGINT)
+      |    AS sample_sum
+      |FROM s GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Multimodal frame-sampling fan-out (video -> frames shape)
@@ -1384,6 +1423,7 @@ object QueriesML {
     "q_negative_sample" -> (negativeSample _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_decode" -> (imageDecode _),
+    "q_audio_decode" -> (audioDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_streaming_sliding" -> (streamingSliding _),
     "q_streaming_sessions" -> (streamingSessions _),
@@ -1450,6 +1490,7 @@ object QueriesML {
     "q_embed_neardup_blocked" -> embedNearDupBlockedSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_decode" -> imageDecodeSql,
+    "q_audio_decode" -> audioDecodeSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_streaming_sessions" -> streamingSessionsSql,
     "q_streaming_sliding" -> streamingSlidingSql,

@@ -547,6 +547,46 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width == 37 % 640 + 1 && f.height == (37 * 7) % 480 + 1)
     assert(f.pixel_sum == 0L)
   }
+
+  test("audio WAV encode -> decode round-trips rate/frames/sample-sum") {
+    // 2500 samples -> 3 windows of 1024; sum known analytically
+    val samples = Array.tabulate(2500)(i => ((i * 13) % 4001 - 2000).toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(8000, samples)
+    val Some((rate, channels, frames, sum)) =
+      Multimodal.AudioCodec.decode(wav)
+    assert(rate == 8000 && channels == 1 && frames == 2500L)
+    assert(sum == samples.map(_.toLong).sum)
+    // negative-heavy signal: sign handling through both endiannesses'
+    // byte reassembly must survive (sum is negative here)
+    val neg = Array.tabulate(100)(i => (-3000 + i).toShort)
+    val Some((_, _, nf, nsum)) =
+      Multimodal.AudioCodec.decode(Multimodal.AudioCodec.encodeWav(44100, neg))
+    assert(nf == 100L && nsum == neg.map(_.toLong).sum)
+  }
+
+  test("audio media decodes for real in extractFeatures + window fan-out") {
+    import spark.implicits._
+    val samples = Array.tabulate(2500)(i => ((i * 7) % 201 - 100).toShort)
+    val rec = Multimodal.MediaRecord(9L,
+      Multimodal.AudioCodec.encodeWav(16000, samples), "audio/wav")
+    val f = Multimodal.extractFeatures(spark, Seq(rec).toDF()).collect().head
+    assert(f.width == 16000 && f.height == 1) // rate, channels
+    assert(f.n_frames == 3)                   // ceil(2500 / 1024) windows
+    assert(f.sample_sum == samples.map(_.toLong).sum)
+    assert(f.pixel_sum == 0L)
+    // audio fan-out: one row per 1024-frame window
+    val frames = Multimodal.sampleFrames(spark, Seq(rec).toDF()).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("undecodable audio payload falls back to the stub, sample_sum 0") {
+    import spark.implicits._
+    val garbage = Multimodal.MediaRecord(6L,
+      Array.tabulate[Byte](41)(i => (i * 23).toByte), "audio/wav")
+    val f = Multimodal.extractFeatures(spark, Seq(garbage).toDF())
+      .collect().head
+    assert(f.width == 41 % 640 + 1 && f.sample_sum == 0L)
+  }
 }
 
 class StreamingSpec extends SparkSpec {
