@@ -821,7 +821,8 @@ object QueriesML {
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueryCount),
-      "vec_id", "embedding", AnnDim, AnnK, AnnPlanes, AnnTables)
+      "vec_id", "embedding", AnnDim, AnnK, AnnPlanes, AnnTables,
+      probeRadius = 1)
   }
 
   /** SRP bucket expression over a fixed-point list column `v` — the
@@ -844,14 +845,21 @@ object QueriesML {
     // one equi-join per SRP table (disjoint hyperplane sets via
     // planeOffset), UNION-deduplicated BEFORE cosine — the same
     // candidates-across-tables-then-verify-once semantics as
-    // Similarity.lshBucketTopK
+    // Similarity.lshBucketTopK. Query side multiprobes the full
+    // Hamming-radius-1 ball (own bucket + every single-bit XOR flip),
+    // mirroring probeRadius = 1.
+    val probeMasks = (0 until AnnPlanes).map(p => 1L << p)
+    val probeList = ("bucket" +: probeMasks.map(m => s"xor(bucket, $m)"))
+      .mkString("[", ", ", "]")
     val perTable = (0 until AnnTables).map { tbl =>
       s"""    SELECT q.vec_id AS query_id, c.vec_id AS cand_id
-         |    FROM bk$tbl q JOIN bk$tbl c ON q.bucket = c.bucket
-         |    WHERE q.vec_id < $AnnQueryCount AND c.vec_id <> q.vec_id""".stripMargin
+         |    FROM qb$tbl q JOIN bk$tbl c ON q.bucket = c.bucket
+         |    WHERE c.vec_id <> q.vec_id""".stripMargin
     }.mkString("\n    UNION\n")
-    val tableCtes = (0 until AnnTables).map { tbl =>
-      s"bk$tbl AS (SELECT vec_id, ${srpBucketSqlExpr("v", tbl * AnnPlanes)} AS bucket FROM nrm)"
+    val tableCtes = (0 until AnnTables).flatMap { tbl =>
+      Seq(
+        s"bk$tbl AS (SELECT vec_id, ${srpBucketSqlExpr("v", tbl * AnnPlanes)} AS bucket FROM nrm)",
+        s"qb$tbl AS (SELECT vec_id, unnest($probeList) AS bucket FROM bk$tbl WHERE vec_id < $AnnQueryCount)")
     }.mkString(",\n  ")
     s"""WITH $fixedPointCte,
        |  $tableCtes,

@@ -137,25 +137,53 @@ object Similarity {
     * join back — a candidate colliding in all tables pays one dot
     * product. The query side (small by contract) is broadcast in both
     * the bucket join and the vector join-back; the corpus is scanned
-    * once, exploded ×tables on narrow bucket keys. */
+    * once, exploded ×tables on narrow bucket keys.
+    *
+    * MULTIPROBE (`probeRadius = 1`): the query side ALSO probes every
+    * bucket at Hamming distance 1 from its own — each single hyperplane
+    * bit flipped — so a true neighbor that disagrees on exactly one of
+    * `planes` sign bits is still found without adding tables (or any
+    * corpus-side cost: the corpus index is untouched; only the
+    * broadcast query build-side grows ×(planes+1)). Per-table hit
+    * probability rises from p^planes to p^planes +
+    * planes·p^(planes-1)(1-p) — the standard production recall knob
+    * when memory rules out more tables. The probe set is a literal
+    * XOR-mask expansion: deterministic, order-free (UNION-dedup
+    * downstream), and fully inside whole-stage codegen. */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, dim: Int, k: Int,
-                    planes: Int = 8, tables: Int = 4): DataFrame = {
+                    planes: Int = 8, tables: Int = 4,
+                    probeRadius: Int = 0): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      "probeRadius 0 (exact buckets) or 1 (all single-bit flips)")
     GraftFunctions.register(corpus.sparkSession)
-    def keyed(df: DataFrame, outId: String): DataFrame = {
-      val buckets = (0 until tables).map { tbl =>
-        struct(lit(tbl).as("tbl"),
-          srpBucket(col("v"), dim, planes, tbl * planes).as("bucket"))
+    def keyed(df: DataFrame, outId: String,
+              probe: Boolean = false): DataFrame = {
+      // materialize each table's bucket as a named column FIRST, so the
+      // probe expansion references it instead of duplicating the
+      // planes x dim dot-product tree (planes+1)x per table
+      val withB = df.select(col("id").as(outId) +:
+        (0 until tables).map(tbl =>
+          srpBucket(col("v"), dim, planes, tbl * planes).as(s"__b$tbl")): _*)
+      val buckets = (0 until tables).flatMap { tbl =>
+        val b = col(s"__b$tbl")
+        val own = struct(lit(tbl).as("tbl"), b.as("bucket"))
+        val flips =
+          if (probe) (0 until planes).map(p =>
+            struct(lit(tbl).as("tbl"),
+              b.bitwiseXOR(lit(1L << p)).as("bucket")))
+          else Nil
+        own +: flips
       }
-      df.select(col("id").as(outId),
-          explode(array(buckets: _*)).as("bk"))
+      withB.select(col(outId), explode(array(buckets: _*)).as("bk"))
         .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
           col(outId))
     }
     val q = prep(queries, idCol, vecCol, "id", "v", "n2")
     val c = prep(corpus, idCol, vecCol, "id", "v", "n2")
     val candidates = keyed(c, "cand_id")
-      .join(broadcast(keyed(q, "query_id")), Seq("tbl", "bucket"))
+      .join(broadcast(keyed(q, "query_id", probe = probeRadius == 1)),
+        Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"))
       .distinct()

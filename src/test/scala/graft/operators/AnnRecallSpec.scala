@@ -42,10 +42,10 @@ class AnnRecallSpec extends SparkSpec {
     per.sum / per.size
   }
 
-  private def lshRecallAt(tables: Int): Double =
+  private def lshRecallAt(tables: Int, probeRadius: Int = 0): Double =
     recallOf(candSets(Similarity.lshBucketTopK(
       emb, queries, "vec_id", "embedding", graft.QueriesML.AnnDim, K,
-      graft.QueriesML.AnnPlanes, tables)))
+      graft.QueriesML.AnnPlanes, tables, probeRadius)))
 
   test("LSH SRP-bucket ANN recall@10 above floor at the gate config") {
     val r = lshRecallAt(graft.QueriesML.AnnTables)
@@ -55,6 +55,18 @@ class AnnRecallSpec extends SparkSpec {
     // at 6 planes x 4 tables vs 0.078 single-table. True near-dups
     // (θ→0) collide in every table regardless.
     assert(r >= 0.15, s"LSH recall collapsed: $r")
+  }
+
+  test("multiprobe (radius-1 ball) lifts recall past 0.5 at equal tables") {
+    val r8 = lshRecallAt(8)
+    val r8p = lshRecallAt(8, probeRadius = 1)
+    val r4p = lshRecallAt(4, probeRadius = 1)
+    info(f"LSH recall@$K at 8 tables: exact $r8%.3f, multiprobe $r8p%.3f; 4 tables multiprobe $r4p%.3f")
+    // same tables, same memory — probing the Hamming-1 ball must beat
+    // the exact-bucket recall and clear 0.5 (measured ~0.304 exact /
+    // well above 0.5 probed on this dataset)
+    assert(r8p >= r8, s"multiprobe may never lose candidates: $r8p < $r8")
+    assert(r8p >= 0.5, s"multiprobe recall floor: $r8p")
   }
 
   test("LSH recall is monotone in the number of tables") {
