@@ -797,6 +797,10 @@ object QueriesPipeline {
       |  CAST(sum(dur) AS BIGINT) AS span
       |FROM d WHERE dur IS NOT NULL GROUP BY 1""".stripMargin
 
+  // CAVEAT (per-dataset gate): within_bound hard-asserts a ~3-sigma
+  // probabilistic HLL++ property — deterministic for THIS dataset/SF
+  // (green at sf0.01 and sf0.1) but a different seed or scale factor
+  // could fail it spuriously; widen withinBound before regating there.
   def sketchDistinctBound(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val est = operators.Sketches.approxDistinct(e, Seq("event_type"),
@@ -820,6 +824,10 @@ object QueriesPipeline {
     * must lie between the exact (p-1%) and (p+1%) quantile elements
     * whenever A > 100 — a boolean that holds for ANY dataset or seed,
     * making it a clean oracle-gate row for the quantile sketch tier. */
+  // CAVEAT (per-dataset gate): unlike the HLL twin this bound is a
+  // worst-case GK guarantee, not probabilistic — but the +/-1%-rank
+  // sandwich is still asserted against THIS dataset's group sizes; a
+  // future accuracy/SF change needs the n/A <= 1%-rank check redone.
   def sketchQuantileBound(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_type"), cents(col("value")).as("value_cents"))

@@ -52,6 +52,30 @@ object EventStream {
     * handful of partitions beats the session default — on a cluster
     * ingesting a wide keyspace, size it up instead.
     */
+  /** Minimal streaming drain — pass-through projection of the events
+    * source into a memory sink, NO state store, no aggregation: its
+    * wall time is the fixed query-start machinery (stream planning,
+    * file listing, source scan, sink collect) that EVERY streaming
+    * query in this JVM pays before any operator work. [[graft.Bench]]
+    * measures it as the `stream_start` floor and nets it out of
+    * q_stream_* entries so operator-level regressions stay visible
+    * below the floor. Returns the drained row count. */
+  def startFloorProbe(spark: SparkSession, dir: String,
+                      queryName: String = "stream_floor"): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.table(queryName).count()
+    spark.catalog.dropTempView(queryName)
+    n
+  }
+
   def hourlyRollup(spark: SparkSession, dir: String,
                    delay: String = "1 hour",
                    queryName: String = "events_hourly",
