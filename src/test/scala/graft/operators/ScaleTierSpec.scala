@@ -245,6 +245,50 @@ class ScaleTierSpec extends SparkSpec {
     }
   }
 
+  test("pageRank + minLabelClusters stay exact on a 10%-degree hub graph") {
+    // Skew shape from the round-5 verdict: a supernode adjacent to 10%
+    // of all nodes over a sparse random background. Both Pregel loops
+    // hash-partition raw ids, so the hub's whole adjacency sits in one
+    // partition — this pins correctness under that imbalance (the
+    // wall-clock skew itself is metered by tools.SkewStress at
+    // n=50,000; measured worst-stage skew < 2x, so no salting).
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val n = 300L
+    val hub = (1L to n / 10).map(i => (0L, i))
+    val bg = (1 to 600)
+      .map(_ => (rnd.nextLong(n), rnd.nextLong(n)))
+      .filter(e => e._1 != e._2)
+    val pairs = (hub ++ bg)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = pairs.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // driver PageRank oracle (same integer recurrence)
+    var pr = (0L until n).map(_ -> 1000000000L).toMap
+    for (_ <- 0 until 3) {
+      pr = (0L until n).map { v =>
+        val s = adj.getOrElse(v, Nil).map(u => pr(u) / deg(u)).sum
+        v -> (1000000000L * 15 / 100 + 85L * s / 100)
+      }.toMap
+    }
+    // driver min-label oracle: 6 rounds of synchronous min propagation
+    var lbl = (0L until n).map(v => v -> v).toMap
+    for (_ <- 0 until 6) {
+      lbl = (0L until n).map { v =>
+        v -> (lbl(v) +: adj.getOrElse(v, Nil).map(lbl)).min
+      }.toMap
+    }
+    val ids = spark.range(0, n).toDF("id")
+    val pdf = pairs.toDF("id_a", "id_b")
+    val gotPr = Graph.pageRank(ids, "id", pdf, "id_a", "id_b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotPr == pr)
+    val gotLbl = Dedup.minLabelClusters(ids, "id", pdf, "id_a", "id_b", 6)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(gotLbl == lbl)
+  }
+
   test("pageRank: zero iterations returns the uniform base score") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
