@@ -1457,6 +1457,15 @@ object QueriesML {
     "q_curation_pipeline" -> (curationPipeline _),
   )
 
+  /** Reset the per-sf-dir fitted-model caches that [[oracles]] inlines
+    * (IVF/PQ/SemDeDup centroid literals). Harness hook for
+    * [[graft.tools.OracleFuzz]]: fuzzing runs the same queries over
+    * several scratch dirs in one JVM, so the single-dir invariant the
+    * dynamic oracles rely on must be re-established per dir. */
+  private[graft] def resetFittedOracleState(): Unit = {
+    ivfCents.clear(); pqBooks.clear(); semCents.clear()
+  }
+
   /** Oracle map is a def: the IVF entry exists only after its query has
     * run in this JVM (Verify dumps oracle SQL after the query loop),
     * and only when a single sf dir was exercised — the centroid

@@ -1,0 +1,134 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Oracle-pair fuzzing (round-5 verdict ask #8): the 147 hand-paired
+  * Spark/DuckDB queries are the repo's biggest correctness surface,
+  * and the fixed driver gate can only ever certify them on ONE input.
+  * A pairing that drifts — the Spark side and the SQL text agreeing on
+  * the fixture by coincidence (a constant that happens to hold, a
+  * tiebreak that never fires) — passes the gate forever. Fuzzing
+  * re-checks the pair on PERTURBED inputs: drop a pseudo-random ~1/7
+  * of every table's rows (the same subset on both sides, seeded so
+  * runs are reproducible) and demand the hash gate still holds.
+  *
+  * The perturbation is applied once, at the storage layer: each table
+  * is rewritten to a scratch dir with rows where
+  * `hash(first_column, seed) % mod == 0` removed, and BOTH engines
+  * read the same rewritten parquet — so there is no cross-engine
+  * hash-function coupling; any disagreement is genuine pair drift.
+  *
+  * `events` is copied verbatim, NOT perturbed: its TIMESTAMP(NANOS)
+  * physical layout cannot round-trip through a Spark rewrite (the
+  * legacy nanosAsLong read degrades it to int64, which would change
+  * what the oracle SQL sees). Queries reading only `events` are
+  * therefore pointless to fuzz and excluded from [[DefaultQueries]].
+  *
+  * Excluded by design, with reasons:
+  *  - source/sink gates (q_source_*, q_sink_*, q_reference_*,
+  *    q_partitioned_write, streaming): read CSV/JDBC/HTTP fixtures or
+  *    write side outputs — the perturbation surface is the parquet
+  *    star schema.
+  *  - q_sketch_*bound: gate 3-sigma probabilistic bounds that are
+  *    per-dataset by documented design — a perturbed input may
+  *    legitimately flip them (see QueriesPipeline caveat comments).
+  *  - events-only queries (q_scd2, q_sessionize, ...): see above.
+  *
+  * Used by OracleFuzzSpec (2 seeds x 20 pairs, then
+  * `tools/check.py` — the in-repo replica of the driver's DuckDB
+  * gate — re-hashes every pair on the perturbed dir).
+  */
+object OracleFuzz {
+
+  /** The 20 highest-LoC eligible pairs: the composed dedup/graph/text
+    * pipelines where Spark-side and SQL-side complexity (and therefore
+    * drift surface) is largest. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_minhash_lsh_pairs", "q_ngram_jaccard", "q_simhash_pairs",
+    "q_dedup_clusters", "q_cluster_keeper", "q_jaccard_prefix_join",
+    "q_semdedup", "q_embed_neardup_blocked", "q_pagerank",
+    "q_triangle_count", "q_repeated_spans", "q_wordpiece",
+    "q_bm25_rank", "q_tfidf_top_terms", "q_lm_score",
+    "q_collocations", "q_curation_pipeline", "q_snapshot_diff",
+    "q_digest_resync", "q_decontaminate")
+
+  /** Rewrite every table of `baseDir` into `outDir`, dropping rows
+    * where hash(first column, seed) lands in 1 of `mod` residues.
+    * Deterministic per seed; `events` copied byte-identical. */
+  def perturb(spark: SparkSession, baseDir: String, outDir: String,
+              seed: Int, mod: Int = 7): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    graft.Tables.names.foreach {
+      case "events" =>
+        Files.copy(Paths.get(s"$baseDir/events.parquet"),
+          Paths.get(s"$outDir/events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      case name =>
+        val df = spark.read.parquet(s"$baseDir/$name.parquet")
+        val key = col(df.schema.head.name)
+        // write the Spark directory, then flatten the single part file
+        // to the flat-file layout the testdata (and DuckDB's
+        // read_parquet) use
+        val tmp = s"$outDir/.tmp_$name"
+        df.filter(pmod(hash(key, lit(seed)), lit(mod)) =!= 0)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for $name"))
+        Files.move(part, Paths.get(s"$outDir/$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        deleteRecursively(Paths.get(tmp))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** The Verify dump loop (result parquet per query + oracle_sql.json)
+    * without the session lifecycle — safe to call on a shared spec
+    * session. Returns the names that threw. */
+  def runQueries(spark: SparkSession, dataDir: String, outDir: String,
+                 names: Seq[String]): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    // dynamic oracles (IVF/PQ/SemDeDup) inline centroids fitted on the
+    // ONE dir exercised this JVM — re-establish that invariant per dir
+    graft.QueriesML.resetFittedOracleState()
+    val failed = names.flatMap { name =>
+      val r = try {
+        graft.SparkEntry.queries(name)(spark, dataDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
+        Some(name)
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      r
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = names.filterNot(failed.contains)
+      .map(n => s"${q(n)}: ${q(graft.SparkEntry.oracleSql(n))}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    failed
+  }
+}
