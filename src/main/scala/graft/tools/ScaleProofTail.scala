@@ -1,0 +1,115 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1 (10x) scale proof for the round-5 tail operators (round-5
+  * verdict ask #6): overlap join, digest re-sync, gap-fill, and the
+  * global-prefix-sum concurrency sweep were only ever measured at
+  * sf0.1 — this runs their EXACT gate-query shapes on a 10x-replicated
+  * corpus and meters wall + shuffle bytes, the same evidence
+  * [[ScaleProof]] produces for the dedup path.
+  *
+  * Replication axes (chosen per operator semantics — each grows the
+  * dimension that 100 TB actually grows):
+  *  - lineitem/orders: keys shifted per replica (o_orderkey,
+  *    l_orderkey, l_suppkey) — horizontal growth: 10x the suppliers /
+  *    orders at the SAME per-key interval density, the realistic axis
+  *    for supplier-keyed interval joins and key-range digests. (Density
+  *    growth is a separate knob, governed by RangeJoin's bucketWidth.)
+  *  - events: user_id shifted per replica AND ts jittered +r
+  *    microseconds, so the concurrency sweep's distinct boundary-
+  *    instant count — the prefix-sum work axis — genuinely grows ~10x
+  *    rather than stacking deltas on the same instants.
+  *
+  * Scaled tables are written under the standard names so each phase
+  * runs the REAL `SparkEntry.queries` entry unmodified against the
+  * scaled dir — nothing here can drift from what the gate certifies.
+  *
+  * Usage: runMain graft.tools.ScaleProofTail [sfDir] [factor] [workDir]
+  */
+object ScaleProofTail {
+  private final class ShuffleMeter extends SparkListener {
+    val write = new AtomicLong(0L)
+    val read = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse("/tmp/graft_scaleproof_tail")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val r = explode(sequence(lit(0), lit(factor - 1))).as("r")
+    val keyOff = 100000000L
+
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("*"), r)
+      .withColumn("o_orderkey", col("o_orderkey") + col("r") * keyOff)
+      .drop("r").repartition(64)
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("*"), r)
+      .withColumn("l_orderkey", col("l_orderkey") + col("r") * keyOff)
+      .withColumn("l_suppkey", col("l_suppkey") + col("r") * 1000000)
+      .drop("r").repartition(64)
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    // events: go through Tables.events (normalizes the NANOS layout to
+    // ts_ns) and write the long layout back; Tables.events reads it
+    // via its LongType branch. +r us jitter keeps replicas' session
+    // boundaries distinct instants.
+    graft.Tables.events(spark, sfDir)
+      .select(col("*"), r)
+      .withColumn("event_id", col("event_id") + col("r") * keyOff)
+      .withColumn("user_id", col("user_id") + col("r") * 1000000)
+      .withColumn("ts", col("ts_ns") + col("r") * 1000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val nOrd = spark.read.parquet(s"$work/orders.parquet").count()
+    val nLi = spark.read.parquet(s"$work/lineitem.parquet").count()
+    val nEv = spark.read.parquet(s"$work/events.parquet").count()
+    println(s"[scaletail] corpus x$factor: orders=$nOrd lineitem=$nLi events=$nEv")
+
+    def phase(name: String): Unit = {
+      System.gc()
+      val (w0, r0) = (meter.write.get(), meter.read.get())
+      val t0 = System.nanoTime()
+      // toRdd.count: force every output column (Bench protocol)
+      val rows = graft.SparkEntry.queries(name)(spark, work)
+        .queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val wMb = (meter.write.get() - w0) / 1e6
+      val rMb = (meter.read.get() - r0) / 1e6
+      println(f"[scaletail] $name%-18s ${sec}%8.2f s  shuffleW=${wMb}%9.1f MB  " +
+        f"shuffleR=${rMb}%9.1f MB  rows=$rows%,d")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    Seq("q_overlap_join", "q_digest_resync", "q_gapfill", "q_concurrency")
+      .foreach(phase)
+    spark.stop()
+  }
+}
