@@ -1278,6 +1278,53 @@ object QueriesML {
       |FROM s GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // REAL video decode through the multimodal seam: deterministic
+  // pattern AVIs (uncompressed 24-bit DIB frames, channel value
+  // (31x + 7y + 13f + base) mod 256, dims/frame-count/base derived
+  // from doc_id) are container-encoded by VideoCodec, shipped as
+  // binary media, and parsed back — RIFF chunk walk, bottom-up row
+  // unflip, 4-byte row padding — inside extractFeatures. The feature
+  // is a POSITION-weighted sum (weight 1 + (x + 2y + 3f) mod 7), so a
+  // parser that scrambles layout (row order, padding, frame order)
+  // fails the hash even when a plain sum would survive. The oracle
+  // recomputes everything analytically.
+  // ---------------------------------------------------------------------
+  def videoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 8 + 6).toInt
+        val h = (id % 6 + 5).toInt
+        val frames = (id % 5 + 2).toInt
+        Multimodal.MediaRecord(id,
+          Multimodal.VideoCodec.encodeAvi(w, h, frames, (id % 256).toInt),
+          "video/avi")
+      }.toDF()
+    Multimodal.extractFeatures(s, media)
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("pixel_sum"))
+  }
+
+  val videoDecodeSql: String =
+    """WITH xs AS (
+      |  SELECT doc_id, unnest(generate_series(0, doc_id % 8 + 5)) AS x
+      |  FROM documents
+      |), xy AS (
+      |  SELECT doc_id, x, unnest(generate_series(0, doc_id % 6 + 4)) AS y
+      |  FROM xs
+      |), xyf AS (
+      |  SELECT doc_id, x, y, unnest(generate_series(0, doc_id % 5 + 1)) AS f
+      |  FROM xy
+      |)
+      |SELECT doc_id,
+      |  CAST(doc_id % 8 + 6 AS INT) AS width,
+      |  CAST(doc_id % 6 + 5 AS INT) AS height,
+      |  CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+      |  CAST(sum(3 * ((x*31 + y*7 + f*13 + doc_id % 256) % 256)
+      |    * (1 + (x + 2*y + 3*f) % 7)) AS BIGINT) AS pixel_sum
+      |FROM xyf GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Multimodal frame-sampling fan-out (video -> frames shape)
   // ---------------------------------------------------------------------
   def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
@@ -1432,6 +1479,7 @@ object QueriesML {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_decode" -> (imageDecode _),
     "q_audio_decode" -> (audioDecode _),
+    "q_video_decode" -> (videoDecode _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_streaming_sliding" -> (streamingSliding _),
     "q_streaming_sessions" -> (streamingSessions _),
@@ -1508,6 +1556,7 @@ object QueriesML {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_decode" -> imageDecodeSql,
     "q_audio_decode" -> audioDecodeSql,
+    "q_video_decode" -> videoDecodeSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_streaming_sessions" -> streamingSessionsSql,
     "q_streaming_sliding" -> streamingSlidingSql,

@@ -12,32 +12,39 @@ import org.apache.spark.sql.functions._
   * model session) is initialized once per task, not per row — the Scala
   * analogue of a batched pandas UDF.
   *
-  * IMAGES and AUDIO decode for real: [[ImageCodec]] binds
-  * `javax.imageio` (in the JDK, zero-egress) for PNG/BMP/GIF, reading
+  * ALL THREE media families decode for real, pure-JVM and zero-egress:
+  * [[ImageCodec]] binds `javax.imageio` for PNG/BMP/GIF, reading
   * actual pixel data through the raster; [[AudioCodec]] binds
-  * `javax.sound.sampled` (also JDK) for WAV/PCM, reading actual sample
-  * data frame by frame. The one format family the JDK lacks (video)
-  * falls back to the deterministic [[DecodeStub]] so the pipeline
-  * around it — schema, batching, partitioning, feature columns — stays
-  * fully testable; swap the stub for a codec binding (JNI/FFI) in
-  * production.
+  * `javax.sound.sampled` for WAV/PCM, reading actual sample data
+  * frame by frame; [[VideoCodec]] parses the AVI/RIFF container
+  * directly (chunk walker implemented here) and decodes uncompressed
+  * 24-bit DIB frames byte-exactly plus MJPG frames through
+  * `javax.imageio`. Payloads no codec recognizes fall back to the
+  * deterministic [[DecodeStub]] so the pipeline around them — schema,
+  * batching, partitioning, feature columns — keeps working; swap in a
+  * richer codec binding (JNI/FFI: H.264, MP3, JPEG 2000, ...) in
+  * production the same way.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
-  /** `pixel_sum` is the sum of band-0 samples from a REAL image decode;
-    * `sample_sum` is the sum of PCM samples from a REAL audio decode —
-    * each 0 on every other path (no such data exists to sum). For audio
-    * media, width = sample rate (Hz), height = channel count, and
-    * n_frames = number of 1024-frame analysis windows (the audio ->
-    * windows fan-out unit, mirroring video -> frames). */
+  /** `pixel_sum` is the sum of band-0 samples from a REAL image decode,
+    * or for video the position-weighted all-channel sum from a REAL
+    * AVI decode (see [[VideoCodec]]); `sample_sum` is the sum of PCM
+    * samples from a REAL audio decode — each 0 on every other path (no
+    * such data exists to sum). For audio media, width = sample rate
+    * (Hz), height = channel count, and n_frames = number of 1024-frame
+    * analysis windows (the audio -> windows fan-out unit, mirroring
+    * video -> frames). */
   case class MediaFeatures(doc_id: Long, byte_len: Int, content_md5: String,
                            width: Int, height: Int, n_frames: Int,
                            pixel_sum: Long, sample_sum: Long)
 
-  /** STUB decoder for the one format family the JDK can't decode
-    * (video): derives fake-but-deterministic media dimensions from the
-    * payload bytes. Replace with a real codec (JNI/FFI) binding. */
+  /** STUB decoder for payloads no registered codec recognizes (e.g. a
+    * codec family outside the pure-JVM set: H.264, MP3, ...): derives
+    * fake-but-deterministic media dimensions from the payload bytes so
+    * the surrounding pipeline stays total. Replace with a real codec
+    * (JNI/FFI) binding. */
   object DecodeStub {
     def decode(media: Array[Byte]): (Int, Int, Int) = {
       val n = media.length
@@ -167,6 +174,271 @@ object Multimodal {
       }
   }
 
+  /** REAL video codec: AVI (RIFF container, parsed here chunk by
+    * chunk — pure JVM, zero dependencies) with two frame encodings:
+    *
+    *  - `00db` uncompressed DIB frames (24-bit BGR, bottom-up rows
+    *    padded to 4 bytes — the standard uncompressed-AVI layout):
+    *    byte-exact, so features are analytically predictable and the
+    *    DuckDB gate can recompute them in closed form.
+    *  - `00dc` MJPG frames (each chunk one JPEG, decoded via
+    *    `javax.imageio`): a real lossy codec path; exact dims/frame
+    *    count, approximate pixel stats (JPEG), spec-verified with
+    *    tolerance.
+    *
+    * The extracted feature is a POSITION-WEIGHTED pixel sum —
+    * sum over every channel sample of `v * (1 + (x + 2y + 3f) mod 7)`
+    * with (x, y, f) the LOGICAL pixel/frame coordinates — not a plain
+    * sum, which would be invariant under exactly the mistakes a
+    * container parser makes (row-order flips, padding misreads,
+    * frame-order swaps). A decoder that scrambles layout produces the
+    * right plain sum but the wrong weighted sum. */
+  object VideoCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def cc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Deterministic frame pattern shared by both encoders and the
+      * analytic oracles: every channel of pixel (x, y) of frame f is
+      * `(31x + 7y + 13f + base) mod 256`. */
+    def patternValue(x: Int, y: Int, f: Int, base: Int): Int =
+      (x * 31 + y * 7 + f * 13 + base) % 256
+
+    private def weight(x: Int, y: Int, f: Int): Long =
+      1L + (x + 2 * y + 3 * f) % 7
+
+    /** The closed-form weighted pixel sum of a pattern video — what
+      * [[decode]] must return for `encodeAvi(w, h, frames, base)`. */
+    def analyticWeightedSum(w: Int, h: Int, frames: Int, base: Int): Long = {
+      var sum = 0L
+      var f = 0
+      while (f < frames) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += 3L * patternValue(x, y, f, base) * weight(x, y, f)
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      sum
+    }
+
+    private def header(w: Int, h: Int, frames: Int, handler: String,
+                       compression: Array[Byte], frameBytes: Int,
+                       moviPayload: Int): ByteArrayOutputStream = {
+      val out = new ByteArrayOutputStream()
+      val strh = 8 + 56
+      val strf = 8 + 40
+      val strl = 12 + strh + strf
+      val avih = 8 + 56
+      val hdrl = 12 + avih + strl
+      val movi = 12 + moviPayload
+      out.write(fourcc("RIFF"))
+      out.write(le32(4 + hdrl + movi))
+      out.write(fourcc("AVI "))
+      out.write(fourcc("LIST")); out.write(le32(hdrl - 8)); out.write(fourcc("hdrl"))
+      out.write(fourcc("avih")); out.write(le32(56))
+      out.write(le32(40000))            // usec/frame (25 fps)
+      out.write(le32(frameBytes * 25L)) // max bytes/sec
+      out.write(le32(0)); out.write(le32(0x10)) // padding, AVIF_HASINDEX off
+      out.write(le32(frames)); out.write(le32(0))
+      out.write(le32(1))                // one stream
+      out.write(le32(frameBytes))
+      out.write(le32(w)); out.write(le32(h))
+      out.write(new Array[Byte](16))    // dwReserved[4]
+      out.write(fourcc("LIST")); out.write(le32(strl - 8)); out.write(fourcc("strl"))
+      out.write(fourcc("strh")); out.write(le32(56))
+      out.write(fourcc("vids")); out.write(fourcc(handler))
+      out.write(le32(0)); out.write(le16(0)); out.write(le16(0))
+      out.write(le32(0))
+      out.write(le32(1)); out.write(le32(25)) // scale, rate
+      out.write(le32(0)); out.write(le32(frames))
+      out.write(le32(frameBytes)); out.write(le32(0xFFFFFFFFL))
+      out.write(le32(0))
+      out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+      out.write(fourcc("strf")); out.write(le32(40))
+      out.write(le32(40))               // biSize
+      out.write(le32(w)); out.write(le32(h)) // biHeight > 0: bottom-up
+      out.write(le16(1)); out.write(le16(24))
+      out.write(compression)            // biCompression
+      out.write(le32(frameBytes))
+      out.write(le32(0)); out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+      out.write(fourcc("LIST")); out.write(le32(movi - 8)); out.write(fourcc("movi"))
+      out
+    }
+
+    /** Uncompressed pattern AVI: `frames` DIB frames (24-bit BGR,
+      * bottom-up, 4-byte row padding) of the deterministic pattern. */
+    def encodeAvi(w: Int, h: Int, frames: Int, base: Int): Array[Byte] = {
+      val rowSize = (w * 3 + 3) & ~3
+      val frameBytes = rowSize * h
+      val out = header(w, h, frames, "DIB ", le32(0), frameBytes,
+        frames * (8 + frameBytes))
+      var f = 0
+      while (f < frames) {
+        out.write(fourcc("00db")); out.write(le32(frameBytes))
+        val data = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < h) {
+          val row = (h - 1 - y) * rowSize // bottom-up storage
+          var x = 0
+          while (x < w) {
+            val v = patternValue(x, y, f, base).toByte
+            data(row + x * 3) = v       // B
+            data(row + x * 3 + 1) = v   // G
+            data(row + x * 3 + 2) = v   // R
+            x += 1
+          }
+          y += 1
+        }
+        out.write(data)
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** MJPEG pattern AVI: each `00dc` chunk is one JPEG (ImageIO) of
+      * the same pattern — a real lossy codec path. */
+    def encodeAviMjpeg(w: Int, h: Int, frames: Int, base: Int): Array[Byte] = {
+      import java.awt.image.BufferedImage
+      import javax.imageio.ImageIO
+      val jpegs = (0 until frames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = patternValue(x, y, f, base)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val payload = jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val out = header(w, h, frames, "MJPG", fourcc("MJPG"),
+        jpegs.map(_.length).max, payload)
+      jpegs.foreach { j =>
+        out.write(fourcc("00dc")); out.write(le32(j.length))
+        out.write(j)
+        if ((j.length & 1) == 1) out.write(0) // RIFF even padding
+      }
+      out.toByteArray
+    }
+
+    /** Parse an AVI payload: (width, height, nFrames,
+      * weightedPixelSum), or None when the payload is not an AVI this
+      * parser understands (wrong magic, truncated chunks, an encoding
+      * other than uncompressed 24-bit DIB or MJPG). */
+    def decode(media: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (media.length < 12 || cc(media, 0) != "RIFF" ||
+        cc(media, 8) != "AVI ") return None
+      var w = 0
+      var h = 0
+      var compression = 0L
+      var mjpg = false
+      var frames = 0
+      var sum = 0L
+      // walk(chunkRegion): RIFF chunks are [fourcc][le32 size][data],
+      // LIST chunks nest another fourcc + chunk sequence
+      def walk(from: Int, to: Int): Boolean = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = cc(media, pos)
+          val size = u32(media, pos + 4)
+          val dataStart = pos + 8
+          val dataEnd = dataStart + size
+          if (size < 0 || dataEnd > to) return false
+          if (id == "LIST") {
+            if (size < 4) return false
+            if (!walk(dataStart + 4, dataEnd.toInt)) return false
+          } else if (id == "strf" && size >= 40) {
+            w = u32(media, dataStart + 4).toInt
+            h = u32(media, dataStart + 8).toInt
+            compression = u32(media, dataStart + 16)
+            mjpg = cc(media, dataStart + 16) == "MJPG"
+          } else if (id.endsWith("db") && compression == 0L) {
+            if (!decodeDib(dataStart, size.toInt)) return false
+            frames += 1
+          } else if (id.endsWith("dc") && mjpg) {
+            if (!decodeJpeg(dataStart, size.toInt)) return false
+            frames += 1
+          }
+          pos = dataEnd.toInt + (size.toInt & 1) // even alignment
+        }
+        true
+      }
+      def decodeDib(off: Int, size: Int): Boolean = {
+        if (w <= 0 || h <= 0) return false
+        val rowSize = (w * 3 + 3) & ~3
+        if (size < rowSize * h) return false
+        val f = frames
+        var y = 0
+        while (y < h) {
+          val row = off + (h - 1 - y) * rowSize // stored bottom-up
+          var x = 0
+          while (x < w) {
+            val wt = weight(x, y, f)
+            sum += wt * ((media(row + x * 3) & 0xff) +
+              (media(row + x * 3 + 1) & 0xff) +
+              (media(row + x * 3 + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        true
+      }
+      def decodeJpeg(off: Int, size: Int): Boolean = {
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(media, off, size))
+        if (img == null || img.getWidth != w || img.getHeight != h)
+          return false
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val f = frames
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val wt = weight(x, y, f)
+            var b = 0
+            while (b < bands) {
+              sum += wt * raster.getSample(x, y, b)
+              b += 1
+            }
+            if (bands == 1) sum += 2 * wt * raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        true
+      }
+      try {
+        if (!walk(12, media.length) || w <= 0 || h <= 0 || frames == 0) None
+        else Some((w, h, frames, sum))
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: java.io.IOException => None
+      }
+    }
+  }
+
   /** PCM frames per [[sampleFrames]] analysis window (audio -> windows
     * fan-out unit). */
   val AudioWindowFrames = 1024L
@@ -217,6 +489,11 @@ object Multimodal {
         return (rate, channels, windows, 0L, sampleSum)
       case None =>
     }
+    if (mt.startsWith("video")) VideoCodec.decode(rec.media) match {
+      case Some((w, h, frames, weightedSum)) =>
+        return (w, h, frames, weightedSum, 0L)
+      case None =>
+    }
     val (w, h, f) = DecodeStub.decode(rec.media)
     (w, h, f, 0L, 0L)
   }
@@ -224,10 +501,11 @@ object Multimodal {
   /** Frame sampling: one output row per sampled frame — the canonical
     * media fan-out (video -> frames, audio -> windows). Image media
     * decodes for real (one frame); audio media decodes for real (one
-    * row per 1024-frame PCM window); video uses the [[DecodeStub]]
-    * frame count. The SHAPE (typed flatMap fan-out, per-partition
-    * decoder reuse, frame index + content hash schema) is the real
-    * plumbing a video-codec drop-in would inherit. */
+    * row per 1024-frame PCM window); AVI video decodes for real (one
+    * row per container frame via [[VideoCodec]]); unrecognized
+    * payloads fan out by the [[DecodeStub]] count. The SHAPE (typed
+    * flatMap fan-out, per-partition decoder reuse, frame index +
+    * content hash schema) is what any further codec drop-in inherits. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    everyNth: Int = 1): Dataset[FrameSample] = {
     import spark.implicits._

@@ -579,6 +579,57 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("AVI/DIB video encode -> decode is byte-exact through extractFeatures") {
+    import spark.implicits._
+    val recs = Seq((11L, 9, 7, 4, 40), (12L, 6, 5, 2, 250)).map {
+      case (id, w, h, frames, base) =>
+        Multimodal.MediaRecord(id,
+          Multimodal.VideoCodec.encodeAvi(w, h, frames, base), "video/avi")
+    }
+    val feats = Multimodal.extractFeatures(spark, recs.toDF()).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(11L).width == 9 && feats(11L).height == 7)
+    assert(feats(11L).n_frames == 4)
+    assert(feats(11L).pixel_sum ==
+      Multimodal.VideoCodec.analyticWeightedSum(9, 7, 4, 40))
+    assert(feats(12L).pixel_sum ==
+      Multimodal.VideoCodec.analyticWeightedSum(6, 5, 2, 250))
+    // video fan-out: one sampled row per container frame
+    val frames = Multimodal.sampleFrames(spark, recs.toDF()).collect()
+    assert(frames.filter(_.doc_id == 11L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 1, 2, 3))
+    assert(frames.filter(_.doc_id == 12L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 1))
+  }
+
+  test("MJPEG video decodes for real: exact dims/frames, lossy-tolerant sum") {
+    val (w, h, frames, base) = (16, 12, 3, 77)
+    val avi = Multimodal.VideoCodec.encodeAviMjpeg(w, h, frames, base)
+    val Some((gw, gh, gf, gsum)) = Multimodal.VideoCodec.decode(avi)
+    assert(gw == w && gh == h && gf == frames)
+    // JPEG is lossy but bounded: the weighted sum must sit near the
+    // exact pattern sum (same formula the DIB path hits exactly)
+    val exact = Multimodal.VideoCodec.analyticWeightedSum(w, h, frames, base)
+    assert(gsum > 0 && math.abs(gsum - exact).toDouble / exact < 0.25,
+      s"mjpeg weighted sum $gsum vs exact $exact")
+    // and the decode is deterministic
+    assert(Multimodal.VideoCodec.decode(avi).get._4 == gsum)
+  }
+
+  test("undecodable video payload falls back to the stub (q_multimodal_frames path)") {
+    import spark.implicits._
+    val text = Multimodal.MediaRecord(7L,
+      "plain text payload".getBytes("UTF-8"), "video/fake")
+    val f = Multimodal.extractFeatures(spark, Seq(text).toDF()).collect().head
+    assert(f.width == 18 % 640 + 1 && f.pixel_sum == 0L)
+    // truncated RIFF header: parser must reject, not throw
+    val truncated = Multimodal.MediaRecord(8L,
+      "RIFF   AVI ".getBytes("US-ASCII"), "video/avi")
+    val g = Multimodal.extractFeatures(spark, Seq(truncated).toDF())
+      .collect().head
+    assert(g.pixel_sum == 0L)
+  }
+
   test("undecodable audio payload falls back to the stub, sample_sum 0") {
     import spark.implicits._
     val garbage = Multimodal.MediaRecord(6L,
