@@ -426,6 +426,76 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // BPE tokenizer: distributed training (iterative pair-count + merge
+  // over the distinct-word table — operators.Bpe) + greedy rank-order
+  // application. Training is spec-verified against a driver reference
+  // (BpeSpec) and deterministic (commutative argmax fold); the gate
+  // covers the APPLY path end-to-end: the learned merge table is
+  // embedded as literals in a recursive-CTE oracle (the fitted-model
+  // pattern of q_ann_ivf/q_semdedup) that replays the same
+  // leftmost-occurrence-of-lowest-rank semantics symbol by symbol —
+  // one mis-merged word anywhere in the corpus fails the md5.
+  // ---------------------------------------------------------------------
+  val BpeMerges = 30
+
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = bpeMerges.computeIfAbsent(dir,
+      _ => Bpe.train(docs, "text", BpeMerges))
+    Bpe.applyDf(docs, "doc_id", "text", merges)
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def bpeApplySql(merges: Seq[Bpe.Merge]): String = {
+    val values = merges
+      .map(m => s"(${m.rank}, ${sqlStr(m.left)}, ${sqlStr(m.right)})")
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       |  m(rank, l, r) AS (VALUES $values),
+       |  w AS (SELECT doc_id, i AS wid, s[i] AS word FROM (
+       |      SELECT doc_id, string_split(lower(text), ' ') AS s
+       |      FROM documents) t,
+       |      unnest(generate_series(1, len(s))) AS g(i)
+       |    WHERE length(s[i]) > 0),
+       |  st AS (
+       |    SELECT doc_id, wid,
+       |      chr(31) || regexp_replace(word, '(?s)(.)', '\\1' || chr(31), 'g') AS s
+       |    FROM w
+       |    UNION ALL
+       |    SELECT doc_id, wid,
+       |      substr(s, 1, p - 1) || chr(31) || l || r || chr(31)
+       |        || substr(s, p + length(l) + length(r) + 3)
+       |    FROM (
+       |      SELECT doc_id, wid, s, l, r,
+       |        instr(s, chr(31) || l || chr(31) || r || chr(31)) AS p
+       |      FROM (
+       |        SELECT doc_id, wid, s,
+       |          (SELECT min(rank) FROM m
+       |            WHERE instr(s, chr(31) || m.l || chr(31) || m.r || chr(31)) > 0) AS br
+       |        FROM st) x JOIN m ON m.rank = x.br) y),
+       |  fin AS (
+       |    SELECT doc_id, wid, s FROM st
+       |    WHERE NOT EXISTS (SELECT 1 FROM m
+       |      WHERE instr(s, chr(31) || m.l || chr(31) || m.r || chr(31)) > 0)),
+       |  tok AS (SELECT doc_id, wid, trim(replace(s, chr(31), ' ')) AS token_str
+       |    FROM fin),
+       |  dp AS (SELECT doc_id, string_agg(token_str, ' ' ORDER BY wid) AS toks
+       |    FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN coalesce(p.toks, '') = '' THEN 0
+       |       ELSE CAST(len(string_split(p.toks, ' ')) AS INT) END AS n_tokens,
+       |  CASE WHEN coalesce(p.toks, '') = '' THEN 0
+       |       ELSE CAST(len(list_filter(string_split(p.toks, ' '),
+       |         x -> length(x) > 1)) AS INT) END AS n_merged,
+       |  md5(coalesce(p.toks, '')) AS tokens_md5
+       |FROM documents d LEFT JOIN dp p USING (doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Unigram LM quality score: mean corpus token probability in exact ppm
   // ---------------------------------------------------------------------
   def lmScore(s: SparkSession, dir: String): DataFrame =
@@ -748,6 +818,32 @@ object QueriesML {
        |SELECT id AS doc_id, lbl AS cluster, id = lbl AS keep
        |FROM l$ClusterRounds""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // TRUE-fixpoint connected components (alternating large-star /
+  // small-star contraction — Graph.connectedComponents): same edge set
+  // as q_dedup_clusters but labels are the component minimum at ANY
+  // diameter, not the K-hop minimum. The oracle is a recursive-CTE
+  // reachability closure + min — per-component-quadratic, fine at gate
+  // scale, while the Spark side contracts in O(log^2) rounds.
+  // ---------------------------------------------------------------------
+  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", SimhashMaxHamming)
+    Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
+      pairs, "id_a", "id_b")
+  }
+
+  val connectedComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS ($simhashPairsSql),
+       |  e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |    UNION SELECT id_b AS a, id_a AS b FROM pairs),
+       |  reach(a, b) AS (
+       |    SELECT doc_id, doc_id FROM documents
+       |    UNION
+       |    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster, min(b) = a AS keep
+       |FROM reach GROUP BY a""".stripMargin
 
   // ---------------------------------------------------------------------
   // Cluster representative selection: the highest-quality (most words,
@@ -1480,6 +1576,8 @@ object QueriesML {
     "q_image_decode" -> (imageDecode _),
     "q_audio_decode" -> (audioDecode _),
     "q_video_decode" -> (videoDecode _),
+    "q_bpe_apply" -> (bpeApply _),
+    "q_connected_components" -> (connectedComponents _),
     "q_streaming_hourly" -> (streamingHourly _),
     "q_streaming_sliding" -> (streamingSliding _),
     "q_streaming_sessions" -> (streamingSessions _),
@@ -1511,7 +1609,7 @@ object QueriesML {
     * several scratch dirs in one JVM, so the single-dir invariant the
     * dynamic oracles rely on must be re-established per dir. */
   private[graft] def resetFittedOracleState(): Unit = {
-    ivfCents.clear(); pqBooks.clear(); semCents.clear()
+    ivfCents.clear(); pqBooks.clear(); semCents.clear(); bpeMerges.clear()
   }
 
   /** Oracle map is a def: the IVF entry exists only after its query has
@@ -1535,7 +1633,11 @@ object QueriesML {
       if (semCents.size == 1)
         Map("q_semdedup" -> semDedupSql(semCents.values.iterator.next()))
       else Map.empty
-    staticOracles ++ ivf ++ pq ++ sem
+    val bpe: Map[String, String] =
+      if (bpeMerges.size == 1)
+        Map("q_bpe_apply" -> bpeApplySql(bpeMerges.values.iterator.next()))
+      else Map.empty
+    staticOracles ++ ivf ++ pq ++ sem ++ bpe
   }
 
   private val staticOracles: Map[String, String] = Map(
@@ -1557,6 +1659,7 @@ object QueriesML {
     "q_image_decode" -> imageDecodeSql,
     "q_audio_decode" -> audioDecodeSql,
     "q_video_decode" -> videoDecodeSql,
+    "q_connected_components" -> connectedComponentsSql,
     "q_streaming_hourly" -> streamingHourlySql,
     "q_streaming_sessions" -> streamingSessionsSql,
     "q_streaming_sliding" -> streamingSlidingSql,

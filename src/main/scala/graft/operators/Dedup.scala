@@ -416,9 +416,10 @@ object Dedup {
     *
     * The round count is part of the operator contract (label after
     * exactly `rounds` hops), which keeps it engine-portable: the same
-    * K-step recurrence is expressible as K SQL self-joins. Switch to
-    * alternating small-star/large-star for graphs whose diameter is
-    * not bounded.
+    * K-step recurrence is expressible as K SQL self-joins. For graphs
+    * whose diameter is NOT bounded (long chains, link graphs), use
+    * [[Graph.connectedComponents]] — alternating small-star/large-star
+    * contraction, true fixpoint in O(log^2 n) rounds.
     *
     * Execution is a Pregel-style RDD loop (the same shape GraphX
     * uses), not K stacked DataFrame self-joins: `labels` appears twice

@@ -45,9 +45,13 @@ import org.apache.spark.sql.functions._
   */
 object OracleFuzz {
 
-  /** The 20 highest-LoC eligible pairs: the composed dedup/graph/text
+  /** The highest-LoC eligible pairs: the composed dedup/graph/text
     * pipelines where Spark-side and SQL-side complexity (and therefore
-    * drift surface) is largest. */
+    * drift surface) is largest, plus the round-6 additions
+    * (q_video_decode's closed-form container oracle; q_bpe_apply's
+    * DYNAMIC oracle, which re-trains its merge table on each perturbed
+    * dir through the fitted-state reset below — fuzzing covers the
+    * fitted-literal oracle pattern too). */
   val DefaultQueries: Seq[String] = Seq(
     "q_minhash_lsh_pairs", "q_ngram_jaccard", "q_simhash_pairs",
     "q_dedup_clusters", "q_cluster_keeper", "q_jaccard_prefix_join",
@@ -55,7 +59,8 @@ object OracleFuzz {
     "q_triangle_count", "q_repeated_spans", "q_wordpiece",
     "q_bm25_rank", "q_tfidf_top_terms", "q_lm_score",
     "q_collocations", "q_curation_pipeline", "q_snapshot_diff",
-    "q_digest_resync", "q_decontaminate")
+    "q_digest_resync", "q_decontaminate", "q_video_decode",
+    "q_bpe_apply")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

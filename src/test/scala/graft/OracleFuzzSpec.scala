@@ -9,7 +9,7 @@ import graft.tools.OracleFuzz
 /** Property-fuzz of the Spark/DuckDB oracle pairs (round-5 verdict
   * ask #8): perturb the input tables (drop a seeded pseudo-random ~1/7
   * of each table's rows — the SAME physical subset feeds both
-  * engines), re-run the 20 highest-LoC query pairs, and re-run the
+  * engines), re-run the highest-LoC query pairs, and re-run the
   * full driver-gate compare (`tools/check.py`: row count + sorted
   * schema + order-insensitive value hash in DuckDB) on the perturbed
   * data. A pair whose agreement is a fixture coincidence — a baked
@@ -27,7 +27,7 @@ class OracleFuzzSpec extends SparkSpec {
     try Seq("python3", "-c", "import duckdb").! == 0
     catch { case _: Exception => false }
 
-  test("oracle pairs hold under seeded input perturbation (2 seeds x 20 pairs)") {
+  test("oracle pairs hold under seeded input perturbation (2 seeds x 22 pairs)") {
     assume(duckdbAvailable, "python3+duckdb not on this box (driver-side tool)")
     // sf0.01 not the spec default sf0.001: the dedup/graph pairs need
     // enough rows that perturbation actually moves candidates/clusters

@@ -299,6 +299,77 @@ class ScaleTierSpec extends SparkSpec {
       3L -> 1000000000L))
   }
 
+  // --- connected components (star contraction) ---------------------------
+
+  private def unionFind(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      (0L until n).map(v => v -> v)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      var c = v
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents == union-find on random graphs, all densities") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for ((n, m) <- Seq((40L, 10), (60L, 60), (50L, 200))) {
+      val pairs = (1 to m)
+        .map(_ => (rnd.nextLong(n), rnd.nextLong(n)))
+        .filter(e => e._1 != e._2).distinct
+      val expected = unionFind(n, pairs)
+      val got = Graph.connectedComponents(
+          spark.range(0, n).toDF("id"), "id",
+          pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+        .select("id", "cluster").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n m=$m")
+    }
+  }
+
+  test("connectedComponents converges on a long path (diameter >> rounds)") {
+    import spark.implicits._
+    // a 400-node path: K-round min-label propagation would need 400
+    // rounds; star contraction needs O(log^2)
+    val n = 400L
+    val pairs = (1L until n).map(i => (i - 1, i))
+    val got = Graph.connectedComponents(
+        spark.range(0, n).toDF("id"), "id",
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("id", "cluster").as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L))
+    // and the keep flag marks exactly the component minimum
+    val keeps = Graph.connectedComponents(
+        spark.range(0, n).toDF("id"), "id",
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .filter(col("keep")).select("id").as[Long].collect()
+    assert(keeps.toSeq == Seq(0L))
+  }
+
+  test("connectedComponents: isolated nodes, empty edges, hub shape") {
+    import spark.implicits._
+    val empty = Graph.connectedComponents(
+        spark.range(0, 5).toDF("id"), "id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(empty == (0L until 5L).map(v => v -> v).toMap)
+    // hub: node 9 adjacent to 10..29; isolated 0..8 self-labeled
+    val hub = (10L to 29L).map(v => (9L, v))
+    val got = Graph.connectedComponents(
+        spark.range(0, 30).toDF("id"), "id",
+        hub.toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert((0L to 8L).forall(v => got(v) == v))
+    assert((9L to 29L).forall(v => got(v) == 9L))
+  }
+
   // --- key-skew profile --------------------------------------------------
 
   test("modePerGroup: highest count wins, value-asc tiebreak") {
