@@ -1551,6 +1551,20 @@ object QueriesML {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Stream-static enrichment: NO join state (per-micro-batch
+    * broadcast against the batch dim) — see
+    * [[EventStream.staticEnrichedRollup]]. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    EventStream.staticEnrichedRollup(s, dir,
+      queryName = s"events_enriched_${streamRun.incrementAndGet()}")
+
+  val streamStaticJoinSql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS epoch_h, c_mktsegment,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   def streamingSliding(s: SparkSession, dir: String): DataFrame =
     EventStream.slidingRollup(s, dir,
       queryName = s"events_sliding_${streamRun.incrementAndGet()}")
@@ -1596,6 +1610,7 @@ object QueriesML {
     "q_bpe_apply" -> (bpeApply _),
     "q_connected_components" -> (connectedComponents _),
     "q_streaming_hourly" -> (streamingHourly _),
+    "q_stream_static_join" -> (streamStaticJoin _),
     "q_streaming_sliding" -> (streamingSliding _),
     "q_streaming_sessions" -> (streamingSessions _),
     "q_asof_prior_signup" -> (asofPriorSignup _),
@@ -1678,6 +1693,7 @@ object QueriesML {
     "q_video_decode" -> videoDecodeSql,
     "q_connected_components" -> connectedComponentsSql,
     "q_streaming_hourly" -> streamingHourlySql,
+    "q_stream_static_join" -> streamStaticJoinSql,
     "q_streaming_sessions" -> streamingSessionsSql,
     "q_streaming_sliding" -> streamingSlidingSql,
     "q_asof_prior_signup" -> asofPriorSignupSql,

@@ -114,6 +114,57 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-STATIC enrichment join + rollup: the streaming event
+    * source inner-joined to a batch dimension table (customer) on
+    * user_id = c_custkey, then rolled up hourly per market segment —
+    * the canonical "enrich the stream with reference data" pattern.
+    *
+    * Unlike stream-stream joins this holds NO join state: Spark plans
+    * a stream-static equi-join as a per-micro-batch join against the
+    * batch side, and with `broadcast()` on the dimension it is a
+    * BroadcastHashJoin inside every micro-batch — at 100 TB/day the
+    * stream side never shuffles for the join; only the windowed
+    * aggregation pays state. The static side is re-planned per batch,
+    * so a dimension snapshot swap (new parquet) is picked up on the
+    * next trigger without restarting the query. */
+  def staticEnrichedRollup(spark: SparkSession, dir: String,
+                           delay: String = "1 hour",
+                           queryName: String = "events_enriched",
+                           statePartitions: Option[Int] = Some(8)): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, dir)
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_evt", tsEvt(schema))
+      .withWatermark("ts_evt", delay)
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts_evt"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+      .select(
+        expr("unix_timestamp(window.start) DIV 3600").as("epoch_h"),
+        col("c_mktsegment"), col("cnt"), col("value_cents"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(queryName)
+  }
+
   /** Sliding-window rollup: overlapping event-time windows (`size`
     * wide, advancing every `slide`), so each event contributes to
     * size/slide windows — the standard trailing-rate shape (e.g. "2-hour

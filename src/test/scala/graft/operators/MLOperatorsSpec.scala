@@ -624,7 +624,7 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width == 18 % 640 + 1 && f.pixel_sum == 0L)
     // truncated RIFF header: parser must reject, not throw
     val truncated = Multimodal.MediaRecord(8L,
-      "RIFF   AVI ".getBytes("US-ASCII"), "video/avi")
+      "RIFF\u0001\u0000\u0000\u0000AVI ".getBytes("ISO-8859-1"), "video/avi")
     val g = Multimodal.extractFeatures(spark, Seq(truncated).toDF())
       .collect().head
     assert(g.pixel_sum == 0L)
@@ -641,6 +641,23 @@ class MultimodalSpec extends SparkSpec {
 }
 
 class StreamingSpec extends SparkSpec {
+
+  test("stream-static enrichment join equals the batch join rollup") {
+    val streamed = graft.streaming.EventStream
+      .staticEnrichedRollup(spark, sfDir, queryName = "t_enriched")
+      .collect().map(_.toSeq).toSet
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = graft.Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(expr("ts_ns DIV 3600000000000").as("epoch_h"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 
   test("native session_window rollup equals the batch islands sessionizer") {
     val streamed = graft.streaming.EventStream
