@@ -1066,6 +1066,51 @@ object Queries {
       |FROM documents GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Data skipping by per-file min/max stats (sources.FileSkipping):
+  // lineitem is laid out value-clustered (repartitionByRange on
+  // l_orderkey, 16 files), a stats table is collected in one scan, and
+  // a ~10%-of-keyspace range query reads ONLY the files whose
+  // [min, max] intersects the range — the Delta/Iceberg file-pruning
+  // pattern over plain parquet. The aggregate proves the pruned scan
+  // returned exactly the full scan's rows (oracle filters the full
+  // table); FileSkippingSpec separately proves files were skipped.
+  // Range bounds derive from max(l_orderkey) on BOTH sides, so the
+  // query is SF-independent.
+  // ---------------------------------------------------------------------
+  private lazy val fileSkipDir: String =
+    java.nio.file.Files.createTempDirectory("graft_fileskip")
+      .toAbsolutePath.toString
+
+  def fileSkipping(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$fileSkipDir/lineitem"
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .repartitionByRange(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    val stats = graft.sources.FileSkipping
+      .collectStats(s, out, Seq("l_orderkey"))
+    val mx = t(s, dir, "lineitem")
+      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    graft.sources.FileSkipping
+      .prunedRead(s, out, stats, "l_orderkey", mx * 4 / 10, mx * 5 / 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+  }
+
+  val fileSkippingSql: String =
+    """WITH b AS (SELECT max(l_orderkey) AS mx FROM lineitem)
+      |SELECT l_returnflag, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM lineitem, b
+      |WHERE l_orderkey >= mx * 4 // 10 AND l_orderkey <= mx * 5 // 10
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1221,6 +1266,7 @@ object Queries {
     "q_equidepth_bins" -> (equiDepthValueBins _),
     "q_join_size_est" -> (joinSizeEst _),
     "q_partitioned_write" -> (partitionedWrite _),
+    "q_file_skipping" -> (fileSkipping _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -1273,6 +1319,7 @@ object Queries {
     "q_equidepth_bins" -> equiDepthValueBinsSql,
     "q_join_size_est" -> joinSizeEstSql,
     "q_partitioned_write" -> partitionedWriteSql,
+    "q_file_skipping" -> fileSkippingSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-skipping by per-file column statistics — the Delta/Iceberg
+  * file-pruning pattern, expressed over plain parquet: a stats table
+  * holding min/max/null-count per file per indexed column lets a range
+  * query enumerate the files that can possibly match BEFORE the scan,
+  * so a selective predicate reads a handful of files out of a 100 TB
+  * dataset instead of all of them. Spark's parquet reader already
+  * prunes row groups inside each file it opens; file-level skipping
+  * removes the open-and-footer-read per irrelevant file entirely,
+  * which at object-store latencies is the dominant cost of a selective
+  * scan over many files.
+  *
+  * Effectiveness depends on LAYOUT: stats prune by [min, max]
+  * intersection, so files must be value-clustered on the indexed
+  * column — `repartitionByRange` (or z-order for multi-column
+  * predicates, [[graft.operators.ScaleOps.zorderKey2]]) before the
+  * write. On a randomly laid-out dataset every file straddles the full
+  * value range and nothing prunes (that degenerate case still returns
+  * correct results — pruning is an optimization, never a filter).
+  *
+  * At scale the stats table is maintained INCREMENTALLY at commit time
+  * (stats for new files only, like a transaction log); [[collectStats]]
+  * computes it in one scan for an existing dataset. It is O(files) rows
+  * — small enough to broadcast or keep on the driver.
+  */
+object FileSkipping {
+
+  /** One scan → per-file stats for `cols`: n_rows plus min/max/
+    * null-count per column. Grouping by `input_file_name()` keeps the
+    * aggregation map-side-heavy: each task sees few distinct files. */
+  def collectStats(spark: SparkSession, path: String,
+                   cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    spark.read.parquet(path)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Files whose [min, max] interval intersects [lo, hi] — the only
+    * files a `c BETWEEN lo AND hi` predicate can match. NULL cells
+    * never match a range predicate, so all-null files (null min/max)
+    * are skippable; files with some nulls carry non-null min/max and
+    * participate normally. O(files) driver work. */
+  def candidateFiles(stats: DataFrame, c: String, lo: Long, hi: Long): Seq[String] =
+    stats
+      .filter(col(s"${c}_min").isNotNull &&
+        col(s"${c}_min") <= hi && col(s"${c}_max") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range read through the stats table: open ONLY the candidate
+    * files, then re-apply the exact predicate (min/max intersection is
+    * necessary, not sufficient). Row-identical to a full scan +
+    * filter for any stats table produced by [[collectStats]] on the
+    * same data. Returns an empty frame (correct schema) when no file
+    * can match. */
+  def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
+                 c: String, lo: Long, hi: Long): DataFrame = {
+    val files = candidateFiles(stats, c, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(c) >= lo && col(c) <= hi)
+  }
+}

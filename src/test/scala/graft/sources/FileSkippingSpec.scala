@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** File-level data skipping: pruning must be an OPTIMIZATION (results
+  * identical to full scan + filter for every range) and must actually
+  * SKIP (value-clustered layout → narrow range touches few files). */
+class FileSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prunedRead == full filter for every range; narrow ranges skip files") {
+    val dir = Files.createTempDirectory("fskip").toString + "/t"
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 5000).map(_ => (rnd.nextLong(100000), rnd.nextInt(100)))
+      .toDF("k", "v")
+    df.repartitionByRange(10, col("k")).write.parquet(dir)
+    val stats = FileSkipping.collectStats(spark, dir, Seq("k"))
+    val total = stats.count()
+    assert(total == 10L)
+    val full = spark.read.parquet(dir)
+    for ((lo, hi) <- Seq((0L, 100000L), (40000L, 50000L), (99999L, 99999L),
+      (-5L, -1L), (0L, 9L))) {
+      val pruned = FileSkipping.prunedRead(spark, dir, stats, "k", lo, hi)
+        .as[(Long, Int)].collect().sorted.toSeq
+      val expect = full.filter(col("k") >= lo && col("k") <= hi)
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(pruned == expect, s"range [$lo, $hi]")
+    }
+    // the ~10%-wide range must touch a small fraction of the 10
+    // range-clustered files (boundary straddle allows 2)
+    val narrow = FileSkipping.candidateFiles(stats, "k", 40000L, 50000L)
+    assert(narrow.size <= 3, s"expected <= 3 files, got ${narrow.size}")
+    assert(FileSkipping.candidateFiles(stats, "k", -5L, -1L).isEmpty)
+  }
+
+  test("all-null files are skippable; mixed-null files keep correct stats") {
+    val dir = Files.createTempDirectory("fskip_null").toString + "/t"
+    Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
+      .toDF("k", "v").coalesce(1).write.parquet(dir)
+    Seq[(java.lang.Long, String)]((5L, "c"), (null, "d"), (9L, "e"))
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    val stats = FileSkipping.collectStats(spark, dir, Seq("k"))
+    assert(stats.count() == 2L)
+    // the all-null file never matches a range predicate
+    assert(FileSkipping.candidateFiles(stats, "k", 0L, 100L).size == 1)
+    val got = FileSkipping.prunedRead(spark, dir, stats, "k", 0L, 100L)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(got == Seq("c", "e"))
+    // null accounting: 2 nulls in one file, 1 in the other
+    val nulls = stats.select("k_nulls").as[Long].collect().sorted.toSeq
+    assert(nulls == Seq(1L, 2L))
+  }
+}
