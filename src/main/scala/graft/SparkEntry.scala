@@ -1111,6 +1111,83 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Z-ORDER + 2-D data skipping composed (the Databricks OPTIMIZE
+  // ZORDER BY story end-to-end): orders laid out by the interleaved
+  // (o_custkey, epoch-day) Morton key (ScaleOps.zorderLayout, 16
+  // files), per-file stats collected on BOTH columns, then a 2-D range
+  // query — customer band x date band — prunes files on EACH dimension
+  // independently. A 1-D sorted layout can only ever prune its sort
+  // column; the z-curve clusters both, so the conjunction touches
+  // ~the product of the per-dimension fractions. Bounds derive from
+  // min/max on both sides (SF-independent); FileSkippingSpec proves
+  // the pruning counts, this gate proves exactness.
+  // ---------------------------------------------------------------------
+  def zorderSkipping(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$fileSkipDir/orders_z"
+    val base = t(s, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("o_day"),
+      col("o_orderstatus"), col("o_totalprice"))
+    operators.ScaleOps.zorderLayout(base, col("o_custkey"), col("o_day"), 16)
+      .write.mode("overwrite").parquet(out)
+    val stats = graft.sources.FileSkipping
+      .collectStats(s, out, Seq("o_custkey", "o_day"))
+    val b = base.agg(max(col("o_custkey")), min(col("o_day")),
+      max(col("o_day"))).collect()(0)
+    val (cMax, dMin, dMax) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    graft.sources.FileSkipping.prunedRead(s, out, stats, Seq(
+        ("o_custkey", cMax * 2 / 10, cMax * 4 / 10),
+        ("o_day", dMin + (dMax - dMin) * 3 / 10,
+          dMin + (dMax - dMin) * 6 / 10)))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val zorderSkippingSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS o_day,
+      |    o_orderstatus, o_totalprice FROM orders),
+      |  b AS (SELECT max(o_custkey) AS cmax, min(o_day) AS dmin,
+      |    max(o_day) AS dmax FROM o)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM o, b
+      |WHERE o_custkey >= cmax * 2 // 10 AND o_custkey <= cmax * 4 // 10
+      |  AND o_day >= dmin + (dmax - dmin) * 3 // 10
+      |  AND o_day <= dmin + (dmax - dmin) * 6 // 10
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Small-file compaction (sources.Compaction): documents fragmented
+  // into 64 tiny files, compacted to ~4 with the write-ahead/swap-late
+  // discipline, then aggregated from the compacted table. The oracle
+  // aggregates the original table — compaction must preserve content
+  // as a multiset; CompactionSpec separately pins the file counts and
+  // crash-safety layout.
+  // ---------------------------------------------------------------------
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$fileSkipDir/docs_compact"
+    val docs = t(s, dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(out)
+    val n = docs.count()
+    val report = graft.sources.Compaction.compact(s, out, math.max(n / 4, 1L))
+    require(report.filesAfter < report.filesBefore,
+      s"compaction must reduce files: $report")
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text")).cast("long")).as("chars"))
+  }
+
+  val compactionSql: String =
+    """SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1267,6 +1344,8 @@ object Queries {
     "q_join_size_est" -> (joinSizeEst _),
     "q_partitioned_write" -> (partitionedWrite _),
     "q_file_skipping" -> (fileSkipping _),
+    "q_zorder_skipping" -> (zorderSkipping _),
+    "q_compaction" -> (compaction _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -1320,6 +1399,8 @@ object Queries {
     "q_join_size_est" -> joinSizeEstSql,
     "q_partitioned_write" -> partitionedWriteSql,
     "q_file_skipping" -> fileSkippingSql,
+    "q_zorder_skipping" -> zorderSkippingSql,
+    "q_compaction" -> compactionSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

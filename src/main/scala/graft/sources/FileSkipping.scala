@@ -44,30 +44,47 @@ object FileSkipping {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
-  /** Files whose [min, max] interval intersects [lo, hi] — the only
-    * files a `c BETWEEN lo AND hi` predicate can match. NULL cells
-    * never match a range predicate, so all-null files (null min/max)
-    * are skippable; files with some nulls carry non-null min/max and
-    * participate normally. O(files) driver work. */
-  def candidateFiles(stats: DataFrame, c: String, lo: Long, hi: Long): Seq[String] =
+  /** Files whose per-column [min, max] intersects EVERY requested
+    * range — the only files a conjunction of `c BETWEEN lo AND hi`
+    * predicates can match. NULL cells never match a range predicate,
+    * so all-null files (null min/max) are skippable; files with some
+    * nulls carry non-null min/max and participate normally. O(files)
+    * driver work. */
+  def candidateFiles(stats: DataFrame,
+                     ranges: Seq[(String, Long, Long)]): Seq[String] =
     stats
-      .filter(col(s"${c}_min").isNotNull &&
-        col(s"${c}_min") <= hi && col(s"${c}_max") >= lo)
+      .filter(ranges.map { case (c, lo, hi) =>
+        col(s"${c}_min").isNotNull &&
+          col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+      }.reduce(_ && _))
       .select("file").collect().map(_.getString(0)).toSeq
 
+  def candidateFiles(stats: DataFrame, c: String, lo: Long, hi: Long): Seq[String] =
+    candidateFiles(stats, Seq((c, lo, hi)))
+
   /** Range read through the stats table: open ONLY the candidate
-    * files, then re-apply the exact predicate (min/max intersection is
-    * necessary, not sufficient). Row-identical to a full scan +
+    * files, then re-apply the exact predicates (min/max intersection
+    * is necessary, not sufficient). Row-identical to a full scan +
     * filter for any stats table produced by [[collectStats]] on the
     * same data. Returns an empty frame (correct schema) when no file
-    * can match. */
+    * can match. Multi-column ranges are where a Z-ORDERED layout
+    * ([[graft.operators.ScaleOps.zorderLayout]]) earns its keep: files
+    * cluster in BOTH dimensions, so each range of the conjunction
+    * prunes independently — a 1-D sorted layout can only ever prune
+    * its own sort column. */
   def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
-                 c: String, lo: Long, hi: Long): DataFrame = {
-    val files = candidateFiles(stats, c, lo, hi)
+                 ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val files = candidateFiles(stats, ranges)
     val base =
       if (files.isEmpty)
         spark.read.parquet(path).limit(0)
       else spark.read.parquet(files: _*)
-    base.filter(col(c) >= lo && col(c) <= hi)
+    base.filter(ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _))
   }
+
+  def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
+                 c: String, lo: Long, hi: Long): DataFrame =
+    prunedRead(spark, path, stats, Seq((c, lo, hi)))
 }

@@ -37,6 +37,40 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.candidateFiles(stats, "k", -5L, -1L).isEmpty)
   }
 
+  test("z-order layout prunes BOTH dimensions; 1-D sort only prunes its own") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 8000).map(_ =>
+      (rnd.nextLong(60000), rnd.nextLong(60000), rnd.nextInt(10)))
+    val df = rows.toDF("x", "y", "v")
+    val zdir = Files.createTempDirectory("fskip_z").toString + "/t"
+    graft.operators.ScaleOps.zorderLayout(df, col("x"), col("y"), 16)
+      .write.parquet(zdir)
+    val xdir = Files.createTempDirectory("fskip_x").toString + "/t"
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(xdir)
+    val zstats = FileSkipping.collectStats(spark, zdir, Seq("x", "y"))
+    val xstats = FileSkipping.collectStats(spark, xdir, Seq("x", "y"))
+    // a y-only band: the x-sorted layout cannot prune it at all
+    val yBand = Seq(("y", 10000L, 20000L))
+    val zY = FileSkipping.candidateFiles(zstats, yBand).size
+    val xY = FileSkipping.candidateFiles(xstats, yBand).size
+    assert(xY == 16, s"x-sorted layout must touch all files for a y band, got $xY")
+    assert(zY < 16, s"z-order must prune a y band, got $zY/16")
+    // a 2-D band prunes multiplicatively under z-order
+    val band2 = Seq(("x", 10000L, 25000L), ("y", 10000L, 25000L))
+    val z2 = FileSkipping.candidateFiles(zstats, band2).size
+    assert(z2 <= zY, s"adding the x range must not widen the file set ($z2 vs $zY)")
+    assert(z2 <= 8, s"2-D band should touch a minority of 16 z-files, got $z2")
+    // and exactness on the 2-D read
+    val got = FileSkipping.prunedRead(spark, zdir, zstats, band2)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val expect = spark.read.parquet(zdir)
+      .filter(col("x").between(10000L, 25000L) &&
+        col("y").between(10000L, 25000L))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("all-null files are skippable; mixed-null files keep correct stats") {
     val dir = Files.createTempDirectory("fskip_null").toString + "/t"
     Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
