@@ -1188,6 +1188,41 @@ object Queries {
       |FROM documents GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Versioned table + time travel (sources.VersionedTable): two
+  // commits — a base write and an append — then BOTH snapshots are
+  // read back (v1 must not see the append) and aggregated under a
+  // version tag. The oracle reconstructs each snapshot's contents from
+  // the orders table directly. Fresh scratch dir per run: commits are
+  // immutable history, not overwrites.
+  // ---------------------------------------------------------------------
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vtable")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 3 === 0), append = false)
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 3 === 1), append = true)
+    def agg(v: Int) = graft.sources.VersionedTable
+      .read(s, table, Some(v))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+      .select(lit(v).as("version"), col("cnt"), col("price_cents"))
+    agg(1).unionAll(agg(2))
+  }
+
+  val timeTravelSql: String =
+    """SELECT 1 AS version, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 2, count(*),
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1346,6 +1381,7 @@ object Queries {
     "q_file_skipping" -> (fileSkipping _),
     "q_zorder_skipping" -> (zorderSkipping _),
     "q_compaction" -> (compaction _),
+    "q_time_travel" -> (timeTravel _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -1401,6 +1437,7 @@ object Queries {
     "q_file_skipping" -> fileSkippingSql,
     "q_zorder_skipping" -> zorderSkippingSql,
     "q_compaction" -> compactionSql,
+    "q_time_travel" -> timeTravelSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

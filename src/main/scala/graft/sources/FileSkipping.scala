@@ -33,15 +33,37 @@ object FileSkipping {
     * null-count per column. Grouping by `input_file_name()` keeps the
     * aggregation map-side-heavy: each task sees few distinct files. */
   def collectStats(spark: SparkSession, path: String,
-                   cols: Seq[String]): DataFrame = {
+                   cols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(path), cols)
+
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
     }
-    spark.read.parquet(path)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Incremental maintenance — the commit-time path: scan ONLY the
+    * files `stats` does not know yet (newly committed data) and union
+    * their rows in. Committed files are immutable, so existing rows
+    * never change; the whole update costs O(new files), not O(table).
+    * Path comparison is scheme-insensitive (listing says `file:/...`,
+    * `input_file_name` says `file:///...`). */
+  def updateStats(spark: SparkSession, path: String, stats: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val known = stats.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !known.contains(norm(f.toString)))
+      .map(_.toString)
+    if (fresh.isEmpty) stats
+    else stats.unionByName(statsOf(spark.read.parquet(fresh: _*), cols))
   }
 
   /** Files whose per-column [min, max] intersects EVERY requested

@@ -71,6 +71,34 @@ class FileSkippingSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("updateStats scans only new files yet equals a from-scratch collect") {
+    val dir = Files.createTempDirectory("fskip_inc").toString + "/t"
+    (1 to 1000).map(i => (i.toLong, i % 5)).toDF("k", "v")
+      .repartition(4).write.parquet(dir)
+    val s0 = FileSkipping.collectStats(spark, dir, Seq("k")).cache()
+    assert(s0.count() == 4L)
+    // append a commit's worth of new files
+    (2000 to 2500).map(i => (i.toLong, i % 5)).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    val s1 = FileSkipping.updateStats(spark, dir, s0, Seq("k"))
+    val scratch = FileSkipping.collectStats(spark, dir, Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0).replaceFirst("^file:/+", "/"),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(canon(s1) == canon(scratch))
+    assert(s1.count() == 6L)
+    // no new files -> the same frame comes back untouched
+    assert(FileSkipping.updateStats(spark, dir, s1, Seq("k")).count() == 6L)
+    // pruning through the incrementally-built stats is exact
+    val got = FileSkipping.prunedRead(spark, dir, s1, "k", 2100L, 2200L)
+      .as[(Long, Int)].collect().sorted.toSeq
+    val expect = spark.read.parquet(dir)
+      .filter(col("k").between(2100L, 2200L))
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+    s0.unpersist()
+  }
+
   test("all-null files are skippable; mixed-null files keep correct stats") {
     val dir = Files.createTempDirectory("fskip_null").toString + "/t"
     Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
