@@ -1223,6 +1223,60 @@ object Queries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // MERGE INTO with file-level copy-on-write (VersionedTable
+  // .mergeCommit): the base commit is key-clustered into 8 files, then
+  // ONE merge applies updates (doubled price on 13-multiples not also
+  // 17-multiples), deletes (17-multiples), and inserts (fresh keys
+  // past the max) — only files whose key range intersects the source
+  // are rewritten, the rest carry forward in the manifest. The oracle
+  // reconstructs the merged table from orders algebraically;
+  // VersionedTableSpec separately pins the carried-file behavior.
+  // ---------------------------------------------------------------------
+  def tableMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vmerge")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val updates = base
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("__del", lit(true))
+    val inserts = base.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx)
+      .withColumn("__del", lit(false))
+    graft.sources.VersionedTable.mergeCommit(s, table,
+      updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey", deleteCol = Some("__del"))
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val tableMergeSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+      |    FROM orders),
+      |  merged AS (
+      |    SELECT o_orderstatus, o_totalprice FROM base
+      |    WHERE k % 13 <> 0 AND k % 17 <> 0
+      |    UNION ALL
+      |    SELECT o_orderstatus, o_totalprice * 2 FROM base
+      |    WHERE k % 13 = 0 AND k % 17 <> 0
+      |    UNION ALL
+      |    SELECT o_orderstatus, o_totalprice FROM base
+      |    WHERE k % 101 = 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM merged GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1382,6 +1436,7 @@ object Queries {
     "q_zorder_skipping" -> (zorderSkipping _),
     "q_compaction" -> (compaction _),
     "q_time_travel" -> (timeTravel _),
+    "q_table_merge" -> (tableMerge _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -1438,6 +1493,7 @@ object Queries {
     "q_zorder_skipping" -> zorderSkippingSql,
     "q_compaction" -> compactionSql,
     "q_time_travel" -> timeTravelSql,
+    "q_table_merge" -> tableMergeSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

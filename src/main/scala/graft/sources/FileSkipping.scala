@@ -36,6 +36,13 @@ object FileSkipping {
                    cols: Seq[String]): DataFrame =
     statsOf(spark.read.parquet(path), cols)
 
+  /** [[collectStats]] over an explicit file list (a manifest's
+    * snapshot view rather than a directory). */
+  private[sources] def collectStatsFiles(spark: SparkSession,
+                                         files: Seq[String],
+                                         cols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(files: _*), cols)
+
   private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),

@@ -53,6 +53,12 @@ object VersionedTable {
       .sorted
   }
 
+  /** The exact file list version `v` reads — the table-format
+    * DESCRIBE DETAIL surface, and how specs assert file-level
+    * copy-on-write (carried files appear verbatim across versions). */
+  def manifest(spark: SparkSession, table: String, v: Int): Seq[String] =
+    readManifest(spark, table, v)
+
   private def readManifest(spark: SparkSession, table: String,
                            v: Int): Seq[String] = {
     val p = manifestPath(table, v)
@@ -115,6 +121,62 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     spark.read.parquet(readManifest(spark, table, v): _*)
+  }
+
+  /** MERGE INTO with FILE-LEVEL copy-on-write — the composition the
+    * table layer exists for: instead of rewriting the whole table
+    * (naive overwrite) or the matched rows in place (impossible on
+    * immutable parquet), only the files whose key `[min, max]` can
+    * contain a source key are rewritten; every other file is carried
+    * into the new manifest untouched. On a key-clustered 100 TB table
+    * a point-ish merge rewrites a handful of files.
+    *
+    * Semantics per source row: key exists → row is REPLACED; key new →
+    * row is INSERTED; `deleteCol` true → key is DELETED (the flag
+    * column itself is not stored). `source` must have one row per key.
+    *
+    * The touched-file set comes from a distributed stats⋈source range
+    * join (never a driver-side key list); stats for the key column are
+    * collected from the current snapshot with a column-pruned scan —
+    * maintain them incrementally via [[FileSkipping.updateStats]] at
+    * commit time to make this O(new files) instead. Returns the new
+    * version. */
+  def mergeCommit(spark: SparkSession, table: String, source: DataFrame,
+                  keyCol: String, deleteCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val current = readManifest(spark, table, vs.last)
+    val stats = FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
+    // source keys x BROADCAST stats: each source partition probes the
+    // O(files) stats list locally — distributed in the big dimension
+    // (keys), never a driver-side key set. (At very large file counts
+    // swap in RangeJoin.pointInInterval for a bucketed equi-join.)
+    val touched = source.select(col(keyCol).as("__mk"))
+      .join(broadcast(stats),
+        col(s"${keyCol}_min") <= col("__mk") &&
+          col(s"${keyCol}_max") >= col("__mk"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    // normalize: manifest paths vs input_file_name URIs
+    def norm(s: String) = new Path(s).toUri.getPath
+    val touchedNorm = touched.map(norm)
+    val (rewrite, carry) = current.partition(f => touchedNorm.contains(norm(f)))
+    val upserts = deleteCol.fold(source)(d =>
+      source.filter(!col(d)).drop(d))
+    val survivors =
+      if (rewrite.isEmpty) upserts
+      else spark.read.parquet(rewrite: _*)
+        .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(upserts)
+    val next = vs.last + 1
+    val dataDir = new Path(table,
+      s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    survivors.write.parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    writeManifest(spark, table, next, carry ++ newFiles)
+    next
   }
 
   /** Retire versions older than `keepLast`: their manifests are

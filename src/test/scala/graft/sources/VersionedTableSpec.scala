@@ -78,6 +78,54 @@ class VersionedTableSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("mergeCommit rewrites ONLY key-range-intersecting files; carries the rest") {
+    val t = freshTable()
+    val base = (1L to 800L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedTable.commit(spark, t,
+      base.repartitionByRange(8, col("k")), append = false)
+    val m1 = VersionedTable.manifest(spark, t, 1)
+    assert(m1.size == 8)
+    // source touches a narrow key band: updates 100..110, one insert
+    val source = (100L to 110L).map(i => (i, s"UPD$i", false))
+      .toDF("k", "v", "__del")
+      .unionByName(Seq((9999L, "NEW", false)).toDF("k", "v", "__del"))
+    val v2 = VersionedTable.mergeCommit(spark, t, source, "k",
+      deleteCol = Some("__del"))
+    val m2 = VersionedTable.manifest(spark, t, v2)
+    val carried = m2.toSet.intersect(m1.toSet)
+    assert(carried.size >= 6,
+      s"narrow merge must carry most of 8 clustered files, carried ${carried.size}")
+    assert(carried.size < 8, "the touched file must be rewritten")
+    // content equality vs the naive full merge
+    val got = VersionedTable.read(spark, t)
+      .as[(Long, String)].collect().sorted.toSeq
+    val expect = (base.join(source.select("k"), Seq("k"), "left_anti")
+      .unionByName(source.filter(!col("__del")).drop("__del")))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == expect)
+    assert(got.count(_._2.startsWith("UPD")) == 11)
+    assert(got.exists(_._1 == 9999L))
+  }
+
+  test("mergeCommit deletes remove keys even across carried/rewritten splits") {
+    val t = freshTable()
+    val base = (1L to 400L).map(i => (i, i * 10)).toDF("k", "x")
+    VersionedTable.commit(spark, t,
+      base.repartitionByRange(4, col("k")), append = false)
+    val source = Seq((50L, 0L, true), (350L, 7777L, false))
+      .toDF("k", "x", "__del")
+    VersionedTable.mergeCommit(spark, t, source, "k",
+      deleteCol = Some("__del"))
+    val got = VersionedTable.read(spark, t)
+      .as[(Long, Long)].collect().toMap
+    assert(!got.contains(50L))
+    assert(got(350L) == 7777L)
+    assert(got.size == 399L)
+    // time travel: v1 still has the deleted key
+    assert(VersionedTable.read(spark, t, Some(1))
+      .filter(col("k") === 50L).count() == 1L)
+  }
+
   test("the publish primitive rejects a double-committed version number") {
     val t = freshTable()
     VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
