@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   *    legitimately flip them (see QueriesPipeline caveat comments).
   *  - events-only queries (q_scd2, q_sessionize, ...): see above.
   *
-  * Used by OracleFuzzSpec (2 seeds x 20 pairs, then
+  * Used by OracleFuzzSpec (2 seeds x [[DefaultQueries]], then
   * `tools/check.py` — the in-repo replica of the driver's DuckDB
   * gate — re-hashes every pair on the perturbed dir).
   */
@@ -60,7 +60,9 @@ object OracleFuzz {
     "q_bm25_rank", "q_tfidf_top_terms", "q_lm_score",
     "q_collocations", "q_curation_pipeline", "q_snapshot_diff",
     "q_digest_resync", "q_decontaminate", "q_video_decode",
-    "q_bpe_apply")
+    "q_bpe_apply", "q_connected_components", "q_file_skipping",
+    "q_zorder_skipping", "q_compaction", "q_time_travel",
+    "q_table_merge")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.
