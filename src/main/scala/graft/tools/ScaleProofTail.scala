@@ -86,10 +86,22 @@ object ScaleProofTail {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartition(64)
       .write.mode("overwrite").parquet(s"$work/events.parquet")
+    // documents (round-6 proof targets: BPE, CC, video, compaction):
+    // same near-identical-replica shape as ScaleProof
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("*"), r)
+      .withColumn("doc_id", col("doc_id") + col("r") * keyOff)
+      .withColumn("text",
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), col("r"))))
+      .drop("r").repartition(32)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
     val nOrd = spark.read.parquet(s"$work/orders.parquet").count()
     val nLi = spark.read.parquet(s"$work/lineitem.parquet").count()
     val nEv = spark.read.parquet(s"$work/events.parquet").count()
-    println(s"[scaletail] corpus x$factor: orders=$nOrd lineitem=$nLi events=$nEv")
+    val nDoc = spark.read.parquet(s"$work/documents.parquet").count()
+    println(s"[scaletail] corpus x$factor: orders=$nOrd lineitem=$nLi " +
+      s"events=$nEv documents=$nDoc")
 
     def phase(name: String): Unit = {
       System.gc()
@@ -108,7 +120,11 @@ object ScaleProofTail {
         .foreach(_.unpersist(blocking = false))
     }
 
-    Seq("q_overlap_join", "q_digest_resync", "q_gapfill", "q_concurrency")
+    Seq("q_overlap_join", "q_digest_resync", "q_gapfill", "q_concurrency",
+      // round-6 additions: table layer + BPE + CC + video at 10x
+      "q_file_skipping", "q_zorder_skipping", "q_compaction",
+      "q_time_travel", "q_table_merge", "q_bpe_apply",
+      "q_connected_components", "q_video_decode")
       .foreach(phase)
     spark.stop()
   }
