@@ -485,6 +485,38 @@ object QueriesPipeline {
     s.read.parquet(s"$work/out")
   }
 
+  /** Streaming ingest INTO the versioned table layer, end to end
+    * inside the gate: two drains land documents halves as append
+    * commits (one commit per micro-batch, batch-marker idempotent),
+    * then the final SNAPSHOT read must hold exactly the filtered
+    * corpus — and the replayed-checkpoint re-drain between the two
+    * arrivals must commit nothing (the marker path), or the doubled
+    * rows fail the hash. */
+  def streamTableIngest(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_vt_ingest").toAbsolutePath.toString
+    val docs = t(s, dir, "documents")
+    val table = s"$work/table"
+    def transform(df: DataFrame): DataFrame =
+      df.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    def drain(): Unit =
+      graft.streaming.IncrementalIngest.drainToVersionedTable(s,
+        s"$work/src", docs.schema, table, s"$work/ckpt")(transform)
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    drain() // no new files: must be a no-op (idempotence half)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    graft.sources.VersionedTable.read(s, table)
+  }
+
+  val streamTableIngestSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE n_chars >= 100""".stripMargin
+
   /** Streaming CDC → warehouse MERGE, end to end INSIDE the gate: the
     * change feed arrives in two drains split by event-id parity — so
     * the second drain carries rows both OLDER and NEWER than the
@@ -1125,6 +1157,7 @@ object QueriesPipeline {
     "q_stream_neardup" -> (streamNeardup _),
     "q_stream_cdc" -> (streamCdc _),
     "q_incremental_ingest" -> (incrementalIngest _),
+    "q_stream_table_ingest" -> (streamTableIngest _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_gapfill" -> (gapFill _),
     "q_chunk_docs" -> (chunkDocs _),
@@ -1164,6 +1197,7 @@ object QueriesPipeline {
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
     "q_stream_cdc" -> cdcMergeSql,
     "q_incremental_ingest" -> incrementalIngestSql,
+    "q_stream_table_ingest" -> streamTableIngestSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_gapfill" -> gapFillSql,
     "q_chunk_docs" -> chunkDocsSql,

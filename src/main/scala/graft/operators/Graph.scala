@@ -172,6 +172,12 @@ object Graph {
       s = ns
       r += 1
     }
+    // an "exact" operator must not silently return K-round labels the
+    // way minLabelClusters' bounded contract does: alternation
+    // converges in O(log^2 n) rounds w.h.p. (the 400-node-path spec
+    // needs ~9), so hitting the cap means something is genuinely wrong
+    require(done, s"star contraction did not converge in $maxRounds " +
+      "rounds - raise maxRounds (O(log^2 n) expected)")
     // at the fixpoint every node is adjacent to its component min
     val lbl = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
       .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * object store you would commit via the table format's transaction
   * log instead of renames; the staging discipline is the same.)
   *
+  * Scope: FLAT datasets (one directory of part files) — the layout
+  * every operator here writes. A hive-partitioned tree needs per-
+  * partition compaction (apply this per leaf directory); the file
+  * listing is deliberately non-recursive so a partitioned root fails
+  * loudly (zero files) instead of silently flattening the partitions.
+  *
   * Content is preserved as a multiset — compaction never reorders
   * semantics, only file boundaries. Combine with
   * [[graft.operators.ScaleOps.zorderLayout]] before the write when the

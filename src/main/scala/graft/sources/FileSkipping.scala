@@ -58,7 +58,9 @@ object FileSkipping {
     * their rows in. Committed files are immutable, so existing rows
     * never change; the whole update costs O(new files), not O(table).
     * Path comparison is scheme-insensitive (listing says `file:/...`,
-    * `input_file_name` says `file:///...`). */
+    * `input_file_name` says `file:///...`). Flat datasets only (the
+    * listing is non-recursive, like [[Compaction]]); for a
+    * hive-partitioned tree run it per leaf directory. */
   def updateStats(spark: SparkSession, path: String, stats: DataFrame,
                   cols: Seq[String]): DataFrame = {
     def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath

@@ -194,5 +194,13 @@ object VersionedTable {
     val f = fs(spark, new Path(table))
     dead.foreach(p => f.delete(new Path(p), false))
     retire.foreach(v => f.delete(manifestPath(table, v), false))
+    // sweep commit dirs the deletions emptied (cosmetic, keeps `data/`
+    // listings proportional to live versions)
+    val dataRoot = new Path(table, "data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
+      if (d.isDirectory &&
+        !f.listStatus(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+        f.delete(d.getPath, true)
+    }
   }
 }

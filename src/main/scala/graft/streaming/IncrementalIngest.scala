@@ -69,4 +69,39 @@ object IncrementalIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Drain new files into a [[graft.sources.VersionedTable]]: each
+    * micro-batch becomes ONE append commit, made idempotent across
+    * replays by a per-batch marker published with the same atomic
+    * discipline as the manifests — after a crash between the commit
+    * and the checkpoint advance, the replayed batch sees its marker
+    * and skips, so the table never holds a batch twice. The streaming
+    * half of the table layer: downstream readers time-travel over
+    * micro-batch granularity, and [[graft.sources.Compaction]] +
+    * [[graft.sources.VersionedTable.vacuum]] absorb the small-file
+    * accumulation this necessarily produces. */
+  def drainToVersionedTable(spark: SparkSession, sourceDir: String,
+                            schema: StructType, table: String,
+                            checkpointDir: String)
+                           (transform: DataFrame => DataFrame): Unit = {
+    val q = transform(spark.readStream.schema(schema).parquet(sourceDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(table,
+          s"_batches/b$batchId")
+        val fsys = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fsys.exists(marker)) {
+          graft.sources.VersionedTable.commit(spark, table, batch,
+            append = true)
+          fsys.mkdirs(marker.getParent)
+          fsys.create(marker, false).close() // idempotence publish
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -40,4 +40,51 @@ class IncrementalIngestSpec extends SparkSpec {
     drain(w) // same checkpoint, no new files
     assert(spark.read.parquet(s"$w/out").count() == n1)
   }
+
+  test("versioned-table ingest: one commit per batch, snapshots per arrival") {
+    val w = work()
+    val table = s"$w/table"
+    def drainVt(): Unit = IncrementalIngest.drainToVersionedTable(
+      spark, s"$w/src", docs.schema, table, s"$w/ckpt")(
+      _.select(org.apache.spark.sql.functions.col("doc_id")))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainVt()
+    val evens = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(graft.sources.VersionedTable.read(spark, table).count() == evens)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainVt()
+    assert(graft.sources.VersionedTable.versions(spark, table) == Seq(1, 2))
+    // time travel: v1 is exactly the first arrival
+    assert(graft.sources.VersionedTable.read(spark, table, Some(1))
+      .count() == evens)
+    assert(graft.sources.VersionedTable.read(spark, table)
+      .count() == docs.count())
+  }
+
+  test("versioned-table ingest: a replayed batch is skipped by its marker") {
+    val w = work()
+    val table = s"$w/table"
+    // simulate the post-crash replay: the batch's marker was published
+    // but the checkpoint never advanced — the re-run sees batch 0 again
+    val marker = new java.io.File(s"$table/_batches/b0")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    IncrementalIngest.drainToVersionedTable(
+      spark, s"$w/src", docs.schema, table, s"$w/ckpt")(
+      _.select(org.apache.spark.sql.functions.col("doc_id")))
+    // the marked batch must NOT have committed
+    assert(graft.sources.VersionedTable.versions(spark, table).isEmpty)
+    // the next batch (new files, new id) commits normally
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    IncrementalIngest.drainToVersionedTable(
+      spark, s"$w/src", docs.schema, table, s"$w/ckpt")(
+      _.select(org.apache.spark.sql.functions.col("doc_id")))
+    assert(graft.sources.VersionedTable.read(spark, table).count() ==
+      docs.filter(col("doc_id") % 2 === 1).count())
+  }
 }
