@@ -1277,6 +1277,245 @@ object Queries {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BLOOM FILE INDEX (FileSkipping.collectBloomStats): the layout is
+  // clustered by SHIP DATE, so a point lookup on the UNCLUSTERED
+  // order key prunes nothing by [min,max] — the per-file Bloom index
+  // is what answers it. The probed key is one mid-range order's; its
+  // lineitems cluster in a handful of date-adjacent files, and the
+  // in-query require pins that the index actually pruned the scan.
+  // The oracle filters the full table (pruning must never change
+  // results). BloomIndexSpec pins the zero-false-negative contract.
+  // ---------------------------------------------------------------------
+  def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$fileSkipDir/lineitem_bydate"
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(out)
+    val bloom = graft.sources.FileSkipping
+      .collectBloomStats(s, out, "l_orderkey")
+    // the max key is guaranteed present (TPC-H orderkeys are sparse;
+    // an arithmetic midpoint usually is not)
+    val probe = t(s, dir, "lineitem")
+      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val cands = graft.sources.FileSkipping
+      .candidateFilesBloom(s, bloom, probe)
+    require(cands.size < 16,
+      s"bloom index must prune the 16-file scan, kept ${cands.size}")
+    graft.sources.FileSkipping
+      .prunedReadEquality(s, out, bloom, "l_orderkey", probe)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+  }
+
+  val bloomSkippingSql: String =
+    """WITH p AS (SELECT max(l_orderkey) AS probe FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |FROM lineitem, p WHERE l_orderkey = probe""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CHANGE DATA FEED (VersionedTable.readChanges): same merge history
+  // as q_table_merge, but the gated output is the CHANGE SET between
+  // the two versions — updates as delete/insert pairs, deletes, and
+  // inserts, with every COW-copied survivor row cancelled out. The
+  // oracle enumerates the change set algebraically from orders.
+  // TableChangesSpec separately pins the file-level pruning (carried
+  // files are never opened).
+  // ---------------------------------------------------------------------
+  def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vcdf")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val updates = base
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("__del", lit(true))
+    val inserts = base.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx)
+      .withColumn("__del", lit(false))
+    graft.sources.VersionedTable.mergeCommit(s, table,
+      updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey", deleteCol = Some("__del"))
+    graft.sources.VersionedTable.readChanges(s, table, 1, 2)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("change"), col("n"))
+  }
+
+  val changeFeedSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+      |    FROM orders)
+      |SELECT k AS o_orderkey, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |  'delete' AS change, CAST(1 AS BIGINT) AS n
+      |FROM base WHERE k % 13 = 0 AND k % 17 <> 0
+      |UNION ALL
+      |SELECT k, o_orderstatus,
+      |  CAST(round(o_totalprice * 2 * 100) AS BIGINT),
+      |  'insert', CAST(1 AS BIGINT)
+      |FROM base WHERE k % 13 = 0 AND k % 17 <> 0
+      |UNION ALL
+      |SELECT k, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT),
+      |  'delete', CAST(1 AS BIGINT)
+      |FROM base WHERE k % 17 = 0
+      |UNION ALL
+      |SELECT k + 10 * mx, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT),
+      |  'insert', CAST(1 AS BIGINT)
+      |FROM base, b WHERE k % 101 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // DELETION VECTORS (VersionedTable.deleteCommit): two stacked
+  // merge-on-read deletes — by key stride, then by a predicate over a
+  // data column — and NO data file is rewritten (asserted in-query:
+  // the data-file lists of all three versions are identical; the only
+  // manifest delta is tombstone sidecars). The read applies the
+  // tombstones as a broadcast anti-join; the oracle filters orders
+  // with the complementary predicates.
+  // ---------------------------------------------------------------------
+  def deleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vdv")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
+      Seq("o_orderkey"))
+    val m = (v: Int) => graft.sources.VersionedTable
+      .dataFilesOf(graft.sources.VersionedTable.manifest(s, table, v))
+    require(m(2) == m(1) && m(3) == m(1),
+      "deleteCommit must never rewrite a data file")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val deleteVectorsSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0
+      |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SCHEMA EVOLUTION (VersionedTable append with added columns): v1
+  // holds even keys WITHOUT the channel column, v2 appends odd keys
+  // WITH it; the merged-schema read surfaces the column as NULL on v1
+  // rows — add-column-without-rewrite. The oracle reconstructs the
+  // same union with an explicit NULL branch.
+  // ---------------------------------------------------------------------
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vevo")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 2 === 0), append = false)
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 3 === 0, lit("web"))
+            .otherwise(lit("store"))),
+      append = true)
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH evolved AS (
+      |  SELECT o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_totalprice,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT coalesce(o_channel, 'legacy') AS channel, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM evolved GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // INCREMENTAL MATERIALIZED VIEW (sources.MaterializedView): a
+  // grouped count/sum rollup built at v1, then maintained through a
+  // file-level COW merge AND a deletion-vector delete by folding the
+  // change feed — the refresh never rescans the source (feed I/O is
+  // O(changed files), spec-pinned). The gate compares the final view
+  // to the oracle's from-scratch aggregate of the final logical table.
+  // ---------------------------------------------------------------------
+  def incrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vmv")
+      .toAbsolutePath.toString
+    val table = scratch + "/orders"; val mv = scratch + "/mv"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    graft.sources.MaterializedView.build(s, table, mv,
+      Seq("o_orderstatus"), Seq("price_cents"))
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val updates = base
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .withColumn("price_cents", col("price_cents") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("__del", lit(true))
+    val inserts = base.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx)
+      .withColumn("__del", lit(false))
+    graft.sources.VersionedTable.mergeCommit(s, table,
+      updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey", deleteCol = Some("__del"))
+    graft.sources.MaterializedView.refresh(s, table, mv)
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 19 === 0, Seq("o_orderkey"))
+    graft.sources.MaterializedView.refresh(s, table, mv)
+    require(graft.sources.MaterializedView.sourceVersion(s, mv) == 3,
+      "view must have tracked the source head incrementally")
+    graft.sources.MaterializedView.read(s, mv)
+      .select(col("o_orderstatus"), col("cnt"), col("sum_price_cents"))
+  }
+
+  val incrementalMvSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders),
+      |  merged AS (
+      |    SELECT k, o_orderstatus, price_cents FROM base
+      |    WHERE k % 13 <> 0 AND k % 17 <> 0
+      |    UNION ALL
+      |    SELECT k, o_orderstatus, price_cents * 2 FROM base
+      |    WHERE k % 13 = 0 AND k % 17 <> 0
+      |    UNION ALL
+      |    SELECT k + 10 * mx, o_orderstatus, price_cents FROM base, b
+      |    WHERE k % 101 = 0),
+      |  final AS (SELECT * FROM merged WHERE k % 19 <> 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1437,6 +1676,11 @@ object Queries {
     "q_compaction" -> (compaction _),
     "q_time_travel" -> (timeTravel _),
     "q_table_merge" -> (tableMerge _),
+    "q_bloom_skipping" -> (bloomSkipping _),
+    "q_change_feed" -> (changeFeed _),
+    "q_delete_vectors" -> (deleteVectors _),
+    "q_schema_evolution" -> (schemaEvolution _),
+    "q_incremental_mv" -> (incrementalMv _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -1494,6 +1738,11 @@ object Queries {
     "q_compaction" -> compactionSql,
     "q_time_travel" -> timeTravelSql,
     "q_table_merge" -> tableMergeSql,
+    "q_bloom_skipping" -> bloomSkippingSql,
+    "q_change_feed" -> changeFeedSql,
+    "q_delete_vectors" -> deleteVectorsSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
+    "q_incremental_mv" -> incrementalMvSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

@@ -135,7 +135,7 @@ object Sketches {
     * bits packed into 32-bit words (32-bit packing keeps every shifted
     * value positive in int64 — no sign-bit divergence across engines).
     * `k` universal hashes over the md5-stable key. */
-  private def bloomCells(df: DataFrame, keyCol: Column, bitsLog2: Int,
+  private[graft] def bloomCells(df: DataFrame, keyCol: Column, bitsLog2: Int,
                          k: Int, keep: Seq[Column]): DataFrame = {
     require(bitsLog2 >= 5 && bitsLog2 <= 30, "need 32..2^30 bits")
     val m = 1L << bitsLog2

@@ -118,4 +118,70 @@ object FileSkipping {
   def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
                  c: String, lo: Long, hi: Long): DataFrame =
     prunedRead(spark, path, stats, Seq((c, lo, hi)))
+
+  // -------------------------------------------------------------------
+  // Per-file BLOOM index — equality skipping on UNCLUSTERED columns
+  // -------------------------------------------------------------------
+
+  /** One scan → a per-file Bloom filter over `keyCol`, as rows
+    * `(file, word_idx, bits)` (the relational layout of
+    * [[graft.operators.Sketches.bloomBuild]], grouped by file). This
+    * is the index min/max stats cannot be: on a table laid out by ship
+    * date, every file straddles the full ORDER-KEY range, so a point
+    * lookup on the unclustered key prunes nothing by [min, max] — but
+    * each file's Bloom filter answers "could this file contain the
+    * key" in O(k) bit probes with NO false negatives (the Delta/
+    * Iceberg bloom-index pattern). Index size is O(files × 2^bitsLog2
+    * / 8) bytes and lives beside the stats table; size `bitsLog2` so
+    * bits ≳ 8 × keys-per-file to keep the false-positive rate (and
+    * with it the extra files opened) in the low percent. The build is
+    * map-side-heavy (each task sees few files) and shuffles only
+    * O(files × words) cells. */
+  def collectBloomStats(spark: SparkSession, path: String, keyCol: String,
+                        bitsLog2: Int = 18, k: Int = 4): DataFrame =
+    graft.operators.Sketches.bloomCells(
+        spark.read.parquet(path).select(
+          input_file_name().as("file"), col(keyCol)),
+        col(keyCol).cast("string"), bitsLog2, k, Seq(col("file")))
+      .groupBy(col("file"), col("word_idx"))
+      .agg(expr("bit_or(bit)").as("bits"))
+
+  /** The k `(word_idx, bit)` probe positions of `value` — computed
+    * THROUGH the same SQL expressions the build used (one-row plan),
+    * so driver and executors can never disagree on the hash. */
+  private def probePositions(spark: SparkSession, value: Long,
+                             bitsLog2: Int, k: Int): Seq[(Long, Long)] =
+    graft.operators.Sketches.bloomCells(
+        spark.range(1).select(lit(value).as("__v")),
+        col("__v").cast("string"), bitsLog2, k, Nil)
+      .collect().map(r => (r.getLong(r.fieldIndex("word_idx")),
+        r.getLong(r.fieldIndex("bit")))).toSeq.distinct
+
+  /** Files whose Bloom filter cannot rule out `keyCol = value`: every
+    * probe bit set. Superset of the files that truly contain the key
+    * (zero false negatives — each built key set exactly these bits);
+    * false positives are bounded by the classic (1-e^{-kn/m})^k and
+    * only cost an extra file open, never a wrong row. O(k) filters
+    * over the O(files × words) index, intersected on the driver. */
+  def candidateFilesBloom(spark: SparkSession, bloom: DataFrame,
+                          value: Long, bitsLog2: Int = 18,
+                          k: Int = 4): Seq[String] =
+    probePositions(spark, value, bitsLog2, k).map { case (w, b) =>
+      bloom.filter(col("word_idx") === w &&
+          (col("bits").bitwiseAND(lit(b))) =!= 0)
+        .select("file").collect().map(_.getString(0)).toSet
+    }.reduce(_ intersect _).toSeq.sorted
+
+  /** Equality read through the Bloom index: open only the candidate
+    * files, re-apply the exact predicate (membership is necessary,
+    * not sufficient). Row-identical to a full scan + filter. */
+  def prunedReadEquality(spark: SparkSession, path: String,
+                         bloom: DataFrame, keyCol: String, value: Long,
+                         bitsLog2: Int = 18, k: Int = 4): DataFrame = {
+    val files = candidateFilesBloom(spark, bloom, value, bitsLog2, k)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol) === value)
+  }
 }

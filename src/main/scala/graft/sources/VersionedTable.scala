@@ -28,11 +28,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * writers cannot both publish the same version (the second rename
   * fails) — the loser retries with the next number.
   *
+  * Manifest lines are either a plain data-file path or
+  * `dv<TAB><path>` naming a DELETION-VECTOR sidecar (parquet of
+  * `(__gf, key...)` tombstones, see [[deleteCommit]]); readers apply
+  * every listed sidecar as a (file, key) anti-join, so a delete
+  * commits in O(matching rows) without rewriting any data file —
+  * merge-on-read, purged back to pure files whenever [[mergeCommit]]
+  * rewrites the underlying data.
+  *
   * This is deliberately the local/HDFS realization (atomic rename);
   * on an object store the publish step becomes a conditional PUT, and
   * everything else is unchanged.
   */
 object VersionedTable {
+
+  /** Tombstone-file manifest-line prefix (`dv<TAB>`). */
+  private val DvPrefix = "dv\t"
+
+  /** Internal file-identity column used to scope deletion-vector
+    * tombstones to the one data file the deleted row lives in. */
+  private val FileCol = "__gf"
+
+  /** Commit-metadata manifest-line prefix (`meta<TAB>key=value`) —
+    * properties published atomically WITH the commit (e.g. the source
+    * version a materialized view was computed from). Not carried by
+    * append commits: metadata describes its own commit. */
+  private val MetaPrefix = "meta\t"
+
+  /** The data-file entries of a manifest line list (what a snapshot
+    * scans). */
+  def dataFilesOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+
+  /** The commit-metadata properties of a manifest line list. */
+  def metaOf(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith(MetaPrefix) =>
+      val kv = l.substring(MetaPrefix.length)
+      val i = kv.indexOf('=')
+      kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+
+  /** The deletion-vector sidecar paths of a manifest line list. */
+  def dvFilesOf(lines: Seq[String]): Seq[String] =
+    lines.collect { case l if l.startsWith(DvPrefix) =>
+      l.substring(DvPrefix.length) }
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -93,11 +132,14 @@ object VersionedTable {
 
   /** Commit `df` as the next version. `append = true` carries the
     * previous version's files forward (delta commit: only new rows are
-    * written); `append = false` is a logical overwrite (old files stay
-    * on disk for time travel until vacuumed). Returns the committed
-    * version number. */
+    * written — tombstone sidecars carry too, so appended-over deletes
+    * stay deleted); `append = false` is a logical overwrite (old files
+    * stay on disk for time travel until vacuumed). `meta` key=value
+    * properties are published atomically with the commit and readable
+    * via [[metaOf]]. Returns the committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             append: Boolean): Int = {
+             append: Boolean,
+             meta: Map[String, String] = Map.empty): Int = {
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val dataDir = new Path(table,
       s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -106,21 +148,241 @@ object VersionedTable {
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     val carried =
-      if (append && next > 1) readManifest(spark, table, next - 1)
+      if (append && next > 1)
+        readManifest(spark, table, next - 1)
+          .filterNot(_.startsWith(MetaPrefix))
       else Seq.empty
-    writeManifest(spark, table, next, carried ++ newFiles)
+    require(meta.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
+      meta.values.forall(v => !v.contains('\n')),
+      "meta keys must be '='-free; values newline-free")
+    val metaLines = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$MetaPrefix$k=$v" }
+    writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
     next
   }
 
   /** Snapshot read: the named version, or the latest. Empty table →
-    * error (there is no schema to synthesize). */
+    * error (there is no schema to synthesize).
+    *
+    * Commits may EVOLVE the schema (append with added columns): the
+    * read merges the file schemas, and rows from files written before
+    * a column existed surface it as NULL — the standard
+    * add-column-without-rewrite contract. Deletion-vector sidecars in
+    * the manifest are applied as a broadcast (file, key) anti-join;
+    * with no sidecars the read is a plain pruned parquet scan. */
   def read(spark: SparkSession, table: String,
            version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    spark.read.parquet(readManifest(spark, table, v): _*)
+    readSnapshot(spark, readManifest(spark, table, v))
+  }
+
+  /** Materialize a manifest's logical content: merged-schema scan of
+    * its data files minus every deletion-vector tombstone. Tombstones
+    * are keyed (file, key...): only the row with that key IN that
+    * exact file dies, so a later commit re-inserting the key in a new
+    * file is unaffected. The sidecar union is O(deleted rows) and
+    * broadcast — at 100 TB the anti-join costs one broadcast probe
+    * per scanned row, zero shuffle of the data side. */
+  private[sources] def readSnapshot(spark: SparkSession,
+                                    lines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
+    val dvs = dvFilesOf(lines)
+    if (dvs.isEmpty) base
+    else {
+      val tomb = spark.read.parquet(dvs: _*)
+      val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
+      base
+        .withColumn(FileCol, normFileExpr)
+        .join(broadcast(tomb), FileCol +: keyCols, "left_anti")
+        .drop(FileCol)
+    }
+  }
+
+  /** `input_file_name()` normalized to a bare path (scheme/authority
+    * stripped) so it compares equal to manifest entries regardless of
+    * `file:/` vs `file:///` spelling. */
+  private def normFileExpr: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      // `scheme://authority/path` first, then authority-free `scheme:/path`
+      "regexp_replace(regexp_replace(input_file_name()," +
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')," +
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*:', '')")
+
+  /** DELETE via deletion vectors — merge-on-read, the Delta
+    * deletion-vector / Iceberg positional-delete pattern: instead of
+    * rewriting every file that holds a matching row (copy-on-write,
+    * which turns a 3-row delete on a 1 GB file into a 1 GB write),
+    * the matching rows' `(file, key)` identities are written to a
+    * small tombstone sidecar and the new manifest references it. Data
+    * files are untouched; [[read]] applies the tombstones as a
+    * broadcast anti-join. A later [[mergeCommit]] that rewrites a
+    * file purges its tombstones (the rewrite starts from the LOGICAL
+    * rows), re-consolidating toward pure files.
+    *
+    * `keyCols` must identify rows uniquely WITHIN each data file
+    * (table-unique keys, the same precondition [[mergeCommit]]
+    * documents); a duplicated key inside one file would take its
+    * twin down with it. Tombstones for rows already deleted by an
+    * earlier sidecar are not re-emitted (the predicate runs on the
+    * logical snapshot). Returns the new version; a predicate matching
+    * nothing still commits (empty-sidecar-free: no dv line added). */
+  def deleteCommit(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   keyCols: Seq[String]): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val doomed = readSnapshotTagged(spark, lines)
+      .filter(predicate)
+      .select(FileCol, keyCols: _*)
+    val next = vs.last + 1
+    val dvDir = new Path(table,
+      s"data/$next-dv-${java.util.UUID.randomUUID().toString.take(8)}")
+    // tombstones are tiny — one file keeps the manifest and the
+    // read-side broadcast compact
+    doomed.coalesce(1).write.parquet(dvDir.toString)
+    val f = fs(spark, dvDir)
+    val dvFiles = f.listStatus(dvDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val hasRows = spark.read.parquet(dvDir.toString).limit(1).count() > 0
+    val dvLines =
+      if (hasRows) dvFiles.map(p => DvPrefix + p.toString)
+      else { f.delete(dvDir, true); Seq.empty }
+    writeManifest(spark, table, next, lines ++ dvLines)
+    next
+  }
+
+  /** CHANGE DATA FEED: the logical row changes between two committed
+    * versions, computed from O(changed files) of I/O. Output schema is
+    * the (merged) table schema plus `change` ('insert' | 'delete') and
+    * `n` (how many copies of the row appeared/disappeared).
+    *
+    * The manifest diff alone decides what to read: data files present
+    * in both versions with an unchanged tombstone set CANNOT
+    * contribute a change and are never opened — on a 100 TB table a
+    * point merge's feed costs the handful of rewritten files, not the
+    * table. Within the touched files, rows that were merely COPIED by
+    * a copy-on-write rewrite (same values, new file) cancel in the
+    * multiset diff, so the feed reports the semantic change set:
+    * an update surfaces as its delete/insert pair, same as the
+    * Delta CDF `update_preimage`/`update_postimage` split. */
+  def readChanges(spark: SparkSession, table: String,
+                  fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val vs = versions(spark, table)
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"versions ($fromV, $toV) must both be committed; have $vs")
+    val linesA = readManifest(spark, table, fromV)
+    val linesB = readManifest(spark, table, toV)
+    val (touchedA, touchedB) = changedFiles(spark, linesA, linesB)
+    val schema = readSnapshot(spark, linesB).schema
+    if (touchedA.isEmpty && touchedB.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    val a = restrictedRows(spark, linesA, touchedA)
+    val b = restrictedRows(spark, linesB, touchedB)
+    val cols = (a.map(_.columns.toSeq) orElse b.map(_.columns.toSeq))
+      .getOrElse(Seq.empty)
+    def aligned(side: Option[DataFrame]): DataFrame = {
+      val want = (cols ++ b.map(_.columns.toSeq).getOrElse(Seq.empty) ++
+        a.map(_.columns.toSeq).getOrElse(Seq.empty)).distinct
+      val base = side.getOrElse {
+        // one side touched nothing: synthesize its empty twin
+        (a orElse b).get.limit(0)
+      }
+      val withAll = want.foldLeft(base)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(
+          schema.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType))))
+      withAll.select(want.map(col): _*)
+    }
+    val aAll = aligned(a); val bAll = aligned(b)
+    val allCols = aAll.columns.toSeq
+    // per-side column renames keep the join unambiguous even when both
+    // sides restrict to the SAME files (shared lineage)
+    val ga = aAll.groupBy(allCols.map(col): _*).agg(count(lit(1)).as("__na"))
+      .select(allCols.map(c => col(c).as(s"__a_$c")) :+ col("__na"): _*)
+    val gb = bAll.groupBy(allCols.map(col): _*).agg(count(lit(1)).as("__nb"))
+      .select(allCols.map(c => col(c).as(s"__b_$c")) :+ col("__nb"): _*)
+    // NULL-SAFE key equality: null cells must line up as equal groups
+    val cond = allCols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduce(_ && _)
+    ga.join(gb, cond, "full_outer")
+      .select(allCols.map(c =>
+        coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) ++ Seq(
+        (coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L)))
+          .as("__net")): _*)
+      .filter(col("__net") =!= 0L)
+      .withColumn("change",
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("n", abs(col("__net")))
+      .drop("__net")
+  }
+
+  /** The file-level pruning decision behind [[readChanges]], exposed
+    * so specs (and operators composing on the feed) can assert what a
+    * version transition will actually read: per side, the data files
+    * that can contribute changes — the symmetric difference of the
+    * data-file sets, plus any carried file whose applicable tombstone
+    * set changed. Carried files outside this set are provably
+    * change-free and are never opened. */
+  def changedFiles(spark: SparkSession, linesA: Seq[String],
+                   linesB: Seq[String]): (Seq[String], Seq[String]) = {
+    val dataA = dataFilesOf(linesA); val dataB = dataFilesOf(linesB)
+    val setA = dataA.map(norm).toSet; val setB = dataB.map(norm).toSet
+    val dvA = dvFilesOf(linesA).toSet; val dvB = dvFilesOf(linesB).toSet
+    val dvChanged = (dvA diff dvB) ++ (dvB diff dvA)
+    val dvTouched: Set[String] =
+      if (dvChanged.isEmpty) Set.empty
+      else spark.read.parquet(dvChanged.toSeq: _*)
+        .select(FileCol).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    def touched(data: Seq[String], other: Set[String]) =
+      data.filter(f => !other.contains(norm(f)) || dvTouched.contains(norm(f)))
+    (touched(dataA, setB), touched(dataB, setA))
+  }
+
+  /** Logical rows of a manifest restricted to `files` (with the
+    * manifest's tombstones applied); None when the restriction is
+    * empty. */
+  private def restrictedRows(spark: SparkSession, lines: Seq[String],
+                             files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(readSnapshot(spark,
+      files ++ lines.filter(_.startsWith(DvPrefix))))
+
+  private[sources] def norm(s: String): String = new Path(s).toUri.getPath
+
+  /** [[readSnapshot]] keeping the normalized file-identity column
+    * `__gf` — the delete path needs to know which file each surviving
+    * row lives in. */
+  private def readSnapshotTagged(spark: SparkSession,
+                                 lines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
+      .withColumn(FileCol, normFileExpr)
+    val dvs = dvFilesOf(lines)
+    if (dvs.isEmpty) base
+    else {
+      val tomb = spark.read.parquet(dvs: _*)
+      val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
+      base.join(broadcast(tomb), FileCol +: keyCols, "left_anti")
+    }
   }
 
   /** MERGE INTO with FILE-LEVEL copy-on-write — the composition the
@@ -146,7 +408,9 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
-    val current = readManifest(spark, table, vs.last)
+    val currentLines = readManifest(spark, table, vs.last)
+    val current = dataFilesOf(currentLines)
+    val dvLines = currentLines.filter(_.startsWith(DvPrefix))
     val stats = FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
     // source keys x BROADCAST stats: each source partition probes the
     // O(files) stats list locally — distributed in the big dimension
@@ -158,16 +422,15 @@ object VersionedTable {
           col(s"${keyCol}_max") >= col("__mk"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
     // normalize: manifest paths vs input_file_name URIs
-    def norm(s: String) = new Path(s).toUri.getPath
     val touchedNorm = touched.map(norm)
     val (rewrite, carry) = current.partition(f => touchedNorm.contains(norm(f)))
     val upserts = deleteCol.fold(source)(d =>
       source.filter(!col(d)).drop(d))
     val survivors =
       if (rewrite.isEmpty) upserts
-      else spark.read.parquet(rewrite: _*)
+      else readSnapshot(spark, rewrite ++ dvLines)
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(upserts)
+        .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
     val dataDir = new Path(table,
       s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -175,8 +438,36 @@ object VersionedTable {
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    writeManifest(spark, table, next, carry ++ newFiles)
+    // the rewrite purged its files' tombstones (the logical rows were
+    // materialized); tombstones on CARRIED files must survive. They
+    // consolidate into one fresh sidecar — old sidecars stay on disk
+    // for older versions' time travel but leave this manifest.
+    val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
+    writeManifest(spark, table, next, carry ++ keptDv ++ newFiles)
     next
+  }
+
+  /** Rewrite the tombstones of `dvLines` that target a file in
+    * `carried` into one new sidecar under version `v`'s data dir;
+    * returns the manifest lines for it (empty when nothing survives). */
+  private def consolidateTombstones(spark: SparkSession,
+                                    dvLines: Seq[String],
+                                    carried: Seq[String],
+                                    table: String, v: Int): Seq[String] = {
+    val dvs = dvFilesOf(dvLines)
+    if (dvs.isEmpty) return Seq.empty
+    val carriedSet = carried.map(norm).toSet
+    val tomb = spark.read.parquet(dvs: _*)
+    // O(files) literal list — file counts are manifest-sized, never data-sized
+    val keep = tomb.filter(org.apache.spark.sql.functions
+      .col(FileCol).isin(carriedSet.toSeq: _*))
+    if (keep.limit(1).count() == 0) return Seq.empty
+    val dvDir = new Path(table,
+      s"data/$v-dv-${java.util.UUID.randomUUID().toString.take(8)}")
+    keep.coalesce(1).write.parquet(dvDir.toString)
+    fs(spark, dvDir).listStatus(dvDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => DvPrefix + p.toString)
   }
 
   /** Retire versions older than `keepLast`: their manifests are
@@ -188,9 +479,16 @@ object VersionedTable {
     val vs = versions(spark, table)
     val (retire, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
     if (retire.isEmpty) return
-    val live = keep.flatMap(v => readManifest(spark, table, v)).toSet
+    // a manifest line's path part (data file or dv sidecar) is what
+    // lives on disk — liveness is per path, not per line spelling
+    def pathOf(line: String): Option[String] =
+      if (line.startsWith(MetaPrefix)) None
+      else if (line.startsWith(DvPrefix)) Some(line.substring(DvPrefix.length))
+      else Some(line)
+    val live = keep.flatMap(v => readManifest(spark, table, v))
+      .flatMap(pathOf).toSet
     val dead = retire.flatMap(v => readManifest(spark, table, v))
-      .filterNot(live.contains).distinct
+      .flatMap(pathOf).filterNot(live.contains).distinct
     val f = fs(spark, new Path(table))
     dead.foreach(p => f.delete(new Path(p), false))
     retire.foreach(v => f.delete(manifestPath(table, v), false))
