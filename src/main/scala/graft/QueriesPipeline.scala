@@ -517,6 +517,48 @@ object QueriesPipeline {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE n_chars >= 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Streaming ingest -> versioned table -> INCREMENTAL MV, end to end:
+  // the rollup a 100 TB ingest pipeline actually serves. Arrival 1 is
+  // drained (exactly-once commits), the view is built; arrival 2 is
+  // drained and the view REFRESHES off the change feed — O(new files),
+  // never a source rescan. The in-query require pins that the refresh
+  // really advanced the view to the source head; the oracle aggregates
+  // the full filtered table from scratch.
+  // ---------------------------------------------------------------------
+  def streamMv(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_vt_mv").toAbsolutePath.toString
+    val docs = t(s, dir, "documents")
+    val table = s"$work/table"; val mv = s"$work/mv"
+    def transform(df: DataFrame): DataFrame =
+      df.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    def drain(): Unit =
+      graft.streaming.IncrementalIngest.drainToVersionedTable(s,
+        s"$work/src", docs.schema, table, s"$work/ckpt")(transform)
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    graft.sources.MaterializedView.build(s, table, mv,
+      Seq("source"), Seq("n_chars"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    graft.sources.MaterializedView.refresh(s, table, mv)
+    val head = graft.sources.VersionedTable.versions(s, table).last
+    require(graft.sources.MaterializedView.sourceVersion(s, mv) == head,
+      "refresh must advance the view to the source head")
+    graft.sources.MaterializedView.read(s, mv)
+      .select(col("source"), col("cnt"), col("sum_n_chars"))
+  }
+
+  val streamMvSql: String =
+    """SELECT source, count(*) AS cnt,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM documents WHERE n_chars >= 100
+      |GROUP BY 1""".stripMargin
+
   /** Streaming CDC → warehouse MERGE, end to end INSIDE the gate: the
     * change feed arrives in two drains split by event-id parity — so
     * the second drain carries rows both OLDER and NEWER than the
@@ -1158,6 +1200,7 @@ object QueriesPipeline {
     "q_stream_cdc" -> (streamCdc _),
     "q_incremental_ingest" -> (incrementalIngest _),
     "q_stream_table_ingest" -> (streamTableIngest _),
+    "q_stream_mv" -> (streamMv _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_gapfill" -> (gapFill _),
     "q_chunk_docs" -> (chunkDocs _),
@@ -1198,6 +1241,7 @@ object QueriesPipeline {
     "q_stream_cdc" -> cdcMergeSql,
     "q_incremental_ingest" -> incrementalIngestSql,
     "q_stream_table_ingest" -> streamTableIngestSql,
+    "q_stream_mv" -> streamMvSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_gapfill" -> gapFillSql,
     "q_chunk_docs" -> chunkDocsSql,

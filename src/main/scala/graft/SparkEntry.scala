@@ -1277,6 +1277,46 @@ object Queries {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TABLE-LAYER OPTIMIZE (VersionedTable.compactCommit): 64 small
+  // fragment files plus a deletion-vector delete, then one compaction
+  // commit — the rewrite is atomic (old versions time-travel), and
+  // because every fragment qualified as small, ALL tombstones are
+  // purged (in-query require: the compacted manifest has no dv lines
+  // and ≤ 8 data files). The oracle aggregates orders under the
+  // delete's complementary predicate — compaction must change layout,
+  // never content. TableMaintenanceSpec pins the partial-compaction
+  // and carried-tombstone cases.
+  // ---------------------------------------------------------------------
+  def tableCompact(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vopt")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartition(64), append = false)
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+    val n = base.count()
+    val v3 = graft.sources.VersionedTable.compactCommit(s, table,
+      targetRows = math.max(n / 4, 1L))
+    val m3 = graft.sources.VersionedTable.manifest(s, table, v3)
+    require(graft.sources.VersionedTable.dataFilesOf(m3).size <= 8 &&
+      graft.sources.VersionedTable.dvFilesOf(m3).isEmpty,
+      "compaction must collapse the fragments and purge the tombstones")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val tableCompactSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // BLOOM FILE INDEX (FileSkipping.collectBloomStats): the layout is
   // clustered by SHIP DATE, so a point lookup on the UNCLUSTERED
   // order key prunes nothing by [min,max] — the per-file Bloom index
@@ -1677,6 +1717,7 @@ object Queries {
     "q_time_travel" -> (timeTravel _),
     "q_table_merge" -> (tableMerge _),
     "q_bloom_skipping" -> (bloomSkipping _),
+    "q_table_compact" -> (tableCompact _),
     "q_change_feed" -> (changeFeed _),
     "q_delete_vectors" -> (deleteVectors _),
     "q_schema_evolution" -> (schemaEvolution _),
@@ -1739,6 +1780,7 @@ object Queries {
     "q_time_travel" -> timeTravelSql,
     "q_table_merge" -> tableMergeSql,
     "q_bloom_skipping" -> bloomSkippingSql,
+    "q_table_compact" -> tableCompactSql,
     "q_change_feed" -> changeFeedSql,
     "q_delete_vectors" -> deleteVectorsSql,
     "q_schema_evolution" -> schemaEvolutionSql,

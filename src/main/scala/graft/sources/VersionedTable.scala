@@ -470,6 +470,77 @@ object VersionedTable {
       .map(p => DvPrefix + p.toString)
   }
 
+  /** OPTIMIZE: compact the snapshot's SMALL files (< `targetRows`
+    * rows) into right-sized ones as a new version — the table-layer
+    * twin of [[Compaction]], plus two things only the table layer can
+    * do: the rewrite is an atomic COMMIT (readers never see the half-
+    * rewritten state, old versions still time-travel), and it PURGES
+    * the rewritten files' deletion-vector tombstones (merge-on-read
+    * debt consolidates back to pure files). Right-sized files and
+    * their tombstones-on-carried-files are untouched — cost is
+    * O(small files), not O(table). Returns the new version, or the
+    * current one when fewer than two files qualify (nothing to gain). */
+  def compactCommit(spark: SparkSession, table: String,
+                    targetRows: Long): Int = {
+    import org.apache.spark.sql.functions._
+    require(targetRows > 0, "targetRows must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val data = dataFilesOf(lines)
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    val counts = spark.read.parquet(data: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val (small, big) = data.partition(f =>
+      counts.getOrElse(norm(f), 0L) < targetRows)
+    if (small.size < 2) return vs.last
+    val smallRows = small.map(f => counts.getOrElse(norm(f), 0L)).sum
+    val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
+    val next = vs.last + 1
+    val dataDir = new Path(table,
+      s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    readSnapshot(spark, small ++ dvLines)
+      .repartition(nOut)
+      .write.parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
+    writeManifest(spark, table, next, big ++ keptDv ++ newFiles)
+    next
+  }
+
+  /** Snapshot read with FILE SKIPPING: per-file [min, max] stats over
+    * the manifest's data files prune to the ranges' candidates, then
+    * tombstones and the exact predicates apply as usual. Row-identical
+    * to `read(...).filter(ranges)`; at scale the selective read opens
+    * O(candidate files). Stats here are computed on the fly (one
+    * column-pruned scan); pair with [[FileSkipping.updateStats]] at
+    * commit time to make them O(new files) instead. */
+  def readPruned(spark: SparkSession, table: String,
+                 ranges: Seq[(String, Long, Long)],
+                 version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val data = dataFilesOf(lines)
+    val stats = FileSkipping.collectStatsFiles(spark, data,
+      ranges.map(_._1).distinct)
+    val cand = FileSkipping.candidateFiles(stats, ranges)
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark,
+        cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _))
+  }
+
   /** Retire versions older than `keepLast`: their manifests are
     * removed and any data file no surviving manifest references is
     * deleted. Time travel to retired versions is gone; surviving

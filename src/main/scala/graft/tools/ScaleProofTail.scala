@@ -124,7 +124,11 @@ object ScaleProofTail {
       // round-6 additions: table layer + BPE + CC + video at 10x
       "q_file_skipping", "q_zorder_skipping", "q_compaction",
       "q_time_travel", "q_table_merge", "q_bpe_apply",
-      "q_connected_components", "q_video_decode")
+      "q_connected_components", "q_video_decode",
+      // round-6 second batch: CDF / DV / evolution / MV / bloom /
+      // OPTIMIZE at 10x
+      "q_change_feed", "q_delete_vectors", "q_schema_evolution",
+      "q_incremental_mv", "q_bloom_skipping", "q_table_compact")
       .foreach(phase)
     spark.stop()
   }

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Table-layer OPTIMIZE ([[VersionedTable.compactCommit]]) and
+  * stats-pruned snapshot reads ([[VersionedTable.readPruned]]). */
+class TableMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(name).toString + "/t"
+
+  test("compactCommit rewrites only the small files and purges their tombstones") {
+    val t = fresh("vopt")
+    // one BIG right-sized file (500 rows) + 20 tiny fragments (100 rows)
+    VersionedTable.commit(spark, t,
+      (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      append = false)
+    VersionedTable.commit(spark, t,
+      (1000L to 1099L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(20), append = true)
+    // tombstones on BOTH populations
+    VersionedTable.deleteCommit(spark, t,
+      col("k") === 5L || col("k") === 1005L, Seq("k"))
+    val mBefore = VersionedTable.manifest(spark, t, 3)
+    val bigFiles = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 1))
+    val v4 = VersionedTable.compactCommit(spark, t, targetRows = 400L)
+    val m4 = VersionedTable.manifest(spark, t, v4)
+    val data4 = VersionedTable.dataFilesOf(m4)
+    // the big file is carried verbatim; the 20 fragments collapse
+    assert(bigFiles.forall(data4.contains))
+    assert(data4.size < VersionedTable.dataFilesOf(mBefore).size,
+      s"fragments must collapse: ${data4.size}")
+    // the carried big file's tombstone survives (k=5 still deleted via
+    // dv); the fragment tombstone (k=1005) was materialized — both
+    // keys stay gone
+    assert(VersionedTable.dvFilesOf(m4).size == 1)
+    val keys = VersionedTable.read(spark, t).select("k").as[Long]
+      .collect().toSet
+    assert(!keys.contains(5L) && !keys.contains(1005L))
+    assert(keys.size == 598)
+    // time travel to the fragmented version still works
+    assert(VersionedTable.read(spark, t, Some(2)).count() == 600L)
+  }
+
+  test("compactCommit is a no-op when fewer than two files are small") {
+    val t = fresh("vopt2")
+    val v1 = VersionedTable.commit(spark, t,
+      (1L to 100L).map(i => (i, i)).toDF("k", "x").coalesce(1),
+      append = false)
+    assert(VersionedTable.compactCommit(spark, t, targetRows = 10L) == v1)
+    assert(VersionedTable.versions(spark, t) == Seq(v1))
+  }
+
+  test("readPruned == read + filter, and opens only candidate files") {
+    val t = fresh("vprune")
+    VersionedTable.commit(spark, t,
+      (1L to 1000L).map(i => (i, i * 3)).toDF("k", "x")
+        .repartitionByRange(10, col("k")), append = false)
+    VersionedTable.deleteCommit(spark, t, col("k") % 100 === 0, Seq("k"))
+    val got = VersionedTable.readPruned(spark, t, Seq(("k", 150L, 250L)))
+      .as[(Long, Long)].collect().toSet
+    val want = VersionedTable.read(spark, t)
+      .filter(col("k") >= 150 && col("k") <= 250)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && got.size == 100) // 101 keys minus k=200
+    // empty range: correct schema, zero rows
+    val none = VersionedTable.readPruned(spark, t, Seq(("k", 5000L, 6000L)))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("k", "x"))
+  }
+}
