@@ -541,6 +541,83 @@ object VersionedTable {
     }.reduce(_ && _))
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — data/tombstone
+    * file counts plus the commit's metadata properties — computed from
+    * manifests alone (no data I/O; O(versions) driver work). The
+    * introspection surface audits and maintenance jobs decide from:
+    * which versions a vacuum would retire, whether merge-on-read debt
+    * (dv files) is accumulating toward a [[compactCommit]]. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, table).map { v =>
+      val lines = readManifest(spark, table, v)
+      (v, dataFilesOf(lines).size, dvFilesOf(lines).size,
+        metaOf(lines).toSeq.sorted.map { case (k, x) => s"$k=$x" }
+          .mkString(","))
+    }.toDF("version", "n_data_files", "n_dv_files", "meta")
+  }
+
+  /** DESCRIBE DETAIL / the `files` metadata table: per data file of a
+    * snapshot, its row count and per-column min/max stats — one
+    * column-pruned scan, the same stats [[readPruned]] prunes by. */
+  def files(spark: SparkSession, table: String, statCols: Seq[String],
+            version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    FileSkipping.collectStatsFiles(spark,
+      dataFilesOf(readManifest(spark, table, v)), statCols)
+  }
+
+  /** Commit under writer contention: [[commit]] computes the next
+    * version from a listing, so two racing writers can pick the same
+    * number — the atomic manifest rename makes exactly one win. For
+    * order-independent commits (appends; blind overwrites where
+    * last-writer-wins is acceptable) the loser can simply re-read the
+    * head and try again, which is what this wrapper does, up to
+    * `maxRetries` times. Do NOT use it for read-modify-write commits
+    * ([[mergeCommit]], [[deleteCommit]]) — those must re-run their
+    * reads against the new head instead of replaying a stale result
+    * (optimistic concurrency with conflict re-evaluation). */
+  def commitWithRetry(spark: SparkSession, table: String, df: DataFrame,
+                      append: Boolean,
+                      meta: Map[String, String] = Map.empty,
+                      maxRetries: Int = 5): Int = {
+    // data files are written ONCE — losing the version race costs a
+    // re-list and a manifest re-publish, never a data rewrite
+    val dataDir = new Path(table,
+      s"data/c-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val metaLines = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$MetaPrefix$k=$v" }
+    var attempt = 0
+    while (true) {
+      val next = versions(spark, table).lastOption.getOrElse(0) + 1
+      // append re-reads the WINNER's head each attempt — that is what
+      // makes the retry safe for order-independent commits
+      val carried =
+        if (append && next > 1)
+          readManifest(spark, table, next - 1)
+            .filterNot(_.startsWith(MetaPrefix))
+        else Seq.empty
+      try {
+        writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
+        return next
+      } catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("already committed") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Retire versions older than `keepLast`: their manifests are
     * removed and any data file no surviving manifest references is
     * deleted. Time travel to retired versions is gone; surviving

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Metadata tables (history / files) and the concurrent-writer retry
+  * commit on [[VersionedTable]]. */
+class TableIntrospectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(name).toString + "/t"
+
+  test("history reports file counts and commit metadata per version") {
+    val t = fresh("vhist")
+    VersionedTable.commit(spark, t,
+      (1L to 100L).map(i => (i, i)).toDF("k", "x")
+        .repartitionByRange(4, col("k")), append = false)
+    VersionedTable.deleteCommit(spark, t, col("k") === 7, Seq("k"))
+    VersionedTable.commit(spark, t,
+      Seq((200L, 1L)).toDF("k", "x"), append = true,
+      meta = Map("job" -> "nightly"))
+    val h = VersionedTable.history(spark, t)
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(h.map(_._1) == Seq(1, 2, 3))
+    assert(h(0) == ((1, 4, 0, "")))
+    assert(h(1)._2 == 4 && h(1)._3 == 1) // dv sidecar, no data rewrite
+    assert(h(2)._3 == 1 && h(2)._4 == "job=nightly")
+  }
+
+  test("files lists per-file row counts and min/max of a snapshot") {
+    val t = fresh("vfiles")
+    VersionedTable.commit(spark, t,
+      (1L to 400L).map(i => (i, i * 2)).toDF("k", "x")
+        .repartitionByRange(4, col("k")), append = false)
+    val f = VersionedTable.files(spark, t, Seq("k"))
+      .select(col("n_rows"), col("k_min"), col("k_max"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(f.size == 4)
+    assert(f.map(_._1).sum == 400L)
+    // range-partitioned: file ranges tile [1, 400] without overlap
+    f.sliding(2).foreach { case Seq(a, b) => assert(a._3 < b._2) }
+    assert(f.head._2 == 1L && f.last._3 == 400L)
+  }
+
+  test("commitWithRetry survives losing the version race") {
+    val t = fresh("vretry")
+    VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      append = false)
+    // simulate the race: steal version 2 AFTER the contender computed
+    // it — writeManifest(2) inside the wrapper must collide, and the
+    // wrapper must land on 3 carrying the thief's append
+    VersionedTable.writeManifest(spark, t, 2,
+      VersionedTable.manifest(spark, t, 1))
+    val v = VersionedTable.commitWithRetry(spark, t,
+      Seq((2L, "b")).toDF("k", "v"), append = true)
+    assert(v == 3)
+    assert(VersionedTable.read(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("two genuinely concurrent appends both land") {
+    val t = fresh("vrace")
+    VersionedTable.commit(spark, t, Seq((0L, "base")).toDF("k", "v"),
+      append = false)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future(VersionedTable.commitWithRetry(spark, t,
+        Seq((i.toLong, s"w$i")).toDF("k", "v"), append = true))
+    }
+    val got = Await.result(Future.sequence(fs), 120.seconds)
+    assert(got.toSet.size == 4, s"each writer needs its own version: $got")
+    assert(VersionedTable.read(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+}
