@@ -1333,18 +1333,28 @@ object Queries {
         col("l_quantity"), col("l_extendedprice"))
       .repartitionByRange(16, col("l_shipdate"))
       .write.mode("overwrite").parquet(out)
+    // SIZE THE INDEX FROM THE DATA: a bloom filter saturates (fp -> 1,
+    // zero pruning) once set keys exceed ~bits/8, so bits must scale
+    // with keys-per-file — the sizing rule that holds at any SF
+    // (measured: the fixed 2^18 default kept all 16 files at 10x)
+    val agg = t(s, dir, "lineitem")
+      .agg(max(col("l_orderkey")), count(lit(1))).collect()(0)
+    val rowsPerFile = math.max(agg.getLong(1) / 16, 1L)
+    val bitsLog2 = math.min(24,
+      math.max(12, 64 - java.lang.Long.numberOfLeadingZeros(
+        8 * rowsPerFile - 1)))
     val bloom = graft.sources.FileSkipping
-      .collectBloomStats(s, out, "l_orderkey")
+      .collectBloomStats(s, out, "l_orderkey", bitsLog2 = bitsLog2)
     // the max key is guaranteed present (TPC-H orderkeys are sparse;
     // an arithmetic midpoint usually is not)
-    val probe = t(s, dir, "lineitem")
-      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val probe = agg.getLong(0)
     val cands = graft.sources.FileSkipping
-      .candidateFilesBloom(s, bloom, probe)
+      .candidateFilesBloom(s, bloom, probe, bitsLog2 = bitsLog2)
     require(cands.size < 16,
       s"bloom index must prune the 16-file scan, kept ${cands.size}")
     graft.sources.FileSkipping
-      .prunedReadEquality(s, out, bloom, "l_orderkey", probe)
+      .prunedReadEquality(s, out, bloom, "l_orderkey", probe,
+        bitsLog2 = bitsLog2)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("qty"),
         cents(col("l_extendedprice")).as("price_cents"))

@@ -512,6 +512,32 @@ object VersionedTable {
     next
   }
 
+  /** CLUSTER BY: rewrite the snapshot value-clustered on `cols` as a
+    * new version — one column range-partitions, two compose the
+    * z-order curve ([[graft.operators.ScaleOps.zorderKey2]]) so BOTH
+    * prune independently under [[readPruned]]. A full O(table)
+    * rewrite by nature (re-clustering moves every row) — the one-time
+    * cost that buys every later selective read its file skipping; all
+    * tombstones are materialized by the rewrite (the new version is
+    * pure files). Old versions still time-travel. */
+  def clusterCommit(spark: SparkSession, table: String,
+                    cols: Seq[String], nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    require(cols.size == 1 || cols.size == 2,
+      "cluster on one column (range) or two (z-order)")
+    require(nFiles > 0, "nFiles must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val snap = readSnapshot(spark, readManifest(spark, table, vs.last))
+    val laid = cols match {
+      case Seq(c) => snap.repartitionByRange(nFiles, col(c))
+      case Seq(a, b) =>
+        graft.operators.ScaleOps.zorderLayout(snap, col(a), col(b), nFiles)
+    }
+    commit(spark, table, laid, append = false,
+      meta = Map("clustered_by" -> cols.mkString(",")))
+  }
+
   /** Snapshot read with FILE SKIPPING: per-file [min, max] stats over
     * the manifest's data files prune to the ranges' candidates, then
     * tombstones and the exact predicates apply as usual. Row-identical

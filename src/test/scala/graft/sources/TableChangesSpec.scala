@@ -106,6 +106,20 @@ class TableChangesSpec extends SparkSpec {
     assert(after.size == 487 && !after.contains(2L) && after.contains(4L))
   }
 
+  test("a DV read plans as a broadcast anti-join (no shuffle of the data side)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), append = false)
+    VersionedTable.deleteCommit(spark, t, col("k") % 9 === 0, Seq("k"))
+    val plan = VersionedTable.read(spark, t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstones must broadcast, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 100 TB data side must never shuffle for a delete read")
+  }
+
   test("deleteCommit matching nothing commits without a sidecar") {
     val t = freshTable()
     VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),

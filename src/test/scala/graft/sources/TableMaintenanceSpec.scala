@@ -57,6 +57,30 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, t) == Seq(v1))
   }
 
+  test("clusterCommit makes readPruned selective and purges tombstones") {
+    val t = fresh("vclust")
+    // random layout: every file straddles the full key range
+    VersionedTable.commit(spark, t,
+      (1L to 1000L).map(i => (i * 467 % 1000, i)).toDF("k", "x")
+        .repartition(8), append = false)
+    VersionedTable.deleteCommit(spark, t, col("x") === 77L, Seq("x"))
+    val v3 = VersionedTable.clusterCommit(spark, t, Seq("k"), 8)
+    val m3 = VersionedTable.manifest(spark, t, v3)
+    assert(VersionedTable.dvFilesOf(m3).isEmpty,
+      "the rewrite must materialize the tombstones")
+    assert(VersionedTable.metaOf(m3)("clustered_by") == "k")
+    // selective read: stats over the clustered files prune to ~1 of 8
+    val stats = VersionedTable.files(spark, t, Seq("k"))
+    val cand = FileSkipping.candidateFiles(stats, "k", 100L, 180L)
+    assert(cand.size <= 2, s"clustered layout must prune: ${cand.size}")
+    val got = VersionedTable.readPruned(spark, t, Seq(("k", 100L, 180L)))
+      .as[(Long, Long)].collect().toSet
+    val want = VersionedTable.read(spark, t)
+      .filter(col("k") >= 100 && col("k") <= 180)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && !got.exists(_._2 == 77L))
+  }
+
   test("readPruned == read + filter, and opens only candidate files") {
     val t = fresh("vprune")
     VersionedTable.commit(spark, t,
