@@ -644,6 +644,42 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Remove ORPHANS: data/sidecar files no manifest (of any version)
+    * references — the residue of commits that crashed between the
+    * data write and the manifest publish, and of [[commitWithRetry]]
+    * losers that exhausted their retries. Only files older than
+    * `olderThanMs` are touched: a file younger than the retention may
+    * belong to a commit IN FLIGHT (written, manifest not yet
+    * published), and deleting it would break that commit — the same
+    * retention reasoning as Delta's VACUUM RETAIN. Referenced files
+    * are never candidates regardless of age. Returns the deleted
+    * paths. */
+  def cleanOrphans(spark: SparkSession, table: String,
+                   olderThanMs: Long): Seq[String] = {
+    val referenced = versions(spark, table)
+      .flatMap { v =>
+        val lines = readManifest(spark, table, v)
+        dataFilesOf(lines) ++ dvFilesOf(lines)
+      }.map(norm).toSet
+    val dataRoot = new Path(table, "data")
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = f.listStatus(dataRoot).toSeq.filter(_.isDirectory)
+      .flatMap(d => f.listStatus(d.getPath).toSeq)
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        !referenced.contains(norm(s.getPath.toString)) &&
+        s.getModificationTime < cutoff)
+      .map(_.getPath)
+    dead.foreach(p => f.delete(p, false))
+    // sweep now-empty commit dirs (same cosmetic pass as vacuum)
+    f.listStatus(dataRoot).foreach { d =>
+      if (d.isDirectory && f.listStatus(d.getPath).isEmpty)
+        f.delete(d.getPath, true)
+    }
+    dead.map(_.toString)
+  }
+
   /** Retire versions older than `keepLast`: their manifests are
     * removed and any data file no surviving manifest references is
     * deleted. Time travel to retired versions is gone; surviving

@@ -62,6 +62,32 @@ class TableIntrospectionSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("cleanOrphans removes only old unreferenced files") {
+    val t = fresh("vorphan")
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, i)).toDF("k", "x"), append = false)
+    // simulate a crashed commit: data written, manifest never published
+    val orphanDir = new java.io.File(s"$t/data/99-deadbeef")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-00000.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 3600_000L)
+    // a FRESH orphan (in-flight commit) must survive the retention
+    val freshOrphan = new java.io.File(orphanDir, "part-00001.parquet")
+    java.nio.file.Files.write(freshOrphan.toPath, Array[Byte](4, 5))
+    val deleted = VersionedTable.cleanOrphans(spark, t,
+      olderThanMs = 600_000L)
+    assert(deleted.size == 1 && deleted.head.endsWith("part-00000.parquet"))
+    assert(freshOrphan.exists, "in-flight files must survive")
+    assert(!orphan.exists)
+    // the table itself is untouched
+    assert(VersionedTable.read(spark, t).count() == 50L)
+    // referenced files never age out
+    assert(VersionedTable.cleanOrphans(spark, t, 0L)
+      .forall(_.endsWith("part-00001.parquet")))
+    assert(VersionedTable.read(spark, t).count() == 50L)
+  }
+
   test("two genuinely concurrent appends both land") {
     val t = fresh("vrace")
     VersionedTable.commit(spark, t, Seq((0L, "base")).toDF("k", "v"),
