@@ -161,16 +161,26 @@ object FileSkipping {
     * probe bit set. Superset of the files that truly contain the key
     * (zero false negatives — each built key set exactly these bits);
     * false positives are bounded by the classic (1-e^{-kn/m})^k and
-    * only cost an extra file open, never a wrong row. O(k) filters
-    * over the O(files × words) index, intersected on the driver. */
+    * only cost an extra file open, never a wrong row. ONE job: the
+    * probe's ≤ k words are filtered out of the index in a single pass
+    * (pre-`.cache()` the index if probing often — each call otherwise
+    * re-runs its build lineage), then the per-file bit checks run on
+    * O(files × k) collected rows. */
   def candidateFilesBloom(spark: SparkSession, bloom: DataFrame,
                           value: Long, bitsLog2: Int = 18,
-                          k: Int = 4): Seq[String] =
-    probePositions(spark, value, bitsLog2, k).map { case (w, b) =>
-      bloom.filter(col("word_idx") === w &&
-          (col("bits").bitwiseAND(lit(b))) =!= 0)
-        .select("file").collect().map(_.getString(0)).toSet
-    }.reduce(_ intersect _).toSeq.sorted
+                          k: Int = 4): Seq[String] = {
+    val probes = probePositions(spark, value, bitsLog2, k)
+    val words = probes.map(_._1).distinct
+    val rows = bloom
+      .filter(col("word_idx").isin(words: _*))
+      .select("file", "word_idx", "bits").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.keys.map(_._1).toSeq.distinct.sorted.filter { f =>
+      probes.forall { case (w, b) =>
+        (rows.getOrElse((f, w), 0L) & b) != 0L
+      }
+    }
+  }
 
   /** Equality read through the Bloom index: open only the candidate
     * files, re-apply the exact predicate (membership is necessary,

@@ -140,6 +140,7 @@ object VersionedTable {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              append: Boolean,
              meta: Map[String, String] = Map.empty): Int = {
+    val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val dataDir = new Path(table,
       s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -152,13 +153,17 @@ object VersionedTable {
         readManifest(spark, table, next - 1)
           .filterNot(_.startsWith(MetaPrefix))
       else Seq.empty
+    writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
+    next
+  }
+
+  /** Validated manifest lines for commit metadata — a '=' in a key or
+    * a newline anywhere would corrupt the line-oriented manifest. */
+  private def metaLinesOf(meta: Map[String, String]): Seq[String] = {
     require(meta.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
       meta.values.forall(v => !v.contains('\n')),
       "meta keys must be '='-free; values newline-free")
-    val metaLines = meta.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$MetaPrefix$k=$v" }
-    writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
-    next
+    meta.toSeq.sortBy(_._1).map { case (k, v) => s"$MetaPrefix$k=$v" }
   }
 
   /** Snapshot read: the named version, or the latest. Empty table →
@@ -228,16 +233,29 @@ object VersionedTable {
     * `keyCols` must identify rows uniquely WITHIN each data file
     * (table-unique keys, the same precondition [[mergeCommit]]
     * documents); a duplicated key inside one file would take its
-    * twin down with it. Tombstones for rows already deleted by an
-    * earlier sidecar are not re-emitted (the predicate runs on the
-    * logical snapshot). Returns the new version; a predicate matching
-    * nothing still commits (empty-sidecar-free: no dv line added). */
+    * twin down with it. All deletes on one table must use the SAME
+    * key columns (enforced against the live sidecars): the read-side
+    * anti-join matches tombstones by one key schema, and a sidecar
+    * keyed differently would read as NULL keys and silently match
+    * nothing. Tombstones for rows already deleted by an earlier
+    * sidecar are not re-emitted (the predicate runs on the logical
+    * snapshot). Returns the new version; a predicate matching nothing
+    * still commits (empty-sidecar-free: no dv line added). */
   def deleteCommit(spark: SparkSession, table: String,
                    predicate: org.apache.spark.sql.Column,
                    keyCols: Seq[String]): Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
+    val liveDvs = dvFilesOf(lines)
+    if (liveDvs.nonEmpty) {
+      val existing = spark.read.parquet(liveDvs: _*).columns
+        .filterNot(_ == FileCol).toSet
+      require(existing == keyCols.toSet,
+        s"table's live tombstones are keyed by $existing; a delete " +
+          s"keyed by $keyCols would not compose — use the same key " +
+          "columns (or mergeCommit/compactCommit to purge first)")
+    }
     val doomed = readSnapshotTagged(spark, lines)
       .filter(predicate)
       .select(FileCol, keyCols: _*)
@@ -254,7 +272,10 @@ object VersionedTable {
     val dvLines =
       if (hasRows) dvFiles.map(p => DvPrefix + p.toString)
       else { f.delete(dvDir, true); Seq.empty }
-    writeManifest(spark, table, next, lines ++ dvLines)
+    // metadata describes its own commit — never carried (same rule as
+    // commit's carry path)
+    writeManifest(spark, table, next,
+      lines.filterNot(_.startsWith(MetaPrefix)) ++ dvLines)
     next
   }
 
@@ -282,8 +303,11 @@ object VersionedTable {
     val linesA = readManifest(spark, table, fromV)
     val linesB = readManifest(spark, table, toV)
     val (touchedA, touchedB) = changedFiles(spark, linesA, linesB)
-    val schema = readSnapshot(spark, linesB).schema
-    if (touchedA.isEmpty && touchedB.isEmpty)
+    if (touchedA.isEmpty && touchedB.isEmpty) {
+      // no-change fast path (identical manifests): the merged-schema
+      // footer read here is the ONLY cost — the touched branches below
+      // never scan metadata beyond the changed files
+      val schema = readSnapshot(spark, linesB).schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
@@ -291,8 +315,17 @@ object VersionedTable {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("n",
             org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     val a = restrictedRows(spark, linesA, touchedA)
     val b = restrictedRows(spark, linesB, touchedB)
+    // column types come from the restricted reads themselves (B wins
+    // on evolution — its spelling is the current one); never from a
+    // full-table schema scan
+    def typeOf(c: String): org.apache.spark.sql.types.DataType =
+      b.flatMap(_.schema.fields.find(_.name == c))
+        .orElse(a.flatMap(_.schema.fields.find(_.name == c)))
+        .map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)
     val cols = (a.map(_.columns.toSeq) orElse b.map(_.columns.toSeq))
       .getOrElse(Seq.empty)
     def aligned(side: Option[DataFrame]): DataFrame = {
@@ -304,9 +337,7 @@ object VersionedTable {
       }
       val withAll = want.foldLeft(base)((d, c) =>
         if (d.columns.contains(c)) d
-        else d.withColumn(c, lit(null).cast(
-          schema.fields.find(_.name == c).map(_.dataType)
-            .getOrElse(org.apache.spark.sql.types.StringType))))
+        else d.withColumn(c, lit(null).cast(typeOf(c))))
       withAll.select(want.map(col): _*)
     }
     val aAll = aligned(a); val bAll = aligned(b)
@@ -609,7 +640,17 @@ object VersionedTable {
   def commitWithRetry(spark: SparkSession, table: String, df: DataFrame,
                       append: Boolean,
                       meta: Map[String, String] = Map.empty,
-                      maxRetries: Int = 5): Int = {
+                      maxRetries: Int = 5): Int =
+    commitWithRetryHook(spark, table, df, append, meta, maxRetries)
+
+  /** [[commitWithRetry]] with a pre-publish hook (called with the
+    * version each attempt is about to claim) — the seam the spec uses
+    * to force a deterministic collision on the first attempt. */
+  private[sources] def commitWithRetryHook(
+      spark: SparkSession, table: String, df: DataFrame,
+      append: Boolean, meta: Map[String, String] = Map.empty,
+      maxRetries: Int = 5, onAttempt: Int => Unit = _ => ()): Int = {
+    val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     // data files are written ONCE — losing the version race costs a
     // re-list and a manifest re-publish, never a data rewrite
     val dataDir = new Path(table,
@@ -618,8 +659,6 @@ object VersionedTable {
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    val metaLines = meta.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$MetaPrefix$k=$v" }
     var attempt = 0
     while (true) {
       val next = versions(spark, table).lastOption.getOrElse(0) + 1
@@ -631,6 +670,7 @@ object VersionedTable {
             .filterNot(_.startsWith(MetaPrefix))
         else Seq.empty
       try {
+        onAttempt(next)
         writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
         return next
       } catch {
@@ -642,6 +682,29 @@ object VersionedTable {
       }
     }
     -1 // unreachable
+  }
+
+  /** SQL surface: register the table under temp views so `spark.sql`
+    * reaches it — `name` (a snapshot: the given version or the
+    * latest), `name_history` (the [[history]] rows), and, when
+    * `statCols` is non-empty, `name_files` (the [[files]] stats). The
+    * snapshot view pins the manifest resolved NOW: commits made after
+    * registration are invisible until re-registration — the same
+    * snapshot-isolation-plus-REFRESH discipline external catalogs
+    * give, and what makes a long multi-statement SQL session read one
+    * consistent version throughout. */
+  def registerViews(spark: SparkSession, name: String, table: String,
+                    statCols: Seq[String] = Nil,
+                    version: Option[Int] = None): Unit = {
+    read(spark, table, version).createOrReplaceTempView(name)
+    history(spark, table).createOrReplaceTempView(s"${name}_history")
+    if (statCols.nonEmpty)
+      files(spark, table, statCols, version)
+        .createOrReplaceTempView(s"${name}_files")
+    else
+      // a re-registration without statCols must not leave a STALE
+      // files view from an earlier registration serving old stats
+      spark.catalog.dropTempView(s"${name}_files")
   }
 
   /** Remove ORPHANS: data/sidecar files no manifest (of any version)
@@ -691,14 +754,12 @@ object VersionedTable {
     if (retire.isEmpty) return
     // a manifest line's path part (data file or dv sidecar) is what
     // lives on disk — liveness is per path, not per line spelling
-    def pathOf(line: String): Option[String] =
-      if (line.startsWith(MetaPrefix)) None
-      else if (line.startsWith(DvPrefix)) Some(line.substring(DvPrefix.length))
-      else Some(line)
-    val live = keep.flatMap(v => readManifest(spark, table, v))
-      .flatMap(pathOf).toSet
-    val dead = retire.flatMap(v => readManifest(spark, table, v))
-      .flatMap(pathOf).filterNot(live.contains).distinct
+    def pathsOf(v: Int): Seq[String] = {
+      val lines = readManifest(spark, table, v)
+      dataFilesOf(lines) ++ dvFilesOf(lines)
+    }
+    val live = keep.flatMap(pathsOf).toSet
+    val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
     val f = fs(spark, new Path(table))
     dead.foreach(p => f.delete(new Path(p), false))
     retire.foreach(v => f.delete(manifestPath(table, v), false))

@@ -120,6 +120,22 @@ class TableChangesSpec extends SparkSpec {
       "the 100 TB data side must never shuffle for a delete read")
   }
 
+  test("a delete keyed differently from live tombstones is rejected") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4),
+      append = false)
+    VersionedTable.deleteCommit(spark, t, col("k") === 1, Seq("k"))
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.deleteCommit(spark, t, col("v") === "v2", Seq("v"))
+    }
+    assert(err.getMessage.contains("same key"))
+    // after a purge (all files rewritten), a new key scheme is fine
+    VersionedTable.compactCommit(spark, t, targetRows = 1000L)
+    VersionedTable.deleteCommit(spark, t, col("v") === "v2", Seq("v"))
+    assert(VersionedTable.read(spark, t).count() == 48L)
+  }
+
   test("deleteCommit matching nothing commits without a sidecar") {
     val t = freshTable()
     VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),

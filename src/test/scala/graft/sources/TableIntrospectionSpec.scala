@@ -50,16 +50,50 @@ class TableIntrospectionSpec extends SparkSpec {
     val t = fresh("vretry")
     VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
       append = false)
-    // simulate the race: steal version 2 AFTER the contender computed
-    // it — writeManifest(2) inside the wrapper must collide, and the
-    // wrapper must land on 3 carrying the thief's append
-    VersionedTable.writeManifest(spark, t, 2,
-      VersionedTable.manifest(spark, t, 1))
-    val v = VersionedTable.commitWithRetry(spark, t,
-      Seq((2L, "b")).toDF("k", "v"), append = true)
-    assert(v == 3)
+    // deterministic collision: the hook fires AFTER the contender
+    // computed its version and BEFORE it publishes — the thief steals
+    // exactly that number, so the first writeManifest MUST collide and
+    // the retry path re-reads the thief's head
+    var stole = false
+    val v = VersionedTable.commitWithRetryHook(spark, t,
+      Seq((2L, "b")).toDF("k", "v"), append = true,
+      onAttempt = { next =>
+        if (!stole) {
+          stole = true
+          VersionedTable.writeManifest(spark, t, next,
+            VersionedTable.manifest(spark, t, 1))
+        }
+      })
+    assert(stole && v == 3, s"loser must land on the next version, got $v")
     assert(VersionedTable.read(spark, t).select("k").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("registerViews: SQL reaches snapshots, history, and file stats") {
+    val t = fresh("vsql")
+    VersionedTable.commit(spark, t,
+      (1L to 300L).map(i => (i, i * 2)).toDF("k", "x")
+        .repartitionByRange(3, col("k")), append = false)
+    VersionedTable.registerViews(spark, "vt_sql", t, statCols = Seq("k"))
+    assert(spark.sql("SELECT count(*) c, sum(x) s FROM vt_sql")
+      .as[(Long, Long)].head() == ((300L, 90300L)))
+    assert(spark.sql(
+      "SELECT version, n_data_files FROM vt_sql_history")
+      .as[(Int, Int)].head() == ((1, 3)))
+    assert(spark.sql("SELECT count(*) FROM vt_sql_files")
+      .as[Long].head() == 3L)
+    // snapshot isolation: a commit AFTER registration is invisible...
+    VersionedTable.commit(spark, t,
+      Seq((1000L, 1L)).toDF("k", "x"), append = true)
+    assert(spark.sql("SELECT count(*) FROM vt_sql").as[Long].head() == 300L)
+    // ...until re-registration (REFRESH)
+    VersionedTable.registerViews(spark, "vt_sql", t)
+    assert(spark.sql("SELECT count(*) FROM vt_sql").as[Long].head() == 301L)
+    // time travel through the version parameter
+    VersionedTable.registerViews(spark, "vt_sql_v1", t, version = Some(1))
+    assert(spark.sql("SELECT count(*) FROM vt_sql_v1").as[Long].head() == 300L)
+    Seq("vt_sql", "vt_sql_history", "vt_sql_files", "vt_sql_v1",
+      "vt_sql_v1_history").foreach(spark.catalog.dropTempView)
   }
 
   test("cleanOrphans removes only old unreferenced files") {
