@@ -1223,6 +1223,73 @@ object Queries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // DYNAMIC PARTITION OVERWRITE (VersionedTable.commitPartitioned +
+  // dynamicOverwrite): orders partitioned by order YEAR (manifest
+  // pt-tags, one file per year via repartition-by-year before the
+  // write), then a backfill re-run replaces EXACTLY the 1995
+  // partition — half its rows, tripled price. In-query requires pin
+  // the three contracts: untouched years' files carry VERBATIM (same
+  // manifest lines), no 1995 file survives, and a partition-value
+  // read proves manifest-level pruning (1 file of 7, zero stats
+  // I/O). The gated output reads a carried year + the overwritten
+  // year through readPartitions; the oracle reconstructs it
+  // algebraically from orders. PartitionedTableSpec pins the rest
+  // (null partitions, untagged-table guard, tombstone carry).
+  // ---------------------------------------------------------------------
+  def partitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vdpo")
+      .toAbsolutePath.toString + "/orders"
+    val VT = graft.sources.VersionedTable
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy").as("o_year"))
+    // one file per year: co-locate each partition's rows before the
+    // partitioned write (the optimized-write discipline — file count
+    // stays O(partitions), not O(partitions x tasks))
+    val v1 = VT.commitPartitioned(s, table,
+      base.repartition(col("o_year")), "o_year", append = false)
+    val backfill = base
+      .filter(col("o_year") === "1995" && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    val v2 = VT.dynamicOverwrite(s, table,
+      backfill.repartition(col("o_year")), "o_year")
+    val m1 = VT.manifest(s, table, v1); val m2 = VT.manifest(s, table, v2)
+    val untouched1 = VT.partitionsOf(m1).filter(_._1 != "1995")
+    require(untouched1.forall { case (tag, p) =>
+      VT.partitionsOf(m2).contains((tag, p)) },
+      "untouched partitions' files must carry verbatim")
+    require(!VT.partitionsOf(m2).map(_._2)
+      .exists(VT.partitionsOf(m1).filter(_._1 == "1995").map(_._2).toSet),
+      "every replaced partition file must leave the manifest")
+    // data-derived expectations (stable under fuzzed inputs): exactly
+    // the 1993-tagged files survive the prune, strictly fewer than a
+    // full scan would open
+    val cand = VT.partitionCandidates(m2, Seq("1993"))
+    require(cand.size == VT.partitionsOf(m2).count(_._1 == "1993") &&
+      cand.size < VT.dataFilesOf(m2).size,
+      s"partition pruning must open only the 1993 files of " +
+        s"${VT.dataFilesOf(m2).size}, kept ${cand.size}")
+    VT.readPartitions(s, table, "o_year", Seq("1993", "1995"))
+      .groupBy(col("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val partitionOverwriteSql: String =
+    """WITH o AS (SELECT strftime(o_orderdate, '%Y') AS o_year,
+      |    o_orderstatus, o_totalprice, o_orderkey FROM orders),
+      |  merged AS (
+      |    SELECT o_year, o_orderstatus, o_totalprice FROM o
+      |    WHERE o_year = '1993'
+      |    UNION ALL
+      |    SELECT o_year, o_orderstatus, o_totalprice * 3 FROM o
+      |    WHERE o_year = '1995' AND o_orderkey % 2 = 0)
+      |SELECT o_year, o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM merged GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MERGE INTO with file-level copy-on-write (VersionedTable
   // .mergeCommit): the base commit is key-clustered into 8 files, then
   // ONE merge applies updates (doubled price on 13-multiples not also
@@ -1725,6 +1792,7 @@ object Queries {
     "q_zorder_skipping" -> (zorderSkipping _),
     "q_compaction" -> (compaction _),
     "q_time_travel" -> (timeTravel _),
+    "q_partition_overwrite" -> (partitionOverwrite _),
     "q_table_merge" -> (tableMerge _),
     "q_bloom_skipping" -> (bloomSkipping _),
     "q_table_compact" -> (tableCompact _),
@@ -1788,6 +1856,7 @@ object Queries {
     "q_zorder_skipping" -> zorderSkippingSql,
     "q_compaction" -> compactionSql,
     "q_time_travel" -> timeTravelSql,
+    "q_partition_overwrite" -> partitionOverwriteSql,
     "q_table_merge" -> tableMergeSql,
     "q_bloom_skipping" -> bloomSkippingSql,
     "q_table_compact" -> tableCompactSql,

@@ -55,10 +55,38 @@ object VersionedTable {
     * append commits: metadata describes its own commit. */
   private val MetaPrefix = "meta\t"
 
+  /** Partition-tagged data-file manifest-line prefix
+    * (`pt<TAB><value><TAB><path>`): the file holds ONLY rows whose
+    * partition column renders as `<value>` — the Iceberg-style
+    * partition metadata that lets [[readPartitions]] and
+    * [[dynamicOverwrite]] decide per-file relevance from the manifest
+    * alone, zero data I/O. Untagged data-file lines coexist (mixed
+    * tables read fine); they just never prune. */
+  private val PtPrefix = "pt\t"
+
+  /** The tag Spark's partitioned write gives null/empty partition
+    * values; files so tagged may hold nulls, so partition-value reads
+    * treat them as always-candidates (like untagged files). */
+  val NullPartitionTag = "__HIVE_DEFAULT_PARTITION__"
+
   /** The data-file entries of a manifest line list (what a snapshot
-    * scans). */
+    * scans) — partition-tagged lines contribute their bare path. */
   def dataFilesOf(lines: Seq[String]): Seq[String] =
-    lines.filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+    lines.collect {
+      case l if l.startsWith(PtPrefix) =>
+        l.substring(l.indexOf('\t', PtPrefix.length) + 1)
+      case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) => l
+    }
+
+  /** `(partition value, path)` of every PARTITION-TAGGED data file in
+    * a manifest line list (untagged files are absent — callers decide
+    * their fate). SHOW PARTITIONS is `partitionsOf(lines).map(_._1)
+    * .distinct` — manifest-only, no data I/O. */
+  def partitionsOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.collect { case l if l.startsWith(PtPrefix) =>
+      val cut = l.indexOf('\t', PtPrefix.length)
+      (l.substring(PtPrefix.length, cut), l.substring(cut + 1))
+    }
 
   /** The commit-metadata properties of a manifest line list. */
   def metaOf(lines: Seq[String]): Map[String, String] =
@@ -397,6 +425,16 @@ object VersionedTable {
 
   private[sources] def norm(s: String): String = new Path(s).toUri.getPath
 
+  /** Original manifest line of each data file, keyed by normalized
+    * path — how rewrite paths that carry files forward as bare paths
+    * ([[mergeCommit]], [[compactCommit]]) preserve partition tags. */
+  private def dataLineByPath(lines: Seq[String]): Map[String, String] = {
+    val paths = dataFilesOf(lines)
+    val dataLines = lines.filterNot(l =>
+      l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+    paths.map(norm).zip(dataLines).toMap
+  }
+
   /** [[readSnapshot]] keeping the normalized file-identity column
     * `__gf` — the delete path needs to know which file each surviving
     * row lives in. */
@@ -474,7 +512,11 @@ object VersionedTable {
     // consolidate into one fresh sidecar — old sidecars stay on disk
     // for older versions' time travel but leave this manifest.
     val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
-    writeManifest(spark, table, next, carry ++ keptDv ++ newFiles)
+    // carried files keep their original manifest spelling (partition
+    // tags survive a merge that doesn't touch their files)
+    val lineOf = dataLineByPath(currentLines)
+    writeManifest(spark, table, next,
+      carry.map(p => lineOf(norm(p))) ++ keptDv ++ newFiles)
     next
   }
 
@@ -539,7 +581,9 @@ object VersionedTable {
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
     val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
-    writeManifest(spark, table, next, big ++ keptDv ++ newFiles)
+    val lineOf = dataLineByPath(lines)
+    writeManifest(spark, table, next,
+      big.map(p => lineOf(norm(p))) ++ keptDv ++ newFiles)
     next
   }
 
@@ -596,6 +640,156 @@ object VersionedTable {
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _))
+  }
+
+  /** Write `df` hive-partitioned on `partCol` under version `v`'s
+    * data dir and return each produced file with its partition tag.
+    * The partition column is DUPLICATED into a `__pt` path column so
+    * the real column survives inside the files (manifest-listed reads
+    * never reconstruct columns from paths); `__pt` itself never
+    * reaches a reader. The write is fully distributed — the driver
+    * only lists the resulting O(partitions × files) paths, the same
+    * manifest-sized state every commit path already holds. */
+  private def writePartitionedData(spark: SparkSession, table: String,
+                                   v: Int, df: DataFrame,
+                                   partCol: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    require(df.columns.contains(partCol), s"no column $partCol")
+    val dataDir = new Path(table,
+      s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.withColumn("__pt", col(partCol).cast("string"))
+      .write.partitionBy("__pt").parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    f.listStatus(dataDir).toSeq.filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("__pt="))
+      .flatMap { d =>
+        // undo Spark's own partition-dir escaping so the tag compares
+        // equal to the column's string rendering
+        val tag = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            d.getPath.getName.substring("__pt=".length))
+        f.listStatus(d.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => tag -> p.toString)
+      }
+  }
+
+  /** Commit `df` PARTITIONED on `partCol` as the next version: one
+    * hive-style directory per distinct value, every produced file
+    * manifest-tagged with its value (`pt` lines), so partition-value
+    * reads ([[readPartitions]]) and partition replacement
+    * ([[dynamicOverwrite]]) prune from the manifest alone. The
+    * partition column stays IN the data files — a plain [[read]] of a
+    * partitioned table is unchanged. `append = true` carries the
+    * previous version's files (tags and all) exactly like [[commit]].
+    * Null partition values land under [[NullPartitionTag]] and are
+    * treated as never-prunable. Returns the committed version. */
+  def commitPartitioned(spark: SparkSession, table: String, df: DataFrame,
+                        partCol: String, append: Boolean,
+                        meta: Map[String, String] = Map.empty): Int = {
+    val metaLines = metaLinesOf(meta + ("partitioned_by" -> partCol))
+    val next = versions(spark, table).lastOption.getOrElse(0) + 1
+    val tagged = writePartitionedData(spark, table, next, df, partCol)
+    val carried =
+      if (append && next > 1)
+        readManifest(spark, table, next - 1)
+          .filterNot(_.startsWith(MetaPrefix))
+      else Seq.empty
+    writeManifest(spark, table, next,
+      carried ++ tagged.map { case (t, p) => s"$PtPrefix$t\t$p" } ++
+        metaLines)
+    next
+  }
+
+  /** The data files a read restricted to partition `values` must
+    * open: tagged files whose tag is in `values`, plus every file
+    * that MIGHT hold matching rows regardless (untagged files — no
+    * claim about their contents — and [[NullPartitionTag]] files,
+    * which hold rows whose partition value was null). Exposed so
+    * specs and operators pin the pruning decision without I/O. */
+  def partitionCandidates(lines: Seq[String],
+                          values: Seq[String]): Seq[String] = {
+    val want = values.toSet
+    val tagged = partitionsOf(lines)
+    val taggedPaths = tagged.map(_._2).map(norm).toSet
+    val untagged = dataFilesOf(lines).filterNot(p => taggedPaths.contains(norm(p)))
+    tagged.collect { case (t, p)
+      if want.contains(t) || t == NullPartitionTag => p } ++ untagged
+  }
+
+  /** Partition-pruned snapshot read: only [[partitionCandidates]]
+    * files are opened (on a date-partitioned 100 TB table a one-day
+    * read costs one partition's files and ZERO stats I/O — the
+    * pruning decision is the manifest), then the exact predicate
+    * applies, so the result is row-identical to
+    * `read(...).filter(partCol IN values)` on any table, tagged or
+    * not. Tombstones apply as usual. */
+  def readPartitions(spark: SparkSession, table: String, partCol: String,
+                     values: Seq[String],
+                     version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = partitionCandidates(lines, values)
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark,
+        cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(col(partCol).cast("string").isin(values: _*))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (`INSERT OVERWRITE` with
+    * `partitionOverwriteMode=dynamic`, the standard idempotent-backfill
+    * idiom): replace EXACTLY the partitions present in `df`, carry
+    * every other partition's files forward untouched — a re-run of a
+    * day's pipeline overwrites that day and nothing else, atomically,
+    * with the old version still time-travelable. Cost is
+    * O(incoming partitions), never O(table).
+    *
+    * Requires every current data file to be partition-tagged (an
+    * untagged file could hold rows of an overwritten partition;
+    * repartition such a table once via [[commitPartitioned]] with
+    * `append = false`). Overwriting the null partition is not
+    * supported ([[NullPartitionTag]] files are always carried);
+    * tombstones on carried files survive, tombstones on replaced
+    * files die with them. Returns the new version. */
+  def dynamicOverwrite(spark: SparkSession, table: String, df: DataFrame,
+                       partCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val tagged = partitionsOf(lines)
+    val taggedPaths = tagged.map(_._2).map(norm).toSet
+    val untagged = dataFilesOf(lines)
+      .filterNot(p => taggedPaths.contains(norm(p)))
+    require(untagged.isEmpty,
+      s"dynamicOverwrite needs a fully partition-tagged table; " +
+        s"${untagged.size} untagged data files present — " +
+        "commitPartitioned(append = false) to repartition first")
+    // O(touched partitions) driver state — the same scale class as
+    // the manifest itself
+    val incoming = df.select(col(partCol).cast("string"))
+      .na.drop().distinct().collect().map(_.getString(0)).toSet
+    require(!incoming.contains(NullPartitionTag) &&
+      df.filter(col(partCol).isNull).isEmpty,
+      "overwriting the null partition is not supported")
+    val (replaced, carried) = tagged.partition { case (t, _) =>
+      incoming.contains(t) }
+    val next = vs.last + 1
+    val newTagged = writePartitionedData(spark, table, next, df, partCol)
+    val keptDv = consolidateTombstones(spark,
+      lines.filter(_.startsWith(DvPrefix)), carried.map(_._2), table, next)
+    writeManifest(spark, table, next,
+      carried.map { case (t, p) => s"$PtPrefix$t\t$p" } ++ keptDv ++
+        newTagged.map { case (t, p) => s"$PtPrefix$t\t$p" } ++
+        metaLinesOf(Map("partitioned_by" -> partCol,
+          "overwrote_partitions" -> replaced.map(_._1).distinct.sorted
+            .mkString(";"))))
+    next
   }
 
   /** DESCRIBE HISTORY: one row per committed version — data/tombstone

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Partition-tagged commits, manifest-level partition pruning, and
+  * dynamic partition overwrite on [[VersionedTable]]. */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("vparts").toString + "/t"
+
+  private def sample: DataFrame =
+    Seq(
+      (1L, "2024-01", 10.0), (2L, "2024-01", 20.0),
+      (3L, "2024-02", 30.0), (4L, "2024-02", 40.0),
+      (5L, "2024-03", 50.0)
+    ).toDF("k", "day", "amt")
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "day", "amt").as[(Long, String, Double)].collect().toSet
+
+  test("partitioned commit round-trips; partition column stays in the data") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t, sample, "day", append = false)
+    val back = VersionedTable.read(spark, t)
+    assert(back.columns.toSet == Set("k", "day", "amt")) // no __pt leak
+    assert(rows(back) == rows(sample))
+    val m = VersionedTable.manifest(spark, t, 1)
+    assert(VersionedTable.partitionsOf(m).map(_._1).distinct.sorted ==
+      Seq("2024-01", "2024-02", "2024-03"))
+    // every data file is tagged
+    assert(VersionedTable.partitionsOf(m).size ==
+      VersionedTable.dataFilesOf(m).size)
+  }
+
+  test("readPartitions == read.filter on every value subset, and prunes") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    val m = VersionedTable.manifest(spark, t, 1)
+    for (values <- Seq(Seq("2024-01"), Seq("2024-01", "2024-03"),
+        Seq("2024-09"), Seq.empty[String])) {
+      val pruned = VersionedTable.readPartitions(spark, t, "day", values)
+      val full = VersionedTable.read(spark, t)
+        .filter(col("day").isin(values: _*))
+      assert(rows(pruned) == rows(full), s"values=$values")
+      // pruning decision: exactly the requested tags' files
+      assert(VersionedTable.partitionCandidates(m, values).size ==
+        VersionedTable.partitionsOf(m).count(p => values.contains(p._1)))
+    }
+  }
+
+  test("dynamic overwrite replaces exactly the incoming partitions") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    val incoming = Seq((6L, "2024-02", 99.0), (7L, "2024-04", 70.0))
+      .toDF("k", "day", "amt")
+    val v2 = VersionedTable.dynamicOverwrite(spark, t,
+      incoming.repartition(col("day")), "day")
+    // semantic: untouched partitions intact, 2024-02 replaced, 2024-04 new
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("day") =!= "2024-02")
+        .unionByName(incoming)))
+    // time travel: pre-overwrite snapshot unchanged
+    assert(rows(VersionedTable.read(spark, t, Some(1))) == rows(sample))
+    // file-level: untouched tags carry verbatim; replaced files leave
+    val m1 = VersionedTable.manifest(spark, t, 1)
+    val m2 = VersionedTable.manifest(spark, t, v2)
+    val untouched = VersionedTable.partitionsOf(m1).filterNot(_._1 == "2024-02")
+    assert(untouched.forall(VersionedTable.partitionsOf(m2).contains))
+    val replaced = VersionedTable.partitionsOf(m1)
+      .filter(_._1 == "2024-02").map(_._2).toSet
+    assert(!VersionedTable.partitionsOf(m2).map(_._2).exists(replaced))
+    assert(VersionedTable.metaOf(m2)("overwrote_partitions") == "2024-02")
+  }
+
+  test("dynamic overwrite refuses an untagged table; readPartitions still exact") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, sample, append = false) // untagged
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.dynamicOverwrite(spark, t,
+        Seq((9L, "2024-01", 1.0)).toDF("k", "day", "amt"), "day")
+    }
+    assert(e.getMessage.contains("partition-tagged"))
+    // untagged files are always-candidates: the pruned read stays exact
+    val pruned = VersionedTable.readPartitions(spark, t, "day", Seq("2024-01"))
+    assert(rows(pruned) == rows(sample.filter(col("day") === "2024-01")))
+  }
+
+  test("null partition values land in the default tag and never prune away") {
+    val t = freshTable()
+    val withNull = Seq((1L, Some("2024-01"), 1.0), (2L, None, 2.0))
+      .toDF("k", "day", "amt")
+    VersionedTable.commitPartitioned(spark, t, withNull, "day",
+      append = false)
+    val m = VersionedTable.manifest(spark, t, 1)
+    assert(VersionedTable.partitionsOf(m).map(_._1).toSet ==
+      Set("2024-01", VersionedTable.NullPartitionTag))
+    // a value read opens the null-tag file too (it MIGHT hold matches
+    // under a different rendering) but filters exactly
+    val got = VersionedTable.readPartitions(spark, t, "day", Seq("2024-01"))
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+    // and the null partition cannot be overwritten
+    intercept[IllegalArgumentException] {
+      VersionedTable.dynamicOverwrite(spark, t,
+        Seq((3L, Option.empty[String], 3.0)).toDF("k", "day", "amt"), "day")
+    }
+  }
+
+  test("path-hostile partition values round-trip through the dir escaping") {
+    val t = freshTable()
+    val odd = Seq((1L, "a b:c/d", 1.0), (2L, "plain", 2.0))
+      .toDF("k", "day", "amt")
+    VersionedTable.commitPartitioned(spark, t, odd, "day", append = false)
+    val m = VersionedTable.manifest(spark, t, 1)
+    assert(VersionedTable.partitionsOf(m).map(_._1).toSet ==
+      Set("a b:c/d", "plain"))
+    val got = VersionedTable.readPartitions(spark, t, "day", Seq("a b:c/d"))
+    assert(got.select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("tombstones on carried partitions survive an overwrite; replaced ones die") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    // delete one row in a partition that will CARRY, one that will die
+    VersionedTable.deleteCommit(spark, t, col("k").isin(1L, 3L), Seq("k"))
+    VersionedTable.dynamicOverwrite(spark, t,
+      Seq((8L, "2024-02", 80.0)).toDF("k", "day", "amt")
+        .repartition(col("day")), "day")
+    // k=1 (2024-01, carried) stays deleted; 2024-02 is exactly the new row
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("k") =!= 1L && col("day") =!= "2024-02")
+        .unionByName(Seq((8L, "2024-02", 80.0)).toDF("k", "day", "amt"))))
+  }
+
+  test("partitioned append accumulates tags; merge carries tags on untouched files") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    VersionedTable.commitPartitioned(spark, t,
+      Seq((9L, "2024-04", 90.0)).toDF("k", "day", "amt"), "day",
+      append = true)
+    val m2 = VersionedTable.manifest(spark, t, 2)
+    assert(VersionedTable.partitionsOf(m2).map(_._1).distinct.sorted ==
+      Seq("2024-01", "2024-02", "2024-03", "2024-04"))
+    // a keyed merge touching only k=5 (2024-03) must keep every other
+    // file's partition tag in the new manifest
+    val v3 = VersionedTable.mergeCommit(spark, t,
+      Seq((5L, "2024-03", 55.0)).toDF("k", "day", "amt"), "k")
+    val m3 = VersionedTable.manifest(spark, t, v3)
+    val untouchedTags = VersionedTable.partitionsOf(m2)
+      .filterNot(_._1 == "2024-03")
+    assert(untouchedTags.forall(VersionedTable.partitionsOf(m3).contains),
+      "merge must preserve partition tags on carried files")
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("k") =!= 5L)
+        .unionByName(Seq((5L, "2024-03", 55.0), (9L, "2024-04", 90.0))
+          .toDF("k", "day", "amt"))))
+  }
+}
