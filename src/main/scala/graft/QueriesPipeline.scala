@@ -518,6 +518,55 @@ object QueriesPipeline {
       |WHERE n_chars >= 100""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Streaming ingest into a PARTITIONED versioned table: each
+  // exactly-once micro-batch commit is partition-tagged (one file per
+  // source per batch), so the table serves manifest-pruned partition
+  // reads from the first commit on — the ingest-by-event-date /
+  // read-one-day 100 TB shape. In-query requires pin that every
+  // streamed file carries a tag and that a one-source read opens
+  // exactly that source's files; the oracle aggregates the filtered
+  // documents table restricted to the read partitions.
+  // ---------------------------------------------------------------------
+  def streamPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_vt_part").toAbsolutePath.toString
+    val docs = t(s, dir, "documents")
+    val table = s"$work/table"
+    def transform(df: DataFrame): DataFrame =
+      df.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    def drain(): Unit =
+      graft.streaming.IncrementalIngest.drainToVersionedTablePartitioned(
+        s, s"$work/src", docs.schema, table, s"$work/ckpt",
+        partitionBy = Some("source"))(transform)
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    val VT = graft.sources.VersionedTable
+    val m = VT.manifest(s, table, VT.versions(s, table).last)
+    require(VT.partitionsOf(m).size == VT.dataFilesOf(m).size,
+      "every streamed data file must be partition-tagged")
+    val cand = VT.partitionCandidates(m, Seq("src3"))
+    require(cand.size == VT.partitionsOf(m).count(_._1 == "src3") &&
+      cand.size < VT.dataFilesOf(m).size,
+      s"a one-source read must open only that source's files, " +
+        s"kept ${cand.size} of ${VT.dataFilesOf(m).size}")
+    VT.readPartitions(s, table, "source", Seq("src3", "src7"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_n_chars"))
+  }
+
+  val streamPartitionedSql: String =
+    """SELECT source, count(*) AS cnt,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM documents
+      |WHERE n_chars >= 100 AND source IN ('src3', 'src7')
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Streaming ingest -> versioned table -> INCREMENTAL MV, end to end:
   // the rollup a 100 TB ingest pipeline actually serves. Arrival 1 is
   // drained (exactly-once commits), the view is built; arrival 2 is
@@ -1200,6 +1249,7 @@ object QueriesPipeline {
     "q_stream_cdc" -> (streamCdc _),
     "q_incremental_ingest" -> (incrementalIngest _),
     "q_stream_table_ingest" -> (streamTableIngest _),
+    "q_stream_partitioned" -> (streamPartitioned _),
     "q_stream_mv" -> (streamMv _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_gapfill" -> (gapFill _),
@@ -1241,6 +1291,7 @@ object QueriesPipeline {
     "q_stream_cdc" -> cdcMergeSql,
     "q_incremental_ingest" -> incrementalIngestSql,
     "q_stream_table_ingest" -> streamTableIngestSql,
+    "q_stream_partitioned" -> streamPartitionedSql,
     "q_stream_mv" -> streamMvSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_gapfill" -> gapFillSql,

@@ -83,7 +83,24 @@ object IncrementalIngest {
   def drainToVersionedTable(spark: SparkSession, sourceDir: String,
                             schema: StructType, table: String,
                             checkpointDir: String)
-                           (transform: DataFrame => DataFrame): Unit = {
+                           (transform: DataFrame => DataFrame): Unit =
+    drainToVersionedTablePartitioned(spark, sourceDir, schema, table,
+      checkpointDir, partitionBy = None)(transform)
+
+  /** [[drainToVersionedTable]] with PARTITION-TAGGED commits: when
+    * `partitionBy` is set, each micro-batch lands as one
+    * [[graft.sources.VersionedTable.commitPartitioned]] append, its
+    * rows co-located per partition value before the write (one file
+    * per value per batch, not per task) — so a table fed by streaming
+    * ingest serves manifest-pruned partition reads
+    * ([[graft.sources.VersionedTable.readPartitions]]) from the first
+    * commit on. The 100 TB shape: ingest partitioned by event date,
+    * daily consumers open one day's files, and the prune index is the
+    * txn log the commits were already writing. */
+  def drainToVersionedTablePartitioned(
+      spark: SparkSession, sourceDir: String, schema: StructType,
+      table: String, checkpointDir: String, partitionBy: Option[String])
+      (transform: DataFrame => DataFrame): Unit = {
     val q = transform(spark.readStream.schema(schema).parquet(sourceDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -92,8 +109,15 @@ object IncrementalIngest {
         val fsys = marker.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         if (!fsys.exists(marker)) {
-          graft.sources.VersionedTable.commit(spark, table, batch,
-            append = true)
+          partitionBy match {
+            case Some(p) =>
+              graft.sources.VersionedTable.commitPartitioned(spark, table,
+                batch.repartition(org.apache.spark.sql.functions.col(p)),
+                p, append = true)
+            case None =>
+              graft.sources.VersionedTable.commit(spark, table, batch,
+                append = true)
+          }
           fsys.mkdirs(marker.getParent)
           fsys.create(marker, false).close() // idempotence publish
         }

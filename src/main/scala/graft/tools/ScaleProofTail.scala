@@ -128,7 +128,9 @@ object ScaleProofTail {
       // round-6 second batch: CDF / DV / evolution / MV / bloom /
       // OPTIMIZE at 10x
       "q_change_feed", "q_delete_vectors", "q_schema_evolution",
-      "q_incremental_mv", "q_bloom_skipping", "q_table_compact")
+      "q_incremental_mv", "q_bloom_skipping", "q_table_compact",
+      // round-6 late addition: dynamic partition overwrite at 10x
+      "q_partition_overwrite")
       .foreach(phase)
     spark.stop()
   }

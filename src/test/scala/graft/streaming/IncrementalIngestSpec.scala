@@ -87,4 +87,36 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(graft.sources.VersionedTable.read(spark, table).count() ==
       docs.filter(col("doc_id") % 2 === 1).count())
   }
+
+  test("partitioned versioned-table ingest: tagged commits, pruned reads, replay-safe") {
+    val w = work()
+    val table = s"$w/table"
+    val VT = graft.sources.VersionedTable
+    def drainVt(): Unit =
+      IncrementalIngest.drainToVersionedTablePartitioned(
+        spark, s"$w/src", docs.schema, table, s"$w/ckpt",
+        partitionBy = Some("source"))(
+        _.select(col("doc_id"), col("source")))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainVt()
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainVt()
+    drainVt() // nothing new: no extra commit
+    assert(VT.versions(spark, table) == Seq(1, 2))
+    val m = VT.manifest(spark, table, 2)
+    // every streamed file is tagged; both arrivals contribute a file
+    // per source present in them
+    assert(VT.partitionsOf(m).size == VT.dataFilesOf(m).size)
+    val oneSrc = docs.select("source").distinct()
+      .orderBy("source").limit(1).collect()(0).getString(0)
+    val pruned = VT.readPartitions(spark, table, "source", Seq(oneSrc))
+    assert(pruned.count() ==
+      docs.filter(col("source") === oneSrc).count())
+    assert(VT.partitionCandidates(m, Seq(oneSrc)).size ==
+      VT.partitionsOf(m).count(_._1 == oneSrc))
+    assert(VT.partitionCandidates(m, Seq(oneSrc)).size <
+      VT.dataFilesOf(m).size)
+  }
 }
