@@ -821,6 +821,30 @@ object VersionedTable {
       dataFilesOf(readManifest(spark, table, v)), statCols)
   }
 
+  /** SHOW PARTITIONS: one row per partition value of a snapshot —
+    * file count and whether any untagged files exist (surfaced as a
+    * NULL-value row, since those files' partition membership is
+    * unknown). Manifests only: no data I/O, O(files) driver work —
+    * the same scale class as [[history]]. */
+  def partitions(spark: SparkSession, table: String,
+                 version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val tagged = partitionsOf(lines)
+    val taggedPaths = tagged.map(_._2).map(norm).toSet
+    val nUntagged = dataFilesOf(lines)
+      .count(p => !taggedPaths.contains(norm(p)))
+    val rows = tagged.groupBy(_._1).view.mapValues(_.size).toSeq
+      .map { case (t, n) => (Option(t), n.toLong) } ++
+      (if (nUntagged > 0) Seq((Option.empty[String], nUntagged.toLong))
+       else Seq.empty)
+    rows.sortBy(_._1).toDF("partition", "n_files")
+  }
+
   /** Commit under writer contention: [[commit]] computes the next
     * version from a listing, so two racing writers can pick the same
     * number — the atomic manifest rename makes exactly one win. For
@@ -892,6 +916,8 @@ object VersionedTable {
                     version: Option[Int] = None): Unit = {
     read(spark, table, version).createOrReplaceTempView(name)
     history(spark, table).createOrReplaceTempView(s"${name}_history")
+    partitions(spark, table, version)
+      .createOrReplaceTempView(s"${name}_partitions")
     if (statCols.nonEmpty)
       files(spark, table, statCols, version)
         .createOrReplaceTempView(s"${name}_files")

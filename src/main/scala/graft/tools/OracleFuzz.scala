@@ -63,7 +63,8 @@ object OracleFuzz {
     "q_bpe_apply", "q_connected_components", "q_file_skipping",
     "q_zorder_skipping", "q_compaction", "q_time_travel",
     "q_table_merge", "q_change_feed", "q_delete_vectors",
-    "q_schema_evolution", "q_incremental_mv", "q_bloom_skipping")
+    "q_schema_evolution", "q_incremental_mv", "q_bloom_skipping",
+    "q_partition_overwrite")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

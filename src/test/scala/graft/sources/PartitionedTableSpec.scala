@@ -142,6 +142,28 @@ class PartitionedTableSpec extends SparkSpec {
         .unionByName(Seq((8L, "2024-02", 80.0)).toDF("k", "day", "amt"))))
   }
 
+  test("SHOW PARTITIONS: per-value file counts, NULL row for untagged files") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    val p1 = VersionedTable.partitions(spark, t)
+      .as[(Option[String], Long)].collect().toSeq
+    assert(p1 == Seq((Some("2024-01"), 1L), (Some("2024-02"), 1L),
+      (Some("2024-03"), 1L)))
+    // a plain (untagged) append surfaces as the NULL-membership row
+    VersionedTable.commit(spark, t,
+      Seq((9L, "2024-09", 9.0)).toDF("k", "day", "amt").coalesce(1),
+      append = true)
+    val p2 = VersionedTable.partitions(spark, t)
+      .as[(Option[String], Long)].collect().toSeq
+    assert(p2.contains((None, 1L)) && p2.size == 4)
+    // and the SQL surface serves it
+    VersionedTable.registerViews(spark, "pt_demo", t)
+    assert(spark.sql(
+      "SELECT count(*) FROM pt_demo_partitions WHERE partition IS NOT NULL")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("partitioned append accumulates tags; merge carries tags on untouched files") {
     val t = freshTable()
     VersionedTable.commitPartitioned(spark, t,
