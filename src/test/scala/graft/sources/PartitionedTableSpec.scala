@@ -142,6 +142,30 @@ class PartitionedTableSpec extends SparkSpec {
         .unionByName(Seq((8L, "2024-02", 80.0)).toDF("k", "day", "amt"))))
   }
 
+  test("readPartitionRange == read.filter on closed ranges, and prunes") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    val m = VersionedTable.manifest(spark, t, 1)
+    for ((lo, hi) <- Seq(("2024-01", "2024-02"), ("2024-02", "2024-02"),
+        ("2023-01", "2023-12"), ("2024-03", "2024-09"))) {
+      val pruned = VersionedTable.readPartitionRange(spark, t, "day", lo, hi)
+      val full = VersionedTable.read(spark, t)
+        .filter(col("day") >= lo && col("day") <= hi)
+      assert(rows(pruned) == rows(full), s"[$lo,$hi]")
+      assert(VersionedTable.partitionCandidatesRange(m, lo, hi).size ==
+        VersionedTable.partitionsOf(m)
+          .count(p => p._1 >= lo && p._1 <= hi), s"[$lo,$hi]")
+    }
+    // untagged and null-tagged files never prune away under a range
+    VersionedTable.commit(spark, t,
+      Seq((9L, "2024-09", 9.0)).toDF("k", "day", "amt").coalesce(1),
+      append = true)
+    val got = VersionedTable.readPartitionRange(spark, t, "day",
+      "2024-03", "2024-09")
+    assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(5L, 9L))
+  }
+
   test("SHOW PARTITIONS: per-value file counts, NULL row for untagged files") {
     val t = freshTable()
     VersionedTable.commitPartitioned(spark, t,
