@@ -549,8 +549,8 @@ object QueriesPipeline {
     val m = VT.manifest(s, table, VT.versions(s, table).last)
     require(VT.partitionsOf(m).size == VT.dataFilesOf(m).size,
       "every streamed data file must be partition-tagged")
-    val cand = VT.partitionCandidates(m, Seq("src3"))
-    require(cand.size == VT.partitionsOf(m).count(_._1 == "src3") &&
+    val cand = VT.partitionCandidates(m, "source", Seq("src3"))
+    require(cand.size == VT.partitionsOf(m).count(_._2 == "src3") &&
       cand.size < VT.dataFilesOf(m).size,
       s"a one-source read must open only that source's files, " +
         s"kept ${cand.size} of ${VT.dataFilesOf(m).size}")

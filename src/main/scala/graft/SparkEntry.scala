@@ -1254,18 +1254,17 @@ object Queries {
     val v2 = VT.dynamicOverwrite(s, table,
       backfill.repartition(col("o_year")), "o_year")
     val m1 = VT.manifest(s, table, v1); val m2 = VT.manifest(s, table, v2)
-    val untouched1 = VT.partitionsOf(m1).filter(_._1 != "1995")
-    require(untouched1.forall { case (tag, p) =>
-      VT.partitionsOf(m2).contains((tag, p)) },
+    val untouched1 = VT.partitionsOf(m1).filter(_._2 != "1995")
+    require(untouched1.forall(VT.partitionsOf(m2).contains),
       "untouched partitions' files must carry verbatim")
-    require(!VT.partitionsOf(m2).map(_._2)
-      .exists(VT.partitionsOf(m1).filter(_._1 == "1995").map(_._2).toSet),
+    require(!VT.partitionsOf(m2).map(_._3)
+      .exists(VT.partitionsOf(m1).filter(_._2 == "1995").map(_._3).toSet),
       "every replaced partition file must leave the manifest")
     // data-derived expectations (stable under fuzzed inputs): exactly
     // the 1993-tagged files survive the prune, strictly fewer than a
     // full scan would open
-    val cand = VT.partitionCandidates(m2, Seq("1993"))
-    require(cand.size == VT.partitionsOf(m2).count(_._1 == "1993") &&
+    val cand = VT.partitionCandidates(m2, "o_year", Seq("1993"))
+    require(cand.size == VT.partitionsOf(m2).count(_._2 == "1993") &&
       cand.size < VT.dataFilesOf(m2).size,
       s"partition pruning must open only the 1993 files of " +
         s"${VT.dataFilesOf(m2).size}, kept ${cand.size}")

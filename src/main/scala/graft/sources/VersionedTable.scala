@@ -56,13 +56,27 @@ object VersionedTable {
   private val MetaPrefix = "meta\t"
 
   /** Partition-tagged data-file manifest-line prefix
-    * (`pt<TAB><value><TAB><path>`): the file holds ONLY rows whose
-    * partition column renders as `<value>` — the Iceberg-style
-    * partition metadata that lets [[readPartitions]] and
-    * [[dynamicOverwrite]] decide per-file relevance from the manifest
-    * alone, zero data I/O. Untagged data-file lines coexist (mixed
-    * tables read fine); they just never prune. */
+    * (`pt<TAB><col>=<escapedValue><TAB><path>`): the file holds ONLY
+    * rows whose column `<col>` renders as the (dir-escaped) value —
+    * the Iceberg-style partition metadata that lets [[readPartitions]]
+    * and [[dynamicOverwrite]] decide per-file relevance from the
+    * manifest alone, zero data I/O. The value is stored in Spark's
+    * partition-dir escaping (tab/newline/'='-free by construction, so
+    * the line format is safe for arbitrary column values); the COLUMN
+    * NAME in the tag is what makes partition-spec EVOLUTION safe: a
+    * read pruning on column X treats files tagged by any other column
+    * like untagged files — never prunable, always read and filtered.
+    * Untagged data-file lines coexist (mixed tables read fine). */
   private val PtPrefix = "pt\t"
+
+  private def escapeVal(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+  private def unescapeVal(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(v)
+  private def ptLine(col: String, escapedValue: String, path: String) =
+    s"$PtPrefix$col=$escapedValue\t$path"
 
   /** The tag Spark's partitioned write gives null/empty partition
     * values; files so tagged may hold nulls, so partition-value reads
@@ -78,15 +92,25 @@ object VersionedTable {
       case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) => l
     }
 
-  /** `(partition value, path)` of every PARTITION-TAGGED data file in
-    * a manifest line list (untagged files are absent — callers decide
-    * their fate). SHOW PARTITIONS is `partitionsOf(lines).map(_._1)
-    * .distinct` — manifest-only, no data I/O. */
-  def partitionsOf(lines: Seq[String]): Seq[(String, String)] =
+  /** `(partition column, value, path)` of every PARTITION-TAGGED data
+    * file in a manifest line list, values unescaped (untagged files
+    * are absent — callers decide their fate). Manifest-only, no data
+    * I/O. */
+  def partitionsOf(lines: Seq[String]): Seq[(String, String, String)] =
     lines.collect { case l if l.startsWith(PtPrefix) =>
       val cut = l.indexOf('\t', PtPrefix.length)
-      (l.substring(PtPrefix.length, cut), l.substring(cut + 1))
+      val tag = l.substring(PtPrefix.length, cut)
+      val eq = tag.indexOf('=')
+      (tag.take(eq), unescapeVal(tag.drop(eq + 1)), l.substring(cut + 1))
     }
+
+  /** The `(value, path)` pairs of files tagged BY `partCol` — the
+    * slice of [[partitionsOf]] a read pruning on that column can
+    * trust. */
+  def partitionsFor(lines: Seq[String],
+                    partCol: String): Seq[(String, String)] =
+    partitionsOf(lines).collect { case (c, v, p) if c == partCol =>
+      (v, p) }
 
   /** The commit-metadata properties of a manifest line list. */
   def metaOf(lines: Seq[String]): Map[String, String] =
@@ -663,14 +687,12 @@ object VersionedTable {
     f.listStatus(dataDir).toSeq.filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("__pt="))
       .flatMap { d =>
-        // undo Spark's own partition-dir escaping so the tag compares
-        // equal to the column's string rendering
-        val tag = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.unescapePathName(
-            d.getPath.getName.substring("__pt=".length))
+        // keep Spark's own partition-dir ESCAPED form — it is exactly
+        // what the manifest line format needs (tab/'='-free)
+        val esc = d.getPath.getName.substring("__pt=".length)
         f.listStatus(d.getPath).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
-          .map(p => tag -> p.toString)
+          .map(p => esc -> p.toString)
       }
   }
 
@@ -687,6 +709,8 @@ object VersionedTable {
   def commitPartitioned(spark: SparkSession, table: String, df: DataFrame,
                         partCol: String, append: Boolean,
                         meta: Map[String, String] = Map.empty): Int = {
+    require(!partCol.contains('=') && !partCol.contains('\t') &&
+      !partCol.contains('\n'), "partition column name must be =/tab/newline-free")
     val metaLines = metaLinesOf(meta + ("partitioned_by" -> partCol))
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val tagged = writePartitionedData(spark, table, next, df, partCol)
@@ -696,25 +720,28 @@ object VersionedTable {
           .filterNot(_.startsWith(MetaPrefix))
       else Seq.empty
     writeManifest(spark, table, next,
-      carried ++ tagged.map { case (t, p) => s"$PtPrefix$t\t$p" } ++
+      carried ++ tagged.map { case (t, p) => ptLine(partCol, t, p) } ++
         metaLines)
     next
   }
 
-  /** The data files a read restricted to partition `values` must
-    * open: tagged files whose tag is in `values`, plus every file
-    * that MIGHT hold matching rows regardless (untagged files — no
-    * claim about their contents — and [[NullPartitionTag]] files,
-    * which hold rows whose partition value was null). Exposed so
-    * specs and operators pin the pruning decision without I/O. */
-  def partitionCandidates(lines: Seq[String],
+  /** The data files a read restricted to `partCol` partition `values`
+    * must open: files tagged by `partCol` with a value in `values`,
+    * plus every file that MIGHT hold matching rows regardless —
+    * untagged files, [[NullPartitionTag]] files (rows whose partition
+    * value was null), and files tagged by a DIFFERENT column
+    * (partition-spec evolution: their `partCol` contents are
+    * unknown). Exposed so specs and operators pin the pruning
+    * decision without I/O. */
+  def partitionCandidates(lines: Seq[String], partCol: String,
                           values: Seq[String]): Seq[String] = {
     val want = values.toSet
-    val tagged = partitionsOf(lines)
-    val taggedPaths = tagged.map(_._2).map(norm).toSet
-    val untagged = dataFilesOf(lines).filterNot(p => taggedPaths.contains(norm(p)))
-    tagged.collect { case (t, p)
-      if want.contains(t) || t == NullPartitionTag => p } ++ untagged
+    val all = partitionsOf(lines)
+    val mine = all.filter(_._1 == partCol)
+    val minePaths = mine.map(_._3).map(norm).toSet
+    val other = dataFilesOf(lines).filterNot(p => minePaths.contains(norm(p)))
+    mine.collect { case (_, v, p)
+      if want.contains(v) || v == NullPartitionTag => p } ++ other
   }
 
   /** Partition-pruned snapshot read: only [[partitionCandidates]]
@@ -733,7 +760,7 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
-    val cand = partitionCandidates(lines, values)
+    val cand = partitionCandidates(lines, partCol, values)
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
@@ -743,15 +770,16 @@ object VersionedTable {
 
   /** [[partitionCandidates]] for a CLOSED RANGE of partition values
     * (string order — exact for the zero-padded/ISO-date renderings
-    * partition columns use): tagged files with `lo <= tag <= hi`,
-    * plus the never-prunable files. */
-  def partitionCandidatesRange(lines: Seq[String], lo: String,
-                               hi: String): Seq[String] = {
-    val tagged = partitionsOf(lines)
-    val taggedPaths = tagged.map(_._2).map(norm).toSet
-    val untagged = dataFilesOf(lines).filterNot(p => taggedPaths.contains(norm(p)))
-    tagged.collect { case (t, p)
-      if (t >= lo && t <= hi) || t == NullPartitionTag => p } ++ untagged
+    * partition columns use): `partCol`-tagged files with
+    * `lo <= value <= hi`, plus the never-prunable files (untagged,
+    * null-tagged, tagged by another column). */
+  def partitionCandidatesRange(lines: Seq[String], partCol: String,
+                               lo: String, hi: String): Seq[String] = {
+    val mine = partitionsFor(lines, partCol)
+    val minePaths = mine.map(_._2).map(norm).toSet
+    val other = dataFilesOf(lines).filterNot(p => minePaths.contains(norm(p)))
+    mine.collect { case (v, p)
+      if (v >= lo && v <= hi) || v == NullPartitionTag => p } ++ other
   }
 
   /** Partition-RANGE snapshot read — the "days between lo and hi"
@@ -770,7 +798,7 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
-    val cand = partitionCandidatesRange(lines, lo, hi)
+    val cand = partitionCandidatesRange(lines, partCol, lo, hi)
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
@@ -800,14 +828,14 @@ object VersionedTable {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
-    val tagged = partitionsOf(lines)
-    val taggedPaths = tagged.map(_._2).map(norm).toSet
-    val untagged = dataFilesOf(lines)
-      .filterNot(p => taggedPaths.contains(norm(p)))
-    require(untagged.isEmpty,
-      s"dynamicOverwrite needs a fully partition-tagged table; " +
-        s"${untagged.size} untagged data files present — " +
-        "commitPartitioned(append = false) to repartition first")
+    val mine = partitionsFor(lines, partCol)
+    val minePaths = mine.map(_._2).map(norm).toSet
+    val foreign = dataFilesOf(lines)
+      .filterNot(p => minePaths.contains(norm(p)))
+    require(foreign.isEmpty,
+      s"dynamicOverwrite needs every data file tagged by '$partCol'; " +
+        s"${foreign.size} files are untagged or tagged by another " +
+        "column — commitPartitioned(append = false) to repartition first")
     // O(touched partitions) driver state — the same scale class as
     // the manifest itself
     val incoming = df.select(col(partCol).cast("string"))
@@ -815,17 +843,22 @@ object VersionedTable {
     require(!incoming.contains(NullPartitionTag) &&
       df.filter(col(partCol).isNull).isEmpty,
       "overwriting the null partition is not supported")
-    val (replaced, carried) = tagged.partition { case (t, _) =>
-      incoming.contains(t) }
+    // keep carried files' ORIGINAL lines (tags survive verbatim)
+    val replacedPaths = mine.collect { case (v, p)
+      if incoming.contains(v) => norm(p) }.toSet
+    val carriedLines = lines.filter(l => l.startsWith(PtPrefix) &&
+      !replacedPaths.contains(norm(partitionsOf(Seq(l)).head._3)))
+    val carriedPaths = partitionsOf(carriedLines).map(_._3)
     val next = vs.last + 1
     val newTagged = writePartitionedData(spark, table, next, df, partCol)
     val keptDv = consolidateTombstones(spark,
-      lines.filter(_.startsWith(DvPrefix)), carried.map(_._2), table, next)
+      lines.filter(_.startsWith(DvPrefix)), carriedPaths, table, next)
     writeManifest(spark, table, next,
-      carried.map { case (t, p) => s"$PtPrefix$t\t$p" } ++ keptDv ++
-        newTagged.map { case (t, p) => s"$PtPrefix$t\t$p" } ++
+      carriedLines ++ keptDv ++
+        newTagged.map { case (t, p) => ptLine(partCol, t, p) } ++
         metaLinesOf(Map("partitioned_by" -> partCol,
-          "overwrote_partitions" -> replaced.map(_._1).distinct.sorted
+          "overwrote_partitions" -> mine.collect { case (v, _)
+            if incoming.contains(v) => escapeVal(v) }.distinct.sorted
             .mkString(";"))))
     next
   }
@@ -859,11 +892,13 @@ object VersionedTable {
       dataFilesOf(readManifest(spark, table, v)), statCols)
   }
 
-  /** SHOW PARTITIONS: one row per partition value of a snapshot —
-    * file count and whether any untagged files exist (surfaced as a
-    * NULL-value row, since those files' partition membership is
-    * unknown). Manifests only: no data I/O, O(files) driver work —
-    * the same scale class as [[history]]. */
+  /** SHOW PARTITIONS: one row per (partition column, value) of a
+    * snapshot — file count and whether any untagged files exist
+    * (surfaced as a NULL/NULL row, since those files' partition
+    * membership is unknown; a table whose partition spec EVOLVED
+    * shows each column's partitions side by side). Manifests only: no
+    * data I/O, O(files) driver work — the same scale class as
+    * [[history]]. */
   def partitions(spark: SparkSession, table: String,
                  version: Option[Int] = None): DataFrame = {
     import spark.implicits._
@@ -873,14 +908,16 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val tagged = partitionsOf(lines)
-    val taggedPaths = tagged.map(_._2).map(norm).toSet
+    val taggedPaths = tagged.map(_._3).map(norm).toSet
     val nUntagged = dataFilesOf(lines)
       .count(p => !taggedPaths.contains(norm(p)))
-    val rows = tagged.groupBy(_._1).view.mapValues(_.size).toSeq
-      .map { case (t, n) => (Option(t), n.toLong) } ++
-      (if (nUntagged > 0) Seq((Option.empty[String], nUntagged.toLong))
+    val rows = tagged.groupBy(t => (t._1, t._2)).view.mapValues(_.size)
+      .toSeq.map { case ((c, t), n) => (Option(c), Option(t), n.toLong) } ++
+      (if (nUntagged > 0)
+        Seq((Option.empty[String], Option.empty[String], nUntagged.toLong))
        else Seq.empty)
-    rows.sortBy(_._1).toDF("partition", "n_files")
+    rows.sortBy(r => (r._1, r._2))
+      .toDF("part_col", "partition", "n_files")
   }
 
   /** Commit under writer contention: [[commit]] computes the next

@@ -32,8 +32,9 @@ class PartitionedTableSpec extends SparkSpec {
     assert(back.columns.toSet == Set("k", "day", "amt")) // no __pt leak
     assert(rows(back) == rows(sample))
     val m = VersionedTable.manifest(spark, t, 1)
-    assert(VersionedTable.partitionsOf(m).map(_._1).distinct.sorted ==
+    assert(VersionedTable.partitionsOf(m).map(_._2).distinct.sorted ==
       Seq("2024-01", "2024-02", "2024-03"))
+    assert(VersionedTable.partitionsOf(m).forall(_._1 == "day"))
     // every data file is tagged
     assert(VersionedTable.partitionsOf(m).size ==
       VersionedTable.dataFilesOf(m).size)
@@ -51,8 +52,8 @@ class PartitionedTableSpec extends SparkSpec {
         .filter(col("day").isin(values: _*))
       assert(rows(pruned) == rows(full), s"values=$values")
       // pruning decision: exactly the requested tags' files
-      assert(VersionedTable.partitionCandidates(m, values).size ==
-        VersionedTable.partitionsOf(m).count(p => values.contains(p._1)))
+      assert(VersionedTable.partitionCandidates(m, "day", values).size ==
+        VersionedTable.partitionsOf(m).count(p => values.contains(p._2)))
     }
   }
 
@@ -73,11 +74,11 @@ class PartitionedTableSpec extends SparkSpec {
     // file-level: untouched tags carry verbatim; replaced files leave
     val m1 = VersionedTable.manifest(spark, t, 1)
     val m2 = VersionedTable.manifest(spark, t, v2)
-    val untouched = VersionedTable.partitionsOf(m1).filterNot(_._1 == "2024-02")
+    val untouched = VersionedTable.partitionsOf(m1).filterNot(_._2 == "2024-02")
     assert(untouched.forall(VersionedTable.partitionsOf(m2).contains))
     val replaced = VersionedTable.partitionsOf(m1)
-      .filter(_._1 == "2024-02").map(_._2).toSet
-    assert(!VersionedTable.partitionsOf(m2).map(_._2).exists(replaced))
+      .filter(_._2 == "2024-02").map(_._3).toSet
+    assert(!VersionedTable.partitionsOf(m2).map(_._3).exists(replaced))
     assert(VersionedTable.metaOf(m2)("overwrote_partitions") == "2024-02")
   }
 
@@ -88,7 +89,7 @@ class PartitionedTableSpec extends SparkSpec {
       VersionedTable.dynamicOverwrite(spark, t,
         Seq((9L, "2024-01", 1.0)).toDF("k", "day", "amt"), "day")
     }
-    assert(e.getMessage.contains("partition-tagged"))
+    assert(e.getMessage.contains("tagged by 'day'"))
     // untagged files are always-candidates: the pruned read stays exact
     val pruned = VersionedTable.readPartitions(spark, t, "day", Seq("2024-01"))
     assert(rows(pruned) == rows(sample.filter(col("day") === "2024-01")))
@@ -101,7 +102,7 @@ class PartitionedTableSpec extends SparkSpec {
     VersionedTable.commitPartitioned(spark, t, withNull, "day",
       append = false)
     val m = VersionedTable.manifest(spark, t, 1)
-    assert(VersionedTable.partitionsOf(m).map(_._1).toSet ==
+    assert(VersionedTable.partitionsOf(m).map(_._2).toSet ==
       Set("2024-01", VersionedTable.NullPartitionTag))
     // a value read opens the null-tag file too (it MIGHT hold matches
     // under a different rendering) but filters exactly
@@ -121,7 +122,7 @@ class PartitionedTableSpec extends SparkSpec {
       .toDF("k", "day", "amt")
     VersionedTable.commitPartitioned(spark, t, odd, "day", append = false)
     val m = VersionedTable.manifest(spark, t, 1)
-    assert(VersionedTable.partitionsOf(m).map(_._1).toSet ==
+    assert(VersionedTable.partitionsOf(m).map(_._2).toSet ==
       Set("a b:c/d", "plain"))
     val got = VersionedTable.readPartitions(spark, t, "day", Seq("a b:c/d"))
     assert(got.select("k").as[Long].collect().toSeq == Seq(1L))
@@ -142,6 +143,38 @@ class PartitionedTableSpec extends SparkSpec {
         .unionByName(Seq((8L, "2024-02", 80.0)).toDF("k", "day", "amt"))))
   }
 
+  test("partition-spec evolution: other-column tags never prune away") {
+    val t = freshTable()
+    // v1 partitioned by day, v2 APPENDED partitioned by a different
+    // column — the day files may hold any region and vice versa
+    val byDay = Seq((1L, "2024-01", "eu", 1.0), (2L, "2024-02", "us", 2.0))
+      .toDF("k", "day", "region", "amt")
+    val byRegion = Seq((3L, "2024-01", "us", 3.0), (4L, "2024-03", "eu", 4.0))
+      .toDF("k", "day", "region", "amt")
+    VersionedTable.commitPartitioned(spark, t, byDay, "day", append = false)
+    VersionedTable.commitPartitioned(spark, t, byRegion, "region",
+      append = true)
+    val m = VersionedTable.manifest(spark, t, 2)
+    assert(VersionedTable.partitionsOf(m).map(_._1).toSet ==
+      Set("day", "region"))
+    // a day read must still see row k=3 (day 2024-01, region-tagged file)
+    def keys(df: DataFrame) = df.select("k").as[Long].collect().sorted.toSeq
+    assert(keys(VersionedTable.readPartitions(spark, t, "day",
+      Seq("2024-01"))) == Seq(1L, 3L))
+    // and a region read must see row k=1 (region eu, day-tagged file)
+    assert(keys(VersionedTable.readPartitions(spark, t, "region",
+      Seq("eu"))) == Seq(1L, 4L))
+    // pruning still happens within each column's own tags: a day read
+    // skips OTHER day files but keeps every region file
+    val cand = VersionedTable.partitionCandidates(m, "day", Seq("2024-01"))
+    assert(cand.size == 1 + VersionedTable.partitionsFor(m, "region").size)
+    // the overwrite guard treats foreign tags like untagged files
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.dynamicOverwrite(spark, t, byDay, "day")
+    }
+    assert(e.getMessage.contains("tagged by another"))
+  }
+
   test("readPartitionRange == read.filter on closed ranges, and prunes") {
     val t = freshTable()
     VersionedTable.commitPartitioned(spark, t,
@@ -153,8 +186,8 @@ class PartitionedTableSpec extends SparkSpec {
       val full = VersionedTable.read(spark, t)
         .filter(col("day") >= lo && col("day") <= hi)
       assert(rows(pruned) == rows(full), s"[$lo,$hi]")
-      assert(VersionedTable.partitionCandidatesRange(m, lo, hi).size ==
-        VersionedTable.partitionsOf(m)
+      assert(VersionedTable.partitionCandidatesRange(m, "day", lo, hi).size ==
+        VersionedTable.partitionsFor(m, "day")
           .count(p => p._1 >= lo && p._1 <= hi), s"[$lo,$hi]")
     }
     // untagged and null-tagged files never prune away under a range
@@ -171,16 +204,17 @@ class PartitionedTableSpec extends SparkSpec {
     VersionedTable.commitPartitioned(spark, t,
       sample.repartition(col("day")), "day", append = false)
     val p1 = VersionedTable.partitions(spark, t)
-      .as[(Option[String], Long)].collect().toSeq
-    assert(p1 == Seq((Some("2024-01"), 1L), (Some("2024-02"), 1L),
-      (Some("2024-03"), 1L)))
+      .as[(Option[String], Option[String], Long)].collect().toSeq
+    assert(p1 == Seq((Some("day"), Some("2024-01"), 1L),
+      (Some("day"), Some("2024-02"), 1L),
+      (Some("day"), Some("2024-03"), 1L)))
     // a plain (untagged) append surfaces as the NULL-membership row
     VersionedTable.commit(spark, t,
       Seq((9L, "2024-09", 9.0)).toDF("k", "day", "amt").coalesce(1),
       append = true)
     val p2 = VersionedTable.partitions(spark, t)
-      .as[(Option[String], Long)].collect().toSeq
-    assert(p2.contains((None, 1L)) && p2.size == 4)
+      .as[(Option[String], Option[String], Long)].collect().toSeq
+    assert(p2.contains((None, None, 1L)) && p2.size == 4)
     // and the SQL surface serves it
     VersionedTable.registerViews(spark, "pt_demo", t)
     assert(spark.sql(
@@ -196,7 +230,7 @@ class PartitionedTableSpec extends SparkSpec {
       Seq((9L, "2024-04", 90.0)).toDF("k", "day", "amt"), "day",
       append = true)
     val m2 = VersionedTable.manifest(spark, t, 2)
-    assert(VersionedTable.partitionsOf(m2).map(_._1).distinct.sorted ==
+    assert(VersionedTable.partitionsOf(m2).map(_._2).distinct.sorted ==
       Seq("2024-01", "2024-02", "2024-03", "2024-04"))
     // a keyed merge touching only k=5 (2024-03) must keep every other
     // file's partition tag in the new manifest
@@ -204,7 +238,7 @@ class PartitionedTableSpec extends SparkSpec {
       Seq((5L, "2024-03", 55.0)).toDF("k", "day", "amt"), "k")
     val m3 = VersionedTable.manifest(spark, t, v3)
     val untouchedTags = VersionedTable.partitionsOf(m2)
-      .filterNot(_._1 == "2024-03")
+      .filterNot(_._2 == "2024-03")
     assert(untouchedTags.forall(VersionedTable.partitionsOf(m3).contains),
       "merge must preserve partition tags on carried files")
     assert(rows(VersionedTable.read(spark, t)) ==

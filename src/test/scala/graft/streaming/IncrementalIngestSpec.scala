@@ -114,9 +114,9 @@ class IncrementalIngestSpec extends SparkSpec {
     val pruned = VT.readPartitions(spark, table, "source", Seq(oneSrc))
     assert(pruned.count() ==
       docs.filter(col("source") === oneSrc).count())
-    assert(VT.partitionCandidates(m, Seq(oneSrc)).size ==
-      VT.partitionsOf(m).count(_._1 == oneSrc))
-    assert(VT.partitionCandidates(m, Seq(oneSrc)).size <
+    assert(VT.partitionCandidates(m, "source", Seq(oneSrc)).size ==
+      VT.partitionsOf(m).count(_._2 == oneSrc))
+    assert(VT.partitionCandidates(m, "source", Seq(oneSrc)).size <
       VT.dataFilesOf(m).size)
   }
 }
