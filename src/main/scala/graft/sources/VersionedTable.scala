@@ -104,6 +104,24 @@ object VersionedTable {
       (tag.take(eq), unescapeVal(tag.drop(eq + 1)), l.substring(cut + 1))
     }
 
+  /** The ONE partition column every data file of a manifest is tagged
+    * by, when the table has a coherent single-column spec — the
+    * precondition under which a rewrite path ([[mergeCommit]],
+    * [[compactCommit]]) can RE-TAG its output files and keep
+    * [[dynamicOverwrite]]/pruning alive across maintenance. Mixed
+    * specs (evolution in progress) and partially-tagged tables return
+    * None: their rewrites emit untagged files, which reads treat as
+    * never-prunable (correct, just unpruned) and dynamicOverwrite
+    * rejects until a full `commitPartitioned(append = false)`. */
+  private def soleSpecOf(lines: Seq[String]): Option[String] = {
+    val tags = partitionsOf(lines)
+    val cols = tags.map(_._1).distinct
+    if (cols.size == 1 &&
+        tags.map(t => norm(t._3)).toSet == dataFilesOf(lines).map(norm).toSet)
+      Some(cols.head)
+    else None
+  }
+
   /** The `(value, path)` pairs of files tagged BY `partCol` — the
     * slice of [[partitionsOf]] a read pruning on that column can
     * trust. */
@@ -525,12 +543,11 @@ object VersionedTable {
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
-    val dataDir = new Path(table,
-      s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    survivors.write.parquet(dataDir.toString)
-    val f = fs(spark, dataDir)
-    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    // on a coherently partitioned table the rewrite RE-TAGS its output
+    // (partitioned write + pt lines), so one merge never strips the
+    // table of the tags dynamicOverwrite and partition pruning need
+    val newLines = writeRewrite(spark, table, next, survivors,
+      soleSpecOf(currentLines))
     // the rewrite purged its files' tombstones (the logical rows were
     // materialized); tombstones on CARRIED files must survive. They
     // consolidate into one fresh sidecar — old sidecars stay on disk
@@ -540,9 +557,30 @@ object VersionedTable {
     // tags survive a merge that doesn't touch their files)
     val lineOf = dataLineByPath(currentLines)
     writeManifest(spark, table, next,
-      carry.map(p => lineOf(norm(p))) ++ keptDv ++ newFiles)
+      carry.map(p => lineOf(norm(p))) ++ keptDv ++ newLines)
     next
   }
+
+  /** Write a rewrite path's output rows under version `v`, re-tagging
+    * them when the table's spec says to: with `spec = Some(partCol)`
+    * (and the column present — a rewrite of evolved data may lack it)
+    * the rows go through the partitioned write and come back as `pt`
+    * manifest lines; otherwise a plain parquet write and bare paths. */
+  private def writeRewrite(spark: SparkSession, table: String, v: Int,
+                           rows: DataFrame,
+                           spec: Option[String]): Seq[String] =
+    spec.filter(rows.columns.contains) match {
+      case Some(pc) =>
+        writePartitionedData(spark, table, v, rows, pc)
+          .map { case (tag, p) => ptLine(pc, tag, p) }
+      case None =>
+        val dataDir = new Path(table,
+          s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
+        rows.write.parquet(dataDir.toString)
+        val f = fs(spark, dataDir)
+        f.listStatus(dataDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    }
 
   /** Rewrite the tombstones of `dvLines` that target a file in
     * `carried` into one new sidecar under version `v`'s data dir;
@@ -596,18 +634,23 @@ object VersionedTable {
     val smallRows = small.map(f => counts.getOrElse(norm(f), 0L)).sum
     val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
     val next = vs.last + 1
-    val dataDir = new Path(table,
-      s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    readSnapshot(spark, small ++ dvLines)
-      .repartition(nOut)
-      .write.parquet(dataDir.toString)
-    val f = fs(spark, dataDir)
-    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val spec = soleSpecOf(lines)
+    val compacted = {
+      val snap = readSnapshot(spark, small ++ dvLines)
+      spec.filter(snap.columns.contains) match {
+        // partitioned table: hash on the partition column so each
+        // value's fragments collapse into ONE file (per-partition
+        // compaction — outputs stay pt-tagged via writeRewrite)
+        case Some(pc) =>
+          snap.repartition(nOut, org.apache.spark.sql.functions.col(pc))
+        case None => snap.repartition(nOut)
+      }
+    }
+    val newLines = writeRewrite(spark, table, next, compacted, spec)
     val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
     val lineOf = dataLineByPath(lines)
     writeManifest(spark, table, next,
-      big.map(p => lineOf(norm(p))) ++ keptDv ++ newFiles)
+      big.map(p => lineOf(norm(p))) ++ keptDv ++ newLines)
     next
   }
 
@@ -679,6 +722,12 @@ object VersionedTable {
                                    partCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
     require(df.columns.contains(partCol), s"no column $partCol")
+    // `__pt` is this write's internal path column — an input column of
+    // the same name would be silently overwritten and lost from the
+    // stored data (same validation spirit as commitPartitioned's
+    // partCol name check)
+    require(!df.columns.contains("__pt"),
+      "input must not carry a __pt column (reserved for the partitioned write)")
     val dataDir = new Path(table,
       s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
     df.withColumn("__pt", col(partCol).cast("string"))
@@ -840,9 +889,14 @@ object VersionedTable {
     // the manifest itself
     val incoming = df.select(col(partCol).cast("string"))
       .na.drop().distinct().collect().map(_.getString(0)).toSet
-    require(!incoming.contains(NullPartitionTag) &&
+    // Spark's partitioned write files EMPTY strings under the same
+    // default tag as nulls (ExternalCatalogUtils' null-or-empty rule),
+    // so an empty-string row would silently APPEND a NullPartitionTag
+    // file while the old ones carry — duplicate rows on re-run. Reject
+    // both renderings of the default partition up front.
+    require(!incoming.contains(NullPartitionTag) && !incoming.contains("") &&
       df.filter(col(partCol).isNull).isEmpty,
-      "overwriting the null partition is not supported")
+      "overwriting the null/empty partition is not supported")
     // keep carried files' ORIGINAL lines (tags survive verbatim)
     val replacedPaths = mine.collect { case (v, p)
       if incoming.contains(v) => norm(p) }.toSet
@@ -1023,16 +1077,26 @@ object VersionedTable {
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val dead = f.listStatus(dataRoot).toSeq.filter(_.isDirectory)
-      .flatMap(d => f.listStatus(d.getPath).toSeq)
+    // RECURSIVE listing: crashed partitioned commits leave their
+    // residue inside `__pt=<val>/` subdirs, one level below the commit
+    // dir — a single-level scan would never see (or reclaim) them
+    val candidates = {
+      val it = f.listFiles(dataRoot, true)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) acc += it.next()
+      acc.toSeq
+    }
+    val dead = candidates
       .filter(s => s.getPath.getName.endsWith(".parquet") &&
         !referenced.contains(norm(s.getPath.toString)) &&
         s.getModificationTime < cutoff)
       .map(_.getPath)
     dead.foreach(p => f.delete(p, false))
-    // sweep now-empty commit dirs (same cosmetic pass as vacuum)
+    // sweep commit dirs the deletions emptied — descendant-aware, same
+    // reasoning as vacuum's sweep (partitioned dirs nest their files)
     f.listStatus(dataRoot).foreach { d =>
-      if (d.isDirectory && f.listStatus(d.getPath).isEmpty)
+      if (d.isDirectory && !hasDescendantParquet(f, d.getPath))
         f.delete(d.getPath, true)
     }
     dead.map(_.toString)
@@ -1059,12 +1123,27 @@ object VersionedTable {
     dead.foreach(p => f.delete(new Path(p), false))
     retire.foreach(v => f.delete(manifestPath(table, v), false))
     // sweep commit dirs the deletions emptied (cosmetic, keeps `data/`
-    // listings proportional to live versions)
+    // listings proportional to live versions). The emptiness check must
+    // look at DESCENDANTS, not direct children: partitioned commits
+    // nest their files under `__pt=<val>/` subdirs, so a direct-child
+    // test would read a fully-live partitioned commit dir as empty and
+    // delete the current snapshot.
     val dataRoot = new Path(table, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
-      if (d.isDirectory &&
-        !f.listStatus(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+      if (d.isDirectory && !hasDescendantParquet(f, d.getPath))
         f.delete(d.getPath, true)
     }
+  }
+
+  /** Whether any `.parquet` file lives anywhere UNDER `dir` — the
+    * liveness test vacuum's dir sweep needs on partitioned commit dirs
+    * (files sit one `__pt=` level down, not as direct children). */
+  private def hasDescendantParquet(f: org.apache.hadoop.fs.FileSystem,
+                                   dir: Path): Boolean = {
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
   }
 }

@@ -246,4 +246,97 @@ class PartitionedTableSpec extends SparkSpec {
         .unionByName(Seq((5L, "2024-03", 55.0), (9L, "2024-04", 90.0))
           .toDF("k", "day", "amt"))))
   }
+
+  test("vacuum on a partitioned table keeps the live snapshot's files") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    VersionedTable.commitPartitioned(spark, t,
+      Seq((9L, "2024-04", 90.0)).toDF("k", "day", "amt"), "day",
+      append = true)
+    // retire v1's manifest — v2 carries every v1 file, so NOTHING may
+    // be deleted (the sweep must see the parquet files one __pt level
+    // down, not read the commit dirs as empty)
+    VersionedTable.vacuum(spark, t, keepLast = 1)
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.unionByName(
+        Seq((9L, "2024-04", 90.0)).toDF("k", "day", "amt"))))
+    // and a vacuum that DOES retire files only takes the dead ones
+    VersionedTable.commitPartitioned(spark, t,
+      Seq((1L, "2024-01", 11.0)).toDF("k", "day", "amt"), "day",
+      append = false) // logical overwrite: v1/v2 files now unreferenced
+    VersionedTable.vacuum(spark, t, keepLast = 1)
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(Seq((1L, "2024-01", 11.0)).toDF("k", "day", "amt")))
+  }
+
+  test("dynamic overwrite rejects empty-string partition values") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    // Spark files "" under the same default tag as null — allowing it
+    // would append a second NullPartitionTag file instead of replacing
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.dynamicOverwrite(spark, t,
+        Seq((9L, "", 9.0)).toDF("k", "day", "amt"), "day")
+    }
+    assert(e.getMessage.contains("null/empty"))
+  }
+
+  test("cleanOrphans reclaims crashed-partitioned-write residue in __pt subdirs") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    // simulate a crash between the partitioned data write and the
+    // manifest publish: files exist under data/<dir>/__pt=… with no
+    // manifest referencing them
+    val orphanDir = t + "/data/99-deadbeef"
+    Seq((7L, "2024-07", 7.0)).toDF("k", "day", "amt")
+      .withColumnRenamed("day", "__pt")
+      .write.partitionBy("__pt").parquet(orphanDir)
+    val deleted = VersionedTable.cleanOrphans(spark, t, olderThanMs = -1000)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("99-deadbeef")))
+    // live table untouched
+    assert(rows(VersionedTable.read(spark, t)) == rows(sample))
+  }
+
+  test("a __pt input column is rejected, not silently dropped") {
+    val t = freshTable()
+    val clash = sample.withColumn("__pt", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitioned(spark, t, clash, "day",
+        append = false)
+    }
+    assert(e.getMessage.contains("__pt"))
+  }
+
+  test("merge and compact on a partitioned table re-tag their outputs") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      sample.repartition(col("day")), "day", append = false)
+    // a merge rewriting one partition's file emits pt-tagged outputs
+    val v2 = VersionedTable.mergeCommit(spark, t,
+      Seq((5L, "2024-03", 55.0)).toDF("k", "day", "amt"), "k")
+    val m2 = VersionedTable.manifest(spark, t, v2)
+    assert(VersionedTable.partitionsOf(m2).map(p => norm(p._3)).toSet ==
+      VersionedTable.dataFilesOf(m2).map(norm).toSet,
+      "every data file after a merge must still carry its partition tag")
+    // so dynamicOverwrite still works post-merge…
+    VersionedTable.dynamicOverwrite(spark, t,
+      Seq((8L, "2024-02", 88.0)).toDF("k", "day", "amt"), "day")
+    // …and after a compaction too
+    val v4 = VersionedTable.compactCommit(spark, t, targetRows = 100L)
+    val m4 = VersionedTable.manifest(spark, t, v4)
+    assert(VersionedTable.partitionsOf(m4).map(p => norm(p._3)).toSet ==
+      VersionedTable.dataFilesOf(m4).map(norm).toSet)
+    VersionedTable.dynamicOverwrite(spark, t,
+      Seq((9L, "2024-04", 99.0)).toDF("k", "day", "amt"), "day")
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("k") =!= 5L && col("day") =!= "2024-02")
+        .unionByName(Seq((5L, "2024-03", 55.0), (8L, "2024-02", 88.0),
+          (9L, "2024-04", 99.0)).toDF("k", "day", "amt"))))
+  }
+
+  private def norm(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
 }
