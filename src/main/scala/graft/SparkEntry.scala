@@ -1303,8 +1303,12 @@ object Queries {
       .toAbsolutePath.toString + "/orders"
     val base = t(s, dir, "orders").select(col("o_orderkey"),
       col("o_orderstatus"), col("o_totalprice"))
+    // statCols: key stats persist IN the manifest, so the merge's
+    // touched-file probe below reads zero data for its decision (the
+    // in-query require pins full coverage of the merged manifest)
     graft.sources.VersionedTable.commit(s, table,
-      base.repartitionByRange(8, col("o_orderkey")), append = false)
+      base.repartitionByRange(8, col("o_orderkey")), append = false,
+      statCols = Seq("o_orderkey"))
     val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
     val updates = base
       .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
@@ -1315,9 +1319,12 @@ object Queries {
     val inserts = base.filter(col("o_orderkey") % 101 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx)
       .withColumn("__del", lit(false))
-    graft.sources.VersionedTable.mergeCommit(s, table,
+    val v2 = graft.sources.VersionedTable.mergeCommit(s, table,
       updates.unionByName(deletes).unionByName(inserts),
       "o_orderkey", deleteCol = Some("__del"))
+    val m2 = graft.sources.VersionedTable.manifest(s, table, v2)
+    require(graft.sources.VersionedTable.statColsOf(m2) == Seq("o_orderkey"),
+      "merge must keep the manifest stats-covered for the next decision")
     graft.sources.VersionedTable.read(s, table)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),
@@ -1358,8 +1365,11 @@ object Queries {
       .toAbsolutePath.toString + "/orders"
     val base = t(s, dir, "orders").select(col("o_orderkey"),
       col("o_orderstatus"), col("o_totalprice"))
+    // statCols: per-file row counts live in the manifest, so the
+    // OPTIMIZE below picks its small files from O(files) metadata —
+    // never the O(table) row scan a nightly compaction can't afford
     graft.sources.VersionedTable.commit(s, table,
-      base.repartition(64), append = false)
+      base.repartition(64), append = false, statCols = Seq("o_orderkey"))
     graft.sources.VersionedTable.deleteCommit(s, table,
       col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
     val n = base.count()

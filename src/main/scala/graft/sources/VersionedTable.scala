@@ -83,13 +83,148 @@ object VersionedTable {
     * treat them as always-candidates (like untagged files). */
   val NullPartitionTag = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Per-file STATISTICS manifest-line prefix
+    * (`st<TAB><col>=<min>,<max>,<nulls>,<nrows><TAB><path>`): the
+    * Delta/Iceberg txn-log per-file stats, persisted AT COMMIT TIME so
+    * every later O(files) decision — [[mergeCommit]]'s touched-file
+    * probe, [[readPruned]]'s candidates, [[compactCommit]]'s
+    * small-file pick, [[files]] — reads the manifest instead of paying
+    * an O(table) column scan. min/max are URL-encoded string
+    * renderings of the column values (cast back to the column type at
+    * use; an EMPTY field means the file is all-null in that column);
+    * nulls/nrows are plain longs. One line per (file, stat column);
+    * files without st lines simply fall back to the on-the-fly scan —
+    * mixed tables stay correct, just slower. */
+  private val StPrefix = "st\t"
+
+  /** Tab/newline/comma/'='-free rendering for stat values (URL
+    * encoding; comma is the field separator, '=' the tag separator). */
+  private def encStat(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def decStat(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  private def stLine(c: String, mn: Option[String], mx: Option[String],
+                     nulls: Long, nrows: Long, path: String): String =
+    s"$StPrefix$c=${mn.fold("")(encStat)},${mx.fold("")(encStat)}," +
+      s"$nulls,$nrows\t$path"
+
+  /** Parsed st lines: `(col, (minOpt, maxOpt, nulls, nrows), path)`. */
+  private def statsOf(lines: Seq[String])
+      : Seq[(String, (Option[String], Option[String], Long, Long), String)] =
+    lines.collect { case l if l.startsWith(StPrefix) =>
+      val cut = l.indexOf('\t', StPrefix.length)
+      val tag = l.substring(StPrefix.length, cut)
+      val eq = tag.indexOf('=')
+      val fields = tag.drop(eq + 1).split(",", -1)
+      def opt(s: String) = if (s.isEmpty) None else Some(decStat(s))
+      (tag.take(eq),
+        (opt(fields(0)), opt(fields(1)), fields(2).toLong, fields(3).toLong),
+        l.substring(cut + 1))
+    }
+
+  /** The columns a manifest carries per-file stats for (on at least
+    * one file) — the table's declared stat schema, inherited by every
+    * rewrite path so maintenance never strips it. */
+  def statColsOf(lines: Seq[String]): Seq[String] =
+    statsOf(lines).map(_._1).distinct
+
+  /** st lines of `lines` whose file is in `paths` — how carry paths
+    * keep carried files' stats alive across rewrites. */
+  private def stLinesFor(lines: Seq[String],
+                         paths: Seq[String]): Seq[String] = {
+    val keep = paths.map(norm).toSet
+    lines.filter(l => l.startsWith(StPrefix) &&
+      keep.contains(norm(l.substring(l.indexOf('\t', StPrefix.length) + 1))))
+  }
+
+  /** Compute st manifest lines for freshly written `files` — ONE
+    * column-pruned scan of exactly the new files (O(new files), the
+    * commit-time incremental discipline [[FileSkipping.updateStats]]
+    * documents), rendered into the line format. */
+  private def computeStatLines(spark: SparkSession, files: Seq[String],
+                               cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty || files.isEmpty) return Seq.empty
+    val stats = FileSkipping.collectStatsFiles(spark, files, cols).collect()
+    // input_file_name spellings differ from listing spellings — key new
+    // files by normalized path so the manifest carries the LISTING form
+    val byNorm = files.map(f => norm(f) -> f).toMap
+    stats.toSeq.flatMap { r =>
+      val file = byNorm.getOrElse(norm(r.getString(r.fieldIndex("file"))),
+        r.getString(r.fieldIndex("file")))
+      val nrows = r.getLong(r.fieldIndex("n_rows"))
+      cols.map { c =>
+        def s(f: String): Option[String] = {
+          val i = r.fieldIndex(f)
+          if (r.isNullAt(i)) None else Some(r.get(i).toString)
+        }
+        stLine(c, s(s"${c}_min"), s(s"${c}_max"),
+          r.getLong(r.fieldIndex(s"${c}_nulls")), nrows, file)
+      }
+    }
+  }
+
+  /** Test seam: fired `(operation, nFiles)` whenever a consumer falls
+    * back to an on-the-fly stats SCAN because the manifest lacks st
+    * coverage — what specs pin to prove a stats-tagged table's merge/
+    * compact/pruned-read makes its decision from metadata alone. */
+  private[sources] var statsScanNotifier: (String, Int) => Unit =
+    (_, _) => ()
+
+  /** Manifest-served per-file stats for `cols`, as a DataFrame shaped
+    * like [[FileSkipping.collectStatsFiles]] with min/max cast through
+    * `typeOf` — Some only when EVERY data file of the manifest carries
+    * st lines for ALL requested columns (partial coverage falls back
+    * to the scan: pruning decisions must never silently use stale or
+    * missing bounds). O(files) driver work, zero data I/O. */
+  private def manifestStats(spark: SparkSession, lines: Seq[String],
+                            cols: Seq[String],
+                            typeOf: String => org.apache.spark.sql.types.DataType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val data = dataFilesOf(lines).map(norm)
+    if (data.isEmpty || cols.isEmpty) return None
+    val parsed = statsOf(lines)
+    val byFileCol = parsed.map(s => (norm(s._3), s._1) -> s._2).toMap
+    val covered = cols.forall(cc => data.forall(f => byFileCol.contains(f -> cc)))
+    if (!covered) return None
+    // keep the manifest's own path spelling for the output `file` col
+    val spellings = dataFilesOf(lines).map(f => norm(f) -> f).toMap
+    import spark.implicits._
+    val rows = data.map { f =>
+      val nrows = byFileCol(f -> cols.head)._4
+      (spellings(f), nrows,
+        cols.map(cc => byFileCol(f -> cc))
+          .flatMap(t => Seq(t._1.orNull, t._2.orNull, t._3.toString)))
+    }
+    val base = rows.toDF("file", "n_rows", "__s")
+    Some(cols.zipWithIndex.foldLeft(base) { case (df, (cc, i)) =>
+      df.withColumn(s"${cc}_min", c("__s").getItem(3 * i).cast(typeOf(cc)))
+        .withColumn(s"${cc}_max", c("__s").getItem(3 * i + 1).cast(typeOf(cc)))
+        .withColumn(s"${cc}_nulls", c("__s").getItem(3 * i + 2).cast("long"))
+    }.drop("__s"))
+  }
+
+  /** Per-file row counts from the manifest's st lines — Some only when
+    * every data file is covered (any stat column's nrows serves). The
+    * O(files) metadata [[compactCommit]] decides from. */
+  private def manifestRowCounts(lines: Seq[String])
+      : Option[Map[String, Long]] = {
+    val data = dataFilesOf(lines).map(norm)
+    if (data.isEmpty) return None
+    val byFile = statsOf(lines).groupBy(s => norm(s._3))
+      .view.mapValues(_.head._2._4).toMap
+    if (data.forall(byFile.contains)) Some(byFile) else None
+  }
+
   /** The data-file entries of a manifest line list (what a snapshot
     * scans) — partition-tagged lines contribute their bare path. */
   def dataFilesOf(lines: Seq[String]): Seq[String] =
     lines.collect {
       case l if l.startsWith(PtPrefix) =>
         l.substring(l.indexOf('\t', PtPrefix.length) + 1)
-      case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) => l
+      case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
+        !l.startsWith(StPrefix) => l
     }
 
   /** `(partition column, value, path)` of every PARTITION-TAGGED data
@@ -206,10 +341,20 @@ object VersionedTable {
     * stay deleted); `append = false` is a logical overwrite (old files
     * stay on disk for time travel until vacuumed). `meta` key=value
     * properties are published atomically with the commit and readable
-    * via [[metaOf]]. Returns the committed version number. */
+    * via [[metaOf]].
+    *
+    * `statCols` declares columns to persist per-file min/max/null/row
+    * stats for IN the manifest (st lines, computed from one
+    * O(new files) column-pruned scan of just this commit's files) —
+    * the table's stat schema. Appends inherit the previous version's
+    * stat columns automatically, so declaring once at table creation
+    * keeps every later commit covered and every [[mergeCommit]]/
+    * [[readPruned]]/[[compactCommit]] decision metadata-only. Returns
+    * the committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              append: Boolean,
-             meta: Map[String, String] = Map.empty): Int = {
+             meta: Map[String, String] = Map.empty,
+             statCols: Seq[String] = Nil): Int = {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val dataDir = new Path(table,
@@ -223,7 +368,10 @@ object VersionedTable {
         readManifest(spark, table, next - 1)
           .filterNot(_.startsWith(MetaPrefix))
       else Seq.empty
-    writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
+    val effStatCols = (statCols ++ statColsOf(carried)).distinct
+    val stLines = computeStatLines(spark, newFiles, effStatCols)
+    writeManifest(spark, table, next,
+      carried ++ newFiles ++ stLines ++ metaLines)
     next
   }
 
@@ -473,7 +621,8 @@ object VersionedTable {
   private def dataLineByPath(lines: Seq[String]): Map[String, String] = {
     val paths = dataFilesOf(lines)
     val dataLines = lines.filterNot(l =>
-      l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      l.startsWith(DvPrefix) || l.startsWith(MetaPrefix) ||
+        l.startsWith(StPrefix))
     paths.map(norm).zip(dataLines).toMap
   }
 
@@ -522,7 +671,14 @@ object VersionedTable {
     val currentLines = readManifest(spark, table, vs.last)
     val current = dataFilesOf(currentLines)
     val dvLines = currentLines.filter(_.startsWith(DvPrefix))
-    val stats = FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
+    // the touched-file decision reads the MANIFEST's per-file stats
+    // when the table carries them (st lines — zero data I/O, the 100 TB
+    // path); only an uncovered table pays the column-pruned stats scan
+    val stats = manifestStats(spark, currentLines, Seq(keyCol),
+      _ => source.schema(keyCol).dataType).getOrElse {
+      statsScanNotifier("mergeCommit", current.size)
+      FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
+    }
     // source keys x BROADCAST stats: each source partition probes the
     // O(files) stats list locally — distributed in the big dimension
     // (keys), never a driver-side key set. (At very large file counts
@@ -554,10 +710,16 @@ object VersionedTable {
     // for older versions' time travel but leave this manifest.
     val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
     // carried files keep their original manifest spelling (partition
-    // tags survive a merge that doesn't touch their files)
+    // tags survive a merge that doesn't touch their files) AND their
+    // st lines; rewritten files get fresh stats on the table's stat
+    // schema — maintenance never strips the metadata later decisions
+    // depend on
     val lineOf = dataLineByPath(currentLines)
     writeManifest(spark, table, next,
-      carry.map(p => lineOf(norm(p))) ++ keptDv ++ newLines)
+      carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
+        keptDv ++ newLines ++
+        computeStatLines(spark, dataFilesOf(newLines),
+          statColsOf(currentLines)))
     next
   }
 
@@ -624,10 +786,17 @@ object VersionedTable {
     val lines = readManifest(spark, table, vs.last)
     val data = dataFilesOf(lines)
     val dvLines = lines.filter(_.startsWith(DvPrefix))
-    val counts = spark.read.parquet(data: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"))
-      .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    // "which files are small" is an O(files) decision — take the row
+    // counts from the manifest's st lines when the table carries them
+    // (zero data I/O; a nightly OPTIMIZE on a 100 TB table must not
+    // scan the table to find its fragments), scan only when uncovered
+    val counts = manifestRowCounts(lines).getOrElse {
+      statsScanNotifier("compactCommit", data.size)
+      spark.read.parquet(data: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    }
     val (small, big) = data.partition(f =>
       counts.getOrElse(norm(f), 0L) < targetRows)
     if (small.size < 2) return vs.last
@@ -650,7 +819,9 @@ object VersionedTable {
     val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
     val lineOf = dataLineByPath(lines)
     writeManifest(spark, table, next,
-      big.map(p => lineOf(norm(p))) ++ keptDv ++ newLines)
+      big.map(p => lineOf(norm(p))) ++ stLinesFor(lines, big) ++
+        keptDv ++ newLines ++
+        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)))
     next
   }
 
@@ -670,14 +841,20 @@ object VersionedTable {
     require(nFiles > 0, "nFiles must be positive")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
-    val snap = readSnapshot(spark, readManifest(spark, table, vs.last))
+    val lines = readManifest(spark, table, vs.last)
+    val snap = readSnapshot(spark, lines)
     val laid = cols match {
       case Seq(c) => snap.repartitionByRange(nFiles, col(c))
       case Seq(a, b) =>
         graft.operators.ScaleOps.zorderLayout(snap, col(a), col(b), nFiles)
     }
+    // a cluster rewrite REFRESHES the stat schema's st lines (tight
+    // post-clustering bounds are the whole point) and, naturally,
+    // declares the clustering columns as stat columns — they're what
+    // readPruned will prune on
     commit(spark, table, laid, append = false,
-      meta = Map("clustered_by" -> cols.mkString(",")))
+      meta = Map("clustered_by" -> cols.mkString(",")),
+      statCols = (statColsOf(lines) ++ cols).distinct)
   }
 
   /** Snapshot read with FILE SKIPPING: per-file [min, max] stats over
@@ -697,8 +874,15 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val data = dataFilesOf(lines)
-    val stats = FileSkipping.collectStatsFiles(spark, data,
-      ranges.map(_._1).distinct)
+    // manifest-served stats when covered (decision = metadata only;
+    // DOUBLE bounds are exact for every rendering the ranges compare
+    // against and never truncate like an integral cast would), scan
+    // otherwise
+    val stats = manifestStats(spark, lines, ranges.map(_._1).distinct,
+      _ => org.apache.spark.sql.types.DoubleType).getOrElse {
+      statsScanNotifier("readPruned", data.size)
+      FileSkipping.collectStatsFiles(spark, data, ranges.map(_._1).distinct)
+    }
     val cand = FileSkipping.candidateFiles(stats, ranges)
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
@@ -757,7 +941,8 @@ object VersionedTable {
     * treated as never-prunable. Returns the committed version. */
   def commitPartitioned(spark: SparkSession, table: String, df: DataFrame,
                         partCol: String, append: Boolean,
-                        meta: Map[String, String] = Map.empty): Int = {
+                        meta: Map[String, String] = Map.empty,
+                        statCols: Seq[String] = Nil): Int = {
     require(!partCol.contains('=') && !partCol.contains('\t') &&
       !partCol.contains('\n'), "partition column name must be =/tab/newline-free")
     val metaLines = metaLinesOf(meta + ("partitioned_by" -> partCol))
@@ -768,9 +953,12 @@ object VersionedTable {
         readManifest(spark, table, next - 1)
           .filterNot(_.startsWith(MetaPrefix))
       else Seq.empty
+    // same stat-schema inheritance as commit (st lines per new file)
+    val effStatCols = (statCols ++ statColsOf(carried)).distinct
+    val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
     writeManifest(spark, table, next,
       carried ++ tagged.map { case (t, p) => ptLine(partCol, t, p) } ++
-        metaLines)
+        stLines ++ metaLines)
     next
   }
 
@@ -908,8 +1096,9 @@ object VersionedTable {
     val keptDv = consolidateTombstones(spark,
       lines.filter(_.startsWith(DvPrefix)), carriedPaths, table, next)
     writeManifest(spark, table, next,
-      carriedLines ++ keptDv ++
+      carriedLines ++ stLinesFor(lines, carriedPaths) ++ keptDv ++
         newTagged.map { case (t, p) => ptLine(partCol, t, p) } ++
+        computeStatLines(spark, newTagged.map(_._2), statColsOf(lines)) ++
         metaLinesOf(Map("partitioned_by" -> partCol,
           "overwrote_partitions" -> mine.collect { case (v, _)
             if incoming.contains(v) => escapeVal(v) }.distinct.sorted
@@ -934,16 +1123,27 @@ object VersionedTable {
   }
 
   /** DESCRIBE DETAIL / the `files` metadata table: per data file of a
-    * snapshot, its row count and per-column min/max stats — one
-    * column-pruned scan, the same stats [[readPruned]] prunes by. */
+    * snapshot, its row count and per-column min/max stats — served
+    * from the manifest's st lines when the table carries them for all
+    * requested columns (typed through one footer-only schema read,
+    * zero data I/O), otherwise one column-pruned scan — the same stats
+    * [[readPruned]] prunes by. */
   def files(spark: SparkSession, table: String, statCols: Seq[String],
             version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    FileSkipping.collectStatsFiles(spark,
-      dataFilesOf(readManifest(spark, table, v)), statCols)
+    val lines = readManifest(spark, table, v)
+    val data = dataFilesOf(lines)
+    lazy val schema = spark.read.option("mergeSchema", "true")
+      .parquet(data: _*).schema // footers only — never row data
+    manifestStats(spark, lines, statCols,
+      c => schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)).getOrElse {
+      statsScanNotifier("files", data.size)
+      FileSkipping.collectStatsFiles(spark, data, statCols)
+    }
   }
 
   /** SHOW PARTITIONS: one row per (partition column, value) of a
@@ -987,8 +1187,10 @@ object VersionedTable {
   def commitWithRetry(spark: SparkSession, table: String, df: DataFrame,
                       append: Boolean,
                       meta: Map[String, String] = Map.empty,
-                      maxRetries: Int = 5): Int =
-    commitWithRetryHook(spark, table, df, append, meta, maxRetries)
+                      maxRetries: Int = 5,
+                      statCols: Seq[String] = Nil): Int =
+    commitWithRetryHook(spark, table, df, append, meta, maxRetries,
+      statCols = statCols)
 
   /** [[commitWithRetry]] with a pre-publish hook (called with the
     * version each attempt is about to claim) — the seam the spec uses
@@ -996,7 +1198,8 @@ object VersionedTable {
   private[sources] def commitWithRetryHook(
       spark: SparkSession, table: String, df: DataFrame,
       append: Boolean, meta: Map[String, String] = Map.empty,
-      maxRetries: Int = 5, onAttempt: Int => Unit = _ => ()): Int = {
+      maxRetries: Int = 5, onAttempt: Int => Unit = _ => (),
+      statCols: Seq[String] = Nil): Int = {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     // data files are written ONCE — losing the version race costs a
     // re-list and a manifest re-publish, never a data rewrite
@@ -1006,6 +1209,11 @@ object VersionedTable {
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    // stats too are computed ONCE per distinct effective column set (a
+    // retry only re-derives them if the winner's head CHANGED the
+    // inherited stat schema)
+    var cachedCols: Seq[String] = null
+    var cachedSt: Seq[String] = Seq.empty
     var attempt = 0
     while (true) {
       val next = versions(spark, table).lastOption.getOrElse(0) + 1
@@ -1016,9 +1224,15 @@ object VersionedTable {
           readManifest(spark, table, next - 1)
             .filterNot(_.startsWith(MetaPrefix))
         else Seq.empty
+      val eff = (statCols ++ statColsOf(carried)).distinct
+      if (eff != cachedCols) {
+        cachedSt = computeStatLines(spark, newFiles, eff)
+        cachedCols = eff
+      }
       try {
         onAttempt(next)
-        writeManifest(spark, table, next, carried ++ newFiles ++ metaLines)
+        writeManifest(spark, table, next,
+          carried ++ newFiles ++ cachedSt ++ metaLines)
         return next
       } catch {
         case e: RuntimeException

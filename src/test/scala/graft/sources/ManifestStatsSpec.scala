@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Manifest-persisted per-file stats (st lines): commit-time emission,
+  * inheritance through every commit/rewrite path, and — the 100 TB
+  * contract — that [[VersionedTable.mergeCommit]]/[[VersionedTable
+  * .compactCommit]]/[[VersionedTable.readPruned]]/[[VersionedTable
+  * .files]] on a stats-covered table make their file-level decisions
+  * from the manifest alone, with ZERO on-the-fly stats scans (pinned
+  * via the statsScanNotifier seam). */
+class ManifestStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("vstats").toString + "/t"
+
+  private def sample: DataFrame =
+    (1L to 100L).map(k => (k, s"g${k % 4}", k * 1.5))
+      .toDF("k", "g", "amt")
+
+  /** Run `body` counting fallback stats scans; restores the seam. */
+  private def countingScans[A](body: => A): (A, Int) = {
+    val n = new AtomicInteger(0)
+    val old = VersionedTable.statsScanNotifier
+    VersionedTable.statsScanNotifier = (_, _) => n.incrementAndGet()
+    try { val r = body; (r, n.get()) }
+    finally VersionedTable.statsScanNotifier = old
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "g", "amt").as[(Long, String, Double)].collect().toSet
+
+  test("commit with statCols persists st lines; appends inherit the stat schema") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      sample.repartitionByRange(4, col("k")), append = false,
+      statCols = Seq("k"))
+    val m1 = VersionedTable.manifest(spark, t, 1)
+    assert(VersionedTable.statColsOf(m1) == Seq("k"))
+    // append WITHOUT redeclaring — the stat schema is the table's
+    VersionedTable.commit(spark, t,
+      (101L to 120L).map(k => (k, "g9", k * 1.5)).toDF("k", "g", "amt"),
+      append = true)
+    val m2 = VersionedTable.manifest(spark, t, 2)
+    // every data file (carried and new) covered
+    val covered = VersionedTable.files(spark, t, Seq("k"))
+    assert(covered.count() == VersionedTable.dataFilesOf(m2).size)
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.unionByName(
+        (101L to 120L).map(k => (k, "g9", k * 1.5)).toDF("k", "g", "amt"))))
+  }
+
+  test("merge on a stats-covered table decides touched files with zero stats scans") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      sample.repartitionByRange(4, col("k")), append = false,
+      statCols = Seq("k"))
+    val (v2, scans) = countingScans {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((5L, "gX", 555.0), (200L, "gN", 2.0)).toDF("k", "g", "amt"), "k")
+    }
+    assert(scans == 0, "stats-covered merge must not scan for stats")
+    // correctness identical to the algebra
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("k") =!= 5L).unionByName(
+        Seq((5L, "gX", 555.0), (200L, "gN", 2.0)).toDF("k", "g", "amt"))))
+    // file-level COW still holds: only the k=5-range file was rewritten
+    val m1 = VersionedTable.manifest(spark, t, 1)
+    val m2 = VersionedTable.manifest(spark, t, v2)
+    val carried = VersionedTable.dataFilesOf(m1)
+      .count(f => VersionedTable.dataFilesOf(m2).contains(f))
+    assert(carried == 3, s"expected 3 of 4 files carried, got $carried")
+    // and the NEW manifest is still fully stats-covered (a second
+    // merge also decides scan-free)
+    val (_, scans2) = countingScans {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((7L, "gY", 7.0)).toDF("k", "g", "amt"), "k")
+    }
+    assert(scans2 == 0, "coverage must survive a merge rewrite")
+  }
+
+  test("compact on a stats-covered table finds small files without reading data") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, sample.repartition(8),
+      append = false, statCols = Seq("k"))
+    val (v2, scans) = countingScans {
+      VersionedTable.compactCommit(spark, t, targetRows = 1000L)
+    }
+    assert(scans == 0, "stats-covered compact must decide from the manifest")
+    assert(VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, v2)).size < 8)
+    assert(rows(VersionedTable.read(spark, t)) == rows(sample))
+  }
+
+  test("readPruned and files() serve from the manifest when covered") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      sample.repartitionByRange(4, col("k")), append = false,
+      statCols = Seq("k"))
+    val (pruned, scans) = countingScans {
+      VersionedTable.readPruned(spark, t, Seq(("k", 10L, 20L))).collect()
+    }
+    assert(scans == 0)
+    assert(pruned.map(_.getLong(0)).sorted.toSeq == (10L to 20L))
+    // files(): manifest-served stats == scan-computed stats
+    val (fromManifest, scansF) = countingScans {
+      VersionedTable.files(spark, t, Seq("k"))
+        .select("file", "n_rows", "k_min", "k_max", "k_nulls")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    }
+    assert(scansF == 0)
+    val m = VersionedTable.manifest(spark, t, 1)
+    val scanned = FileSkipping.collectStatsFiles(spark,
+      VersionedTable.dataFilesOf(m), Seq("k"))
+      .select("file", "n_rows", "k_min", "k_max", "k_nulls")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def normed(s: Set[(String, Long, Long, Long, Long)]) =
+      s.map { case (f, a, b, c, d) =>
+        (new org.apache.hadoop.fs.Path(f).toUri.getPath, a, b, c, d) }
+    assert(normed(fromManifest) == normed(scanned))
+  }
+
+  test("legacy tables without st lines fall back to the scan and stay correct") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      sample.repartitionByRange(4, col("k")), append = false) // no stats
+    val (_, scans) = countingScans {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((5L, "gX", 555.0)).toDF("k", "g", "amt"), "k")
+      VersionedTable.compactCommit(spark, t, targetRows = 10L)
+    }
+    assert(scans >= 2, "uncovered table must pay (and survive) the scan path")
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("k") =!= 5L)
+        .unionByName(Seq((5L, "gX", 555.0)).toDF("k", "g", "amt"))))
+  }
+
+  test("stats survive delete commits, dynamic overwrite, and cluster rewrites") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t, sample, "g",
+      append = false, statCols = Seq("k"))
+    VersionedTable.deleteCommit(spark, t, col("k") % 10 === 0, Seq("k"))
+    VersionedTable.dynamicOverwrite(spark, t,
+      Seq((999L, "g1", 9.0)).toDF("k", "g", "amt"), "g")
+    // full coverage after three different commit kinds → merge scan-free
+    val (_, scans) = countingScans {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((3L, "g3", 3.3)).toDF("k", "g", "amt"), "k")
+    }
+    assert(scans == 0)
+    // cluster rewrite refreshes stats and adds its own columns
+    val vC = VersionedTable.clusterCommit(spark, t, Seq("k"), nFiles = 3)
+    val mC = VersionedTable.manifest(spark, t, vC)
+    assert(VersionedTable.statColsOf(mC).toSet == Set("k"))
+    val (_, scansAfter) = countingScans {
+      VersionedTable.readPruned(spark, t, Seq(("k", 1L, 5L))).collect()
+    }
+    assert(scansAfter == 0)
+  }
+
+  test("hostile stat values round-trip: nulls, commas, unicode, all-null files") {
+    val t = freshTable()
+    val odd = Seq(
+      (1L, Option("a,b=c\td")), (2L, Option("naïve—值")), (3L, Option.empty[String])
+    ).toDF("k", "s")
+    VersionedTable.commit(spark, t, odd.coalesce(1), append = false,
+      statCols = Seq("k", "s"))
+    val f = VersionedTable.files(spark, t, Seq("s")).collect()(0)
+    assert(f.getAs[String]("s_min") == "a,b=c\td")
+    assert(f.getAs[String]("s_max") == "naïve—值")
+    assert(f.getAs[Long]("s_nulls") == 1L)
+    // an ALL-null file renders empty min/max and reads back as null —
+    // and readPruned treats it as skippable, same as the scan path
+    val t2 = freshTable()
+    VersionedTable.commit(spark, t2,
+      Seq((Option.empty[java.lang.Long], "x")).toDF("k", "s").coalesce(1),
+      append = false, statCols = Seq("k"))
+    val f2 = VersionedTable.files(spark, t2, Seq("k")).collect()(0)
+    assert(f2.isNullAt(f2.fieldIndex("k_min")))
+    val (got, scans) = countingScans {
+      VersionedTable.readPruned(spark, t2, Seq(("k", 0L, 100L))).count()
+    }
+    assert(scans == 0 && got == 0L)
+  }
+}
