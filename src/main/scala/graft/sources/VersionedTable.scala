@@ -461,7 +461,34 @@ object VersionedTable {
     * still commits (empty-sidecar-free: no dv line added). */
   def deleteCommit(spark: SparkSession, table: String,
                    predicate: org.apache.spark.sql.Column,
-                   keyCols: Seq[String]): Int = {
+                   keyCols: Seq[String]): Int =
+    try deleteCommitAttempt(spark, table, predicate, keyCols, _ => ())
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+
+  /** [[deleteCommit]] with optimistic concurrency — same conflict
+    * re-evaluation as [[mergeCommitOptimistic]]: a concurrent commit
+    * that left this delete's tombstoned files in place (appends,
+    * disjoint rewrites) triggers a recompute-and-retry from the new
+    * head; one that rewrote them aborts loudly (the tombstones' file
+    * identities would dangle). */
+  def deleteCommitOptimistic(spark: SparkSession, table: String,
+                             predicate: org.apache.spark.sql.Column,
+                             keyCols: Seq[String],
+                             maxRetries: Int = 5): Int =
+    deleteCommitOptimisticHook(spark, table, predicate, keyCols, maxRetries)
+
+  private[sources] def deleteCommitOptimisticHook(
+      spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column, keyCols: Seq[String],
+      maxRetries: Int = 5, onAttempt: Int => Unit = _ => ()): Int =
+    retryReadModifyWrite(spark, table, maxRetries, "delete") { hook =>
+      deleteCommitAttempt(spark, table, predicate, keyCols, hook)
+    }(onAttempt)
+
+  private def deleteCommitAttempt(spark: SparkSession, table: String,
+                                  predicate: org.apache.spark.sql.Column,
+                                  keyCols: Seq[String],
+                                  onAttempt: Int => Unit): Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
@@ -490,10 +517,21 @@ object VersionedTable {
     val dvLines =
       if (hasRows) dvFiles.map(p => DvPrefix + p.toString)
       else { f.delete(dvDir, true); Seq.empty }
+    onAttempt(next)
     // metadata describes its own commit — never carried (same rule as
     // commit's carry path)
-    writeManifest(spark, table, next,
+    try writeManifest(spark, table, next,
       lines.filterNot(_.startsWith(MetaPrefix)) ++ dvLines)
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already committed") =>
+      // the conflict's touched set = the files these tombstones target
+      // (O(deleted rows) sidecar read, only paid on the loss path)
+      val tombstoned =
+        if (!hasRows) Set.empty[String]
+        else spark.read.parquet(dvDir.toString).select(FileCol)
+          .distinct().collect().map(r => norm(r.getString(0))).toSet
+      throw VersionConflict(vs.last, tombstoned, e.getMessage)
+    }
     next
   }
 
@@ -659,12 +697,32 @@ object VersionedTable {
     *
     * The touched-file set comes from a distributed stats⋈source range
     * join (never a driver-side key list); stats for the key column are
-    * collected from the current snapshot with a column-pruned scan —
-    * maintain them incrementally via [[FileSkipping.updateStats]] at
-    * commit time to make this O(new files) instead. Returns the new
-    * version. */
+    * served from the manifest's st lines when the table carries them
+    * (commit with `statCols` — zero data I/O), else one column-pruned
+    * scan. Returns the new version.
+    *
+    * Under writer contention this single attempt fails on the version
+    * rename (read-modify-write must not be blindly replayed) — use
+    * [[mergeCommitOptimistic]] for conflict re-evaluation. */
   def mergeCommit(spark: SparkSession, table: String, source: DataFrame,
-                  keyCol: String, deleteCol: Option[String] = None): Int = {
+                  keyCol: String, deleteCol: Option[String] = None): Int =
+    try mergeCommitAttempt(spark, table, source, keyCol, deleteCol, _ => ())
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+
+  /** A concurrent writer published the version this read-modify-write
+    * attempt computed against `baseV` was about to claim; `touched` is
+    * the normalized file set the attempt rewrote/tombstoned — what
+    * conflict re-evaluation intersects against the interloper's
+    * changes. */
+  private final case class VersionConflict(baseV: Int,
+                                           touched: Set[String],
+                                           msg: String)
+    extends RuntimeException(msg)
+
+  private def mergeCommitAttempt(spark: SparkSession, table: String,
+                                 source: DataFrame, keyCol: String,
+                                 deleteCol: Option[String],
+                                 onAttempt: Int => Unit): Int = {
     import org.apache.spark.sql.functions._
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
@@ -715,12 +773,83 @@ object VersionedTable {
     // schema — maintenance never strips the metadata later decisions
     // depend on
     val lineOf = dataLineByPath(currentLines)
-    writeManifest(spark, table, next,
+    onAttempt(next)
+    try writeManifest(spark, table, next,
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
           statColsOf(currentLines)))
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already committed") =>
+      throw VersionConflict(vs.last, touchedNorm, e.getMessage)
+    }
     next
+  }
+
+  /** [[mergeCommit]] with OPTIMISTIC CONCURRENCY (conflict
+    * re-evaluation, the Delta/Iceberg commit protocol): when a
+    * concurrent writer claims the version first, the merge does NOT
+    * replay its stale result — it re-reads the new head, checks
+    * whether the interloper REWROTE any file this attempt touched, and
+    *  - disjoint (pure appends; merges/compacts/overwrites of OTHER
+    *    files): recomputes the whole merge against the new snapshot
+    *    and retries — the outcome is the serializable "their commit,
+    *    then this merge";
+    *  - overlapping (a concurrent writer rewrote the same files —
+    *    likely the same keys): aborts loudly with
+    *    `ConcurrentModificationException`, because silently
+    *    re-applying this merge over theirs may not be what either
+    *    writer intended. Re-run deliberately after review.
+    * Failed attempts' data files become orphans ([[cleanOrphans]]
+    * reclaims them). Returns the committed version. */
+  def mergeCommitOptimistic(spark: SparkSession, table: String,
+                            source: DataFrame, keyCol: String,
+                            deleteCol: Option[String] = None,
+                            maxRetries: Int = 5): Int =
+    mergeCommitOptimisticHook(spark, table, source, keyCol, deleteCol,
+      maxRetries)
+
+  /** [[mergeCommitOptimistic]] with the pre-publish hook seam (same
+    * contract as [[commitWithRetryHook]]) — how specs inject a
+    * deterministic interloper between this merge's read and publish. */
+  private[sources] def mergeCommitOptimisticHook(
+      spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String, deleteCol: Option[String] = None,
+      maxRetries: Int = 5, onAttempt: Int => Unit = _ => ()): Int =
+    retryReadModifyWrite(spark, table, maxRetries, "merge") { hook =>
+      mergeCommitAttempt(spark, table, source, keyCol, deleteCol, hook)
+    }(onAttempt)
+
+  /** The shared conflict-re-evaluation loop of the optimistic
+    * read-modify-write commits: run `attempt`; on a version-rename
+    * loss, abort iff any file the attempt touched was REMOVED from the
+    * new head's manifest by the interloper (true overlap), else try
+    * again from the new head. The hook fires once per attempt. */
+  private def retryReadModifyWrite(spark: SparkSession, table: String,
+                                   maxRetries: Int, what: String)
+                                  (attempt: (Int => Unit) => Int)
+                                  (onAttempt: Int => Unit): Int = {
+    var tries = 0
+    while (true) {
+      try return attempt(onAttempt)
+      catch {
+        case c: VersionConflict =>
+          val head = versions(spark, table).last
+          val baseData = dataFilesOf(readManifest(spark, table, c.baseV))
+            .map(norm).toSet
+          val headData = dataFilesOf(readManifest(spark, table, head))
+            .map(norm).toSet
+          val removed = baseData diff headData
+          val overlap = removed intersect c.touched
+          if (overlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit rewrote ${overlap.size} file(s) this " +
+                s"$what touched (e.g. ${overlap.head}) — re-run after review")
+          if (tries >= maxRetries) throw c
+          tries += 1 // disjoint: recompute everything from the new head
+      }
+    }
+    -1 // unreachable
   }
 
   /** Write a rewrite path's output rows under version `v`, re-tagging
@@ -1182,8 +1311,10 @@ object VersionedTable {
     * head and try again, which is what this wrapper does, up to
     * `maxRetries` times. Do NOT use it for read-modify-write commits
     * ([[mergeCommit]], [[deleteCommit]]) — those must re-run their
-    * reads against the new head instead of replaying a stale result
-    * (optimistic concurrency with conflict re-evaluation). */
+    * reads against the new head instead of replaying a stale result;
+    * that is exactly what [[mergeCommitOptimistic]] /
+    * [[deleteCommitOptimistic]] do (with loud aborts on true
+    * same-file overlap). */
   def commitWithRetry(spark: SparkSession, table: String, df: DataFrame,
                       append: Boolean,
                       meta: Map[String, String] = Map.empty,
