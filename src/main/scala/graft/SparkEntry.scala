@@ -1289,6 +1289,70 @@ object Queries {
       |FROM merged GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // MULTI-COLUMN PARTITION SPEC (VersionedTable.commitPartitionedMulti
+  // + readPartitionsMulti): orders partitioned on (year, status) —
+  // the (date, region)-style spec real tables use — every file
+  // manifest-tagged with BOTH (col, value) pairs. The gated read
+  // prunes on the conjunction: the in-query require pins that exactly
+  // the (1996, F) cell's files are opened (intersection of the two
+  // columns' candidate sets, strictly fewer than either single-column
+  // prune), from the manifest alone. A follow-up merge pins that
+  // rewrites keep the full two-column spec alive. The oracle filters
+  // orders on the same conjunction. PartitionedTableSpec pins spec
+  // evolution (single→multi) and per-column fallback.
+  // ---------------------------------------------------------------------
+  def partitionMulti(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vpm")
+      .toAbsolutePath.toString + "/orders"
+    val VT = graft.sources.VersionedTable
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy").as("o_year"))
+    // one file per (year, status) cell — co-locate before the write
+    VT.commitPartitionedMulti(s, table,
+      base.repartition(col("o_year"), col("o_orderstatus")),
+      Seq("o_year", "o_orderstatus"), append = false,
+      statCols = Seq("o_orderkey"))
+    val m1 = VT.manifest(s, table, 1)
+    val filters = Seq("o_year" -> Seq("1996"), "o_orderstatus" -> Seq("F"))
+    val cand = VT.partitionCandidatesMulti(m1, filters)
+    val yearOnly = VT.partitionCandidates(m1, "o_year", Seq("1996"))
+    val statusOnly = VT.partitionCandidates(m1, "o_orderstatus", Seq("F"))
+    val yCell = VT.partitionsOf(m1)
+      .collect { case ("o_year", "1996", p) => p }.toSet
+    val fStat = VT.partitionsOf(m1)
+      .collect { case ("o_orderstatus", "F", p) => p }.toSet
+    require(cand.nonEmpty && cand.toSet == (yCell intersect fStat) &&
+      cand.size < yearOnly.size && cand.size < statusOnly.size,
+      s"conjunction must open exactly the (1996,F) cell and out-prune " +
+        s"either column alone: cell=${cand.size} year=${yearOnly.size} " +
+        s"status=${statusOnly.size}")
+    // a keyed merge must keep every file tagged by BOTH columns
+    val v2 = VT.mergeCommit(s, table,
+      base.filter(col("o_orderkey") % 1001 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), "o_orderkey")
+    val m2 = VT.manifest(s, table, v2)
+    val tagsByFile = VT.partitionsOf(m2).groupBy(_._3)
+      .view.mapValues(_.map(_._1).sorted).toMap
+    require(VT.dataFilesOf(m2).forall(f =>
+      tagsByFile.get(f).contains(Seq("o_orderstatus", "o_year"))),
+      "merge outputs must carry the full two-column spec")
+    VT.readPartitionsMulti(s, table, filters, version = Some(1))
+      .groupBy(col("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val partitionMultiSql: String =
+    """SELECT strftime(o_orderdate, '%Y') AS o_year, o_orderstatus,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y') = '1996' AND o_orderstatus = 'F'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MERGE INTO with file-level copy-on-write (VersionedTable
   // .mergeCommit): the base commit is key-clustered into 8 files, then
   // ONE merge applies updates (doubled price on 13-multiples not also
@@ -1802,6 +1866,7 @@ object Queries {
     "q_compaction" -> (compaction _),
     "q_time_travel" -> (timeTravel _),
     "q_partition_overwrite" -> (partitionOverwrite _),
+    "q_partition_multi" -> (partitionMulti _),
     "q_table_merge" -> (tableMerge _),
     "q_bloom_skipping" -> (bloomSkipping _),
     "q_table_compact" -> (tableCompact _),
@@ -1866,6 +1931,7 @@ object Queries {
     "q_compaction" -> compactionSql,
     "q_time_travel" -> timeTravelSql,
     "q_partition_overwrite" -> partitionOverwriteSql,
+    "q_partition_multi" -> partitionMultiSql,
     "q_table_merge" -> tableMergeSql,
     "q_bloom_skipping" -> bloomSkippingSql,
     "q_table_compact" -> tableCompactSql,

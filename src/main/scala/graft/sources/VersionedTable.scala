@@ -56,17 +56,19 @@ object VersionedTable {
   private val MetaPrefix = "meta\t"
 
   /** Partition-tagged data-file manifest-line prefix
-    * (`pt<TAB><col>=<escapedValue><TAB><path>`): the file holds ONLY
-    * rows whose column `<col>` renders as the (dir-escaped) value —
-    * the Iceberg-style partition metadata that lets [[readPartitions]]
-    * and [[dynamicOverwrite]] decide per-file relevance from the
-    * manifest alone, zero data I/O. The value is stored in Spark's
-    * partition-dir escaping (tab/newline/'='-free by construction, so
-    * the line format is safe for arbitrary column values); the COLUMN
-    * NAME in the tag is what makes partition-spec EVOLUTION safe: a
-    * read pruning on column X treats files tagged by any other column
-    * like untagged files — never prunable, always read and filtered.
-    * Untagged data-file lines coexist (mixed tables read fine). */
+    * (`pt<TAB><col>=<escVal>[/<col2>=<escVal2>…]<TAB><path>`): the
+    * file holds ONLY rows whose tagged column(s) render as the
+    * (dir-escaped) value(s) — the Iceberg-style partition metadata
+    * that lets [[readPartitions]] and [[dynamicOverwrite]] decide
+    * per-file relevance from the manifest alone, zero data I/O.
+    * Values are stored in Spark's partition-dir escaping (tab/newline/
+    * '='/'/'-free by construction, so both the line format and the
+    * '/'-joined multi-column form are safe for arbitrary column
+    * values); the COLUMN NAME in each pair is what makes
+    * partition-spec EVOLUTION safe: a read pruning on column X treats
+    * files not tagged by X (untagged, or tagged only by other columns)
+    * as never-prunable — always read and filtered. Untagged data-file
+    * lines coexist (mixed tables read fine). */
   private val PtPrefix = "pt\t"
 
   private def escapeVal(v: String): String =
@@ -77,6 +79,8 @@ object VersionedTable {
       .unescapePathName(v)
   private def ptLine(col: String, escapedValue: String, path: String) =
     s"$PtPrefix$col=$escapedValue\t$path"
+  private def ptLineMulti(pairs: Seq[(String, String)], path: String) =
+    s"$PtPrefix${pairs.map { case (c, v) => s"$c=$v" }.mkString("/")}\t$path"
 
   /** The tag Spark's partitioned write gives null/empty partition
     * values; files so tagged may hold nulls, so partition-value reads
@@ -232,29 +236,37 @@ object VersionedTable {
     * are absent — callers decide their fate). Manifest-only, no data
     * I/O. */
   def partitionsOf(lines: Seq[String]): Seq[(String, String, String)] =
-    lines.collect { case l if l.startsWith(PtPrefix) =>
-      val cut = l.indexOf('\t', PtPrefix.length)
-      val tag = l.substring(PtPrefix.length, cut)
-      val eq = tag.indexOf('=')
-      (tag.take(eq), unescapeVal(tag.drop(eq + 1)), l.substring(cut + 1))
+    lines.flatMap {
+      case l if l.startsWith(PtPrefix) =>
+        val cut = l.indexOf('\t', PtPrefix.length)
+        val tag = l.substring(PtPrefix.length, cut)
+        val path = l.substring(cut + 1)
+        // multi-column tags join pairs with '/' — safe to split on:
+        // escaped values are '/'-free by construction
+        tag.split("/").toSeq.map { pair =>
+          val eq = pair.indexOf('=')
+          (pair.take(eq), unescapeVal(pair.drop(eq + 1)), path)
+        }
+      case _ => Seq.empty
     }
 
-  /** The ONE partition column every data file of a manifest is tagged
-    * by, when the table has a coherent single-column spec — the
+  /** The partition columns EVERY data file of a manifest is tagged by
+    * (in tag order), when the table has one coherent spec — the
     * precondition under which a rewrite path ([[mergeCommit]],
     * [[compactCommit]]) can RE-TAG its output files and keep
     * [[dynamicOverwrite]]/pruning alive across maintenance. Mixed
     * specs (evolution in progress) and partially-tagged tables return
-    * None: their rewrites emit untagged files, which reads treat as
+    * empty: their rewrites emit untagged files, which reads treat as
     * never-prunable (correct, just unpruned) and dynamicOverwrite
     * rejects until a full `commitPartitioned(append = false)`. */
-  private def soleSpecOf(lines: Seq[String]): Option[String] = {
-    val tags = partitionsOf(lines)
-    val cols = tags.map(_._1).distinct
-    if (cols.size == 1 &&
-        tags.map(t => norm(t._3)).toSet == dataFilesOf(lines).map(norm).toSet)
-      Some(cols.head)
-    else None
+  private def fullSpecOf(lines: Seq[String]): Seq[String] = {
+    val data = dataFilesOf(lines).map(norm)
+    val byFile = partitionsOf(lines).groupBy(t => norm(t._3))
+      .view.mapValues(_.map(_._1)).toMap
+    val first = data.headOption.flatMap(byFile.get).getOrElse(Seq.empty)
+    if (data.nonEmpty && first.nonEmpty &&
+        data.forall(f => byFile.get(f).contains(first))) first
+    else Seq.empty
   }
 
   /** The `(value, path)` pairs of files tagged BY `partCol` — the
@@ -761,7 +773,7 @@ object VersionedTable {
     // (partitioned write + pt lines), so one merge never strips the
     // table of the tags dynamicOverwrite and partition pruning need
     val newLines = writeRewrite(spark, table, next, survivors,
-      soleSpecOf(currentLines))
+      fullSpecOf(currentLines))
     // the rewrite purged its files' tombstones (the logical rows were
     // materialized); tombstones on CARRIED files must survive. They
     // consolidate into one fresh sidecar — old sidecars stay on disk
@@ -853,24 +865,23 @@ object VersionedTable {
   }
 
   /** Write a rewrite path's output rows under version `v`, re-tagging
-    * them when the table's spec says to: with `spec = Some(partCol)`
-    * (and the column present — a rewrite of evolved data may lack it)
-    * the rows go through the partitioned write and come back as `pt`
+    * them when the table's spec says to: with a non-empty `spec` (all
+    * columns present — a rewrite of evolved data may lack one) the
+    * rows go through the partitioned write and come back as `pt`
     * manifest lines; otherwise a plain parquet write and bare paths. */
   private def writeRewrite(spark: SparkSession, table: String, v: Int,
                            rows: DataFrame,
-                           spec: Option[String]): Seq[String] =
-    spec.filter(rows.columns.contains) match {
-      case Some(pc) =>
-        writePartitionedData(spark, table, v, rows, pc)
-          .map { case (tag, p) => ptLine(pc, tag, p) }
-      case None =>
-        val dataDir = new Path(table,
-          s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
-        rows.write.parquet(dataDir.toString)
-        val f = fs(spark, dataDir)
-        f.listStatus(dataDir).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+                           spec: Seq[String]): Seq[String] =
+    if (spec.nonEmpty && spec.forall(rows.columns.contains))
+      writePartitionedDataMulti(spark, table, v, rows, spec)
+        .map { case (pairs, p) => ptLineMulti(pairs, p) }
+    else {
+      val dataDir = new Path(table,
+        s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      rows.write.parquet(dataDir.toString)
+      val f = fs(spark, dataDir)
+      f.listStatus(dataDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
     }
 
   /** Rewrite the tombstones of `dvLines` that target a file in
@@ -932,17 +943,16 @@ object VersionedTable {
     val smallRows = small.map(f => counts.getOrElse(norm(f), 0L)).sum
     val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
     val next = vs.last + 1
-    val spec = soleSpecOf(lines)
+    val spec = fullSpecOf(lines)
     val compacted = {
       val snap = readSnapshot(spark, small ++ dvLines)
-      spec.filter(snap.columns.contains) match {
-        // partitioned table: hash on the partition column so each
-        // value's fragments collapse into ONE file (per-partition
-        // compaction — outputs stay pt-tagged via writeRewrite)
-        case Some(pc) =>
-          snap.repartition(nOut, org.apache.spark.sql.functions.col(pc))
-        case None => snap.repartition(nOut)
-      }
+      // partitioned table: hash on the partition column(s) so each
+      // value's fragments collapse into ONE file (per-partition
+      // compaction — outputs stay pt-tagged via writeRewrite)
+      if (spec.nonEmpty && spec.forall(snap.columns.contains))
+        snap.repartition(nOut,
+          spec.map(org.apache.spark.sql.functions.col): _*)
+      else snap.repartition(nOut)
     }
     val newLines = writeRewrite(spark, table, next, compacted, spec)
     val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
@@ -1032,30 +1042,58 @@ object VersionedTable {
     * manifest-sized state every commit path already holds. */
   private def writePartitionedData(spark: SparkSession, table: String,
                                    v: Int, df: DataFrame,
-                                   partCol: String): Seq[(String, String)] = {
+                                   partCol: String): Seq[(String, String)] =
+    writePartitionedDataMulti(spark, table, v, df, Seq(partCol))
+      .map { case (pairs, p) => pairs.head._2 -> p }
+
+  /** [[writePartitionedData]] generalized to a MULTI-COLUMN spec:
+    * hive-layout `__pt0=a/__pt1=b/…` directories (one internal path
+    * column per spec column — the real columns survive inside the
+    * files), each produced file returned with its full
+    * `(col, escapedValue)` pair list in spec order. */
+  private def writePartitionedDataMulti(spark: SparkSession, table: String,
+                                        v: Int, df: DataFrame,
+                                        partCols: Seq[String])
+      : Seq[(Seq[(String, String)], String)] = {
     import org.apache.spark.sql.functions.col
-    require(df.columns.contains(partCol), s"no column $partCol")
-    // `__pt` is this write's internal path column — an input column of
-    // the same name would be silently overwritten and lost from the
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      "partition columns must be non-empty and distinct")
+    partCols.foreach(pc =>
+      require(df.columns.contains(pc), s"no column $pc"))
+    // `__ptN` are this write's internal path columns — input columns of
+    // the same names would be silently overwritten and lost from the
     // stored data (same validation spirit as commitPartitioned's
-    // partCol name check)
-    require(!df.columns.contains("__pt"),
-      "input must not carry a __pt column (reserved for the partitioned write)")
+    // partCol name check). `__pt` stays reserved too (legacy layout).
+    val ptCols = partCols.indices.map(i =>
+      if (partCols.size == 1) "__pt" else s"__pt$i")
+    (ptCols :+ "__pt").distinct.foreach(c =>
+      require(!df.columns.contains(c),
+        s"input must not carry a $c column (reserved for the partitioned write)"))
     val dataDir = new Path(table,
       s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.withColumn("__pt", col(partCol).cast("string"))
-      .write.partitionBy("__pt").parquet(dataDir.toString)
+    partCols.zip(ptCols).foldLeft(df) { case (d, (pc, ptc)) =>
+      d.withColumn(ptc, col(pc).cast("string"))
+    }.write.partitionBy(ptCols: _*).parquet(dataDir.toString)
     val f = fs(spark, dataDir)
-    f.listStatus(dataDir).toSeq.filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("__pt="))
-      .flatMap { d =>
-        // keep Spark's own partition-dir ESCAPED form — it is exactly
-        // what the manifest line format needs (tab/'='-free)
-        val esc = d.getPath.getName.substring("__pt=".length)
-        f.listStatus(d.getPath).toSeq.map(_.getPath)
+    // walk one directory level per spec column, accumulating Spark's
+    // own partition-dir ESCAPED values — exactly what the manifest
+    // line format needs (tab/'='/'/'-free)
+    def walk(dir: Path, depth: Int,
+             acc: List[String]): Seq[(List[String], String)] =
+      if (depth == ptCols.size)
+        f.listStatus(dir).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
-          .map(p => esc -> p.toString)
+          .map(p => (acc.reverse, p.toString))
+      else {
+        val prefix = s"${ptCols(depth)}="
+        f.listStatus(dir).toSeq.filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .flatMap(d => walk(d.getPath, depth + 1,
+            d.getPath.getName.substring(prefix.length) :: acc))
       }
+    walk(dataDir, 0, Nil).map { case (vals, p) =>
+      (partCols.zip(vals), p)
+    }
   }
 
   /** Commit `df` PARTITIONED on `partCol` as the next version: one
@@ -1089,6 +1127,81 @@ object VersionedTable {
       carried ++ tagged.map { case (t, p) => ptLine(partCol, t, p) } ++
         stLines ++ metaLines)
     next
+  }
+
+  /** [[commitPartitioned]] for a MULTI-COLUMN spec — real tables
+    * partition on (date, region): one hive directory per distinct
+    * value combination, every file manifest-tagged with ALL its
+    * `(col, value)` pairs, so reads prune on any tagged column
+    * independently and [[readPartitionsMulti]] prunes on the
+    * conjunction. Everything else matches [[commitPartitioned]]
+    * (append carry, stat-schema inheritance, null handling per
+    * column). */
+  def commitPartitionedMulti(spark: SparkSession, table: String,
+                             df: DataFrame, partCols: Seq[String],
+                             append: Boolean,
+                             meta: Map[String, String] = Map.empty,
+                             statCols: Seq[String] = Nil): Int = {
+    partCols.foreach(pc => require(!pc.contains('=') &&
+      !pc.contains('\t') && !pc.contains('\n') && !pc.contains('/'),
+      "partition column names must be =/tab/newline/slash-free"))
+    val metaLines = metaLinesOf(
+      meta + ("partitioned_by" -> partCols.mkString(",")))
+    val next = versions(spark, table).lastOption.getOrElse(0) + 1
+    val tagged = writePartitionedDataMulti(spark, table, next, df, partCols)
+    val carried =
+      if (append && next > 1)
+        readManifest(spark, table, next - 1)
+          .filterNot(_.startsWith(MetaPrefix))
+      else Seq.empty
+    val effStatCols = (statCols ++ statColsOf(carried)).distinct
+    val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
+    writeManifest(spark, table, next,
+      carried ++ tagged.map { case (ps, p) => ptLineMulti(ps, p) } ++
+        stLines ++ metaLines)
+    next
+  }
+
+  /** The files a read restricted to a CONJUNCTION of per-column value
+    * sets must open: the intersection of each column's
+    * [[partitionCandidates]] — a file prunes away as soon as ANY
+    * filtered column's tag excludes it, and files not tagged by a
+    * column are never prunable on that column (same evolution-safety
+    * rule as the single-column path). Manifest-only. */
+  def partitionCandidatesMulti(lines: Seq[String],
+                               filters: Seq[(String, Seq[String])])
+      : Seq[String] = {
+    require(filters.nonEmpty, "need at least one (column, values) filter")
+    val keep = filters
+      .map { case (c, vs) =>
+        partitionCandidates(lines, c, vs).map(norm).toSet }
+      .reduce(_ intersect _)
+    dataFilesOf(lines).filter(p => keep.contains(norm(p)))
+  }
+
+  /** Partition-pruned snapshot read on a conjunction of partition
+    * predicates: only [[partitionCandidatesMulti]] files are opened,
+    * then the exact predicates apply — row-identical to
+    * `read(...).filter(c1 IN vs1 AND c2 IN vs2 …)` on any table,
+    * tagged or not. On a (date, region)-partitioned 100 TB table a
+    * one-day-one-region read opens that cell's files and zero stats. */
+  def readPartitionsMulti(spark: SparkSession, table: String,
+                          filters: Seq[(String, Seq[String])],
+                          version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = partitionCandidatesMulti(lines, filters)
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark,
+        cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(filters.map { case (c, vals) =>
+      col(c).cast("string").isin(vals: _*)
+    }.reduce(_ && _))
   }
 
   /** The data files a read restricted to `partCol` partition `values`

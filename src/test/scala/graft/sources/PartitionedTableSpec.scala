@@ -339,4 +339,106 @@ class PartitionedTableSpec extends SparkSpec {
 
   private def norm(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  private def multiSample: DataFrame =
+    Seq(
+      (1L, "2024-01", "eu", 10.0), (2L, "2024-01", "us", 20.0),
+      (3L, "2024-02", "eu", 30.0), (4L, "2024-02", "us", 40.0),
+      (5L, "2024-02", "us", 50.0)
+    ).toDF("k", "day", "region", "amt")
+
+  private def mrows(df: DataFrame): Set[(Long, String, String, Double)] =
+    df.select("k", "day", "region", "amt")
+      .as[(Long, String, String, Double)].collect().toSet
+
+  test("multi-column partitioned commit: every file tagged by BOTH columns") {
+    val t = freshTable()
+    VersionedTable.commitPartitionedMulti(spark, t, multiSample,
+      Seq("day", "region"), append = false)
+    val m = VersionedTable.manifest(spark, t, 1)
+    val byFile = VersionedTable.partitionsOf(m)
+      .groupBy(p => norm(p._3)).view.mapValues(_.map(_._1).sorted).toMap
+    assert(byFile.nonEmpty &&
+      byFile.values.forall(_ == Seq("day", "region")))
+    assert(VersionedTable.dataFilesOf(m).size == 4) // 4 distinct cells
+    assert(mrows(VersionedTable.read(spark, t)) == mrows(multiSample))
+    assert(VersionedTable.metaOf(m)("partitioned_by") == "day,region")
+  }
+
+  test("conjunction pruning == read.filter; candidates intersect per column") {
+    val t = freshTable()
+    VersionedTable.commitPartitionedMulti(spark, t, multiSample,
+      Seq("day", "region"), append = false)
+    val m = VersionedTable.manifest(spark, t, 1)
+    for (filters <- Seq(
+        Seq("day" -> Seq("2024-02"), "region" -> Seq("us")),
+        Seq("day" -> Seq("2024-01", "2024-02"), "region" -> Seq("eu")),
+        Seq("day" -> Seq("2024-09"), "region" -> Seq("us")),
+        Seq("region" -> Seq("us")))) {
+      val pruned = VersionedTable.readPartitionsMulti(spark, t, filters)
+      val full = filters.foldLeft(VersionedTable.read(spark, t)) {
+        case (df, (c, vs)) => df.filter(col(c).isin(vs: _*)) }
+      assert(mrows(pruned) == mrows(full), s"filters=$filters")
+    }
+    // the (2024-02, us) cell is ONE file out of four
+    assert(VersionedTable.partitionCandidatesMulti(m,
+      Seq("day" -> Seq("2024-02"), "region" -> Seq("us"))).size == 1)
+    // single-column reads still work off either column's tags
+    assert(VersionedTable.partitionCandidates(m, "region", Seq("eu")).size == 2)
+  }
+
+  test("single→multi spec evolution: reads stay exact, pruning per tagged column") {
+    val t = freshTable()
+    // v1: single-column spec (day)
+    VersionedTable.commitPartitioned(spark, t,
+      multiSample.filter(col("k") <= 2L), "day", append = false)
+    // v2: appended under the evolved (day, region) spec
+    VersionedTable.commitPartitionedMulti(spark, t,
+      multiSample.filter(col("k") > 2L), Seq("day", "region"),
+      append = true)
+    val m = VersionedTable.manifest(spark, t, 2)
+    // a day read prunes across BOTH generations (both tag day)
+    val dayRead = VersionedTable.readPartitions(spark, t, "day",
+      Seq("2024-02"))
+    assert(mrows(dayRead) == mrows(multiSample.filter(col("day") === "2024-02")))
+    // a region read must treat day-only files as never-prunable…
+    val regionRead = VersionedTable.readPartitionsMulti(spark, t,
+      Seq("region" -> Seq("eu")))
+    assert(mrows(regionRead) == mrows(multiSample.filter(col("region") === "eu")))
+    // …which the candidate set shows: all v1 files + the eu cells of v2
+    val v1Files = VersionedTable.partitionsFor(
+      VersionedTable.manifest(spark, t, 1), "day").map(_._2)
+    val cand = VersionedTable.partitionCandidatesMulti(m,
+      Seq("region" -> Seq("eu")))
+    assert(v1Files.forall(f => cand.map(norm).contains(norm(f))))
+    // a merge on the MIXED-spec table emits untagged files but stays exact
+    VersionedTable.mergeCommit(spark, t,
+      Seq((1L, "2024-01", "eu", 11.0)).toDF("k", "day", "region", "amt"), "k")
+    assert(mrows(VersionedTable.read(spark, t)) ==
+      mrows(multiSample.filter(col("k") =!= 1L).unionByName(
+        Seq((1L, "2024-01", "eu", 11.0)).toDF("k", "day", "region", "amt"))))
+  }
+
+  test("merge and compact on a multi-column table re-tag with the full spec") {
+    val t = freshTable()
+    VersionedTable.commitPartitionedMulti(spark, t, multiSample,
+      Seq("day", "region"), append = false, statCols = Seq("k"))
+    val v2 = VersionedTable.mergeCommit(spark, t,
+      Seq((5L, "2024-02", "us", 55.0)).toDF("k", "day", "region", "amt"), "k")
+    val m2 = VersionedTable.manifest(spark, t, v2)
+    val byFile = VersionedTable.partitionsOf(m2)
+      .groupBy(p => norm(p._3)).view.mapValues(_.map(_._1).sorted).toMap
+    assert(VersionedTable.dataFilesOf(m2).map(norm)
+      .forall(f => byFile.get(f).contains(Seq("day", "region"))),
+      "every post-merge file must carry both tags")
+    val v3 = VersionedTable.compactCommit(spark, t, targetRows = 100L)
+    val m3 = VersionedTable.manifest(spark, t, v3)
+    val byFile3 = VersionedTable.partitionsOf(m3)
+      .groupBy(p => norm(p._3)).view.mapValues(_.map(_._1).sorted).toMap
+    assert(VersionedTable.dataFilesOf(m3).map(norm)
+      .forall(f => byFile3.get(f).contains(Seq("day", "region"))))
+    assert(mrows(VersionedTable.read(spark, t)) ==
+      mrows(multiSample.filter(col("k") =!= 5L).unionByName(
+        Seq((5L, "2024-02", "us", 55.0)).toDF("k", "day", "region", "amt"))))
+  }
 }
