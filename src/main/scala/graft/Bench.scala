@@ -141,8 +141,23 @@ object Bench {
     System.err.println(
       s"[bench] failed=$failed stream_prewarm=${f2(prewarmSec)}s " +
         s"stream_start=${f2(streamStartSec)}s (netted out of q_stream_*) dir=$sfDir")
-    System.err.println(jsonLine(results,
-      s""","n_queries":${results.size},"failed":$failed,"stream_start":${f2(streamStartSec)}"""))
+    val fullLine = jsonLine(results,
+      s""","n_queries":${results.size},"failed":$failed,"stream_start":${f2(streamStartSec)}""")
+    System.err.println(fullLine)
+    // SELF-CONTAINED ARTIFACT: the full 160+-entry per-query map no
+    // longer fits any log-capture window (r6's BENCH json recovered
+    // only 41 of 166 timings from the truncated tail), so the complete
+    // JSON object is also WRITTEN TO A FILE — one object, no log-line
+    // scraping. The driver's round-end commit picks it up.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+      System.err.println(s"[bench] full per-query map -> $outPath")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${t.getMessage}")
+    }
     val headline = Seq(
       "q_reference_products", "q_reference_clients", "q_source_csv_watermark",
       "q_source_jdbc", "q_join_broadcast_left", "q_window_user_total",

@@ -1706,6 +1706,84 @@ object Queries {
       |FROM final GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TABLE CHANGE STREAM (TableChangeStream.drainToVersionedTable): the
+  // change feed consumed AS A STREAM — a checkpointed drain runs twice
+  // against a mutating table (first sees only the initial commit; the
+  // second sees exactly the append + merge + delete committed in
+  // between, never re-delivering version 1), landing each version's
+  // feed exactly-once in a second versioned table. The gated output is
+  // an aggregate of the FOLDED feed (net row multiplicities from the
+  // drained deltas alone), and an in-query require pins that the fold
+  // reconstructs the source's final snapshot row-for-row. The oracle
+  // computes the final state algebraically from orders.
+  // TableChangeStreamSpec pins crash-restart and marker idempotence.
+  // ---------------------------------------------------------------------
+  def tableChangeStream(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vtcs")
+      .toAbsolutePath.toString
+    val table = scratch + "/orders"; val dest = scratch + "/feed"
+    val ckpt = scratch + "/ckpt"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    val d1 = graft.streaming.TableChangeStream
+      .drainToVersionedTable(s, table, dest, ckpt)
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx),
+      append = true)
+    val updates = base
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .withColumn("price_cents", col("price_cents") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("__del", lit(true))
+    graft.sources.VersionedTable.mergeCommit(s, table,
+      updates.unionByName(deletes), "o_orderkey", deleteCol = Some("__del"))
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 23 === 0, Seq("o_orderkey"))
+    val d2 = graft.streaming.TableChangeStream
+      .drainToVersionedTable(s, table, dest, ckpt)
+    require(d1 == 1 && d2 == 3,
+      s"drains must deliver exactly the pending commits, got $d1/$d2")
+    val cols = Seq("o_orderkey", "o_orderstatus", "price_cents")
+    val folded = graft.streaming.TableChangeStream
+      .foldFeed(graft.sources.VersionedTable.read(s, dest))
+      .select((cols :+ "n").map(col): _*)
+    val snapG = graft.sources.VersionedTable.read(s, table)
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .select((cols :+ "n").map(col): _*)
+    require(folded.exceptAll(snapG).isEmpty &&
+      snapG.exceptAll(folded).isEmpty,
+      "folding the drained feed must reconstruct the final snapshot")
+    folded.groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("cnt"),
+        sum(col("n") * col("price_cents")).as("sum_price_cents"))
+  }
+
+  val tableChangeStreamSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders),
+      |  appended AS (SELECT k + 10 * mx AS k, o_orderstatus, price_cents
+      |    FROM base, b WHERE k % 97 = 0),
+      |  merged AS (
+      |    SELECT k, o_orderstatus, price_cents FROM base
+      |    WHERE k % 13 <> 0 AND k % 17 <> 0
+      |    UNION ALL
+      |    SELECT k, o_orderstatus, price_cents * 2 FROM base
+      |    WHERE k % 13 = 0 AND k % 17 <> 0
+      |    UNION ALL
+      |    SELECT k, o_orderstatus, price_cents FROM appended),
+      |  final AS (SELECT * FROM merged WHERE k % 23 <> 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1874,6 +1952,7 @@ object Queries {
     "q_delete_vectors" -> (deleteVectors _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_incremental_mv" -> (incrementalMv _),
+    "q_table_change_stream" -> (tableChangeStream _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -1939,6 +2018,7 @@ object Queries {
     "q_delete_vectors" -> deleteVectorsSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_incremental_mv" -> incrementalMvSql,
+    "q_table_change_stream" -> tableChangeStreamSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }
