@@ -1784,6 +1784,111 @@ object Queries {
       |FROM final GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // RESTORE (VersionedTable.restoreCommit): a delete and a COW merge
+  // are rolled back by republishing version 1's manifest as version 4
+  // — ZERO data I/O (in-query require: v4's file list is verbatim
+  // v1's, tombstone-free), yet the rollback is itself a commit (time
+  // travel to the undone states still works). The oracle is the plain
+  // orders aggregate: restore must erase every trace of the
+  // mutations. TableRestoreSpec pins feed-across-restore inversion
+  // and vacuum-after-restore liveness.
+  // ---------------------------------------------------------------------
+  def tableRestore(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vres")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 7 === 0, Seq("o_orderkey"))
+    graft.sources.VersionedTable.mergeCommit(s, table,
+      base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("price_cents", col("price_cents") * 2),
+      "o_orderkey")
+    val v4 = graft.sources.VersionedTable.restoreCommit(s, table, 1)
+    val m = (v: Int) => graft.sources.VersionedTable
+      .manifest(s, table, v)
+    require(graft.sources.VersionedTable.dataFilesOf(m(v4)) ==
+      graft.sources.VersionedTable.dataFilesOf(m(1)) &&
+      graft.sources.VersionedTable.dvFilesOf(m(v4)).isEmpty,
+      "restore must republish version 1's file list verbatim, no data I/O")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  val tableRestoreSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CHECK CONSTRAINTS (VersionedTable.addConstraint): write-time
+  // data-quality contracts in the table itself — a valid append
+  // passes, then a violating append AND a violating merge are both
+  // REJECTED atomically (in-query requires: the head version is
+  // unchanged and the staged files were unstaged — no orphan residue).
+  // Validation cost is O(new files) per commit, never a table rescan.
+  // The oracle is orders + the valid appended slice: rejected commits
+  // must leave no trace in the data.
+  // ---------------------------------------------------------------------
+  def tableConstraint(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vchk")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    graft.sources.VersionedTable.addConstraint(s, table,
+      "price_positive", "price_cents > 0")
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx),
+      append = true) // valid: passes the check
+    val head = graft.sources.VersionedTable.versions(s, table).last
+    def rejected(op: => Unit): Boolean =
+      try { op; false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("price_positive") }
+    require(rejected {
+      graft.sources.VersionedTable.commit(s, table,
+        base.limit(5).withColumn("price_cents", lit(-1L)), append = true)
+    }, "violating append must be rejected")
+    require(rejected {
+      graft.sources.VersionedTable.mergeCommit(s, table,
+        base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("price_cents", -col("price_cents")), "o_orderkey")
+    }, "violating merge must be rejected")
+    require(graft.sources.VersionedTable.versions(s, table).last == head,
+      "rejected commits must not advance the version")
+    require(graft.sources.VersionedTable
+      .cleanOrphans(s, table, olderThanMs = -600000L).isEmpty,
+      "rejected commits must unstage their files (no orphans)")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  val tableConstraintSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders),
+      |  final AS (
+      |    SELECT k, o_orderstatus, price_cents FROM base
+      |    UNION ALL
+      |    SELECT k + 10 * mx, o_orderstatus, price_cents FROM base, b
+      |    WHERE k % 97 = 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -1953,6 +2058,8 @@ object Queries {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_incremental_mv" -> (incrementalMv _),
     "q_table_change_stream" -> (tableChangeStream _),
+    "q_table_restore" -> (tableRestore _),
+    "q_table_constraint" -> (tableConstraint _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -2019,6 +2126,8 @@ object Queries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,
+    "q_table_restore" -> tableRestoreSql,
+    "q_table_constraint" -> tableConstraintSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

@@ -382,6 +382,7 @@ object VersionedTable {
       else Seq.empty
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, newFiles, effStatCols)
+    validateNewFiles(spark, table, newFiles) // CHECK constraints, O(new data)
     writeManifest(spark, table, next,
       carried ++ newFiles ++ stLines ++ metaLines)
     next
@@ -774,6 +775,11 @@ object VersionedTable {
     // table of the tags dynamicOverwrite and partition pruning need
     val newLines = writeRewrite(spark, table, next, survivors,
       fullSpecOf(currentLines))
+    // CHECK constraints over the rewrite's output only (upserts land
+    // there; carried files were validated by their own commits) —
+    // BEFORE tombstone consolidation, so a rejected merge stages
+    // nothing beyond the dirs the validator itself unstages
+    validateNewFiles(spark, table, dataFilesOf(newLines))
     // the rewrite purged its files' tombstones (the logical rows were
     // materialized); tombstones on CARRIED files must survive. They
     // consolidate into one fresh sidecar — old sidecars stay on disk
@@ -1123,6 +1129,7 @@ object VersionedTable {
     // same stat-schema inheritance as commit (st lines per new file)
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
+    validateNewFiles(spark, table, tagged.map(_._2)) // CHECK constraints
     writeManifest(spark, table, next,
       carried ++ tagged.map { case (t, p) => ptLine(partCol, t, p) } ++
         stLines ++ metaLines)
@@ -1156,6 +1163,7 @@ object VersionedTable {
       else Seq.empty
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
+    validateNewFiles(spark, table, tagged.map(_._2)) // CHECK constraints
     writeManifest(spark, table, next,
       carried ++ tagged.map { case (ps, p) => ptLineMulti(ps, p) } ++
         stLines ++ metaLines)
@@ -1335,6 +1343,7 @@ object VersionedTable {
     val carriedPaths = partitionsOf(carriedLines).map(_._3)
     val next = vs.last + 1
     val newTagged = writePartitionedData(spark, table, next, df, partCol)
+    validateNewFiles(spark, table, newTagged.map(_._2)) // CHECK constraints
     val keptDv = consolidateTombstones(spark,
       lines.filter(_.startsWith(DvPrefix)), carriedPaths, table, next)
     writeManifest(spark, table, next,
@@ -1524,6 +1533,139 @@ object VersionedTable {
     * retention reasoning as Delta's VACUUM RETAIN. Referenced files
     * are never candidates regardless of age. Returns the deleted
     * paths. */
+  /** RESTORE — roll the table back to `toVersion` as a NEW commit
+    * (the Delta `RESTORE TABLE ... TO VERSION` shape): the old
+    * manifest's file list (data, tombstones, partition tags, stats)
+    * is republished verbatim under the next version number, so the
+    * rollback is itself time-travelable and the change feed across it
+    * is exactly the inverse of the undone mutations (fold still
+    * reconstructs every snapshot). ZERO data I/O — the commit is one
+    * manifest write; the restored files were kept on disk by the
+    * time-travel contract ([[vacuum]] is what retires them, so only
+    * restore to versions your retention still holds). Constraint
+    * validation is skipped by design: the restored rows are a prior
+    * committed state, not new data (same as Delta RESTORE). */
+  def restoreCommit(spark: SparkSession, table: String,
+                    toVersion: Int): Int = {
+    val vs = versions(spark, table)
+    require(vs.contains(toVersion),
+      s"cannot restore to $toVersion; committed versions are $vs")
+    val old = readManifest(spark, table, toVersion)
+    val lines = old.filterNot(_.startsWith(MetaPrefix))
+    // carry the spec marker (dynamicOverwrite and SHOW PARTITIONS key
+    // off it) but stamp the provenance fresh
+    val keptMeta = metaOf(old).filter { case (k, _) =>
+      k == "partitioned_by" }
+    val next = vs.last + 1
+    writeManifest(spark, table, next, lines ++
+      metaLinesOf(keptMeta + ("restored_from" -> toVersion.toString)))
+    next
+  }
+
+  // -------------------------------------------------------------------
+  // CHECK constraints — data-quality contracts enforced at write time
+  // -------------------------------------------------------------------
+
+  private def constraintsDir(table: String) = new Path(table, "_constraints")
+
+  /** The table's active CHECK constraints (name -> SQL expression). */
+  def constraintsOf(spark: SparkSession,
+                    table: String): Map[String, String] = {
+    val dir = constraintsDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = f.open(s.getPath)
+        val body = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          bytes.toString("UTF-8").trim
+        } finally in.close()
+        s.getPath.getName -> body
+      }.toMap
+  }
+
+  /** ADD CONSTRAINT `name` CHECK (`sqlExpr`) — SQL semantics: a row
+    * violates only when the expression is FALSE (NULL passes, same as
+    * ANSI CHECK and Delta). The CURRENT snapshot must already satisfy
+    * it (one filter job; skipped on an empty table), then every later
+    * [[commit]]/[[commitPartitioned]]/[[commitPartitionedMulti]]/
+    * [[mergeCommit]]/[[dynamicOverwrite]] validates its NEW files
+    * against it — O(new data) per commit, never a rescan of the
+    * table — and refuses to publish (deleting the staged files) on a
+    * violation. Published with create-exclusive discipline: adding a
+    * constraint that already exists fails rather than silently
+    * replacing it. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"constraint name '$name' must be [A-Za-z0-9_-]+")
+    require(!sqlExpr.contains('\n'), "constraint expression must be one line")
+    if (versions(spark, table).nonEmpty) {
+      val bad = read(spark, table)
+        .filter(not(coalesce(expr(sqlExpr), lit(true)))).limit(1).count()
+      require(bad == 0L,
+        s"current snapshot violates CHECK $name ($sqlExpr)")
+    }
+    val p = new Path(constraintsDir(table), name)
+    val f = fs(spark, p)
+    f.mkdirs(constraintsDir(table))
+    val out = f.create(p, false) // create-exclusive: no silent replace
+    try out.write((sqlExpr + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** DROP CONSTRAINT (idempotent). */
+  def dropConstraint(spark: SparkSession, table: String,
+                     name: String): Unit = {
+    val p = new Path(constraintsDir(table), name)
+    fs(spark, p).delete(p, false)
+  }
+
+  /** Validate freshly-written data files against the table's CHECK
+    * constraints BEFORE the manifest publish: one O(new files) scan
+    * evaluating every constraint in a single aggregate pass. On
+    * violation the staged commit dirs are deleted (no orphans) and the
+    * commit aborts — the table never observes the bad version. A
+    * constraint column the new files don't carry fails loudly
+    * (AnalysisException): declare the column on the write or drop the
+    * constraint first. */
+  private def validateNewFiles(spark: SparkSession, table: String,
+                               newFiles: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    if (newFiles.isEmpty) return
+    val cs = constraintsOf(spark, table).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val staged = spark.read.option("mergeSchema", "true")
+      .parquet(newFiles: _*)
+    val counts = staged.agg(
+      sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L)
+        .otherwise(0L)).as(cs.head._1),
+      cs.tail.map { case (n, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+      }: _*).collect()(0)
+    val violated = cs.indices.filter(i => counts.getLong(i) > 0)
+      .map(i => s"${cs(i)._1} (${cs(i)._2}): ${counts.getLong(i)} row(s)")
+    if (violated.nonEmpty) {
+      // unstage: walk each file up to its commit dir under data/ and
+      // remove it whole, so a rejected commit leaves no residue
+      val f = fs(spark, new Path(table))
+      newFiles.map { p =>
+        var d = new Path(p).getParent
+        while (d.getParent != null && d.getParent.getName != "data")
+          d = d.getParent
+        d
+      }.distinct.foreach(d => f.delete(d, true))
+      throw new IllegalStateException(
+        s"commit rejected: CHECK constraint(s) violated — " +
+          violated.mkString("; "))
+    }
+  }
+
   def cleanOrphans(spark: SparkSession, table: String,
                    olderThanMs: Long): Seq[String] = {
     val referenced = versions(spark, table)

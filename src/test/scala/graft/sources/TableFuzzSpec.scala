@@ -13,11 +13,12 @@ import graft.streaming.TableChangeStream
 /** MUTATION-HISTORY fuzz for the table layer: the oracle gate runs one
   * FIXED history per query, so a commit-path bug that only appears
   * under a particular interleaving (merge after overwrite, delete over
-  * a merged file, ...) would slip it. Here a seeded random walk drives
-  * commitPartitioned / mergeCommit / deleteCommit / dynamicOverwrite
-  * against a driver-side model (a plain Map — the executable spec of
-  * the table semantics), and after EVERY step asserts the three
-  * invariants everything downstream rides on:
+  * a merged file, restore over either, ...) would slip it. Here a
+  * seeded random walk drives commitPartitioned / mergeCommit /
+  * deleteCommit / dynamicOverwrite / restoreCommit against a
+  * driver-side model (a plain Map — the executable spec of the table
+  * semantics), and after EVERY step asserts the three invariants
+  * everything downstream rides on:
   *
   *  1. snapshot == model (the table itself),
   *  2. change-feed fold == snapshot (a checkpointed
@@ -49,14 +50,18 @@ class TableFuzzSpec extends SparkSpec {
     def randRow(k: Long): (Long, (String, Long)) =
       k -> (groups(rnd.nextInt(groups.size)), rnd.nextInt(1000).toLong)
 
-    // model: the driver-side truth the table must track
+    // model: the driver-side truth the table must track; history keeps
+    // the model state per committed version so a RESTORE can roll the
+    // model back exactly as the table does (every op below commits
+    // exactly one version)
     var model: Map[Long, (String, Long)] =
       freshKeys(40).map(randRow).toMap
+    var history = Vector(model)
     VersionedTable.commitPartitioned(spark, table, toDf(model), "g",
       append = false)
     MaterializedView.build(spark, table, mv, Seq("g"), Seq("x"))
 
-    def applyRandomOp(): String = rnd.nextInt(4) match {
+    def applyRandomOp(): String = rnd.nextInt(5) match {
       case 0 => // append fresh keys
         val added = freshKeys(1 + rnd.nextInt(6)).map(randRow).toMap
         VersionedTable.commitPartitioned(spark, table, toDf(added), "g",
@@ -88,6 +93,11 @@ class TableFuzzSpec extends SparkSpec {
         VersionedTable.dynamicOverwrite(spark, table, toDf(repl), "g")
         model = model.filter { case (_, (g, _)) => g != gv } ++ repl
         s"overwrite($gv,${repl.size})"
+      case 4 => // restore to a random earlier version
+        val v = 1 + rnd.nextInt(history.size)
+        VersionedTable.restoreCommit(spark, table, v)
+        model = history(v - 1)
+        s"restore($v)"
     }
 
     def snapshotSet(): Set[(Long, String, Long)] =
@@ -124,7 +134,11 @@ class TableFuzzSpec extends SparkSpec {
 
     check("initial")
     val steps = 8
-    (1 to steps).foreach { i => check(s"step $i: ${applyRandomOp()}") }
+    (1 to steps).foreach { i =>
+      val op = applyRandomOp()
+      history :+= model
+      check(s"step $i: $op")
+    }
   }
 
   test("random commit/merge/delete/overwrite histories hold the three invariants (seed 1)") {
