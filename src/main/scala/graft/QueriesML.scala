@@ -120,6 +120,30 @@ object QueriesML {
   }
 
   // ---------------------------------------------------------------------
+  // Epoch shuffle into loader shards (Curation.epochShards): the
+  // whole corpus deterministically permuted into 8 balanced shards
+  // with dense within-shard positions — one hash exchange, per-reducer
+  // sort bounded by corpus/numShards, no total sort. The oracle
+  // replays the same md5 hash family in DuckDB; the hash gate pins
+  // shard membership AND order byte-identically across engines.
+  // ---------------------------------------------------------------------
+  val EpochShardsN = 8
+  val EpochTag = "epoch-3"
+
+  def epochShards(s: SparkSession, dir: String): DataFrame =
+    Curation.epochShards(t(s, dir, "documents").select(col("doc_id")),
+      "doc_id", EpochShardsN, EpochTag)
+
+  val epochShardsSql: String = {
+    val h = StableHash.stable32Sql(
+      s"CAST(doc_id AS VARCHAR) || ':$EpochTag'")
+    s"""SELECT doc_id, CAST(($h) % $EpochShardsN AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY ($h) % $EpochShardsN
+       |    ORDER BY $h ASC, doc_id ASC) AS INT) AS pos
+       |FROM documents""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic stratified sample: exactly K docs per language,
   // selected by salted-hash order (uniform within stratum, stable
   // across runs/engines/cluster sizes) — the few-shot / eval-subset
@@ -1631,6 +1655,7 @@ object QueriesML {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_cluster_keeper" -> (clusterKeeper _),
     "q_sample_split" -> (sampleSplit _),
+    "q_epoch_shards" -> (epochShards _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_pipeline" -> (curationPipeline _),
   )
@@ -1715,6 +1740,7 @@ object QueriesML {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_cluster_keeper" -> clusterKeeperSql,
     "q_sample_split" -> sampleSplitSql,
+    "q_epoch_shards" -> epochShardsSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_pipeline" -> curationPipelineSql,
   )

@@ -341,4 +341,36 @@ object Curation {
       .select(explode(col("__topk.id")).as("__keep_id"))
     df.join(keep, col(idCol) === col("__keep_id"), "left_semi")
   }
+
+  /** EPOCH SHUFFLE for training-data loaders: a deterministic global
+    * permutation of the corpus into `numShards` balanced shards, each
+    * with a dense within-shard position — the "shuffle 100 TB for
+    * epoch k" primitive. No total sort and no driver state: the
+    * salted hash assigns every row its shard (uniform, so shards
+    * balance to O(sqrt) fluctuations) AND its rank inside the shard;
+    * the only exchange is the hash partition on `shard`, and the
+    * per-reducer sort is one shard's worth (corpus/numShards — the
+    * knob that keeps reducers bounded as the corpus grows; at 100 TB
+    * run with numShards ~ tens of thousands, i.e. shard files of a
+    * few GB, exactly what loader infrastructure wants). Changing
+    * `epoch` re-permutes everything — shard membership and order —
+    * so successive epochs see the data in unrelated orders, while
+    * the same (epoch, corpus) pair replays byte-identically on any
+    * cluster size or engine (the md5 hash family is portable; gate
+    * q_epoch_shards hash-matches DuckDB's row_number twin).
+    *
+    * Output = input columns + `shard` (0-based) + `pos` (1-based,
+    * dense within shard). */
+  def epochShards(df: DataFrame, idCol: String, numShards: Int,
+                  epoch: String): DataFrame = {
+    require(numShards > 0, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.StableHash.stable32(
+      concat(col(idCol).cast("string"), lit(":"), lit(epoch)))
+    val shard = (h % numShards).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(h.asc, col(idCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+  }
 }

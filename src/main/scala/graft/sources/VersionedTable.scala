@@ -1521,6 +1521,13 @@ object VersionedTable {
       // a re-registration without statCols must not leave a STALE
       // files view from an earlier registration serving old stats
       spark.catalog.dropTempView(s"${name}_files")
+    // SHOW CONSTRAINTS surface (empty when none declared)
+    locally {
+      import spark.implicits._
+      constraintsOf(spark, table).toSeq.sortBy(_._1)
+        .toDF("name", "expression")
+        .createOrReplaceTempView(s"${name}_constraints")
+    }
   }
 
   /** Remove ORPHANS: data/sidecar files no manifest (of any version)

@@ -130,7 +130,10 @@ object ScaleProofTail {
       "q_change_feed", "q_delete_vectors", "q_schema_evolution",
       "q_incremental_mv", "q_bloom_skipping", "q_table_compact",
       // round-6 late addition: dynamic partition overwrite at 10x
-      "q_partition_overwrite")
+      "q_partition_overwrite",
+      // round-7: change-feed streaming drain, restore, CHECK
+      // constraints at 10x
+      "q_table_change_stream", "q_table_restore", "q_table_constraint")
       .foreach(phase)
     spark.stop()
   }

@@ -110,4 +110,30 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(out == Set((1L, 2L, 1))) // (1,3) is lev 10 = 100% > 50%
   }
+
+  test("epoch shards: lossless partition, dense positions, epoch rotation") {
+    val df = (1L to 400L).toDF("id")
+    val e1 = Curation.epochShards(df, "id", 8, "e1")
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Int, Int)].collect()
+    // lossless: every input row lands in exactly one shard
+    assert(e1.map(_._1).sorted.toSeq == (1L to 400L))
+    assert(e1.forall(r => r._2 >= 0 && r._2 < 8))
+    // dense 1..|shard| positions inside each shard
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size))
+    }
+    // uniform-ish balance (400/8 = 50; md5 is uniform, loose 3x bound)
+    assert(e1.groupBy(_._2).values.map(_.size).max < 150)
+    // a different epoch re-permutes: same ids, different (shard, pos)
+    val e2 = Curation.epochShards(df, "id", 8, "e2")
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Int, Int)].collect()
+    assert(e1.toSet != e2.toSet, "epochs must produce distinct permutations")
+    // determinism: replay is byte-identical
+    val e1b = Curation.epochShards(df, "id", 8, "e1")
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Int, Int)].collect()
+    assert(e1.toSet == e1b.toSet)
+  }
 }

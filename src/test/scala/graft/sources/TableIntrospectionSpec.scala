@@ -92,8 +92,17 @@ class TableIntrospectionSpec extends SparkSpec {
     // time travel through the version parameter
     VersionedTable.registerViews(spark, "vt_sql_v1", t, version = Some(1))
     assert(spark.sql("SELECT count(*) FROM vt_sql_v1").as[Long].head() == 300L)
+    // constraints view: empty before, populated after ADD + re-register
+    assert(spark.sql("SELECT count(*) FROM vt_sql_constraints")
+      .as[Long].head() == 0L)
+    VersionedTable.addConstraint(spark, t, "x_pos", "x > 0")
+    VersionedTable.registerViews(spark, "vt_sql", t)
+    assert(spark.sql(
+      "SELECT name, expression FROM vt_sql_constraints")
+      .as[(String, String)].head() == (("x_pos", "x > 0")))
     Seq("vt_sql", "vt_sql_history", "vt_sql_files", "vt_sql_v1",
-      "vt_sql_v1_history").foreach(spark.catalog.dropTempView)
+      "vt_sql_v1_history", "vt_sql_constraints", "vt_sql_v1_constraints")
+      .foreach(spark.catalog.dropTempView)
   }
 
   test("cleanOrphans removes only old unreferenced files") {
