@@ -64,7 +64,13 @@ object OracleFuzz {
     "q_zorder_skipping", "q_compaction", "q_time_travel",
     "q_table_merge", "q_change_feed", "q_delete_vectors",
     "q_schema_evolution", "q_incremental_mv", "q_bloom_skipping",
-    "q_partition_overwrite")
+    "q_partition_overwrite",
+    // round-7 additions: the change-stream lifecycle (drain + fold +
+    // snapshot equality under a perturbed corpus), restore, write-time
+    // constraints (the valid/rejected split shifts with the rows), and
+    // the epoch permutation (hash-order oracle)
+    "q_table_change_stream", "q_table_restore", "q_table_constraint",
+    "q_epoch_shards")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.
