@@ -1894,6 +1894,74 @@ object Queries {
       |FROM final GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // WRITE-AUDIT-PUBLISH (VersionedTable.adoptCommit): a batch stages
+  // its output in a scratch versioned table nobody reads, audits it
+  // there, and publishes by ADOPTING the files into the main table —
+  // one O(files) metadata commit, zero data copy (in-query requires:
+  // the adopted manifest lines point inside the main table's data dir,
+  // and the staging table's own data dir holds no parquet afterwards).
+  // The main table's CHECK constraint validates the adopted files at
+  // publish. Oracle = orders + the staged slice.
+  // ---------------------------------------------------------------------
+  def tableWap(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vwap")
+      .toAbsolutePath.toString
+    val table = scratch + "/orders"; val staging = scratch + "/staging"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    graft.sources.VersionedTable.addConstraint(s, table,
+      "price_positive", "price_cents > 0")
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    // WRITE: the batch lands in staging, invisible to main readers
+    graft.sources.VersionedTable.commit(s, staging,
+      base.filter(col("o_orderkey") % 41 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx),
+      append = false)
+    // AUDIT: any check, against the staging snapshot only
+    require(graft.sources.VersionedTable.read(s, staging)
+      .filter(col("price_cents") <= 0).isEmpty, "audit failed")
+    // PUBLISH: one metadata commit; main's constraints re-validate
+    val v2 = graft.sources.VersionedTable.adoptCommit(s, table, staging)
+    val m2 = graft.sources.VersionedTable.manifest(s, table, v2)
+    val adoptedFiles = graft.sources.VersionedTable.dataFilesOf(m2)
+      .filter(_.contains("-adopt-"))
+    require(adoptedFiles.nonEmpty &&
+      adoptedFiles.forall(_.contains("/orders/data/")),
+      "adopted files must live inside the main table's data dir")
+    val stagingData = new org.apache.hadoop.fs.Path(staging, "data")
+    val fsys = stagingData.getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val leftover = {
+      val it = fsys.listFiles(stagingData, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    require(leftover == 0, "publish must MOVE the files, not copy them")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  val tableWapSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders),
+      |  final AS (
+      |    SELECT k, o_orderstatus, price_cents FROM base
+      |    UNION ALL
+      |    SELECT k + 10 * mx, o_orderstatus, price_cents FROM base, b
+      |    WHERE k % 41 = 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TPC-H Q3-shaped: 3-way join + aggregate + distributed top-k.
   // The limit-after-sort plans as TakeOrderedAndProject — each
   // partition keeps its local top 10, the driver merges O(partitions
@@ -2065,6 +2133,7 @@ object Queries {
     "q_table_change_stream" -> (tableChangeStream _),
     "q_table_restore" -> (tableRestore _),
     "q_table_constraint" -> (tableConstraint _),
+    "q_table_wap" -> (tableWap _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -2133,6 +2202,7 @@ object Queries {
     "q_table_change_stream" -> tableChangeStreamSql,
     "q_table_restore" -> tableRestoreSql,
     "q_table_constraint" -> tableConstraintSql,
+    "q_table_wap" -> tableWapSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

@@ -1643,20 +1643,7 @@ object VersionedTable {
     * constraint first. */
   private def validateNewFiles(spark: SparkSession, table: String,
                                newFiles: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
-    if (newFiles.isEmpty) return
-    val cs = constraintsOf(spark, table).toSeq.sortBy(_._1)
-    if (cs.isEmpty) return
-    val staged = spark.read.option("mergeSchema", "true")
-      .parquet(newFiles: _*)
-    val counts = staged.agg(
-      sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L)
-        .otherwise(0L)).as(cs.head._1),
-      cs.tail.map { case (n, e) =>
-        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
-      }: _*).collect()(0)
-    val violated = cs.indices.filter(i => counts.getLong(i) > 0)
-      .map(i => s"${cs(i)._1} (${cs(i)._2}): ${counts.getLong(i)} row(s)")
+    val violated = constraintViolations(spark, table, newFiles)
     if (violated.nonEmpty) {
       // unstage: walk each file up to its commit dir under data/ and
       // remove it whole, so a rejected commit leaves no residue
@@ -1671,6 +1658,120 @@ object VersionedTable {
         s"commit rejected: CHECK constraint(s) violated — " +
           violated.mkString("; "))
     }
+  }
+
+  /** One aggregate pass evaluating EVERY active constraint over
+    * `files`; returns "name (expr): N row(s)" per violated constraint
+    * (empty = clean or no constraints declared). */
+  private def constraintViolations(spark: SparkSession, table: String,
+                                   files: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    if (files.isEmpty) return Seq.empty
+    val cs = constraintsOf(spark, table).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return Seq.empty
+    val staged = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*)
+    val counts = staged.agg(
+      sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L)
+        .otherwise(0L)).as(cs.head._1),
+      cs.tail.map { case (n, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+      }: _*).collect()(0)
+    cs.indices.filter(i => counts.getLong(i) > 0)
+      .map(i => s"${cs(i)._1} (${cs(i)._2}): ${counts.getLong(i)} row(s)")
+  }
+
+  /** ADOPT FILES — the write-audit-publish (WAP) publish step: move a
+    * staging [[VersionedTable]]'s snapshot files into this table as
+    * ONE commit, zero data copy. The staging-table pattern: a batch
+    * job commits its output to a scratch table nobody reads, audits it
+    * there (row counts, dedup rate, [[constraintViolations]] via a dry
+    * [[addConstraint]], any query), and only then publishes — readers
+    * of the main table never see un-audited data, and the publish is
+    * this one O(files) metadata operation (per-file rename into the
+    * table's data dir; on a hadoop-style FS a rename is a metadata op,
+    * never a byte copy). Partition tags and per-file stats the staging
+    * manifest carries MOVE WITH the files (lines rewritten to the new
+    * paths), so a staged partitioned/stat-covered commit keeps pruning
+    * after publish; stat columns the target declares but the source
+    * lacks are computed for the adopted files only. The TARGET's CHECK
+    * constraints validate the adopted files before publish — on
+    * violation (or a lost commit race) every file moves BACK and the
+    * source is intact. Adoption CONSUMES the source snapshot: the
+    * moved files leave every source-table manifest dangling, so treat
+    * the staging table as ephemeral (standard WAP) and discard it
+    * after publish. The source must be tombstone-free
+    * ([[compactCommit]] first — that's also what right-sizes the
+    * staged files). Returns the committed version. */
+  def adoptCommit(spark: SparkSession, table: String,
+                  sourceTable: String, append: Boolean = true,
+                  sourceVersion: Option[Int] = None): Int = {
+    val svs = versions(spark, sourceTable)
+    require(svs.nonEmpty, s"no committed versions in $sourceTable")
+    val sv = sourceVersion.getOrElse(svs.last)
+    require(svs.contains(sv), s"version $sv not in $svs")
+    val srcLines = readManifest(spark, sourceTable, sv)
+    require(dvFilesOf(srcLines).isEmpty,
+      "adoptCommit needs a tombstone-free source — compactCommit it first")
+    val next = versions(spark, table).lastOption.getOrElse(0) + 1
+    val destDir = new Path(table,
+      s"data/$next-adopt-${java.util.UUID.randomUUID().toString.take(8)}")
+    val f = fs(spark, destDir)
+    f.mkdirs(destDir)
+    val srcData = dataFilesOf(srcLines)
+    val moves: Seq[(Path, Path)] = srcData.map { p =>
+      (new Path(p), new Path(destDir, new Path(p).getName))
+    }
+    require(moves.map(_._2.getName).distinct.size == moves.size,
+      "source snapshot has colliding file basenames — compactCommit it")
+    def moveBack(done: Seq[(Path, Path)]): Unit = {
+      done.foreach { case (src, dst) => f.rename(dst, src) }
+      f.delete(destDir, true)
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    moves.foreach { case (src, dst) =>
+      if (!f.rename(src, dst)) {
+        moveBack(done.toSeq)
+        sys.error(s"cannot move $src into $table")
+      }
+      done += ((src, dst))
+    }
+    val movedByNorm: Map[String, String] =
+      moves.map { case (s, d) => norm(s.toString) -> d.toString }.toMap
+    def rewritten(l: String): Option[String] =
+      if (l.startsWith(MetaPrefix) || l.startsWith(DvPrefix)) None
+      else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix)) {
+        val cut = l.lastIndexOf('\t')
+        movedByNorm.get(norm(l.substring(cut + 1)))
+          .map(np => l.substring(0, cut + 1) + np)
+      } else movedByNorm.get(norm(l))
+    val adopted = srcLines.flatMap(rewritten(_))
+    val carried =
+      if (append && next > 1)
+        readManifest(spark, table, next - 1)
+          .filterNot(_.startsWith(MetaPrefix))
+      else Seq.empty
+    // complete the target's stat schema on the adopted files only
+    val missingStatCols = statColsOf(carried)
+      .filterNot(statColsOf(adopted).contains)
+    try {
+      val extraSt = computeStatLines(spark,
+        moves.map(_._2.toString), missingStatCols)
+      val violated = constraintViolations(spark, table,
+        moves.map(_._2.toString))
+      if (violated.nonEmpty) {
+        moveBack(moves)
+        throw new IllegalStateException(
+          s"adopt rejected: CHECK constraint(s) violated — " +
+            violated.mkString("; "))
+      }
+      writeManifest(spark, table, next, carried ++ adopted ++ extraSt ++
+        metaLinesOf(Map("adopted_from" -> s"$sourceTable@v$sv")))
+    } catch {
+      case e: IllegalStateException => throw e // already moved back
+      case e: Throwable => moveBack(moves); throw e
+    }
+    next
   }
 
   def cleanOrphans(spark: SparkSession, table: String,
