@@ -15,10 +15,10 @@ import graft.streaming.TableChangeStream
   * under a particular interleaving (merge after overwrite, delete over
   * a merged file, restore over either, ...) would slip it. Here a
   * seeded random walk drives commitPartitioned / mergeCommit /
-  * deleteCommit / dynamicOverwrite / restoreCommit against a
-  * driver-side model (a plain Map — the executable spec of the table
-  * semantics), and after EVERY step asserts the three invariants
-  * everything downstream rides on:
+  * deleteCommit / dynamicOverwrite / restoreCommit / adoptCommit
+  * against a driver-side model (a plain Map — the executable spec of
+  * the table semantics), and after EVERY step asserts the three
+  * invariants everything downstream rides on:
   *
   *  1. snapshot == model (the table itself),
   *  2. change-feed fold == snapshot (a checkpointed
@@ -61,7 +61,7 @@ class TableFuzzSpec extends SparkSpec {
       append = false)
     MaterializedView.build(spark, table, mv, Seq("g"), Seq("x"))
 
-    def applyRandomOp(): String = rnd.nextInt(5) match {
+    def applyRandomOp(): String = rnd.nextInt(6) match {
       case 0 => // append fresh keys
         val added = freshKeys(1 + rnd.nextInt(6)).map(randRow).toMap
         VersionedTable.commitPartitioned(spark, table, toDf(added), "g",
@@ -98,6 +98,17 @@ class TableFuzzSpec extends SparkSpec {
         VersionedTable.restoreCommit(spark, table, v)
         model = history(v - 1)
         s"restore($v)"
+      case 5 => // write-audit-publish: stage fresh rows, adopt them
+        val staged = freshKeys(1 + rnd.nextInt(5)).map(randRow).toMap
+        val stg = Files.createTempDirectory("vtable_fuzz_stg").toString +
+          "/stg"
+        // partitioned staging so the adopted files carry tags and the
+        // table stays dynamicOverwrite-able after the publish
+        VersionedTable.commitPartitioned(spark, stg, toDf(staged), "g",
+          append = false)
+        VersionedTable.adoptCommit(spark, table, stg)
+        model ++= staged
+        s"adopt(${staged.size})"
     }
 
     def snapshotSet(): Set[(Long, String, Long)] =
