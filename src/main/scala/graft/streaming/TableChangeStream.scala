@@ -121,9 +121,21 @@ object TableChangeStream {
     val vs = VersionedTable.versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val from = lastConsumed(spark, checkpointDir)
-    from.foreach(c => require(c <= vs.last,
-      s"checkpoint at $c is ahead of the table head ${vs.last} — " +
-        "wrong checkpoint dir for this table?"))
+    from.foreach { c =>
+      require(c <= vs.last,
+        s"checkpoint at $c is ahead of the table head ${vs.last} — " +
+          "wrong checkpoint dir for this table?")
+      // a vacuum that retired the checkpointed version also destroyed
+      // the diff chain between it and the surviving versions; emitting
+      // the first survivor as snapshot-as-inserts here would
+      // DOUBLE-COUNT everything already drained, so fail loudly
+      // instead: retention must outlive consumers (don't vacuum past
+      // your slowest checkpoint), else re-bootstrap the consumer
+      require(vs.contains(c),
+        s"checkpointed version $c was vacuumed from $table — the feed " +
+          s"between $c and ${vs.head} is unrecoverable; re-bootstrap " +
+          "(fresh checkpoint + fresh downstream state)")
+    }
     val pending = vs.filter(v => from.forall(v > _))
     pending.foreach { v =>
       sink(feedFor(spark, table, v), v)

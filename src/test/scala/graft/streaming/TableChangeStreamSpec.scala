@@ -114,6 +114,31 @@ class TableChangeStreamSpec extends SparkSpec {
     assert(folded == snap, "feed fold must equal the final snapshot")
   }
 
+  test("vacuum past the checkpoint fails the drain loudly; within retention works") {
+    val dir = scratch(); val t = dir + "/t"; val ckpt = dir + "/ckpt"
+    VersionedTable.commit(spark, t, kv(1L -> "a"), append = false)
+    VersionedTable.commit(spark, t, kv(2L -> "b"), append = true)
+    VersionedTable.commit(spark, t, kv(3L -> "c"), append = true)
+    TableChangeStream.drain(spark, t, ckpt)((_, _) => ())
+    VersionedTable.commit(spark, t, kv(4L -> "d"), append = true)
+    VersionedTable.commit(spark, t, kv(5L -> "e"), append = true)
+    // retention keeps the checkpointed version (3): drain resumes fine
+    VersionedTable.vacuum(spark, t, keepLast = 3) // keeps 3, 4, 5
+    var seen = Vector.empty[Int]
+    assert(TableChangeStream.drain(spark, t, ckpt) { (_, v) => seen :+= v } == 2)
+    assert(seen == Vector(4, 5))
+    // now vacuum PAST the checkpoint: the diff chain is gone — the
+    // drain must fail loudly rather than re-emit a snapshot bootstrap
+    // (which would double-count everything already delivered)
+    VersionedTable.commit(spark, t, kv(6L -> "f"), append = true)
+    VersionedTable.commit(spark, t, kv(7L -> "g"), append = true)
+    VersionedTable.vacuum(spark, t, keepLast = 1) // retires v5 = checkpoint
+    val e = intercept[IllegalArgumentException] {
+      TableChangeStream.drain(spark, t, ckpt)((_, _) => ())
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("checkpoint ahead of the table head is rejected (wrong dir guard)") {
     val dir = scratch(); val t = dir + "/t"; val ckpt = dir + "/ckpt"
     val other = dir + "/other"
