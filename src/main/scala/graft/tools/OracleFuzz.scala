@@ -70,7 +70,7 @@ object OracleFuzz {
     // constraints (the valid/rejected split shifts with the rows), and
     // the epoch permutation (hash-order oracle)
     "q_table_change_stream", "q_table_restore", "q_table_constraint",
-    "q_epoch_shards")
+    "q_epoch_shards", "q_table_wap")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.
