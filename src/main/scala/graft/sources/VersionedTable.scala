@@ -1705,7 +1705,16 @@ object VersionedTable {
     * staged files). Returns the committed version. */
   def adoptCommit(spark: SparkSession, table: String,
                   sourceTable: String, append: Boolean = true,
-                  sourceVersion: Option[Int] = None): Int = {
+                  sourceVersion: Option[Int] = None): Int =
+    adoptCommitHook(spark, table, sourceTable, append, sourceVersion)
+
+  /** [[adoptCommit]] with the pre-publish hook seam (same contract as
+    * [[commitWithRetryHook]]) — how specs inject a deterministic
+    * interloper between the move and the manifest publish. */
+  private[sources] def adoptCommitHook(
+      spark: SparkSession, table: String, sourceTable: String,
+      append: Boolean = true, sourceVersion: Option[Int] = None,
+      beforePublish: Int => Unit = _ => ()): Int = {
     val svs = versions(spark, sourceTable)
     require(svs.nonEmpty, s"no committed versions in $sourceTable")
     val sv = sourceVersion.getOrElse(svs.last)
@@ -1765,6 +1774,7 @@ object VersionedTable {
           s"adopt rejected: CHECK constraint(s) violated — " +
             violated.mkString("; "))
       }
+      beforePublish(next)
       writeManifest(spark, table, next, carried ++ adopted ++ extraSt ++
         metaLinesOf(Map("adopted_from" -> s"$sourceTable@v$sv")))
     } catch {

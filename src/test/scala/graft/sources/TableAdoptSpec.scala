@@ -117,6 +117,33 @@ class TableAdoptSpec extends SparkSpec {
     assert(parquetCount(stg) > 0, "rejection must not touch the source")
   }
 
+  test("lost commit race: files move back, staging intact, retry succeeds") {
+    val dir = scratch(); val t = dir + "/t"; val stg = dir + "/stg"
+    VersionedTable.commit(spark, t,
+      Seq((1L, 10L)).toDF("k", "x"), append = false)
+    VersionedTable.commit(spark, stg,
+      Seq((2L, 20L)).toDF("k", "x"), append = false)
+    val stgBefore = parquetCount(stg)
+    // steal the version between the move and the publish
+    // (deterministic race via the pre-publish hook seam)
+    intercept[RuntimeException] {
+      VersionedTable.adoptCommitHook(spark, t, stg,
+        beforePublish = { next =>
+          VersionedTable.writeManifest(spark, t, next,
+            VersionedTable.manifest(spark, t, 1))
+        })
+    }
+    assert(parquetCount(stg) == stgBefore,
+      "losing the race must move every file back")
+    assert(VersionedTable.read(spark, stg).select(col("k")).as[Long]
+      .collect().toSet == Set(2L))
+    // deliberate retry lands on the next free version
+    val v = VersionedTable.adoptCommit(spark, t, stg)
+    assert(v == 3)
+    assert(VersionedTable.read(spark, t).select(col("k")).as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
+
   test("adopt with append=false is a logical overwrite by the staged data") {
     val dir = scratch(); val t = dir + "/t"; val stg = dir + "/stg"
     VersionedTable.commit(spark, t,

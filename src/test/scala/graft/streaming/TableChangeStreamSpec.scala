@@ -114,6 +114,25 @@ class TableChangeStreamSpec extends SparkSpec {
     assert(folded == snap, "feed fold must equal the final snapshot")
   }
 
+  test("schema evolution mid-history: fold still reconstructs the snapshot") {
+    val dir = scratch(); val t = dir + "/t"
+    val dest = dir + "/feed"; val ckpt = dir + "/ckpt"
+    VersionedTable.commit(spark, t, kv(1L -> "a", 2L -> "b"), append = false)
+    TableChangeStream.drainToVersionedTable(spark, t, dest, ckpt)
+    // evolve: the appended commit carries a NEW column; earlier rows
+    // surface it as NULL, and the feed/fold must track that exactly
+    VersionedTable.commit(spark, t,
+      Seq((3L, "c", 30L)).toDF("k", "v", "x"), append = true)
+    VersionedTable.deleteCommit(spark, t, col("k") === 1L, Seq("k"))
+    TableChangeStream.drainToVersionedTable(spark, t, dest, ckpt)
+    val folded = TableChangeStream
+      .foldFeed(VersionedTable.read(spark, dest))
+      .select(col("k"), col("v"), col("x"), col("n"))
+      .as[(Long, String, Option[Long], Long)].collect().toSet
+    assert(folded == Set((2L, "b", None, 1L), (3L, "c", Some(30L), 1L)),
+      s"evolved fold mismatch: $folded")
+  }
+
   test("vacuum past the checkpoint fails the drain loudly; within retention works") {
     val dir = scratch(); val t = dir + "/t"; val ckpt = dir + "/ckpt"
     VersionedTable.commit(spark, t, kv(1L -> "a"), append = false)
