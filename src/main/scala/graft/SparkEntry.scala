@@ -1894,6 +1894,57 @@ object Queries {
       |FROM final GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SHALLOW CLONE (VersionedTable.cloneCommit): fork the table with
+  // ONE manifest write — the clone's v1 references the source files
+  // verbatim (in-query require: identical data-file lists, zero copy)
+  // — then a COW merge runs ON THE CLONE while the source stays
+  // byte-identical (require: its manifest is untouched). The merged
+  // clone is the gated output; the oracle applies the merge algebra
+  // to orders directly. TableCloneSpec pins vacuum ownership (a clone
+  // vacuum never deletes source files) and tag travel.
+  // ---------------------------------------------------------------------
+  def tableClone(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vcln")
+      .toAbsolutePath.toString
+    val src = scratch + "/orders"; val clone = scratch + "/clone"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, src,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    val m1 = graft.sources.VersionedTable.manifest(s, src, 1)
+    graft.sources.VersionedTable.cloneCommit(s, clone, src)
+    require(graft.sources.VersionedTable.dataFilesOf(
+      graft.sources.VersionedTable.manifest(s, clone, 1)) ==
+      graft.sources.VersionedTable.dataFilesOf(m1),
+      "shallow clone must reference the source files verbatim")
+    val updates = base
+      .filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 19 =!= 0)
+      .withColumn("price_cents", col("price_cents") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 19 === 0)
+      .withColumn("__del", lit(true))
+    graft.sources.VersionedTable.mergeCommit(s, clone,
+      updates.unionByName(deletes), "o_orderkey", deleteCol = Some("__del"))
+    require(graft.sources.VersionedTable.versions(s, src) == Seq(1) &&
+      graft.sources.VersionedTable.manifest(s, src, 1) == m1,
+      "mutating the clone must leave the source byte-identical")
+    graft.sources.VersionedTable.read(s, clone)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  val tableCloneSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CASE WHEN k % 11 = 0 THEN price_cents * 2
+      |    ELSE price_cents END) AS BIGINT) AS sum_price_cents
+      |FROM base WHERE k % 19 <> 0
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // WRITE-AUDIT-PUBLISH (VersionedTable.adoptCommit): a batch stages
   // its output in a scratch versioned table nobody reads, audits it
   // there, and publishes by ADOPTING the files into the main table —
@@ -2134,6 +2185,7 @@ object Queries {
     "q_table_restore" -> (tableRestore _),
     "q_table_constraint" -> (tableConstraint _),
     "q_table_wap" -> (tableWap _),
+    "q_table_clone" -> (tableClone _),
     "q_salted_join" -> (saltedJoinAgg _),
   )
 
@@ -2203,6 +2255,7 @@ object Queries {
     "q_table_restore" -> tableRestoreSql,
     "q_table_constraint" -> tableConstraintSql,
     "q_table_wap" -> tableWapSql,
+    "q_table_clone" -> tableCloneSql,
     "q_salted_join" -> saltedJoinAggSql,
   )
 }

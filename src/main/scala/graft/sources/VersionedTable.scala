@@ -1569,6 +1569,39 @@ object VersionedTable {
     next
   }
 
+  /** SHALLOW CLONE — a new table whose first version references the
+    * source snapshot's files VERBATIM (Delta `CREATE TABLE ... SHALLOW
+    * CLONE`): one manifest write, zero data copy, however large the
+    * source. The clone then lives its own life — appends, COW merges,
+    * DV deletes, OPTIMIZE all commit into the CLONE's data dir and
+    * never touch the source — which makes it the cheap
+    * experimentation/branching primitive: fork a 100 TB table, try a
+    * migration on the fork, throw it away. Maintenance respects
+    * ownership: [[vacuum]] deletes only paths under its own table
+    * root, so retiring clone versions lets foreign references lapse
+    * without reaching into the source. The standing caveat is the
+    * source's retention (same as Delta): a source vacuum that retires
+    * the cloned snapshot's files breaks the clone — keep the source's
+    * retention longer than your clones, or [[adoptCommit]]/rewrite the
+    * clone to own its data. Returns the clone's version 1. */
+  def cloneCommit(spark: SparkSession, cloneDir: String,
+                  sourceTable: String,
+                  sourceVersion: Option[Int] = None): Int = {
+    val svs = versions(spark, sourceTable)
+    require(svs.nonEmpty, s"no committed versions in $sourceTable")
+    val sv = sourceVersion.getOrElse(svs.last)
+    require(svs.contains(sv), s"version $sv not in $svs")
+    require(versions(spark, cloneDir).isEmpty,
+      s"$cloneDir already holds a table — clone into a fresh dir")
+    val srcLines = readManifest(spark, sourceTable, sv)
+      .filterNot(_.startsWith(MetaPrefix))
+    val srcMeta = metaOf(readManifest(spark, sourceTable, sv))
+      .filter { case (k, _) => k == "partitioned_by" }
+    writeManifest(spark, cloneDir, 1, srcLines ++
+      metaLinesOf(srcMeta + ("cloned_from" -> s"$sourceTable@v$sv")))
+    1
+  }
+
   // -------------------------------------------------------------------
   // CHECK constraints — data-quality contracts enforced at write time
   // -------------------------------------------------------------------
@@ -1836,7 +1869,13 @@ object VersionedTable {
       dataFilesOf(lines) ++ dvFilesOf(lines)
     }
     val live = keep.flatMap(pathsOf).toSet
+    // OWNERSHIP RULE: vacuum deletes only paths under THIS table's
+    // root. A shallow clone's manifests reference the source table's
+    // files verbatim ([[cloneCommit]]); retiring a clone version must
+    // never reach into the source — foreign references simply lapse.
+    val root = norm(new Path(table).toString).stripSuffix("/") + "/"
     val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
+      .filter(p => norm(p).startsWith(root))
     val f = fs(spark, new Path(table))
     dead.foreach(p => f.delete(new Path(p), false))
     retire.foreach(v => f.delete(manifestPath(table, v), false))
