@@ -966,7 +966,12 @@ object VersionedTable {
     writeManifest(spark, table, next,
       big.map(p => lineOf(norm(p))) ++ stLinesFor(lines, big) ++
         keptDv ++ newLines ++
-        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)))
+        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)) ++
+        // layout-only commit: change-feed consumers skip it entirely
+        // ([[graft.streaming.TableChangeStream.feedFor]]) instead of
+        // paying the rewrite's worth of cancelling COW copies
+        metaLinesOf(Map("compacted" -> "true",
+          "content_preserving" -> "true")))
     next
   }
 
@@ -998,7 +1003,9 @@ object VersionedTable {
     // declares the clustering columns as stat columns — they're what
     // readPruned will prune on
     commit(spark, table, laid, append = false,
-      meta = Map("clustered_by" -> cols.mkString(",")),
+      // layout-only commit (same contract as compactCommit's tag)
+      meta = Map("clustered_by" -> cols.mkString(","),
+        "content_preserving" -> "true"),
       statCols = (statColsOf(lines) ++ cols).distinct)
   }
 

@@ -99,6 +99,23 @@ object TableChangeStream {
     val vs = VersionedTable.versions(spark, table)
     require(vs.contains(v), s"version $v not committed; have $vs")
     val idx = vs.indexOf(v)
+    // layout-only commits (OPTIMIZE, CLUSTER BY) stamp
+    // content_preserving=true: their logical snapshot is identical to
+    // the predecessor's, so the feed is empty BY METADATA — without
+    // the tag a consumer would read the whole rewrite twice just to
+    // watch every copied row cancel in the multiset diff
+    if (idx > 0 && VersionedTable
+        .metaOf(VersionedTable.manifest(spark, table, v))
+        .get("content_preserving").contains("true")) {
+      val schema = VersionedTable.read(spark, table, Some(v)).schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     if (idx == 0) {
       val snap = VersionedTable.read(spark, table, Some(v))
       snap.groupBy(snap.columns.map(col).toSeq: _*)

@@ -61,7 +61,7 @@ class TableFuzzSpec extends SparkSpec {
       append = false)
     MaterializedView.build(spark, table, mv, Seq("g"), Seq("x"))
 
-    def applyRandomOp(): String = rnd.nextInt(6) match {
+    def applyRandomOp(): String = rnd.nextInt(7) match {
       case 0 => // append fresh keys
         val added = freshKeys(1 + rnd.nextInt(6)).map(randRow).toMap
         VersionedTable.commitPartitioned(spark, table, toDf(added), "g",
@@ -109,6 +109,10 @@ class TableFuzzSpec extends SparkSpec {
         VersionedTable.adoptCommit(spark, table, stg)
         model ++= staged
         s"adopt(${staged.size})"
+      case 6 => // OPTIMIZE: layout only, model unchanged (may no-op)
+        VersionedTable.compactCommit(spark, table,
+          targetRows = math.max(model.size.toLong, 1L))
+        "compact"
     }
 
     def snapshotSet(): Set[(Long, String, Long)] =
@@ -147,7 +151,11 @@ class TableFuzzSpec extends SparkSpec {
     val steps = 8
     (1 to steps).foreach { i =>
       val op = applyRandomOp()
-      history :+= model
+      // version<->model alignment: an op commits at most one version
+      // (compact may no-op); pad history so history(v-1) is the model
+      // AT version v — what restore's rollback target needs
+      while (history.size < VersionedTable.versions(spark, table).last)
+        history :+= model
       check(s"step $i: $op")
     }
   }

@@ -114,6 +114,28 @@ class TableChangeStreamSpec extends SparkSpec {
     assert(folded == snap, "feed fold must equal the final snapshot")
   }
 
+  test("layout-only commits (OPTIMIZE) drain as empty feeds by metadata") {
+    val dir = scratch(); val t = dir + "/t"
+    val dest = dir + "/feed"; val ckpt = dir + "/ckpt"
+    VersionedTable.commit(spark, t,
+      (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v").repartition(16),
+      append = false, statCols = Seq("k"))
+    TableChangeStream.drainToVersionedTable(spark, t, dest, ckpt)
+    val v2 = VersionedTable.compactCommit(spark, t, targetRows = 64L)
+    assert(v2 == 2, "the fragments must actually compact")
+    val feed = TableChangeStream.feedFor(spark, t, 2)
+    assert(feed.isEmpty, "a content-preserving rewrite has no changes")
+    assert(feed.columns.toSeq == Seq("k", "v", "change", "n"))
+    // the drain advances the checkpoint past it without a dest commit
+    assert(TableChangeStream.drainToVersionedTable(spark, t, dest, ckpt) == 1)
+    assert(TableChangeStream.lastConsumed(spark, ckpt).contains(2))
+    val folded = TableChangeStream
+      .foldFeed(VersionedTable.read(spark, dest))
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    assert(folded == VersionedTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+  }
+
   test("schema evolution mid-history: fold still reconstructs the snapshot") {
     val dir = scratch(); val t = dir + "/t"
     val dest = dir + "/feed"; val ckpt = dir + "/ckpt"
