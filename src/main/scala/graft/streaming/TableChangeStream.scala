@@ -191,6 +191,28 @@ object TableChangeStream {
       }
     }
 
+  /** [[VersionedTable.vacuum]] with CONSUMER-AWARE retention: never
+    * retire a version any of `checkpointDirs`' drains still needs
+    * (the checkpointed version itself must stay committed — both for
+    * the wrong-dir/vacuumed guard and because the next pending
+    * version's diff reads its manifest). `keepLast` is the floor; the
+    * effective retention stretches back to the slowest consumer. A
+    * checkpoint dir with no offset yet pins nothing: a fresh consumer
+    * bootstraps from whatever earliest version survives (its fold
+    * still reconstructs every later snapshot). The operational rule
+    * "retention must outlive consumers" made mechanical. */
+  def safeVacuum(spark: SparkSession, table: String, keepLast: Int,
+                 checkpointDirs: Seq[String]): Unit = {
+    val vs = VersionedTable.versions(spark, table)
+    if (vs.isEmpty) return
+    val pinned = checkpointDirs.flatMap(c => lastConsumed(spark, c))
+    val needed = pinned.filter(vs.contains) // already-vacuumed = lost anyway
+    val effective = needed.foldLeft(keepLast) { (k, c) =>
+      math.max(k, vs.size - vs.indexOf(c))
+    }
+    VersionedTable.vacuum(spark, table, effective)
+  }
+
   /** Fold a drained feed (rows + `change` + `n`, e.g. the dest table
     * of [[drainToVersionedTable]] or a union of emitted feeds) back
     * into table rows: net multiplicity per distinct row, dropping

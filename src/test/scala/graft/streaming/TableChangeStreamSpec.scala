@@ -180,6 +180,53 @@ class TableChangeStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("safeVacuum keeps the slowest consumer's checkpointed version") {
+    val dir = scratch(); val t = dir + "/t"
+    val fast = dir + "/fast"; val slow = dir + "/slow"
+    (1 to 5).foreach(i => VersionedTable.commit(spark, t,
+      kv(i.toLong -> s"v$i"), append = i > 1))
+    TableChangeStream.drain(spark, t, fast)((_, _) => ())        // at 5
+    // slow consumer stopped after version 2
+    val off = new org.apache.hadoop.fs.Path(slow, "offset")
+    val fsys = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(off.getParent)
+    val o = fsys.create(off, false); o.write("2\n".getBytes); o.close()
+    TableChangeStream.safeVacuum(spark, t, keepLast = 1,
+      Seq(fast, slow))
+    // retention stretched back to the slow consumer's version 2
+    assert(VersionedTable.versions(spark, t) == Seq(2, 3, 4, 5))
+    var seen = Vector.empty[Int]
+    assert(TableChangeStream.drain(spark, t, slow) { (_, v) => seen :+= v } == 3)
+    assert(seen == Vector(3, 4, 5))
+    // with everyone caught up, the floor takes over
+    TableChangeStream.safeVacuum(spark, t, keepLast = 1, Seq(fast, slow))
+    assert(VersionedTable.versions(spark, t) == Seq(5))
+  }
+
+  test("streaming ingest in, change stream out: the table as a log") {
+    val dir = scratch(); val t = dir + "/t"
+    val src = dir + "/in"; val dest = dir + "/feed"
+    val ingestCkpt = dir + "/ickpt"; val drainCkpt = dir + "/dckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    kv(1L -> "a", 2L -> "b").write.parquet(src + "/batch1")
+    IncrementalIngest.drainToVersionedTable(spark, src + "/*", schema,
+      t, ingestCkpt)(identity)
+    TableChangeStream.drainToVersionedTable(spark, t, dest, drainCkpt)
+    kv(3L -> "c").write.parquet(src + "/batch2")
+    IncrementalIngest.drainToVersionedTable(spark, src + "/*", schema,
+      t, ingestCkpt)(identity)
+    TableChangeStream.drainToVersionedTable(spark, t, dest, drainCkpt)
+    val folded = TableChangeStream
+      .foldFeed(VersionedTable.read(spark, dest))
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    assert(folded == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "exactly-once in, exactly-once out, fold == snapshot")
+  }
+
   test("checkpoint ahead of the table head is rejected (wrong dir guard)") {
     val dir = scratch(); val t = dir + "/t"; val ckpt = dir + "/ckpt"
     val other = dir + "/other"
