@@ -651,6 +651,44 @@ object QueriesPipeline {
       |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Streaming CDC -> VERSIONED TABLE (the foreachBatch-MERGE lakehouse
+  // recipe, IncrementalIngest.drainCdcToVersionedTable): events arrive
+  // split by parity — so the second drain carries keys BOTH newer and
+  // older than the first's — and each micro-batch lands as one
+  // marker-guarded mergeCommit after the strictly-newer guard drops
+  // superseded rows ('error' is the delete marker, as in q_cdc_merge,
+  // whose latest-live-row-per-user oracle this shares). The final
+  // table must converge to the same state regardless of the split:
+  // an unguarded merge fails the hash.
+  // ---------------------------------------------------------------------
+  def streamTableCdc(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_vcdc").toAbsolutePath.toString
+    val table = s"$work/latest"
+    val flat = t(s, dir, "events").select(col("user_id"),
+      expr("ts_ns DIV 1000").as("ts_us"),
+      col("event_id"), col("event_type"),
+      cents(col("value")).as("value_cents"))
+    def drain(): Unit = graft.streaming.IncrementalIngest
+      .drainCdcToVersionedTable(s, s"$work/src", flat.schema, table,
+        s"$work/ckpt", keyCol = "user_id",
+        orderCols = Seq("ts_us", "event_id"),
+        deleteExpr = Some(col("event_type") === "error"))
+    flat.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    flat.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    drain()
+    // live view: drop the soft-delete tombstones (order memory the
+    // out-of-order guard needed; see drainCdcToVersionedTable scaladoc)
+    graft.sources.VersionedTable.read(s, table)
+      .filter(!col("__deleted"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value_cents"), col("ts_us"))
+  }
+
   val incrementalIngestSql: String =
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE n_chars >= 100""".stripMargin
@@ -1247,6 +1285,7 @@ object QueriesPipeline {
     "q_stream_join" -> (streamJoin _),
     "q_stream_neardup" -> (streamNeardup _),
     "q_stream_cdc" -> (streamCdc _),
+    "q_stream_table_cdc" -> (streamTableCdc _),
     "q_incremental_ingest" -> (incrementalIngest _),
     "q_stream_table_ingest" -> (streamTableIngest _),
     "q_stream_partitioned" -> (streamPartitioned _),
@@ -1289,6 +1328,7 @@ object QueriesPipeline {
     "q_stream_join" -> streamJoinSql,
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
     "q_stream_cdc" -> cdcMergeSql,
+    "q_stream_table_cdc" -> cdcMergeSql,
     "q_incremental_ingest" -> incrementalIngestSql,
     "q_stream_table_ingest" -> streamTableIngestSql,
     "q_stream_partitioned" -> streamPartitionedSql,

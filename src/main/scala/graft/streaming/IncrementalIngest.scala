@@ -87,6 +87,106 @@ object IncrementalIngest {
     drainToVersionedTablePartitioned(spark, sourceDir, schema, table,
       checkpointDir, partitionBy = None)(transform)
 
+  /** Streaming CDC upsert INTO a [[graft.sources.VersionedTable]] —
+    * the foreachBatch-MERGE lakehouse recipe (the Delta pattern every
+    * CDC pipeline copies), exactly-once: each micro-batch
+    *
+    *  1. collapses to its NEWEST row per key (`orderCols`
+    *     lexicographic, intra-batch dedup),
+    *  2. drops rows the table already supersedes — the cross-batch
+    *     newer-guard that makes out-of-order and replayed batches
+    *     harmless. The guard reads only the files whose key range can
+    *     hold the batch's keys ([[graft.sources.VersionedTable.readPruned]]:
+    *     manifest-stats candidates, zero stats I/O on a covered
+    *     table), never the whole table,
+    *  3. lands as ONE [[graft.sources.VersionedTable.mergeCommit]],
+    *     marker-guarded like [[drainToVersionedTable]] so a crash
+    *     between commit and checkpoint never double-merges.
+    *
+    * Deletes are SOFT: a row matching `deleteExpr` upserts as a
+    * tombstone (`__deleted = true`) rather than vanishing — removing
+    * it would erase the key's order state, and a later batch carrying
+    * an OLDER event would silently resurrect it (the classic CDC
+    * resurrection bug; the parity-split gate fails the hash on it).
+    * Readers filter `__deleted`; once a stream is retired (or
+    * retention guarantees no older events can still arrive), one
+    * `deleteCommit(col("__deleted"), Seq(keyCol))` purges the
+    * tombstones for good.
+    *
+    * The first batch creates the table with `keyCol` declared as a
+    * stat column, so every later merge's touched-file decision is
+    * metadata-only. The table converges to "latest row per key over
+    * everything drained, tombstones included" regardless of how
+    * arrivals split into batches — the versioned-table twin of
+    * [[drainToJdbcUpsert]], gated end-to-end by q_stream_table_cdc. */
+  def drainCdcToVersionedTable(spark: SparkSession, sourceDir: String,
+                               schema: StructType, table: String,
+                               checkpointDir: String, keyCol: String,
+                               orderCols: Seq[String],
+                               deleteExpr: Option[org.apache.spark.sql.Column]
+                                 = None): Unit = {
+    import org.apache.spark.sql.functions._
+    require(orderCols.nonEmpty, "need at least one order column")
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(table,
+          s"_batches/cdc-b$batchId")
+        val fsys = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fsys.exists(marker)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+            .orderBy(orderCols.map(col(_).desc): _*)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .withColumn("__deleted",
+              coalesce(deleteExpr.getOrElse(lit(false)), lit(false)))
+          val tableEmpty =
+            graft.sources.VersionedTable.versions(spark, table).isEmpty
+          if (tableEmpty) {
+            if (!latest.isEmpty)
+              graft.sources.VersionedTable.commit(spark, table, latest,
+                append = false, statCols = Seq(keyCol))
+          } else {
+            // strictly-newer lexicographic guard vs the current table
+            // row of each batch key; the comparison set comes from a
+            // stats-pruned read bounded by the batch's key range
+            val bounds = latest.agg(min(col(keyCol)), max(col(keyCol)))
+              .collect()(0)
+            val src =
+              if (bounds.isNullAt(0)) latest.limit(0)
+              else {
+                val cur = graft.sources.VersionedTable.readPruned(spark,
+                  table, Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
+                  .select(col(keyCol) +:
+                    orderCols.map(c => col(c).as(s"__cur_$c")): _*)
+                def lexNewer(sc: Seq[org.apache.spark.sql.Column],
+                             cc: Seq[org.apache.spark.sql.Column])
+                    : org.apache.spark.sql.Column =
+                  sc.zip(cc).foldRight(lit(false)) { case ((a, b), rest) =>
+                    a > b || (a <=> b && rest) }
+                latest.join(cur, Seq(keyCol), "left")
+                  .filter(col(s"__cur_${orderCols.head}").isNull ||
+                    lexNewer(orderCols.map(col),
+                      orderCols.map(c => col(s"__cur_$c"))))
+                  .drop(orderCols.map(c => s"__cur_$c"): _*)
+              }
+            if (!src.isEmpty)
+              graft.sources.VersionedTable.mergeCommit(spark, table, src,
+                keyCol)
+          }
+          fsys.mkdirs(marker.getParent)
+          fsys.create(marker, false).close() // idempotence publish
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[drainToVersionedTable]] with PARTITION-TAGGED commits: when
     * `partitionBy` is set, each micro-batch lands as one
     * [[graft.sources.VersionedTable.commitPartitioned]] append, its

@@ -119,4 +119,49 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(VT.partitionCandidates(m, "source", Seq(oneSrc)).size <
       VT.dataFilesOf(m).size)
   }
+
+  test("CDC to versioned table: out-of-order batches, no resurrection") {
+    import spark.implicits._
+    val w = work(); val table = s"$w/latest"
+    val schema = Seq((0L, 0L, "x", 0L)).toDF("k", "ord", "v", "x").schema
+    def drainCdc(): Unit = IncrementalIngest.drainCdcToVersionedTable(
+      spark, s"$w/src", schema, table, s"$w/ckpt", keyCol = "k",
+      orderCols = Seq("ord"),
+      deleteExpr = Some(col("v") === "DEL"))
+    def live(): Map[Long, (Long, String)] =
+      graft.sources.VersionedTable.read(spark, table)
+        .filter(!col("__deleted"))
+        .select(col("k"), col("ord"), col("v"))
+        .as[(Long, Long, String)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+    // batch 1: the NEWER events arrive first (k=1 upd@10, k=2 DEL@10)
+    Seq((1L, 10L, "new", 1L), (2L, 10L, "DEL", 1L), (3L, 5L, "three", 1L))
+      .toDF("k", "ord", "v", "x")
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainCdc()
+    assert(live() == Map(1L -> ((10L, "new")), 3L -> ((5L, "three"))))
+    // batch 2: OLDER events for the same keys — the guard must drop
+    // the stale update AND must NOT resurrect the deleted key
+    Seq((1L, 3L, "stale", 1L), (2L, 4L, "ghost", 1L), (4L, 1L, "four", 1L))
+      .toDF("k", "ord", "v", "x")
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainCdc()
+    assert(live() == Map(1L -> ((10L, "new")), 3L -> ((5L, "three")),
+      4L -> ((1L, "four"))),
+      "stale update applied or deleted key resurrected")
+    // a genuinely newer event still lands; re-drain stays a no-op
+    Seq((2L, 20L, "back", 1L)).toDF("k", "ord", "v", "x")
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainCdc()
+    assert(live().get(2L).contains((20L, "back")))
+    val versions = graft.sources.VersionedTable.versions(spark, table)
+    drainCdc()
+    assert(graft.sources.VersionedTable.versions(spark, table) == versions,
+      "caught-up drain must not commit")
+    // retirement purge: tombstones leave for good
+    graft.sources.VersionedTable.deleteCommit(spark, table,
+      col("__deleted"), Seq("k"))
+    assert(graft.sources.VersionedTable.read(spark, table)
+      .filter(col("__deleted")).count() == 0L)
+  }
 }
