@@ -208,6 +208,53 @@ object QueriesML {
        |  AND doc_id = keep_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // FLAGSHIP COMPOSITION — the curated corpus AS A MANAGED TABLE: the
+  // full q_curation_pipeline output lands in a lang-partitioned
+  // versioned table in two batches (manifest-pruned per-language
+  // reads from the first commit), a CHECK constraint guards every
+  // commit, and a per-language token-count materialized view follows
+  // the table through the change feed (the second batch is absorbed
+  // by ONE incremental refresh, never a corpus rescan). The platform
+  // story in one gate: curation -> lakehouse table -> incremental
+  // rollup, hash-checked against the algebraic oracle end to end.
+  // ---------------------------------------------------------------------
+  def curatedTable(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vcur")
+      .toAbsolutePath.toString
+    val corpus = scratch + "/corpus"; val mv = scratch + "/mv"
+    val curated = curationPipeline(s, dir)
+    graft.sources.VersionedTable.commitPartitioned(s, corpus,
+      curated.filter(col("doc_id") % 2 === 0), "lang", append = false,
+      statCols = Seq("doc_id"))
+    graft.sources.VersionedTable.addConstraint(s, corpus,
+      "tokens_positive", "n_tokens > 0")
+    graft.sources.MaterializedView.build(s, corpus, mv,
+      Seq("lang"), Seq("n_tokens"))
+    graft.sources.VersionedTable.commitPartitioned(s, corpus,
+      curated.filter(col("doc_id") % 2 === 1), "lang", append = true)
+    graft.sources.MaterializedView.refresh(s, corpus, mv)
+    require(graft.sources.MaterializedView.sourceVersion(s, mv) == 2,
+      "the view must have followed the second batch incrementally")
+    // every file is lang-tagged: per-language reads prune by manifest
+    // alone (at this SF the curation may keep a single language, so
+    // the check is tag COVERAGE, not a prune count)
+    val m = graft.sources.VersionedTable.manifest(s, corpus, 2)
+    val tagged = graft.sources.VersionedTable.partitionsOf(m)
+      .filter(_._1 == "lang").map(_._3).toSet
+    require(graft.sources.VersionedTable.dataFilesOf(m)
+      .forall(tagged.contains),
+      "every corpus file must carry its lang partition tag")
+    graft.sources.MaterializedView.read(s, mv)
+      .select(col("lang"), col("cnt"), col("sum_n_tokens"))
+  }
+
+  val curatedTableSql: String =
+    s"""SELECT lang, count(*) AS cnt,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_n_tokens
+       |FROM ($curationPipelineSql)
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TF-IDF top terms per document (exact integer scoring — no float log,
   // so the ranking is engine-portable)
   // ---------------------------------------------------------------------
@@ -1656,6 +1703,7 @@ object QueriesML {
     "q_cluster_keeper" -> (clusterKeeper _),
     "q_sample_split" -> (sampleSplit _),
     "q_epoch_shards" -> (epochShards _),
+    "q_curated_table" -> (curatedTable _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_pipeline" -> (curationPipeline _),
   )
@@ -1741,6 +1789,7 @@ object QueriesML {
     "q_cluster_keeper" -> clusterKeeperSql,
     "q_sample_split" -> sampleSplitSql,
     "q_epoch_shards" -> epochShardsSql,
+    "q_curated_table" -> curatedTableSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_pipeline" -> curationPipelineSql,
   )

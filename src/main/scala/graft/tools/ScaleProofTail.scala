@@ -133,7 +133,11 @@ object ScaleProofTail {
       "q_partition_overwrite",
       // round-7: change-feed streaming drain, restore, CHECK
       // constraints at 10x
-      "q_table_change_stream", "q_table_restore", "q_table_constraint")
+      "q_table_change_stream", "q_table_restore", "q_table_constraint",
+      // round-7 second batch: WAP publish, shallow clone, streaming
+      // CDC merge, the curated-corpus flagship composition
+      "q_table_wap", "q_table_clone", "q_stream_table_cdc",
+      "q_curated_table")
       .foreach(phase)
     spark.stop()
   }
