@@ -931,7 +931,6 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
     val data = dataFilesOf(lines)
-    val dvLines = lines.filter(_.startsWith(DvPrefix))
     // "which files are small" is an O(files) decision — take the row
     // counts from the manifest's st lines when the table carries them
     // (zero data I/O; a nightly OPTIMIZE on a 100 TB table must not
@@ -948,6 +947,45 @@ object VersionedTable {
     if (small.size < 2) return vs.last
     val smallRows = small.map(f => counts.getOrElse(norm(f), 0L)).sum
     val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
+    rewriteSmallFiles(spark, table, lines, small, big, nOut)
+  }
+
+  /** [[compactCommit]] deciding by FILE SIZE instead of row count —
+    * `FileStatus.getLen` per file, one O(files) metadata listing, so
+    * the decision is free even on tables with NO manifest stats (size
+    * needs no scan to know, rows do). Size is also what object-store
+    * economics actually care about: request counts and small-object
+    * overhead are byte-threshold problems. Same rewrite machinery,
+    * same atomic commit, same tombstone purge, same
+    * `content_preserving` tag. */
+  def compactCommitBySize(spark: SparkSession, table: String,
+                          targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val data = dataFilesOf(lines)
+    val f = fs(spark, new Path(table))
+    val sizes = data.map(p =>
+      norm(p) -> f.getFileStatus(new Path(p)).getLen).toMap
+    val (small, big) = data.partition(p => sizes(norm(p)) < targetBytes)
+    if (small.size < 2) return vs.last
+    val smallBytes = small.map(p => sizes(norm(p))).sum
+    val nOut = math.max(1L,
+      (smallBytes + targetBytes - 1) / targetBytes).toInt
+    rewriteSmallFiles(spark, table, lines, small, big, nOut)
+  }
+
+  /** The shared OPTIMIZE tail: rewrite `small` into `nOut` right-sized
+    * files (per-partition-collapsed and re-tagged on a coherently
+    * partitioned table), purge their tombstones, carry `big` verbatim
+    * with their stats, publish atomically with the
+    * `content_preserving` tag. */
+  private def rewriteSmallFiles(spark: SparkSession, table: String,
+                                lines: Seq[String], small: Seq[String],
+                                big: Seq[String], nOut: Int): Int = {
+    val vs = versions(spark, table)
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
     val next = vs.last + 1
     val spec = fullSpecOf(lines)
     val compacted = {

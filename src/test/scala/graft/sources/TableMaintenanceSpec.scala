@@ -48,6 +48,37 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t, Some(2)).count() == 600L)
   }
 
+  test("compactCommitBySize: byte-threshold decision, zero data reads") {
+    val t = fresh("voptsz")
+    // one big file + 16 fragments; no stat columns declared anywhere —
+    // the size decision must still be metadata-only (getLen listing)
+    VersionedTable.commit(spark, t,
+      (1L to 2000L).map(i => (i, s"value-$i")).toDF("k", "v").coalesce(1),
+      append = false)
+    VersionedTable.commit(spark, t,
+      (9000L to 9049L).map(i => (i, s"value-$i")).toDF("k", "v")
+        .repartition(16), append = true)
+    val bigFiles = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 1))
+    val bigLen = {
+      val p = new org.apache.hadoop.fs.Path(bigFiles.head)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+    // threshold between fragment size and the big file's size
+    val v3 = VersionedTable.compactCommitBySize(spark, t,
+      targetBytes = bigLen)
+    val m3 = VersionedTable.manifest(spark, t, v3)
+    val data3 = VersionedTable.dataFilesOf(m3)
+    assert(bigFiles.forall(data3.contains), "right-sized file carried")
+    assert(data3.size < 17, s"fragments must collapse: ${data3.size}")
+    assert(VersionedTable.read(spark, t).count() == 2050L)
+    assert(VersionedTable.metaOf(m3).get("content_preserving")
+      .contains("true"))
+    // already-compacted: no-op
+    assert(VersionedTable.compactCommitBySize(spark, t, bigLen) == v3)
+  }
+
   test("compactCommit is a no-op when fewer than two files are small") {
     val t = fresh("vopt2")
     val v1 = VersionedTable.commit(spark, t,
