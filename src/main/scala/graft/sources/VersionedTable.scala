@@ -1724,13 +1724,19 @@ object VersionedTable {
     val violated = constraintViolations(spark, table, newFiles)
     if (violated.nonEmpty) {
       // unstage: walk each file up to its commit dir under data/ and
-      // remove it whole, so a rejected commit leaves no residue
+      // remove it whole, so a rejected commit leaves no residue. A
+      // path with no data/ ancestor (cannot happen for files staged by
+      // this object's commit paths) is left alone rather than walked
+      // to some top-level directory.
       val f = fs(spark, new Path(table))
-      newFiles.map { p =>
+      newFiles.flatMap { p =>
         var d = new Path(p).getParent
         while (d.getParent != null && d.getParent.getName != "data")
           d = d.getParent
-        d
+        // keep only dirs that really sit under data/ (reached the
+        // root without finding it => leave the path alone)
+        Option(d).filter(x =>
+          x.getParent != null && x.getParent.getName == "data")
       }.distinct.foreach(d => f.delete(d, true))
       throw new IllegalStateException(
         s"commit rejected: CHECK constraint(s) violated — " +
