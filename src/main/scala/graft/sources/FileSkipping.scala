@@ -43,6 +43,74 @@ object FileSkipping {
                                          cols: Seq[String]): DataFrame =
     statsOf(spark.read.parquet(files: _*), cols)
 
+  /** Per-file stats read from the PARQUET FOOTERS — zero data I/O
+    * (every writer already paid for these at write time). Returns
+    * `file -> (nrows, col -> (minStr, maxStr, nulls))` with min/max
+    * rendered EXACTLY as the scan path renders them (`Long/Int/
+    * Double/Float/Boolean.toString`), or None when any requested
+    * column in any file can't be served exactly: only UNANNOTATED
+    * numeric/boolean primitives qualify — string (BINARY) stats may
+    * be truncated by the writer (a truncated max understates the
+    * bound and would prune files that actually match), and annotated
+    * types (timestamp, date, decimal) render differently in a scan.
+    * Callers fall back to the one-scan path on None; correctness
+    * never rides on the footer. */
+  private[sources] def footerStats(spark: SparkSession, files: Seq[String],
+                                   cols: Seq[String])
+      : Option[Map[String, (Long, Map[String, (Option[String], Option[String], Long)])]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val out = files.map { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try {
+          val footer = reader.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val blocks = footer.getBlocks.asScala.toSeq
+          val nrows = blocks.map(_.getRowCount).sum
+          val perCol = cols.map { c =>
+            if (!schema.containsField(c)) return None
+            val field = schema.getType(Seq(c): _*)
+            if (!field.isPrimitive) return None
+            val prim = field.asPrimitiveType()
+            if (prim.getLogicalTypeAnnotation != null) return None
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            prim.getPrimitiveTypeName match {
+              // NOT float/double: parquet writers normalize zero
+              // bounds to -0.0/+0.0 (rendering diverges from a scan's
+              // min) and omit NaN from stats entirely while Spark's
+              // max orders NaN above +Inf — either way the footer
+              // bound would disagree with the scan the rest of the
+              // table was tagged by
+              case INT32 | INT64 | BOOLEAN => ()
+              case _ => return None
+            }
+            val chunks = blocks.map(_.getColumns.asScala
+              .find(cc => cc.getPath.toDotString == c).getOrElse(return None))
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || s.isNumNullsSet == false))
+              return None
+            val nulls = stats.map(_.getNumNulls).sum
+            val withVals = stats.filter(_.hasNonNullValue)
+            if (withVals.isEmpty && nulls < nrows) return None // unknown
+            if (withVals.isEmpty) c -> (None, None, nulls) // all-null col
+            else {
+              val mins = withVals.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
+              val maxs = withVals.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
+              val mn = mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+              val mx = maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+              c -> (Some(mn.toString), Some(mx.toString), nulls)
+            }
+          }.toMap
+          p -> (nrows, perCol)
+        } finally reader.close()
+      }.toMap
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),

@@ -142,13 +142,29 @@ object VersionedTable {
       keep.contains(norm(l.substring(l.indexOf('\t', StPrefix.length) + 1))))
   }
 
-  /** Compute st manifest lines for freshly written `files` — ONE
-    * column-pruned scan of exactly the new files (O(new files), the
-    * commit-time incremental discipline [[FileSkipping.updateStats]]
-    * documents), rendered into the line format. */
+  /** Compute st manifest lines for freshly written `files`. Fast
+    * path: the PARQUET FOOTERS the write already produced
+    * ([[FileSkipping.footerStats]] — O(new files) metadata reads,
+    * ZERO data I/O; exact for unannotated numeric/boolean columns,
+    * which is what stat columns overwhelmingly are). Anything the
+    * footers can't serve exactly (strings — truncation risk —
+    * annotated types, missing chunk stats) falls back to ONE
+    * column-pruned scan of exactly the new files (the commit-time
+    * incremental discipline [[FileSkipping.updateStats]] documents).
+    * Both paths render identically, so a table can mix them freely. */
   private def computeStatLines(spark: SparkSession, files: Seq[String],
                                cols: Seq[String]): Seq[String] = {
     if (cols.isEmpty || files.isEmpty) return Seq.empty
+    FileSkipping.footerStats(spark, files, cols).foreach { byFile =>
+      return files.flatMap { f =>
+        val (nrows, perCol) = byFile(f)
+        cols.map { c =>
+          val (mn, mx, nulls) = perCol(c)
+          stLine(c, mn, mx, nulls, nrows, f)
+        }
+      }
+    }
+    statsScanNotifier("computeStatLines", files.size)
     val stats = FileSkipping.collectStatsFiles(spark, files, cols).collect()
     // input_file_name spellings differ from listing spellings — key new
     // files by normalized path so the manifest carries the LISTING form

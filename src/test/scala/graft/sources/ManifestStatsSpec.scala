@@ -189,4 +189,60 @@ class ManifestStatsSpec extends SparkSpec {
     }
     assert(scans == 0 && got == 0L)
   }
+
+  test("footer stats == scan stats for numeric columns; strings fall back") {
+    val dir = Files.createTempDirectory("vfooter").toString + "/data"
+    val df = Seq(
+      (5L, 2, 1.5, true, Option("sa")),
+      (1L, 9, -3.25, false, Option("zz")),
+      (7L, 4, 0.0, true, Option.empty[String]))
+      .toDF("k", "i", "d", "b", "s")
+    df.repartition(2).write.parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val files = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    val numericCols = Seq("k", "i", "b")
+    val footer = FileSkipping.footerStats(spark, files, numericCols)
+    assert(footer.isDefined, "unannotated integers must be footer-servable")
+    // floats are excluded by design (-0.0 normalization, NaN-less
+    // footer stats vs Spark's NaN-above-+Inf max): fallback
+    assert(FileSkipping.footerStats(spark, files, Seq("k", "d")).isEmpty)
+    // parity with the scan path, rendering included
+    val scan = FileSkipping.collectStatsFiles(spark, files, numericCols)
+      .collect().map { r =>
+        def s(f: String) = Option(r.get(r.fieldIndex(f))).map(_.toString)
+        new org.apache.hadoop.fs.Path(r.getString(r.fieldIndex("file")))
+          .toUri.getPath ->
+          (r.getLong(r.fieldIndex("n_rows")),
+            numericCols.map(c => c -> (s(s"${c}_min"), s(s"${c}_max"),
+              r.getLong(r.fieldIndex(s"${c}_nulls")))).toMap)
+      }.toMap
+    footer.get.foreach { case (f, (nrows, perCol)) =>
+      val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      val (sRows, sCols) = scan(key)
+      assert(nrows == sRows)
+      numericCols.foreach { c => assert(perCol(c) == sCols(c),
+        s"footer/scan mismatch for $c in $f: ${perCol(c)} vs ${sCols(c)}") }
+    }
+    // strings are truncation-prone: the footer path must refuse them
+    assert(FileSkipping.footerStats(spark, files, Seq("k", "s")).isEmpty)
+    // and a commit with a string stat column still works via the scan
+    // fallback (notifier fires exactly once, for that commit)
+    val t = freshTable()
+    val (_, scans2) = countingScans {
+      VersionedTable.commit(spark, t, df.coalesce(1), append = false,
+        statCols = Seq("k", "s"))
+    }
+    assert(scans2 == 1, s"string stat col must fall back once, got $scans2")
+    val fr = VersionedTable.files(spark, t, Seq("k", "s")).collect()(0)
+    assert(fr.getAs[String]("s_min") == "sa")
+    // ...while a numeric-only commit is footer-served (zero scans)
+    val t2 = freshTable()
+    val (_, scans3) = countingScans {
+      VersionedTable.commit(spark, t2, df.coalesce(1), append = false,
+        statCols = Seq("k", "i"))
+    }
+    assert(scans3 == 0, "integer stat cols must be footer-served")
+  }
 }
