@@ -117,12 +117,14 @@ object TableChangeStream {
             org.apache.spark.sql.types.LongType, nullable = false))))
     }
     if (idx == 0) {
-      val snap = VersionedTable.read(spark, table, Some(v))
-      snap.groupBy(snap.columns.map(col).toSeq: _*)
-        .agg(count(lit(1)).as("n"))
+      // bootstrap: one insert row PER PHYSICAL ROW (n = 1) — a narrow
+      // map over the snapshot, ZERO shuffle. Folding sums n, so this
+      // is multiset-equivalent to the grouped form readChanges emits,
+      // without paying a full-table groupBy to bootstrap a 100 TB
+      // table's consumer.
+      VersionedTable.read(spark, table, Some(v))
         .withColumn("change", lit("insert"))
-        .select(snap.columns.map(col).toSeq ++
-          Seq(col("change"), col("n")): _*)
+        .withColumn("n", lit(1L))
     } else VersionedTable.readChanges(spark, table, vs(idx - 1), v)
   }
 

@@ -38,14 +38,25 @@ class TableChangeStreamSpec extends SparkSpec {
     assert(seen == Vector(4))
   }
 
-  test("first version is emitted as snapshot-as-inserts (duplicates grouped)") {
+  test("first version is emitted as snapshot-as-inserts (row-per-row, no shuffle)") {
     val dir = scratch(); val t = dir + "/t"
     VersionedTable.commit(spark, t,
       kv(1L -> "a", 1L -> "a", 2L -> "b"), append = false)
-    val feed = TableChangeStream.feedFor(spark, t, 1)
+    val feedDf = TableChangeStream.feedFor(spark, t, 1)
+    // narrow plan: bootstrapping a 100 TB consumer must not pay a
+    // full-table groupBy — fold sums n, so row-per-row is equivalent
+    assert(!feedDf.queryExecution.executedPlan.toString
+      .contains("Exchange"), "bootstrap feed must be shuffle-free")
+    val feed = feedDf
       .select(col("k"), col("v"), col("change"), col("n"))
-      .as[(Long, String, String, Long)].collect().toSet
-    assert(feed == Set((1L, "a", "insert", 2L), (2L, "b", "insert", 1L)))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(feed.sorted == Seq((1L, "a", "insert", 1L),
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    // and the fold reconstructs the duplicate multiplicity
+    val folded = TableChangeStream.foldFeed(feedDf)
+      .select(col("k"), col("v"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(folded == Set((1L, "a", 2L), (2L, "b", 1L)))
   }
 
   test("sink failure: checkpoint holds at last delivered, redrain resumes there") {
