@@ -652,6 +652,66 @@ object QueriesPipeline {
       |  FROM events) WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Lakehouse -> WAREHOUSE SYNC (TableChangeStream.drainToJdbc): a
+  // versioned orders table mutates (commit, COW merge with updates +
+  // deletes, DV delete) while two checkpointed drains keep a live
+  // Derby table following it — each sync ships O(changed rows):
+  // inserts MERGE with the src_version newer-guard, pure deletes
+  // apply as one version-guarded DELETE WHERE EXISTS. The zero-egress
+  // realization of the reference's warehouse slot
+  // (ApplaudoETL.scala:278-281): swap url/driver for the cloud
+  // endpoint. The gated output is the warehouse table, which must
+  // hash-equal the lakehouse snapshot's algebra.
+  // ---------------------------------------------------------------------
+  def warehouseSync(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_whsync").toAbsolutePath.toString
+    val table = s"$work/orders"
+    val sfx = math.abs(dir.hashCode).toString
+    val url = s"jdbc:derby:memory:graftwhsync$sfx;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val sink = graft.sources.JdbcUpsertSink(url, s"orders_sync_$sfx",
+      driver, keyCols = Seq("o_orderkey"),
+      orderCols = Seq("src_version"),
+      createTableColumnTypes = Some("o_orderstatus VARCHAR(8)"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(4, col("o_orderkey")), append = false)
+    graft.streaming.TableChangeStream.drainToJdbc(s, table,
+      s"$work/ckpt", sink)
+    val updates = base
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .withColumn("price_cents", col("price_cents") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = base.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("__del", lit(true))
+    graft.sources.VersionedTable.mergeCommit(s, table,
+      updates.unionByName(deletes), "o_orderkey", deleteCol = Some("__del"))
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 23 === 0, Seq("o_orderkey"))
+    val drained = graft.streaming.TableChangeStream.drainToJdbc(s, table,
+      s"$work/ckpt", sink)
+    require(drained == 2, s"second sync must ship exactly the 2 commits")
+    s.read.format("jdbc").option("url", url)
+      .option("dbtable", s"orders_sync_$sfx").option("driver", driver)
+      .load()
+      .toDF("o_orderkey", "o_orderstatus", "price_cents", "src_version")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price_cents"))
+  }
+
+  val warehouseSyncSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT k AS o_orderkey, o_orderstatus,
+      |  CASE WHEN k % 13 = 0 THEN price_cents * 2
+      |    ELSE price_cents END AS price_cents
+      |FROM base WHERE k % 17 <> 0 AND k % 23 <> 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Streaming CDC -> VERSIONED TABLE (the foreachBatch-MERGE lakehouse
   // recipe, IncrementalIngest.drainCdcToVersionedTable): events arrive
   // split by parity — so the second drain carries keys BOTH newer and
@@ -1286,6 +1346,7 @@ object QueriesPipeline {
     "q_stream_neardup" -> (streamNeardup _),
     "q_stream_cdc" -> (streamCdc _),
     "q_stream_table_cdc" -> (streamTableCdc _),
+    "q_warehouse_sync" -> (warehouseSync _),
     "q_incremental_ingest" -> (incrementalIngest _),
     "q_stream_table_ingest" -> (streamTableIngest _),
     "q_stream_partitioned" -> (streamPartitioned _),
@@ -1329,6 +1390,7 @@ object QueriesPipeline {
     "q_stream_neardup" -> QueriesML.minhashLshPairsSql,
     "q_stream_cdc" -> cdcMergeSql,
     "q_stream_table_cdc" -> cdcMergeSql,
+    "q_warehouse_sync" -> warehouseSyncSql,
     "q_incremental_ingest" -> incrementalIngestSql,
     "q_stream_table_ingest" -> streamTableIngestSql,
     "q_stream_partitioned" -> streamPartitionedSql,

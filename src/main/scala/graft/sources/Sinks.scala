@@ -175,4 +175,46 @@ case class JdbcUpsertSink(url: String, table: String, driver: String,
       } finally st.close()
     } finally conn.close()
   }
+
+  /** Server-side DELETE of every target row whose key appears in
+    * `keys` (a frame carrying at least `keyCols`): stage the keys,
+    * one `DELETE ... WHERE EXISTS` against the staging table —
+    * distributed on the Spark side, a single set-based statement on
+    * the warehouse side. When the frame ALSO carries the sink's
+    * `orderCols`, the delete only takes rows the staged entry is
+    * strictly newer than — the same lexicographic guard [[write]]'s
+    * MERGE uses, so a REPLAYED old delete can never take down a row a
+    * later version re-inserted. Deleting an absent key is a no-op
+    * either way: replays are harmless. The warehouse half of CDC:
+    * [[write]] applies the upserts, this applies the deletes. */
+  def deleteKeys(keys0: DataFrame): Unit = {
+    keys0.columns.foreach(c => require(SafeIdent.matches(c),
+      s"unsafe column identifier in frame: '$c'"))
+    val guarded = orderCols.forall(keys0.columns.contains)
+    val keep = if (guarded) keyCols ++ orderCols else keyCols
+    val keys = keys0.select(keep.map(keys0.col): _*).distinct()
+    val staging = s"${table}_del"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    keys.write.mode("overwrite").jdbc(url, staging, props)
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      def q(n: String) = "\"" + n + "\""
+      val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val newer =
+        if (!guarded) ""
+        else " AND (" + orderCols.indices.map { i =>
+          val eqs = (0 until i).map(j =>
+            s"s.${q(orderCols(j))} = t.${q(orderCols(j))}")
+          (eqs :+ s"s.${q(orderCols(i))} > t.${q(orderCols(i))}")
+            .mkString("(", " AND ", ")")
+        }.mkString(" OR ") + ")"
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""DELETE FROM $table t WHERE EXISTS
+           |  (SELECT 1 FROM $staging s WHERE $on$newer)""".stripMargin)
+      finally st.close()
+    } finally conn.close()
+  }
 }

@@ -193,6 +193,42 @@ object TableChangeStream {
       }
     }
 
+  /** Follow the table INTO A WAREHOUSE: drain each pending commit's
+    * feed into a keyed JDBC table via
+    * [[graft.sources.JdbcUpsertSink]] — inserts MERGE (keyed upsert),
+    * pure deletes (a delete with no same-key insert in the same feed
+    * — an update is a delete/insert pair and resolves to its upsert)
+    * apply as one set-based `DELETE WHERE EXISTS`. Rows carry
+    * `src_version` as the sink's order column, so the MERGE's
+    * newer-than guard makes replays no-ops: the checkpoint gives
+    * at-least-once, the guard + idempotent delete make it
+    * exactly-once in effect. This is the zero-egress realization of
+    * the reference's warehouse slot (`ApplaudoETL.scala:278-281`,
+    * BigQuery): swap url/driver for the cloud endpoint and the same
+    * drain keeps a warehouse copy following the lakehouse table
+    * commit by commit, shipping O(changed rows) per sync. The sink
+    * must be declared with `orderCols = Seq("src_version")`. */
+  def drainToJdbc(spark: SparkSession, table: String,
+                  checkpointDir: String,
+                  sink: graft.sources.JdbcUpsertSink): Int = {
+    require(sink.orderCols == Seq("src_version"),
+      "declare the sink with orderCols = Seq(\"src_version\")")
+    drain(spark, table, checkpointDir) { (feed, v) =>
+      val keyCols = sink.keyCols
+      val inserts = feed.filter(col("change") === "insert")
+        .drop("change", "n").withColumn("src_version", lit(v))
+      val pureDeletes = feed.filter(col("change") === "delete")
+        .select(keyCols.map(col): _*)
+        .join(feed.filter(col("change") === "insert")
+          .select(keyCols.map(col): _*), keyCols, "left_anti")
+        // version-guarded: a replayed old delete can't take down a
+        // row a later (already-applied) version re-inserted
+        .withColumn("src_version", lit(v))
+      if (!pureDeletes.isEmpty) sink.deleteKeys(pureDeletes)
+      if (!inserts.isEmpty) sink.write(inserts)
+    }
+  }
+
   /** [[VersionedTable.vacuum]] with CONSUMER-AWARE retention: never
     * retire a version any of `checkpointDirs`' drains still needs
     * (the checkpointed version itself must stay committed — both for

@@ -191,6 +191,45 @@ class TableChangeStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("drainToJdbc: warehouse follows; replays are version-guarded no-ops") {
+    val dir = scratch(); val t = dir + "/t"; val ckpt = dir + "/ckpt"
+    val sfx = math.abs(dir.hashCode).toString
+    val url = s"jdbc:derby:memory:tcsjdbc$sfx;create=true"
+    val sink = graft.sources.JdbcUpsertSink(url, s"sync_$sfx",
+      "org.apache.derby.jdbc.EmbeddedDriver",
+      keyCols = Seq("k"), orderCols = Seq("src_version"),
+      createTableColumnTypes = Some("v VARCHAR(16)"))
+    def warehouse(): Map[Long, (String, Int)] =
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", s"sync_$sfx")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+        .toDF("k", "v", "src_version")
+        .as[(Long, String, Int)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    VersionedTable.commit(spark, t,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), append = false)
+    TableChangeStream.drainToJdbc(spark, t, ckpt, sink)
+    assert(warehouse().keySet == (1L to 10L).toSet)
+    // v2: update k=3, delete k=4; v3: re-insert k=4 with a new value
+    VersionedTable.mergeCommit(spark, t,
+      Seq((3L, "UPD", false), (4L, "", true)).toDF("k", "v", "__del"),
+      "k", deleteCol = Some("__del"))
+    VersionedTable.commit(spark, t, Seq((4L, "BACK")).toDF("k", "v"),
+      append = true)
+    TableChangeStream.drainToJdbc(spark, t, ckpt, sink)
+    val synced = warehouse()
+    assert(synced(3L)._1 == "UPD" && synced(4L)._1 == "BACK")
+    // lost checkpoint: replay versions 2 and 3 — the v2 delete of k=4
+    // must NOT take down the v3 re-insert (version-guarded delete),
+    // and the upsert newer-guard keeps everything else fixed
+    val off = new org.apache.hadoop.fs.Path(ckpt, "offset")
+    val fsys = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(off, false)
+    val o = fsys.create(off, false); o.write("1\n".getBytes); o.close()
+    TableChangeStream.drainToJdbc(spark, t, ckpt, sink)
+    assert(warehouse() == synced, "replayed drain must be a no-op")
+  }
+
   test("safeVacuum keeps the slowest consumer's checkpointed version") {
     val dir = scratch(); val t = dir + "/t"
     val fast = dir + "/fast"; val slow = dir + "/slow"
