@@ -137,7 +137,7 @@ object ScaleProofTail {
       // round-7 second batch: WAP publish, shallow clone, streaming
       // CDC merge, the curated-corpus flagship composition
       "q_table_wap", "q_table_clone", "q_stream_table_cdc",
-      "q_curated_table")
+      "q_curated_table", "q_warehouse_sync")
       .foreach(phase)
     spark.stop()
   }
