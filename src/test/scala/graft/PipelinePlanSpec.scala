@@ -37,4 +37,10 @@ class PipelinePlanSpec extends SparkSpec {
     val (_, broadcasts) = shapes("q_decontaminate")
     assert(broadcasts >= 1, "eval shingles must ride a BroadcastExchange")
   }
+
+  test("epoch shards: one hash exchange, no total sort") {
+    val (shuffles, _) = shapes("q_epoch_shards")
+    assert(shuffles == 1, s"epoch shuffle must cost exactly one " +
+      s"exchange (hash by shard + per-reducer sort), planned $shuffles")
+  }
 }
