@@ -1831,6 +1831,52 @@ object Queries {
       |FROM orders GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // METADATA-ONLY AGGREGATES + FILE-SKIPPED DELETE
+  // (VersionedTable.statsAggregate / deleteCommitPruned): count/min/max
+  // of a stats-covered snapshot served from the manifest's st lines —
+  // `SELECT count(*)` on 100 TB as an O(files) metadata fold — staying
+  // EXACT through a deletion-vector delete (tombstoned files are read
+  // for real, everything else from metadata; TableMetadataOpsSpec pins
+  // the zero-scan property). The delete itself is a range delete whose
+  // doomed-row scan is pruned by the same stats (a retention delete
+  // must not scan the table to find what to tombstone). A timestamp
+  // time-travel require rides along: the head resolves AS OF now.
+  // Oracle: plain count/min/max over the algebraic reconstruction.
+  // ---------------------------------------------------------------------
+  def tableStatsAgg(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vagg")
+      .toAbsolutePath.toString + "/orders"
+    val VT = graft.sources.VersionedTable
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    VT.commit(s, table,
+      base.filter(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(6, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey", "price_cents"))
+    VT.commit(s, table, base.filter(col("o_orderkey") % 3 === 1),
+      append = true)
+    // retention-style range delete: the doomed scan opens only the
+    // files whose [min,max] intersects the band
+    val v3 = VT.deleteCommitPruned(s, table, Seq(("o_orderkey", 1000L, 3000L)),
+      lit(true), Seq("o_orderkey"))
+    require(VT.versionAsOf(s, table, System.currentTimeMillis()) == v3,
+      "TIMESTAMP AS OF now must resolve to the head version")
+    VT.statsAggregate(s, table, Seq("o_orderkey", "price_cents"))
+  }
+
+  val tableStatsAggSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |SELECT count(*) AS n_rows,
+      |  min(o_orderkey) AS o_orderkey_min,
+      |  max(o_orderkey) AS o_orderkey_max,
+      |  min(price_cents) AS price_cents_min,
+      |  max(price_cents) AS price_cents_max
+      |FROM o WHERE o_orderkey NOT BETWEEN 1000 AND 3000""".stripMargin
+
+  // ---------------------------------------------------------------------
   // CHECK CONSTRAINTS (VersionedTable.addConstraint): write-time
   // data-quality contracts in the table itself — a valid append
   // passes, then a violating append AND a violating merge are both
@@ -2183,6 +2229,7 @@ object Queries {
     "q_incremental_mv" -> (incrementalMv _),
     "q_table_change_stream" -> (tableChangeStream _),
     "q_table_restore" -> (tableRestore _),
+    "q_table_stats_agg" -> (tableStatsAgg _),
     "q_table_constraint" -> (tableConstraint _),
     "q_table_wap" -> (tableWap _),
     "q_table_clone" -> (tableClone _),
@@ -2253,6 +2300,7 @@ object Queries {
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,
     "q_table_restore" -> tableRestoreSql,
+    "q_table_stats_agg" -> tableStatsAggSql,
     "q_table_constraint" -> tableConstraintSql,
     "q_table_wap" -> tableWapSql,
     "q_table_clone" -> tableCloneSql,

@@ -191,6 +191,13 @@ object VersionedTable {
   private[sources] var statsScanNotifier: (String, Int) => Unit =
     (_, _) => ()
 
+  /** Test seam: fired `(candidates, totalFiles)` by
+    * [[deleteCommitPruned]]'s doomed scan after file skipping — what
+    * the spec pins to prove a range delete opens only candidate
+    * files. */
+  private[sources] var deletePruneNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
   /** Manifest-served per-file stats for `cols`, as a DataFrame shaped
     * like [[FileSkipping.collectStatsFiles]] with min/max cast through
     * `typeOf` — Some only when EVERY data file of the manifest carries
@@ -314,6 +321,47 @@ object VersionedTable {
   private def manifestPath(table: String, v: Int) =
     new Path(manifestDir(table), f"v$v%08d.json")
 
+  /** A retired version's manifest kept ONLY because surviving delta
+    * manifests resolve through it ([[vacuum]] renames `.json` →
+    * `.base`). Hidden from [[versions]] — the version is logically
+    * gone — but [[readRawManifest]] falls back to it when chasing a
+    * delta chain across the retention boundary. */
+  private def baseManifestPath(table: String, v: Int) =
+    new Path(manifestDir(table), f"v$v%08d.base")
+
+  // -------------------------------------------------------------------
+  // Physical manifest encoding — a Delta-style commit log
+  // -------------------------------------------------------------------
+  //
+  // A manifest FILE is either a full snapshot (one logical line per
+  // row, the original format — every pre-existing table reads
+  // unchanged) or a DELTA frame:
+  //
+  //   delta\t<baseVersion>      (always <baseVersion> = v - 1)
+  //   -\t<logical line removed vs base>
+  //   +\t<logical line added vs base>
+  //
+  // Readers reconstruct the logical line list by folding the chain
+  // back to the nearest full manifest. Writers emit a delta whenever
+  // it is strictly smaller than the snapshot, and a full CHECKPOINT
+  // every [[CheckpointInterval]] versions (and at v1), bounding every
+  // chain. This is what keeps a commit's manifest WRITE O(changed
+  // lines) instead of O(table files): at 100 TB an append of one
+  // partition must not rewrite a multi-million-line file list to
+  // publish (the Delta txn-log/Iceberg-snapshot discipline; the
+  // O(files) manifest READ to know the snapshot is inherent to any
+  // log design and stays). The tag prefixes are unambiguous: every
+  // logical line kind is either a path (tab-free) or starts with a
+  // known `<tag>\t` none of which collide with `delta\t`/`+\t`/`-\t`.
+  private val DeltaHeaderPrefix = "delta\t"
+  private val AddLinePrefix = "+\t"
+  private val RemoveLinePrefix = "-\t"
+
+  /** Every Nth version is written as a full snapshot manifest, however
+    * small its delta — the checkpoint that bounds delta-chain length
+    * (and so [[readManifest]] resolution cost) to < N hops. */
+  private[sources] val CheckpointInterval = 10
+
   /** Dense, sorted list of committed versions. */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val dir = manifestDir(table)
@@ -331,10 +379,16 @@ object VersionedTable {
   def manifest(spark: SparkSession, table: String, v: Int): Seq[String] =
     readManifest(spark, table, v)
 
-  private def readManifest(spark: SparkSession, table: String,
-                           v: Int): Seq[String] = {
-    val p = manifestPath(table, v)
-    val in = fs(spark, p).open(p)
+  /** The PHYSICAL lines of version `v`'s manifest file — a full
+    * snapshot or a delta frame (see the encoding note above). Falls
+    * back to the `.base` spelling for retired-but-still-referenced
+    * chain bases left by [[vacuum]]. */
+  private[sources] def readRawManifest(spark: SparkSession, table: String,
+                                       v: Int): Seq[String] = {
+    val json = manifestPath(table, v)
+    val f = fs(spark, json)
+    val p = if (f.exists(json)) json else baseManifestPath(table, v)
+    val in = f.open(p)
     val raw = try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -342,9 +396,44 @@ object VersionedTable {
       while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       bytes.toString("UTF-8")
     } finally in.close()
-    // manifest body: one file path per line (JSON-free on purpose:
+    // manifest body: one line per entry (JSON-free on purpose:
     // no parser dependency, diff-friendly, trivially streamable)
     raw.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** The LOGICAL line list of version `v`: full manifests verbatim;
+    * delta frames folded back to the nearest checkpoint (≤
+    * [[CheckpointInterval]] hops, each a small metadata file). */
+  private def readManifest(spark: SparkSession, table: String,
+                           v: Int): Seq[String] = {
+    val raw = readRawManifest(spark, table, v)
+    raw.headOption match {
+      case Some(h) if h.startsWith(DeltaHeaderPrefix) =>
+        val base = h.substring(DeltaHeaderPrefix.length).toInt
+        val removed = raw.iterator
+          .filter(_.startsWith(RemoveLinePrefix))
+          .map(_.substring(RemoveLinePrefix.length)).toSet
+        val added = raw
+          .filter(_.startsWith(AddLinePrefix))
+          .map(_.substring(AddLinePrefix.length))
+        readManifest(spark, table, base).filterNot(removed) ++ added
+      case _ => raw
+    }
+  }
+
+  /** The retired versions a delta chain still resolves through: walk
+    * raw frames back from `v` until a full manifest. What [[vacuum]]
+    * must keep (as `.base`) when it retires everything below `v`. */
+  private def baseChainOf(spark: SparkSession, table: String,
+                          v: Int): Set[Int] = {
+    val acc = scala.collection.mutable.Set.empty[Int]
+    var raw = readRawManifest(spark, table, v)
+    while (raw.headOption.exists(_.startsWith(DeltaHeaderPrefix))) {
+      val base = raw.head.substring(DeltaHeaderPrefix.length).toInt
+      acc += base
+      raw = readRawManifest(spark, table, base)
+    }
+    acc.toSet
   }
 
   private[sources] def writeManifest(spark: SparkSession, table: String, v: Int,
@@ -352,9 +441,28 @@ object VersionedTable {
     val target = manifestPath(table, v)
     val f = fs(spark, target)
     f.mkdirs(manifestDir(table))
+    // choose the physical encoding: delta vs v-1 when strictly smaller
+    // than the snapshot (the common append/merge/delete case — O(changed
+    // lines) written, not O(table files)); full at v1, at checkpoints,
+    // and whenever the history doesn't help (first commit, overwrites,
+    // restores to distant versions)
+    val body: Seq[String] =
+      if (v <= 1 || v % CheckpointInterval == 0 ||
+          !(f.exists(manifestPath(table, v - 1)) ||
+            f.exists(baseManifestPath(table, v - 1)))) files
+      else {
+        val prev = readManifest(spark, table, v - 1)
+        val prevSet = prev.toSet
+        val nextSet = files.toSet
+        val removed = prev.filterNot(nextSet)
+        val added = files.filterNot(prevSet)
+        val delta = (DeltaHeaderPrefix + (v - 1)) +:
+          (removed.map(RemoveLinePrefix + _) ++ added.map(AddLinePrefix + _))
+        if (delta.size < files.size) delta else files
+      }
     val tmp = new Path(manifestDir(table), s".tmp-v$v-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // the COMMIT: atomic publish; fails if the version already exists
     if (!f.rename(tmp, target)) {
@@ -431,6 +539,31 @@ object VersionedTable {
     readSnapshot(spark, readManifest(spark, table, v))
   }
 
+  /** TIMESTAMP AS OF: the latest version committed at or before
+    * `tsMillis` (epoch millis). A manifest's publish rename IS the
+    * commit, so its file modification time is the commit time — the
+    * same resolution rule as Delta's `timestampAsOf` (which reads the
+    * log files' mtimes too). O(versions) metadata listing, zero data
+    * I/O; errors when the timestamp predates the table (nothing
+    * existed to read). Vacuumed versions are gone here exactly as they
+    * are for version-number travel. */
+  def versionAsOf(spark: SparkSession, table: String,
+                  tsMillis: Long): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val f = fs(spark, manifestDir(table))
+    val at = vs.filter(v =>
+      f.getFileStatus(manifestPath(table, v)).getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis predates the oldest retained commit of $table")
+    at.last
+  }
+
+  /** [[read]] at [[versionAsOf]] the timestamp. */
+  def readAsOf(spark: SparkSession, table: String,
+               tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
+
   /** Materialize a manifest's logical content: merged-schema scan of
     * its data files minus every deletion-vector tombstone. Tombstones
     * are keyed (file, key...): only the row with that key IN that
@@ -494,6 +627,27 @@ object VersionedTable {
     try deleteCommitAttempt(spark, table, predicate, keyCols, _ => ())
     catch { case c: VersionConflict => sys.error(c.getMessage) }
 
+  /** [[deleteCommit]] with FILE SKIPPING on the doomed-row scan: the
+    * effective predicate is `ranges AND predicate`, and the manifest's
+    * st lines prune the scan to the ranges' candidate files — a
+    * retention delete (`ts < cutoff`) on a 100 TB time-clustered table
+    * must tombstone from O(old files) of reads, not a table scan
+    * (the same min/max discipline [[readPruned]] applies to reads and
+    * [[mergeCommit]] to touched-file probes). Falls back to one
+    * on-the-fly stats scan when the manifest doesn't cover the range
+    * columns; row-identical to
+    * `deleteCommit(ranges AND predicate)` either way — min/max
+    * intersection is necessary, never sufficient, so excluded files
+    * provably hold no matching row. Pass `lit(true)` as `predicate`
+    * for a pure range delete. */
+  def deleteCommitPruned(spark: SparkSession, table: String,
+                         ranges: Seq[(String, Long, Long)],
+                         predicate: org.apache.spark.sql.Column,
+                         keyCols: Seq[String]): Int =
+    try deleteCommitAttempt(spark, table, predicate, keyCols, _ => (),
+      pruneRanges = ranges)
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+
   /** [[deleteCommit]] with optimistic concurrency — same conflict
     * re-evaluation as [[mergeCommitOptimistic]]: a concurrent commit
     * that left this delete's tombstoned files in place (appends,
@@ -517,7 +671,10 @@ object VersionedTable {
   private def deleteCommitAttempt(spark: SparkSession, table: String,
                                   predicate: org.apache.spark.sql.Column,
                                   keyCols: Seq[String],
-                                  onAttempt: Int => Unit): Int = {
+                                  onAttempt: Int => Unit,
+                                  pruneRanges: Seq[(String, Long, Long)] =
+                                    Nil): Int = {
+    import org.apache.spark.sql.functions.col
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
@@ -530,9 +687,33 @@ object VersionedTable {
           s"keyed by $keyCols would not compose — use the same key " +
           "columns (or mergeCommit/compactCommit to purge first)")
     }
-    val doomed = readSnapshotTagged(spark, lines)
-      .filter(predicate)
-      .select(FileCol, keyCols: _*)
+    // file skipping for the doomed scan ([[deleteCommitPruned]]): only
+    // the ranges' candidate files can hold a matching row — the rest
+    // are never opened. `lines` keeps only candidate data lines (dv
+    // sidecars stay: tombstones must keep composing on the files read)
+    val scanLines =
+      if (pruneRanges.isEmpty) lines
+      else {
+        val data = dataFilesOf(lines)
+        val rangeCols = pruneRanges.map(_._1).distinct
+        val stats = manifestStats(spark, lines, rangeCols,
+          _ => org.apache.spark.sql.types.DoubleType).getOrElse {
+          statsScanNotifier("deleteCommit", data.size)
+          FileSkipping.collectStatsFiles(spark, data, rangeCols)
+        }
+        val cand = FileSkipping.candidateFiles(stats, pruneRanges)
+        deletePruneNotifier(cand.size, data.size)
+        cand ++ lines.filter(_.startsWith(DvPrefix))
+      }
+    val rangePred = pruneRanges
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .foldLeft(predicate)(_ && _)
+    val doomed =
+      (if (dataFilesOf(scanLines).isEmpty)
+        readSnapshotTagged(spark, lines).limit(0)
+      else readSnapshotTagged(spark, scanLines))
+        .filter(rangePred)
+        .select(FileCol, keyCols: _*)
     val next = vs.last + 1
     val dvDir = new Path(table,
       s"data/$next-dv-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1458,6 +1639,80 @@ object VersionedTable {
     }
   }
 
+  /** METADATA-ONLY AGGREGATES: `count(*)` + per-column min/max of a
+    * snapshot answered from the manifest's st lines — the
+    * Iceberg/Delta "metadata query" path: `SELECT count(*) FROM t` on
+    * a 100 TB table must cost an O(files) manifest fold, not a scan.
+    *
+    * Exactness under merge-on-read: a deletion-vector tombstone can
+    * remove a file's extreme row (stats keep the PRE-delete bounds),
+    * so only UNtombstoned, stats-covered files are served from
+    * metadata; tombstoned or uncovered files are read for real —
+    * anti-joined, aggregated, and combined with the served side. The
+    * I/O is therefore O(tombstoned + uncovered files): zero on a
+    * stats-covered pure-files snapshot, and proportional to
+    * merge-on-read debt otherwise (a [[compactCommit]]/[[mergeCommit]]
+    * purge restores the zero-read path). Which files are tombstoned
+    * comes from the sidecars — an O(deleted rows) metadata-scale read.
+    * Returns one row: `n_rows`, then `<col>_min`, `<col>_max` typed by
+    * the table schema (footer-only read). Row-identical to
+    * `read(...).agg(count, min, max)` for any history. */
+  def statsAggregate(spark: SparkSession, table: String,
+                     cols: Seq[String],
+                     version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => _, version => _, _}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    val tombstoned: Set[String] =
+      if (dvLines.isEmpty) Set.empty
+      else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+    val byFileCol = statsOf(lines).map(s => (norm(s._3), s._1) -> s._2).toMap
+    val (served, scan) = data.partition { f =>
+      !tombstoned(norm(f)) &&
+        cols.forall(c => byFileCol.contains(norm(f) -> c))
+    }
+    // footer-only schema read: what types the served strings cast to,
+    // and what makes the two sides union-compatible
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(data: _*).schema
+    def typOf(c: String) = schema.fields.find(_.name == c).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    def aggd(perFile: DataFrame, nRows: org.apache.spark.sql.Column,
+             mn: String => org.apache.spark.sql.Column,
+             mx: String => org.apache.spark.sql.Column): DataFrame =
+      perFile.agg(nRows.cast("long").as("n_rows"),
+        cols.flatMap(c => Seq(min(mn(c)).as(s"${c}_min"),
+          max(mx(c)).as(s"${c}_max"))): _*)
+    val servedAgg =
+      if (served.isEmpty) None
+      else Some(aggd(
+        manifestStats(spark, served ++ stLinesFor(lines, served), cols,
+          typOf).get, // covered by construction of `served`
+        sum("n_rows"), c => col(s"${c}_min"), c => col(s"${c}_max")))
+    val scanAgg =
+      if (scan.isEmpty) None
+      else {
+        if (scan.exists(f => !tombstoned(norm(f))))
+          statsScanNotifier("statsAggregate", scan.size)
+        Some(aggd(readSnapshot(spark, scan ++ dvLines),
+          count(lit(1)), c => col(c), c => col(c)))
+      }
+    (servedAgg, scanAgg) match {
+      case (Some(a), Some(b)) => aggd(a.unionByName(b),
+        sum("n_rows"), c => col(s"${c}_min"), c => col(s"${c}_max"))
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => sys.error("unreachable: data.nonEmpty")
+    }
+  }
+
   /** SHOW PARTITIONS: one row per (partition column, value) of a
     * snapshot — file count and whether any untagged files exist
     * (surfaced as a NULL/NULL row, since those files' partition
@@ -1943,9 +2198,27 @@ object VersionedTable {
     val root = norm(new Path(table).toString).stripSuffix("/") + "/"
     val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
       .filter(p => norm(p).startsWith(root))
+    // the oldest SURVIVING version may be a delta frame whose chain
+    // resolves through retired versions — keep those manifests (renamed
+    // to `.base`: hidden from versions(), still chain-resolvable) or
+    // every kept delta would dangle. Computed BEFORE any mutation.
+    val neededBases = baseChainOf(spark, table, keep.head)
     val f = fs(spark, new Path(table))
     dead.foreach(p => f.delete(new Path(p), false))
-    retire.foreach(v => f.delete(manifestPath(table, v), false))
+    retire.foreach { v =>
+      if (neededBases(v))
+        f.rename(manifestPath(table, v), baseManifestPath(table, v))
+      else f.delete(manifestPath(table, v), false)
+    }
+    // sweep `.base` carcasses earlier vacuums kept that this one no
+    // longer needs (the kept chain moved past them)
+    f.listStatus(manifestDir(table)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".base")) {
+        val bv = n.substring(1, n.length - 5).toInt
+        if (!neededBases(bv)) f.delete(s.getPath, false)
+      }
+    }
     // sweep commit dirs the deletions emptied (cosmetic, keeps `data/`
     // listings proportional to live versions). The emptiness check must
     // look at DESCENDANTS, not direct children: partitioned commits

@@ -70,7 +70,10 @@ object OracleFuzz {
     // constraints (the valid/rejected split shifts with the rows), and
     // the epoch permutation (hash-order oracle)
     "q_table_change_stream", "q_table_restore", "q_table_constraint",
-    "q_epoch_shards", "q_table_wap")
+    "q_epoch_shards", "q_table_wap",
+    // metadata-only aggregate: min/max/count served from st lines must
+    // track whatever rows the perturbation leaves
+    "q_table_stats_agg")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Metadata-only query paths over the versioned table: aggregate
+  * pushdown into manifest stats ([[VersionedTable.statsAggregate]]),
+  * file-skipped range deletes ([[VersionedTable.deleteCommitPruned]]),
+  * and timestamp time travel ([[VersionedTable.readAsOf]]). */
+class TableMetadataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("tmeta").toString + "/t"
+
+  private def countScans[A](body: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val old = VersionedTable.statsScanNotifier
+    VersionedTable.statsScanNotifier = (_, _) => n.incrementAndGet()
+    val r = try body finally VersionedTable.statsScanNotifier = old
+    (r, n.get())
+  }
+
+  private def oneRow(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    df.collect().toSeq match { case Seq(r) => r.toSeq }
+
+  test("statsAggregate == read.agg, zero scans on a covered snapshot") {
+    val t = freshTable()
+    val df = (1L to 300L).map(i =>
+      (i, i.toDouble / 4, if (i % 7 == 0) null else s"s$i"))
+      .toDF("k", "x", "s")
+      .repartitionByRange(6, col("k"))
+    VersionedTable.commit(spark, t, df, append = false,
+      statCols = Seq("k", "x", "s"))
+    VersionedTable.commit(spark, t,
+      Seq((1000L, -5.0, "zzz")).toDF("k", "x", "s"), append = true)
+    val (got, scans) = countScans {
+      oneRow(VersionedTable.statsAggregate(spark, t, Seq("k", "x", "s")))
+    }
+    val want = oneRow(VersionedTable.read(spark, t).agg(
+      count(lit(1)).as("n_rows"),
+      min("k"), max("k"), min("x"), max("x"), min("s"), max("s")))
+    assert(got == want, s"$got vs $want")
+    assert(scans == 0, "covered snapshot must aggregate from metadata alone")
+  }
+
+  test("statsAggregate stays exact when a delete removes the extremes") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      append = false, statCols = Seq("k"))
+    // kill the global max and min — their files' stats now overstate
+    VersionedTable.deleteCommit(spark, t,
+      col("k") === 100L || col("k") === 1L, Seq("k"))
+    val (got, scans) = countScans {
+      oneRow(VersionedTable.statsAggregate(spark, t, Seq("k")))
+    }
+    assert(got == Seq(98L, 2L, 99L), s"got $got")
+    // the two tombstoned files are read for real (unavoidable); that
+    // read is NOT a stats-coverage fallback
+    assert(scans == 0)
+  }
+
+  test("statsAggregate falls back to the scan when stats are missing") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).toDF("k").repartition(3), append = false) // no statCols
+    val (got, scans) = countScans {
+      oneRow(VersionedTable.statsAggregate(spark, t, Seq("k")))
+    }
+    assert(got == Seq(50L, 1L, 50L))
+    assert(scans >= 1, "uncovered files must be counted as a scan fallback")
+  }
+
+  test("deleteCommitPruned == unpruned delete, opens only candidates") {
+    def build(): String = {
+      val t = freshTable()
+      VersionedTable.commit(spark, t,
+        (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+          .repartitionByRange(8, col("k")),
+        append = false, statCols = Seq("k"))
+      t
+    }
+    val pruned = build()
+    val plain = build()
+    var seen: Option[(Int, Int)] = None
+    val old = VersionedTable.deletePruneNotifier
+    VersionedTable.deletePruneNotifier = (c, n) => seen = Some((c, n))
+    try VersionedTable.deleteCommitPruned(spark, pruned,
+      Seq(("k", 101L, 150L)), lit(true), Seq("k"))
+    finally VersionedTable.deletePruneNotifier = old
+    VersionedTable.deleteCommit(spark, plain,
+      col("k") >= 101L && col("k") <= 150L, Seq("k"))
+    val a = VersionedTable.read(spark, pruned)
+      .as[(Long, String)].collect().sorted.toSeq
+    val b = VersionedTable.read(spark, plain)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(a == b && a.size == 350)
+    val (cand, total) = seen.get
+    assert(total == 8 && cand <= 2,
+      s"a 50-key range over 8 range-clustered files must skip most: " +
+        s"$cand of $total")
+  }
+
+  test("readAsOf resolves commit times; predating timestamps error") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, Seq(1L).toDF("k"), append = false)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedTable.commit(spark, t, Seq(2L).toDF("k"), append = true)
+    assert(VersionedTable.versionAsOf(spark, t, afterV1) == 1)
+    assert(VersionedTable.readAsOf(spark, t, afterV1)
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(VersionedTable.readAsOf(spark, t, System.currentTimeMillis())
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, t, 1000L) // 1970 predates the table
+    }
+  }
+}
