@@ -1877,6 +1877,51 @@ object Queries {
       |FROM o WHERE o_orderkey NOT BETWEEN 1000 AND 3000""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BUCKET-MAP JOIN (VersionedTable.commitBucketed + bucketJoin): orders
+  // and customer co-hash-bucketed on custkey; the join runs as one
+  // broadcast-hash join PER BUCKET over manifest-paired files — the
+  // in-query require pins a plan with ZERO shuffle exchanges (the fact
+  // side never moves; this is the Hive bucket-map-join regime: a
+  // dimension too big to broadcast whole, whose 1/n buckets each fit).
+  // An append on the fact side and a DV delete ride along to prove the
+  // bucket discipline composes with the table layer. Oracle: the plain
+  // join, reconstructed algebraically.
+  // ---------------------------------------------------------------------
+  def bucketJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_vbkt")
+      .toAbsolutePath.toString
+    val (ta, tb) = (root + "/orders", root + "/customer")
+    val VT = graft.sources.VersionedTable
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    VT.commitBucketed(s, ta, o.filter(col("o_orderkey") % 4 =!= 0),
+      "custkey", 8, append = false)
+    VT.commitBucketed(s, ta, o.filter(col("o_orderkey") % 4 === 0),
+      "custkey", 8, append = true)
+    VT.commitBucketed(s, tb, c, "custkey", 8, append = false)
+    VT.deleteCommit(s, ta, col("o_orderkey") % 9 === 0, Seq("o_orderkey"))
+    val joined = VT.bucketJoin(s, ta, tb, "custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    require("Exchange (hash|range|roundrobin|Single)".r
+      .findAllIn(plan).isEmpty,
+      "bucket-map join must plan zero shuffle exchanges")
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  val bucketJoinOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 9 <> 0
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // CHECK CONSTRAINTS (VersionedTable.addConstraint): write-time
   // data-quality contracts in the table itself — a valid append
   // passes, then a violating append AND a violating merge are both
@@ -2230,6 +2275,7 @@ object Queries {
     "q_table_change_stream" -> (tableChangeStream _),
     "q_table_restore" -> (tableRestore _),
     "q_table_stats_agg" -> (tableStatsAgg _),
+    "q_bucket_join" -> (bucketJoinOrders _),
     "q_table_constraint" -> (tableConstraint _),
     "q_table_wap" -> (tableWap _),
     "q_table_clone" -> (tableClone _),
@@ -2301,6 +2347,7 @@ object Queries {
     "q_table_change_stream" -> tableChangeStreamSql,
     "q_table_restore" -> tableRestoreSql,
     "q_table_stats_agg" -> tableStatsAggSql,
+    "q_bucket_join" -> bucketJoinOrdersSql,
     "q_table_constraint" -> tableConstraintSql,
     "q_table_wap" -> tableWapSql,
     "q_table_clone" -> tableCloneSql,

@@ -1536,6 +1536,91 @@ object VersionedTable {
       col(partCol).cast("string") <= hi)
   }
 
+  // -------------------------------------------------------------------
+  // BUCKETED tables — co-hashed storage for shuffle-free joins
+  // -------------------------------------------------------------------
+
+  /** The bucket-spec column [[commitBucketed]] materializes and tags
+    * by: self-describing (`__bucket_<key>_<n>`), so two tables agree
+    * on co-location from their manifests alone. */
+  private def bucketColName(key: String, n: Int) = s"__bucket_${key}_$n"
+
+  /** Commit `df` HASH-BUCKETED on `key` into `nBuckets` co-location
+    * buckets — the storage half of the classic bucket(-map) join: the
+    * bucket id `pmod(hash(key), n)` is materialized as a
+    * [[bucketColName]] column, the write is repartitioned on it (one
+    * file per bucket per commit, O(buckets) files not O(buckets ×
+    * tasks)), and every file is partition-tagged with its bucket — so
+    * a later [[bucketJoin]] pairs the two tables' buckets from
+    * manifest metadata, zero data I/O for the decision. Appends keep
+    * the discipline (same spec, new files per bucket). The usual
+    * partition-tag safety holds: files that somehow lack the tag are
+    * re-read for every bucket and filtered (correct, just slower). */
+  def commitBucketed(spark: SparkSession, table: String, df: DataFrame,
+                     key: String, nBuckets: Int, append: Boolean,
+                     statCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(df.columns.contains(key), s"no column $key")
+    val bcol = bucketColName(key, nBuckets)
+    require(!df.columns.contains(bcol),
+      s"input must not carry a $bcol column (reserved for the bucket spec)")
+    commitPartitioned(spark, table,
+      df.withColumn(bcol, pmod(hash(col(key)), lit(nBuckets))),
+      bcol, append, statCols = statCols)
+  }
+
+  /** The `(key, nBuckets)` bucket spec a table's partition tags
+    * declare — None when the table isn't bucket-tagged (or is tagged
+    * by more than one spec, e.g. mid-migration). */
+  def bucketSpecOf(spark: SparkSession, table: String,
+                   version: Option[Int] = None): Option[(String, Int)] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, version.getOrElse(vs.last))
+    val specs = partitionsOf(lines).map(_._1).distinct.collect {
+      case c if c.startsWith("__bucket_") =>
+        val cut = c.lastIndexOf('_')
+        (c.substring("__bucket_".length, cut), c.substring(cut + 1).toInt)
+    }
+    specs match { case Seq(one) => Some(one); case _ => None }
+  }
+
+  /** BUCKET-MAP JOIN: join two tables [[commitBucketed]] on the SAME
+    * `(key, nBuckets)` spec as `n` independent per-bucket joins, the
+    * smaller side of each broadcast — co-hashing guarantees equal keys
+    * share a bucket, so the union of the bucket joins is row-identical
+    * to the plain join, and the plan holds ZERO shuffle exchanges:
+    * the fact side is never moved. This is the regime Hive's bucket
+    * map join exists for — the dimension too big to broadcast WHOLE
+    * but whose 1/n buckets each fit: at 100 TB, a 1 TB dimension in
+    * 1024 buckets broadcasts ~1 GB per bucket join while the fact
+    * table streams straight from its files. (If the whole dimension
+    * fits in one broadcast, Spark's own broadcast join already wins —
+    * use that.) Buckets pair by manifest tags ([[readPartitions]]
+    * opens only bucket i's files); deletion vectors and appended
+    * commits compose as usual. `joinType`: "inner" or "left_outer"
+    * semantics follow the plain join (null keys co-hash, so a left
+    * join's null-key rows survive in their bucket). */
+  def bucketJoin(spark: SparkSession, tableA: String, tableB: String,
+                 key: String, joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sa = bucketSpecOf(spark, tableA)
+    val sb = bucketSpecOf(spark, tableB)
+    require(sa.isDefined && sa == sb && sa.get._1 == key,
+      s"bucketJoin needs both tables bucketed on ($key, same n): " +
+        s"$tableA=$sa, $tableB=$sb")
+    val n = sa.get._2
+    val bcol = bucketColName(key, n)
+    (0 until n).map { i =>
+      val ai = readPartitions(spark, tableA, bcol, Seq(i.toString))
+        .drop(bcol)
+      val bi = readPartitions(spark, tableB, bcol, Seq(i.toString))
+        .drop(bcol)
+      ai.join(broadcast(bi), Seq(key), joinType)
+    }.reduce(_ unionByName _)
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (`INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the standard idempotent-backfill
     * idiom): replace EXACTLY the partitions present in `df`, carry

@@ -72,8 +72,9 @@ object OracleFuzz {
     "q_table_change_stream", "q_table_restore", "q_table_constraint",
     "q_epoch_shards", "q_table_wap",
     // metadata-only aggregate: min/max/count served from st lines must
-    // track whatever rows the perturbation leaves
-    "q_table_stats_agg")
+    // track whatever rows the perturbation leaves; bucket-map join must
+    // stay row-identical to the plain join on any input subset
+    "q_table_stats_agg", "q_bucket_join")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.
