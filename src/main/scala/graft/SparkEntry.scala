@@ -1922,6 +1922,67 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // INCREMENTAL JOIN-VIEW MAINTENANCE (JoinMaterializedView): revenue-
+  // by-segment over orders ⋈ customer, built once, then kept fresh
+  // through a fact append, a fact DV delete, AND a dimension merge
+  // (customers switching segment — the change that re-weights matching
+  // fact rows) purely from the two change feeds and time travel:
+  // Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB. The fact table is bucket-committed
+  // on the join key, so the dim-delta term reads only the changed
+  // keys' buckets (JoinMaterializedViewSpec pins the pruning; the
+  // refresh==rebuild law holds on random two-table histories). Oracle:
+  // the final state reconstructed algebraically.
+  // ---------------------------------------------------------------------
+  def joinMv(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_vjmv")
+      .toAbsolutePath.toString
+    val (fact, dim, mv) = (root + "/orders", root + "/customer",
+      root + "/view")
+    val VT = graft.sources.VersionedTable
+    val JMV = graft.sources.JoinMaterializedView
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    VT.commitBucketed(s, fact, o.filter(col("o_orderkey") % 4 =!= 0),
+      "custkey", 8, append = false)
+    VT.commit(s, dim, c, append = false)
+    JMV.build(s, fact, dim, mv, "custkey",
+      Seq("c_mktsegment"), Seq("price_cents"))
+    // fact append, then refresh
+    VT.commitBucketed(s, fact, o.filter(col("o_orderkey") % 4 === 0),
+      "custkey", 8, append = true)
+    JMV.refresh(s, fact, dim, mv)
+    // fact DV delete, then refresh
+    VT.deleteCommit(s, fact, col("o_orderkey") % 9 === 0,
+      Seq("o_orderkey"))
+    JMV.refresh(s, fact, dim, mv)
+    // dimension merge: a tenth of the customers switch segment
+    VT.mergeCommit(s, dim,
+      c.filter(col("custkey") % 10 === 3)
+        .withColumn("c_mktsegment", lit("MOVED")),
+      "custkey")
+    JMV.refresh(s, fact, dim, mv)
+    JMV.read(s, mv)
+  }
+
+  val joinMvSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders WHERE o_orderkey % 9 <> 0),
+      |d AS (
+      |  SELECT c_custkey AS custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer)
+      |SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM f JOIN d USING (custkey)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // CHECK CONSTRAINTS (VersionedTable.addConstraint): write-time
   // data-quality contracts in the table itself — a valid append
   // passes, then a violating append AND a violating merge are both
@@ -2276,6 +2337,7 @@ object Queries {
     "q_table_restore" -> (tableRestore _),
     "q_table_stats_agg" -> (tableStatsAgg _),
     "q_bucket_join" -> (bucketJoinOrders _),
+    "q_join_mv" -> (joinMv _),
     "q_table_constraint" -> (tableConstraint _),
     "q_table_wap" -> (tableWap _),
     "q_table_clone" -> (tableClone _),
@@ -2348,6 +2410,7 @@ object Queries {
     "q_table_restore" -> tableRestoreSql,
     "q_table_stats_agg" -> tableStatsAggSql,
     "q_bucket_join" -> bucketJoinOrdersSql,
+    "q_join_mv" -> joinMvSql,
     "q_table_constraint" -> tableConstraintSql,
     "q_table_wap" -> tableWapSql,
     "q_table_clone" -> tableCloneSql,

@@ -1565,9 +1565,13 @@ object VersionedTable {
     val bcol = bucketColName(key, nBuckets)
     require(!df.columns.contains(bcol),
       s"input must not carry a $bcol column (reserved for the bucket spec)")
-    commitPartitioned(spark, table,
-      df.withColumn(bcol, pmod(hash(col(key)), lit(nBuckets))),
-      bcol, append, statCols = statCols)
+    // co-locate each bucket's rows before the partitioned write: file
+    // count stays O(buckets) per commit, not O(buckets × input tasks)
+    // — the one write-time shuffle that buys every later join its zero
+    val tagged = df.withColumn(bcol, pmod(hash(col(key)), lit(nBuckets)))
+      .repartition(nBuckets, col(bcol))
+    commitPartitioned(spark, table, tagged, bcol, append,
+      statCols = statCols)
   }
 
   /** The `(key, nBuckets)` bucket spec a table's partition tags

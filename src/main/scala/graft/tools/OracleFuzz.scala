@@ -74,7 +74,7 @@ object OracleFuzz {
     // metadata-only aggregate: min/max/count served from st lines must
     // track whatever rows the perturbation leaves; bucket-map join must
     // stay row-identical to the plain join on any input subset
-    "q_table_stats_agg", "q_bucket_join")
+    "q_table_stats_agg", "q_bucket_join", "q_join_mv")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -96,6 +96,10 @@ object ScaleProofTail {
           .otherwise(concat(col("text"), lit(" r"), col("r"))))
       .drop("r").repartition(32)
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // customer: copied UNscaled — the bucket-join proof grows the fact
+    // side 10x against a fixed dimension, the axis 100 TB actually grows
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.mode("overwrite").parquet(s"$work/customer.parquet")
     val nOrd = spark.read.parquet(s"$work/orders.parquet").count()
     val nLi = spark.read.parquet(s"$work/lineitem.parquet").count()
     val nEv = spark.read.parquet(s"$work/events.parquet").count()
@@ -137,7 +141,10 @@ object ScaleProofTail {
       // round-7 second batch: WAP publish, shallow clone, streaming
       // CDC merge, the curated-corpus flagship composition
       "q_table_wap", "q_table_clone", "q_stream_table_cdc",
-      "q_curated_table", "q_warehouse_sync")
+      "q_curated_table", "q_warehouse_sync",
+      // round-7 third batch: metadata-only aggregates over the delta-
+      // encoded manifest log, and the bucket-map join at 10x
+      "q_table_stats_agg", "q_bucket_join", "q_join_mv")
       .foreach(phase)
     spark.stop()
   }
