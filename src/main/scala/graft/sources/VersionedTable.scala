@@ -1763,9 +1763,26 @@ object VersionedTable {
       else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
         .distinct().collect().map(r => norm(r.getString(0))).toSet
     val byFileCol = statsOf(lines).map(s => (norm(s._3), s._1) -> s._2).toMap
+    val anyStat = statsOf(lines).groupBy(s => norm(s._3))
+      .view.mapValues(_.head._2._4).toMap
     val (served, scan) = data.partition { f =>
       !tombstoned(norm(f)) &&
-        cols.forall(c => byFileCol.contains(norm(f) -> c))
+        (if (cols.isEmpty) anyStat.contains(norm(f))
+         else cols.forall(c => byFileCol.contains(norm(f) -> c)))
+    }
+    // pure COUNT(*): n_rows is any stat column's nrows — served as one
+    // driver-side fold over the manifest, no per-column frame needed
+    if (cols.isEmpty) {
+      import spark.implicits._
+      val servedRows = served.map(f => anyStat(norm(f))).sum
+      val scanRows =
+        if (scan.isEmpty) 0L
+        else {
+          if (scan.exists(f => !tombstoned(norm(f))))
+            statsScanNotifier("statsAggregate", scan.size)
+          readSnapshot(spark, scan ++ dvLines).count()
+        }
+      return Seq(servedRows + scanRows).toDF("n_rows")
     }
     // footer-only schema read: what types the served strings cast to,
     // and what makes the two sides union-compatible

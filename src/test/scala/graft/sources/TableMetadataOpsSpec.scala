@@ -65,6 +65,19 @@ class TableMetadataOpsSpec extends SparkSpec {
     assert(scans == 0)
   }
 
+  test("count(*)-only: served from any stat column's nrows, exact under dv") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 120L).toDF("k").repartitionByRange(4, col("k")),
+      append = false, statCols = Seq("k"))
+    VersionedTable.deleteCommit(spark, t, col("k") % 8 === 0, Seq("k"))
+    val (got, scans) = countScans {
+      oneRow(VersionedTable.statsAggregate(spark, t, Seq.empty))
+    }
+    assert(got == Seq(105L), s"got $got") // 120 - 15 multiples of 8
+    assert(scans == 0, "tombstoned-file reads are not stats fallbacks")
+  }
+
   test("statsAggregate falls back to the scan when stats are missing") {
     val t = freshTable()
     VersionedTable.commit(spark, t,
