@@ -1646,6 +1646,127 @@ object Queries {
       |FROM evolved GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // UPDATE ... SET ... WHERE (VersionedTable.updateCommit): file-level
+  // copy-on-write — a stats-pruned update on a key-clustered table
+  // rewrites ONLY the candidate files that hold a matching row and
+  // carries the rest verbatim (required in-query on the manifests); a
+  // second, unpruned update exercises the match-probe path. SET
+  // expressions see the pre-image; the two updates hit disjoint status
+  // slices so the oracle is one CASE per branch.
+  // ---------------------------------------------------------------------
+  def tableUpdate(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vupd")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false,
+      statCols = Seq("o_orderkey"))
+    val cut = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 10
+    // pruned: the range covers ~1 of 8 clustered files
+    graft.sources.VersionedTable.updateCommit(s, table,
+      col("o_orderstatus") === "O",
+      Map("price_cents" -> (col("price_cents") + 500L)),
+      ranges = Seq(("o_orderkey", 1L, cut)))
+    val m = (v: Int) => graft.sources.VersionedTable
+      .dataFilesOf(graft.sources.VersionedTable.manifest(s, table, v)).toSet
+    require(m(2).intersect(m(1)).size >= 6,
+      "a 1-in-10 key-range update over 8 clustered files must carry most")
+    // unpruned: probe finds the matching files across the table
+    graft.sources.VersionedTable.updateCommit(s, table,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3,
+      Map("price_cents" -> (col("price_cents") * 2L)))
+    require(graft.sources.VersionedTable.versions(s, table) == Seq(1, 2, 3))
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("price_cents"))
+  }
+
+  val tableUpdateSql: String =
+    """WITH b AS (SELECT max(o_orderkey) // 10 AS cut FROM orders),
+      |u AS (
+      |  SELECT o_orderstatus,
+      |    CASE
+      |      WHEN o_orderstatus = 'O'
+      |        AND o_orderkey >= 1 AND o_orderkey <= (SELECT cut FROM b)
+      |        THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+      |      WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+      |        THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+      |    END AS price_cents
+      |  FROM orders)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS price_cents
+      |FROM u GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SCHEMA ENFORCEMENT (VersionedTable write-time contract): appends
+  // may ADD columns (evolution) but an append CHANGING an existing
+  // column's type is rejected AT THE WRITER — files unstaged, head
+  // untouched — instead of corrupting every later merged-schema read
+  // (the Delta enforcement contract). The gate commits a base, proves
+  // TWO conflicting appends reject (one against the original schema,
+  // one against an evolved column), lands a legal evolution append
+  // between them, and aggregates the final table; the oracle knows
+  // nothing of the rejected writes — any residue they left would
+  // hash-mismatch.
+  // ---------------------------------------------------------------------
+  def schemaEnforce(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_venf")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 2 === 0), append = false)
+    // conflict #1: price_cents arrives as a STRING — rejected, unstaged
+    val bad1 = try {
+      graft.sources.VersionedTable.commit(s, table,
+        base.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("price_cents", col("price_cents").cast("string")),
+        append = true); false
+    } catch { case e: IllegalStateException =>
+      e.getMessage.contains("schema conflict") }
+    // legal evolution: odd keys arrive WITH a new column
+    graft.sources.VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_band",
+          when(col("o_orderkey") % 3 === 0, lit("hi")).otherwise(lit("lo"))),
+      append = true)
+    // conflict #2: the EVOLVED column's type — the cached merged
+    // schema (zero-I/O sc line) must know o_band is a string by now
+    val bad2 = try {
+      graft.sources.VersionedTable.commit(s, table,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_band", lit(7L)), append = true); false
+    } catch { case e: IllegalStateException =>
+      e.getMessage.contains("schema conflict") }
+    require(bad1 && bad2, "conflicting appends must be rejected")
+    require(graft.sources.VersionedTable.versions(s, table) == Seq(1, 2),
+      "rejected commits must not advance the head")
+    require(graft.sources.VersionedTable.tableSchemaOf(s, table).get
+      .fieldNames.toSet ==
+      Set("o_orderkey", "o_orderstatus", "price_cents", "o_band"),
+      "the cached schema must have merged the evolved column")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(coalesce(col("o_band"), lit("legacy")).as("band"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("price_cents"))
+  }
+
+  val schemaEnforceSql: String =
+    """WITH evolved AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(NULL AS VARCHAR) AS o_band
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT),
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'hi' ELSE 'lo' END
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT coalesce(o_band, 'legacy') AS band, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS price_cents
+      |FROM evolved GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // INCREMENTAL MATERIALIZED VIEW (sources.MaterializedView): a
   // grouped count/sum rollup built at v1, then maintained through a
   // file-level COW merge AND a deletion-vector delete by folding the
@@ -2332,6 +2453,8 @@ object Queries {
     "q_change_feed" -> (changeFeed _),
     "q_delete_vectors" -> (deleteVectors _),
     "q_schema_evolution" -> (schemaEvolution _),
+    "q_schema_enforce" -> (schemaEnforce _),
+    "q_table_update" -> (tableUpdate _),
     "q_incremental_mv" -> (incrementalMv _),
     "q_table_change_stream" -> (tableChangeStream _),
     "q_table_restore" -> (tableRestore _),
@@ -2405,6 +2528,8 @@ object Queries {
     "q_change_feed" -> changeFeedSql,
     "q_delete_vectors" -> deleteVectorsSql,
     "q_schema_evolution" -> schemaEvolutionSql,
+    "q_schema_enforce" -> schemaEnforceSql,
+    "q_table_update" -> tableUpdateSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,
     "q_table_restore" -> tableRestoreSql,

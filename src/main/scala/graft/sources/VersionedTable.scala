@@ -101,6 +101,17 @@ object VersionedTable {
     * mixed tables stay correct, just slower. */
   private val StPrefix = "st\t"
 
+  /** SCHEMA LINE `sc<TAB><StructType JSON>`: the snapshot's logical
+    * schema, cached in the manifest so write-time schema enforcement
+    * and [[tableSchemaOf]] cost zero I/O (Delta's metaData action).
+    * Written fresh by the ingesting commit paths (appends merge the
+    * incoming fields in; overwrites restart the lineage at the new
+    * shape) and carried verbatim by maintenance rewrites — a manifest
+    * without one (legacy, or post-[[adoptCommit]] evolution) falls
+    * back to a footers-only merged-schema read. Not commit metadata:
+    * [[metaOf]]/[[history]] never see it. */
+  private val ScPrefix = "sc\t"
+
   /** Tab/newline/comma/'='-free rendering for stat values (URL
     * encoding; comma is the field separator, '=' the tag separator). */
   private def encStat(v: String): String =
@@ -198,6 +209,12 @@ object VersionedTable {
   private[sources] var deletePruneNotifier: (Int, Int) => Unit =
     (_, _) => ()
 
+  /** Test seam: fired `(rewrittenFiles, totalFiles)` by
+    * [[updateCommit]] after match detection — what the spec pins to
+    * prove a pruned update rewrites only files holding a real match. */
+  private[sources] var updatePruneNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
   /** Manifest-served per-file stats for `cols`, as a DataFrame shaped
     * like [[FileSkipping.collectStatsFiles]] with min/max cast through
     * `typeOf` — Some only when EVERY data file of the manifest carries
@@ -251,7 +268,7 @@ object VersionedTable {
       case l if l.startsWith(PtPrefix) =>
         l.substring(l.indexOf('\t', PtPrefix.length) + 1)
       case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
-        !l.startsWith(StPrefix) => l
+        !l.startsWith(StPrefix) && !l.startsWith(ScPrefix) => l
     }
 
   /** `(partition column, value, path)` of every PARTITION-TAGGED data
@@ -502,13 +519,18 @@ object VersionedTable {
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
-          .filterNot(_.startsWith(MetaPrefix))
+          .filterNot(l => l.startsWith(MetaPrefix) ||
+            l.startsWith(ScPrefix)) // fresh sc written below
       else Seq.empty
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, newFiles, effStatCols)
-    validateNewFiles(spark, table, newFiles) // CHECK constraints, O(new data)
+    // CHECK constraints + (on appends) schema enforcement, O(new data);
+    // an overwrite starts a fresh lineage — nothing to conflict with
+    validateNewFiles(spark, table, newFiles, checkSchema = append)
+    val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
+      else schemaLineOf(df.schema)
     writeManifest(spark, table, next,
-      carried ++ newFiles ++ stLines ++ metaLines)
+      carried ++ newFiles ++ stLines ++ metaLines ++ schemaMeta)
     next
   }
 
@@ -563,6 +585,16 @@ object VersionedTable {
   def readAsOf(spark: SparkSession, table: String,
                tsMillis: Long): DataFrame =
     read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
+
+  /** [[readChanges]] between TIMESTAMPS: the row changes between the
+    * snapshots in force at `fromTs` and `toTs` — "what changed since
+    * yesterday 06:00" without knowing version numbers. Same
+    * O(changed files) cost; same mtime resolution as [[versionAsOf]]. */
+  def readChangesAsOf(spark: SparkSession, table: String,
+                      fromTsMillis: Long, toTsMillis: Long): DataFrame =
+    readChanges(spark, table,
+      versionAsOf(spark, table, fromTsMillis),
+      versionAsOf(spark, table, toTsMillis))
 
   /** Materialize a manifest's logical content: merged-schema scan of
     * its data files minus every deletion-vector tombstone. Tombstones
@@ -745,6 +777,128 @@ object VersionedTable {
     next
   }
 
+  /** UPDATE ... SET ... WHERE with FILE-LEVEL copy-on-write: only
+    * files that actually HOLD a matching row are rewritten (their rows
+    * re-projected through the SET expressions, their tombstones purged
+    * by materialization); every other file — and its tombstones, tags,
+    * and st lines — carries verbatim. `set` maps EXISTING column names
+    * to replacement expressions; all expressions see the PRE-image row
+    * (standard UPDATE semantics: `SET a = b, b = a` swaps). `ranges`
+    * prunes the match scan by the manifest's st lines exactly as
+    * [[deleteCommitPruned]] does — `UPDATE ... WHERE ts BETWEEN ...`
+    * on a time-clustered 100 TB table opens O(candidate files) and of
+    * those rewrites only the ones with a real match. A SET expression
+    * that would CHANGE the column's type cannot land: the projection
+    * unifies each SET with its column's type (incompatible values die
+    * in the rewrite's ANSI cast, before any publish), and the appends'
+    * write-time schema enforcement backstops non-coercible shapes.
+    * An update matching nothing still commits (a carry-all
+    * manifest write — cheap, and keeps "one logical op = one version"
+    * for audit/CDF consumers). The change feed reports each updated
+    * row as its delete/insert pair; untouched rows of rewritten files
+    * cancel in the multiset diff. Single attempt under writer
+    * contention — use [[updateCommitOptimistic]]. */
+  def updateCommit(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   set: Map[String, org.apache.spark.sql.Column],
+                   ranges: Seq[(String, Long, Long)] = Nil): Int =
+    try updateCommitAttempt(spark, table, predicate, set, ranges, _ => ())
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+
+  /** [[updateCommit]] with optimistic concurrency — same conflict
+    * re-evaluation as [[mergeCommitOptimistic]]: retries from the new
+    * head unless the interloper rewrote a file this update touched. */
+  def updateCommitOptimistic(spark: SparkSession, table: String,
+                             predicate: org.apache.spark.sql.Column,
+                             set: Map[String, org.apache.spark.sql.Column],
+                             ranges: Seq[(String, Long, Long)] = Nil,
+                             maxRetries: Int = 5): Int =
+    updateCommitOptimisticHook(spark, table, predicate, set, ranges,
+      maxRetries)
+
+  private[sources] def updateCommitOptimisticHook(
+      spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      ranges: Seq[(String, Long, Long)] = Nil, maxRetries: Int = 5,
+      onAttempt: Int => Unit = _ => ()): Int =
+    retryReadModifyWrite(spark, table, maxRetries, "update") { hook =>
+      updateCommitAttempt(spark, table, predicate, set, ranges, hook)
+    }(onAttempt)
+
+  private def updateCommitAttempt(spark: SparkSession, table: String,
+                                  predicate: org.apache.spark.sql.Column,
+                                  set: Map[String, org.apache.spark.sql.Column],
+                                  pruneRanges: Seq[(String, Long, Long)],
+                                  onAttempt: Int => Unit): Int = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    tableSchemaOf(spark, table).foreach { sch =>
+      set.keys.foreach(k => require(sch.fieldNames.contains(k),
+        s"UPDATE cannot introduce column $k — it SETs existing " +
+          "columns only (add columns via an evolving append)"))
+    }
+    // candidate files by stats range, then ONLY files with a real
+    // match get rewritten: the match probe reads candidates once and
+    // reports the file identities it matched in (O(files) driver set)
+    val scanLines =
+      if (pruneRanges.isEmpty) lines
+      else {
+        val rangeCols = pruneRanges.map(_._1).distinct
+        val stats = manifestStats(spark, lines, rangeCols,
+          _ => org.apache.spark.sql.types.DoubleType).getOrElse {
+          statsScanNotifier("updateCommit", data.size)
+          FileSkipping.collectStatsFiles(spark, data, rangeCols)
+        }
+        FileSkipping.candidateFiles(stats, pruneRanges) ++ dvLines
+      }
+    val rangePred = pruneRanges
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .foldLeft(predicate)(_ && _)
+    val matched =
+      if (dataFilesOf(scanLines).isEmpty) Set.empty[String]
+      else readSnapshotTagged(spark, scanLines).filter(rangePred)
+        .select(FileCol).distinct().collect()
+        .map(r => norm(r.getString(0))).toSet
+    val (rewrite, carry) = data.partition(f => matched.contains(norm(f)))
+    updatePruneNotifier(rewrite.size, data.size)
+    val next = vs.last + 1
+    val newLines =
+      if (rewrite.isEmpty) Seq.empty[String]
+      else {
+        val rows = readSnapshot(spark, rewrite ++ dvLines)
+        // ONE Project: every SET expression evaluates against the
+        // pre-image row, never a half-updated one
+        val projected = rows.select(rows.columns.toSeq.map { c =>
+          set.get(c)
+            .map(e => when(rangePred, e).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
+        writeRewrite(spark, table, next, projected, fullSpecOf(lines))
+      }
+    // CHECK constraints + schema enforcement over the rewrite only
+    validateNewFiles(spark, table, dataFilesOf(newLines))
+    val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
+    val lineOf = dataLineByPath(lines)
+    onAttempt(next)
+    try writeManifest(spark, table, next,
+      carry.map(p => lineOf(norm(p))) ++ stLinesFor(lines, carry) ++
+        keptDv ++ newLines ++
+        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)) ++
+        lines.filter(_.startsWith(ScPrefix)))
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already committed") =>
+      throw VersionConflict(vs.last, matched, e.getMessage)
+    }
+    next
+  }
+
   /** CHANGE DATA FEED: the logical row changes between two committed
     * versions, computed from O(changed files) of I/O. Output schema is
     * the (merged) table schema plus `change` ('insert' | 'delete') and
@@ -867,11 +1021,9 @@ object VersionedTable {
     * path — how rewrite paths that carry files forward as bare paths
     * ([[mergeCommit]], [[compactCommit]]) preserve partition tags. */
   private def dataLineByPath(lines: Seq[String]): Map[String, String] = {
-    val paths = dataFilesOf(lines)
-    val dataLines = lines.filterNot(l =>
-      l.startsWith(DvPrefix) || l.startsWith(MetaPrefix) ||
-        l.startsWith(StPrefix))
-    paths.map(norm).zip(dataLines).toMap
+    // each line paired with ITS OWN extracted path — never a parallel
+    // zip, which a new manifest line type would silently misalign
+    lines.flatMap(l => dataFilesOf(Seq(l)).map(p => norm(p) -> l)).toMap
   }
 
   /** [[readSnapshot]] keeping the normalized file-identity column
@@ -993,7 +1145,8 @@ object VersionedTable {
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
-          statColsOf(currentLines)))
+          statColsOf(currentLines)) ++
+        currentLines.filter(_.startsWith(ScPrefix)))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, touchedNorm, e.getMessage)
@@ -1202,6 +1355,7 @@ object VersionedTable {
       big.map(p => lineOf(norm(p))) ++ stLinesFor(lines, big) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)) ++
+        lines.filter(_.startsWith(ScPrefix)) ++
         // layout-only commit: change-feed consumers skip it entirely
         // ([[graft.streaming.TableChangeStream.feedFor]]) instead of
         // paying the rewrite's worth of cancelling COW copies
@@ -1366,15 +1520,18 @@ object VersionedTable {
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
-          .filterNot(_.startsWith(MetaPrefix))
+          .filterNot(l => l.startsWith(MetaPrefix) ||
+            l.startsWith(ScPrefix)) // fresh sc written below
       else Seq.empty
     // same stat-schema inheritance as commit (st lines per new file)
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
-    validateNewFiles(spark, table, tagged.map(_._2)) // CHECK constraints
+    validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
+    val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
+      else schemaLineOf(df.schema)
     writeManifest(spark, table, next,
       carried ++ tagged.map { case (t, p) => ptLine(partCol, t, p) } ++
-        stLines ++ metaLines)
+        stLines ++ metaLines ++ schemaMeta)
     next
   }
 
@@ -1401,14 +1558,17 @@ object VersionedTable {
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
-          .filterNot(_.startsWith(MetaPrefix))
+          .filterNot(l => l.startsWith(MetaPrefix) ||
+            l.startsWith(ScPrefix)) // fresh sc written below
       else Seq.empty
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
-    validateNewFiles(spark, table, tagged.map(_._2)) // CHECK constraints
+    validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
+    val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
+      else schemaLineOf(df.schema)
     writeManifest(spark, table, next,
       carried ++ tagged.map { case (ps, p) => ptLineMulti(ps, p) } ++
-        stLines ++ metaLines)
+        stLines ++ metaLines ++ schemaMeta)
     next
   }
 
@@ -1681,6 +1841,7 @@ object VersionedTable {
       carriedLines ++ stLinesFor(lines, carriedPaths) ++ keptDv ++
         newTagged.map { case (t, p) => ptLine(partCol, t, p) } ++
         computeStatLines(spark, newTagged.map(_._2), statColsOf(lines)) ++
+        mergedSchemaLine(spark, table, df) ++
         metaLinesOf(Map("partitioned_by" -> partCol,
           "overwrote_partitions" -> mine.collect { case (v, _)
             if incoming.contains(v) => escapeVal(v) }.distinct.sorted
@@ -1897,17 +2058,25 @@ object VersionedTable {
       val carried =
         if (append && next > 1)
           readManifest(spark, table, next - 1)
-            .filterNot(_.startsWith(MetaPrefix))
+            .filterNot(l => l.startsWith(MetaPrefix) ||
+              l.startsWith(ScPrefix)) // fresh sc written below
         else Seq.empty
       val eff = (statCols ++ statColsOf(carried)).distinct
       if (eff != cachedCols) {
         cachedSt = computeStatLines(spark, newFiles, eff)
         cachedCols = eff
       }
+      // write-time contracts (CHECK constraints + schema enforcement)
+      // re-checked against each attempt's head — the winner of a lost
+      // race may have added a constraint or evolved the schema. The
+      // common path pays this once; only retries re-pay.
+      validateNewFiles(spark, table, newFiles, checkSchema = append)
+      val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
+        else schemaLineOf(df.schema)
       try {
         onAttempt(next)
         writeManifest(spark, table, next,
-          carried ++ newFiles ++ cachedSt ++ metaLines)
+          carried ++ newFiles ++ cachedSt ++ metaLines ++ schemaMeta)
         return next
       } catch {
         case e: RuntimeException
@@ -2097,28 +2266,115 @@ object VersionedTable {
     * (AnalysisException): declare the column on the write or drop the
     * constraint first. */
   private def validateNewFiles(spark: SparkSession, table: String,
-                               newFiles: Seq[String]): Unit = {
+                               newFiles: Seq[String],
+                               checkSchema: Boolean = true): Unit = {
+    if (checkSchema)
+      schemaConflictsWithTable(spark, table, newFiles).foreach { conflicts =>
+        unstageFiles(spark, table, newFiles)
+        throw new IllegalStateException(
+          s"commit rejected: schema conflict(s) with the table — " +
+            conflicts.mkString("; ") +
+            " (adding NEW columns is evolution and always allowed; " +
+            "changing an existing column's type is not)")
+      }
     val violated = constraintViolations(spark, table, newFiles)
     if (violated.nonEmpty) {
-      // unstage: walk each file up to its commit dir under data/ and
-      // remove it whole, so a rejected commit leaves no residue. A
-      // path with no data/ ancestor (cannot happen for files staged by
-      // this object's commit paths) is left alone rather than walked
-      // to some top-level directory.
-      val f = fs(spark, new Path(table))
-      newFiles.flatMap { p =>
-        var d = new Path(p).getParent
-        while (d.getParent != null && d.getParent.getName != "data")
-          d = d.getParent
-        // keep only dirs that really sit under data/ (reached the
-        // root without finding it => leave the path alone)
-        Option(d).filter(x =>
-          x.getParent != null && x.getParent.getName == "data")
-      }.distinct.foreach(d => f.delete(d, true))
+      unstageFiles(spark, table, newFiles)
       throw new IllegalStateException(
         s"commit rejected: CHECK constraint(s) violated — " +
           violated.mkString("; "))
     }
+  }
+
+  /** Unstage rejected files: walk each up to its commit dir under
+    * `data/` and remove it whole, so a rejected commit leaves no
+    * residue. A path with no `data/` ancestor (cannot happen for files
+    * staged by this object's commit paths) is left alone rather than
+    * walked to some top-level directory. */
+  private def unstageFiles(spark: SparkSession, table: String,
+                           newFiles: Seq[String]): Unit = {
+    val f = fs(spark, new Path(table))
+    newFiles.flatMap { p =>
+      var d = new Path(p).getParent
+      while (d.getParent != null && d.getParent.getName != "data")
+        d = d.getParent
+      Option(d).filter(x =>
+        x.getParent != null && x.getParent.getName == "data")
+    }.distinct.foreach(d => f.delete(d, true))
+  }
+
+  /** SCHEMA ENFORCEMENT (write-time, every ingesting commit path):
+    * a new file may ADD columns (evolution — old rows read as NULL)
+    * but must not CHANGE an existing column's type, which would break
+    * every later merged-schema read at read time, far from the writer
+    * that caused it (Delta's schema-enforcement contract). Returns
+    * Some(conflict descriptions) on violation, None when compatible.
+    * The table side comes from the head manifest's `table_schema`
+    * metadata when present (zero I/O) and the snapshot footers
+    * otherwise (metadata-only reads; [[commit]]/[[commitPartitioned]]
+    * cache the merged schema forward in their commit meta). Comparison
+    * ignores nullability. */
+  private def schemaConflictsWithTable(spark: SparkSession, table: String,
+                                       newFiles: Seq[String])
+      : Option[Seq[String]] = {
+    if (newFiles.isEmpty) return None
+    val current = tableSchemaOf(spark, table).getOrElse(return None)
+    val incoming = spark.read.option("mergeSchema", "true")
+      .parquet(newFiles: _*).schema
+    val byName = current.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = incoming.fields.toSeq.flatMap { f =>
+      byName.get(f.name).collect {
+        // catalogString is nullability-free at every nesting level —
+        // the public spelling of "same type, nullability aside"
+        case t if t.catalogString != f.dataType.catalogString =>
+          s"${f.name}: table has ${t.catalogString}, " +
+            s"incoming ${f.dataType.catalogString}"
+      }
+    }
+    if (conflicts.isEmpty) None else Some(conflicts)
+  }
+
+  /** The schema line(s) of a manifest line list (0 or 1 entries). */
+  private def schemaLineOf(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    Seq(ScPrefix + schema.json) // StructType.json is one-line compact
+
+  private def schemaOfLines(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.find(_.startsWith(ScPrefix)).map { l =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(l.substring(ScPrefix.length))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** The table's current logical schema: head-manifest `sc` line when
+    * present (zero I/O), merged snapshot footers otherwise
+    * (metadata-only reads); None for an empty table (first commit —
+    * nothing to conflict with). */
+  def tableSchemaOf(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return None
+    val lines = readManifest(spark, table, vs.last)
+    schemaOfLines(lines).orElse {
+      val data = dataFilesOf(lines)
+      if (data.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(data: _*).schema)
+    }
+  }
+
+  /** The merged table schema an ingesting APPEND caches forward:
+    * current ∪ the new data's fields (first writer wins a field's
+    * type — conflicts were already rejected). */
+  private def mergedSchemaLine(spark: SparkSession, table: String,
+                               df: DataFrame): Seq[String] = {
+    val cur = tableSchemaOf(spark, table)
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    val have = cur.fieldNames.toSet
+    val merged = df.schema.fields.filterNot(f => have.contains(f.name))
+      .foldLeft(cur)(_ add _)
+    schemaLineOf(merged)
   }
 
   /** One aggregate pass evaluating EVERY active constraint over
@@ -2209,7 +2465,8 @@ object VersionedTable {
     val movedByNorm: Map[String, String] =
       moves.map { case (s, d) => norm(s.toString) -> d.toString }.toMap
     def rewritten(l: String): Option[String] =
-      if (l.startsWith(MetaPrefix) || l.startsWith(DvPrefix)) None
+      if (l.startsWith(MetaPrefix) || l.startsWith(DvPrefix) ||
+          l.startsWith(ScPrefix)) None // fresh sc written below
       else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix)) {
         val cut = l.lastIndexOf('\t')
         movedByNorm.get(norm(l.substring(cut + 1)))
@@ -2219,7 +2476,8 @@ object VersionedTable {
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
-          .filterNot(_.startsWith(MetaPrefix))
+          .filterNot(l => l.startsWith(MetaPrefix) ||
+            l.startsWith(ScPrefix)) // fresh sc written below
       else Seq.empty
     // complete the target's stat schema on the adopted files only
     val missingStatCols = statColsOf(carried)
@@ -2227,6 +2485,14 @@ object VersionedTable {
     try {
       val extraSt = computeStatLines(spark,
         moves.map(_._2.toString), missingStatCols)
+      if (append)
+        schemaConflictsWithTable(spark, table, moves.map(_._2.toString))
+          .foreach { cs =>
+            moveBack(moves)
+            throw new IllegalStateException(
+              s"adopt rejected: schema conflict(s) with the target — " +
+                cs.mkString("; "))
+          }
       val violated = constraintViolations(spark, table,
         moves.map(_._2.toString))
       if (violated.nonEmpty) {
@@ -2235,8 +2501,24 @@ object VersionedTable {
           s"adopt rejected: CHECK constraint(s) violated — " +
             violated.mkString("; "))
       }
+      // refresh the cached schema: target ∪ adopted fields on append
+      // (evolution through adoption), the adopted snapshot's own shape
+      // on overwrite. Footer-only read of just the moved files.
+      val adoptedSchema = schemaOfLines(srcLines).getOrElse(
+        spark.read.option("mergeSchema", "true")
+          .parquet(moves.map(_._2.toString): _*).schema)
+      val scLine = schemaLineOf {
+        if (append) {
+          val cur = tableSchemaOf(spark, table)
+            .getOrElse(new org.apache.spark.sql.types.StructType())
+          val have = cur.fieldNames.toSet
+          adoptedSchema.fields.filterNot(f => have.contains(f.name))
+            .foldLeft(cur)(_ add _)
+        } else adoptedSchema
+      }
       beforePublish(next)
       writeManifest(spark, table, next, carried ++ adopted ++ extraSt ++
+        scLine ++
         metaLinesOf(Map("adopted_from" -> s"$sourceTable@v$sv")))
     } catch {
       case e: IllegalStateException => throw e // already moved back

@@ -84,11 +84,20 @@ class ManifestLogSpec extends SparkSpec {
 
   test("vacuum across a delta boundary keeps the chain's .base frames") {
     val t = freshTable()
-    (1 to 6).foreach { i =>
+    VersionedTable.commit(spark, t, Seq(1L).toDF("k").coalesce(1),
+      append = false)
+    // v2 is an OVERWRITE: its delta vs v1 (remove a file, add a file)
+    // is no smaller than the snapshot, so it publishes full — the kept
+    // chain will bottom out here, and v1's removal below is what
+    // proves non-chain retirees still die
+    VersionedTable.commit(spark, t, Seq(1L, 2L).toDF("k").coalesce(1),
+      append = false)
+    (3 to 6).foreach { i =>
       VersionedTable.commit(spark, t, Seq(i.toLong).toDF("k").coalesce(1),
-        append = i > 1)
+        append = true)
     }
     assert(isDelta(t, 5), "precondition: oldest-kept will be a delta")
+    assert(!isDelta(t, 2), "precondition: the chain's base is full")
     VersionedTable.vacuum(spark, t, keepLast = 2)
     // logically: only v5, v6 remain, both readable
     assert(VersionedTable.versions(spark, t) == Seq(5, 6))

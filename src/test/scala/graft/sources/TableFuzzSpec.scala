@@ -61,7 +61,7 @@ class TableFuzzSpec extends SparkSpec {
       append = false)
     MaterializedView.build(spark, table, mv, Seq("g"), Seq("x"))
 
-    def applyRandomOp(): String = rnd.nextInt(7) match {
+    def applyRandomOp(): String = rnd.nextInt(8) match {
       case 0 => // append fresh keys
         val added = freshKeys(1 + rnd.nextInt(6)).map(randRow).toMap
         VersionedTable.commitPartitioned(spark, table, toDf(added), "g",
@@ -113,6 +113,14 @@ class TableFuzzSpec extends SparkSpec {
         VersionedTable.compactCommit(spark, table,
           targetRows = math.max(model.size.toLong, 1L))
         "compact"
+      case 7 => // file-level COW UPDATE of a key slice
+        val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+        val delta = 1L + rnd.nextInt(100)
+        VersionedTable.updateCommit(spark, table,
+          col("k") % m === r, Map("x" -> (col("x") + delta)))
+        model = model.map { case (k, (g, x)) =>
+          if (k % m == r) k -> (g, x + delta) else k -> (g, x) }
+        s"update(k%$m==$r,+$delta)"
     }
 
     def snapshotSet(): Set[(Long, String, Long)] =

@@ -134,4 +134,19 @@ class TableMetadataOpsSpec extends SparkSpec {
       VersionedTable.versionAsOf(spark, t, 1000L) // 1970 predates the table
     }
   }
+
+  test("readChangesAsOf == readChanges at the resolved versions") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      append = false)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedTable.commit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+      append = true)
+    val got = VersionedTable.readChangesAsOf(spark, t, afterV1,
+      System.currentTimeMillis())
+      .select("k", "v", "change", "n")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "b", "insert", 1L)))
+  }
 }

@@ -83,7 +83,7 @@ class VersionedTableSpec extends SparkSpec {
     val base = (1L to 800L).map(i => (i, s"v$i")).toDF("k", "v")
     VersionedTable.commit(spark, t,
       base.repartitionByRange(8, col("k")), append = false)
-    val m1 = VersionedTable.manifest(spark, t, 1)
+    val m1 = VersionedTable.dataFilesOf(VersionedTable.manifest(spark, t, 1))
     assert(m1.size == 8)
     // source touches a narrow key band: updates 100..110, one insert
     val source = (100L to 110L).map(i => (i, s"UPD$i", false))
@@ -91,7 +91,7 @@ class VersionedTableSpec extends SparkSpec {
       .unionByName(Seq((9999L, "NEW", false)).toDF("k", "v", "__del"))
     val v2 = VersionedTable.mergeCommit(spark, t, source, "k",
       deleteCol = Some("__del"))
-    val m2 = VersionedTable.manifest(spark, t, v2)
+    val m2 = VersionedTable.dataFilesOf(VersionedTable.manifest(spark, t, v2))
     val carried = m2.toSet.intersect(m1.toSet)
     assert(carried.size >= 6,
       s"narrow merge must carry most of 8 clustered files, carried ${carried.size}")
