@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   * scaled dir — nothing here can drift from what the gate certifies.
   *
   * Usage: runMain graft.tools.ScaleProofTail [sfDir] [factor] [workDir]
+  *          [query,query,...]   (4th arg filters the phase list)
   */
 object ScaleProofTail {
   private final class ShuffleMeter extends SparkListener {
@@ -144,7 +145,12 @@ object ScaleProofTail {
       "q_curated_table", "q_warehouse_sync",
       // round-7 third batch: metadata-only aggregates over the delta-
       // encoded manifest log, and the bucket-map join at 10x
-      "q_table_stats_agg", "q_bucket_join", "q_join_mv")
+      "q_table_stats_agg", "q_bucket_join", "q_join_mv",
+      // round-7 fourth batch: COW UPDATE and write-time schema
+      // enforcement at 10x
+      "q_table_update", "q_schema_enforce")
+      .filter(n => args.lift(3).map(_.split(",").toSet)
+        .forall(_.contains(n)))
       .foreach(phase)
     spark.stop()
   }
