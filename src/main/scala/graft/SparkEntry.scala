@@ -1646,6 +1646,84 @@ object Queries {
       |FROM evolved GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // HIDDEN PARTITIONING (VersionedTable.commitTransformed): the table
+  // partitions on floor(ts_ns / day) — an Iceberg-style partition
+  // transform — and the query filters on the RAW timestamp; the read
+  // maps the raw range to a tag range and prunes from the manifest
+  // alone (required in-query: a one-week range over a 30-day table has
+  // <= 8 candidate files of ~30). The oracle filters the raw column
+  // directly — the pruned read must be row-identical to it.
+  // ---------------------------------------------------------------------
+  def hiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val table = java.nio.file.Files.createTempDirectory("graft_vhid")
+      .toAbsolutePath.toString + "/events"
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"))
+    graft.sources.VersionedTable.commitTransformed(s, table, ev,
+      "ts_ns", dayNs, append = false)
+    val mn = ev.agg(min(col("ts_ns"))).collect()(0).getLong(0)
+    val (lo, hi) = (mn + 7L * dayNs, mn + 14L * dayNs - 1L)
+    val lines = graft.sources.VersionedTable.manifest(s, table,
+      graft.sources.VersionedTable.versions(s, table).last)
+    val cand = graft.sources.VersionedTable.transformCandidates(lines,
+      s"__part_div_ts_ns_$dayNs",
+      Math.floorDiv(lo, dayNs), Math.floorDiv(hi, dayNs))
+    val total = graft.sources.VersionedTable.dataFilesOf(lines).size
+    require(cand.size <= 8 && total >= 28,
+      s"a one-week range must open <= 8 of ~30 day files, " +
+        s"got ${cand.size} of $total")
+    graft.sources.VersionedTable.readTransformRange(s, table, lo, hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_uid"))
+  }
+
+  val hiddenPartitioningSql: String =
+    """WITH b AS (SELECT min(epoch_ns(ts)) AS mn FROM events)
+      |SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+      |FROM events, b
+      |WHERE epoch_ns(ts) >= mn + 7 * 86400000000000
+      |  AND epoch_ns(ts) <= mn + 14 * 86400000000000 - 1
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PARTITION-WISE METADATA COUNTS (VersionedTable.partitionCounts):
+  // the daily-volume report "SELECT day, count(*) GROUP BY 1" answered
+  // from the manifest — per tag value, the sum of its files' st-line
+  // row counts; only tombstoned files are read for real (a pruned
+  // delete tombstones the first three days here, so 3 of ~30 files
+  // scan and the rest are pure metadata). Oracle reconstructs the
+  // post-delete per-day counts from the raw timestamps.
+  // ---------------------------------------------------------------------
+  def partitionCountsQ(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val table = java.nio.file.Files.createTempDirectory("graft_vpc")
+      .toAbsolutePath.toString + "/events"
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"))
+    graft.sources.VersionedTable.commitTransformed(s, table, ev,
+      "ts_ns", dayNs, append = false, statCols = Seq("ts_ns"))
+    val mn = ev.agg(min(col("ts_ns"))).collect()(0).getLong(0)
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("ts_ns") < mn + 3L * dayNs && col("user_id") % 2 === 0,
+      Seq("event_id"))
+    val tcol = s"__part_div_ts_ns_$dayNs"
+    graft.sources.VersionedTable.partitionCounts(s, table, tcol)
+      .withColumnRenamed(tcol, "day_tag")
+  }
+
+  val partitionCountsSql: String =
+    """WITH b AS (SELECT min(epoch_ns(ts)) AS mn FROM events)
+      |SELECT CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS day_tag,
+      |  count(*) AS n_rows
+      |FROM events, b
+      |WHERE NOT (epoch_ns(ts) < mn + 3 * 86400000000000
+      |           AND user_id % 2 = 0)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // UPDATE ... SET ... WHERE (VersionedTable.updateCommit): file-level
   // copy-on-write — a stats-pruned update on a key-clustered table
   // rewrites ONLY the candidate files that hold a matching row and
@@ -2455,6 +2533,8 @@ object Queries {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_schema_enforce" -> (schemaEnforce _),
     "q_table_update" -> (tableUpdate _),
+    "q_hidden_partitioning" -> (hiddenPartitioning _),
+    "q_partition_counts" -> (partitionCountsQ _),
     "q_incremental_mv" -> (incrementalMv _),
     "q_table_change_stream" -> (tableChangeStream _),
     "q_table_restore" -> (tableRestore _),
@@ -2530,6 +2610,8 @@ object Queries {
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_schema_enforce" -> schemaEnforceSql,
     "q_table_update" -> tableUpdateSql,
+    "q_hidden_partitioning" -> hiddenPartitioningSql,
+    "q_partition_counts" -> partitionCountsSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,
     "q_table_restore" -> tableRestoreSql,

@@ -1785,6 +1785,128 @@ object VersionedTable {
     }.reduce(_ unionByName _)
   }
 
+  // -------------------------------------------------------------------
+  // TRANSFORM-partitioned tables — hidden partitioning (Iceberg's
+  // partition transforms): the table partitions on floor(col / unit),
+  // queries filter on the RAW column, and the read maps the raw range
+  // to a tag range from the manifest alone. One transform covers the
+  // time family (unit = ns-per-hour/day => Iceberg hour()/day()) and
+  // truncate(width) for longs. Users never materialize, name, or
+  // filter by the partition column — the "hidden" in hidden
+  // partitioning, and the failure mode it removes is real: a reader
+  // filtering `ts BETWEEN ...` on a date-string-partitioned table
+  // prunes NOTHING unless they also spell the date predicate.
+  // -------------------------------------------------------------------
+
+  /** The transform-spec column [[commitTransformed]] materializes and
+    * tags by: self-describing (`__part_div_<col>_<unit>`), so reads
+    * recover (col, unit) from the manifest alone. */
+  private def transformColName(rawCol: String, unit: Long) =
+    s"__part_div_${rawCol}_$unit"
+
+  /** `df` plus the materialized transform tag `floor(rawCol / unit)` —
+    * spelled in pmod arithmetic so truncating (Spark DIV) and flooring
+    * (DuckDB `//`) engines agree on negative values too. Public so
+    * backfills can compose with [[dynamicOverwrite]] on the derived
+    * column. Returns (tagged df, tag column name). */
+  def transformTag(df: DataFrame, rawCol: String,
+                   unit: Long): (DataFrame, String) = {
+    require(unit > 0, "unit must be positive")
+    require(df.columns.contains(rawCol), s"no column $rawCol")
+    val tcol = transformColName(rawCol, unit)
+    require(!df.columns.contains(tcol),
+      s"input must not carry a $tcol column (reserved for the spec)")
+    (df.withColumn(tcol, org.apache.spark.sql.functions.expr(
+      s"($rawCol - pmod($rawCol, ${unit}L)) DIV ${unit}L")), tcol)
+  }
+
+  /** Commit `df` partitioned by the HIDDEN transform
+    * `floor(rawCol / unit)` — e.g. `unit = 86_400_000_000_000L` turns
+    * a ns-timestamp column into day partitions. Appends compose,
+    * `statCols` inherit, and every [[commitPartitioned]] guarantee
+    * (tag evolution safety, null handling, manifest-only pruning)
+    * applies to the derived column. Returns the new version. */
+  def commitTransformed(spark: SparkSession, table: String, df: DataFrame,
+                        rawCol: String, unit: Long, append: Boolean,
+                        statCols: Seq[String] = Nil): Int = {
+    val (tagged, tcol) = transformTag(df, rawCol, unit)
+    // co-locate each tag's rows before the partitioned write (same
+    // discipline as commitBucketed): file count per commit stays
+    // O(distinct tags), not O(tags x input tasks)
+    commitPartitioned(spark, table,
+      tagged.repartition(org.apache.spark.sql.functions.col(tcol)),
+      tcol, append, statCols = statCols)
+  }
+
+  /** The `(rawCol, unit)` transform spec a table's partition tags
+    * declare — None when the table isn't transform-tagged (or carries
+    * more than one spec, e.g. mid-migration). */
+  def transformSpecOf(spark: SparkSession, table: String,
+                      version: Option[Int] = None): Option[(String, Long)] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, version.getOrElse(vs.last))
+    val specs = partitionsOf(lines).map(_._1).distinct.collect {
+      case c if c.startsWith("__part_div_") =>
+        val cut = c.lastIndexOf('_')
+        (c.substring("__part_div_".length, cut),
+          c.substring(cut + 1).toLong)
+    }
+    specs match { case Seq(one) => Some(one); case _ => None }
+  }
+
+  /** HIDDEN-PARTITION RANGE READ: rows with `lo <= rawCol <= hi`,
+    * pruned by the transform tags — the manifest decides candidates
+    * (tags whose NUMERIC value falls in [floor(lo/unit),
+    * floor(hi/unit)], plus the never-prunable untagged/null-tagged
+    * files), then the exact raw predicate applies. Row-identical to
+    * `read(...).filter(lo <= rawCol <= hi)`; zero stats I/O. On a
+    * day-partitioned 100 TB table a week's `ts BETWEEN` opens seven
+    * days' files — without the caller knowing the table is
+    * partitioned at all. */
+  def readTransformRange(spark: SparkSession, table: String,
+                         lo: Long, hi: Long,
+                         version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val spec = transformSpecOf(spark, table, Some(v))
+    require(spec.isDefined,
+      s"$table carries no single hidden-partition transform spec")
+    val (rawCol, unit) = spec.get
+    val tcol = transformColName(rawCol, unit)
+    def fdiv(x: Long): Long = math.floorDiv(x, unit)
+    val lines = readManifest(spark, table, v)
+    val cand = transformCandidates(lines, tcol, fdiv(lo), fdiv(hi))
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark,
+        cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(col(rawCol) >= lo && col(rawCol) <= hi)
+  }
+
+  /** Candidate files of a NUMERIC tag range: `tcol`-tagged files whose
+    * parsed tag value lies in [tagLo, tagHi] or is the null tag, plus
+    * every never-prunable file (untagged / tagged by another column) —
+    * the same must-include discipline as [[partitionCandidatesRange]],
+    * with numeric instead of string order. Public introspection
+    * surface — how callers (and the gate) pin what a hidden-partition
+    * range read will open. */
+  def transformCandidates(lines: Seq[String],
+                          tcol: String, tagLo: Long,
+                          tagHi: Long): Seq[String] = {
+    val mine = partitionsFor(lines, tcol)
+    val minePaths = mine.map(_._2).map(norm).toSet
+    val other = dataFilesOf(lines).filterNot(p => minePaths.contains(norm(p)))
+    mine.collect {
+      case (v, p) if v == NullPartitionTag => p
+      case (v, p) if scala.util.Try(v.toLong).toOption
+        .exists(t => t >= tagLo && t <= tagHi) => p
+    } ++ other
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (`INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the standard idempotent-backfill
     * idiom): replace EXACTLY the partitions present in `df`, carry
@@ -1978,6 +2100,57 @@ object VersionedTable {
       case (None, Some(b)) => b
       case _ => sys.error("unreachable: data.nonEmpty")
     }
+  }
+
+  /** PARTITION-WISE METADATA COUNTS: `SELECT <partCol>, count(*)
+    * GROUP BY 1` answered from the manifest — per tag value, the sum
+    * of its files' st-line row counts, with the same exactness rule as
+    * [[statsAggregate]]: tombstoned files, stats-uncovered files,
+    * null-tagged files, and untagged files are read for real (their
+    * rows grouped by the actual column), everything else is served
+    * from metadata. On a day-partitioned 100 TB table the daily-volume
+    * report costs an O(files) manifest fold — zero data I/O when the
+    * snapshot is stats-covered and tombstone-free. Row-identical to
+    * `read(...).groupBy(cast(partCol as string)).count()` (values
+    * rendered as strings — the tags' own spelling; the null group
+    * surfaces as a NULL value from the scan side). */
+  def partitionCounts(spark: SparkSession, table: String, partCol: String,
+                      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import spark.implicits._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    val tombstoned: Set[String] =
+      if (dvLines.isEmpty) Set.empty
+      else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+    val rowsOf = statsOf(lines).groupBy(s => norm(s._3))
+      .view.mapValues(_.head._2._4).toMap
+    val tagOf = partitionsFor(lines, partCol).map { case (value, p) =>
+      norm(p) -> value }.toMap
+    val (served, scan) = data.partition { f =>
+      val n = norm(f)
+      !tombstoned(n) && rowsOf.contains(n) &&
+        tagOf.get(n).exists(_ != NullPartitionTag)
+    }
+    val servedDf = served
+      .map(f => tagOf(norm(f)) -> rowsOf(norm(f)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.map { case (value, n) => (Option(value), n) }
+      .toDF(partCol, "n_rows")
+    if (scan.isEmpty) return servedDf
+    statsScanNotifier("partitionCounts", scan.size)
+    val scanDf = readSnapshot(spark, scan ++ dvLines)
+      .groupBy(col(partCol).cast("string").as(partCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    servedDf.unionByName(scanDf)
+      .groupBy(col(partCol)).agg(sum("n_rows").as("n_rows"))
   }
 
   /** SHOW PARTITIONS: one row per (partition column, value) of a

@@ -146,9 +146,10 @@ object ScaleProofTail {
       // round-7 third batch: metadata-only aggregates over the delta-
       // encoded manifest log, and the bucket-map join at 10x
       "q_table_stats_agg", "q_bucket_join", "q_join_mv",
-      // round-7 fourth batch: COW UPDATE and write-time schema
-      // enforcement at 10x
-      "q_table_update", "q_schema_enforce")
+      // round-7 fourth batch: COW UPDATE, write-time schema
+      // enforcement, and hidden partitioning at 10x
+      "q_table_update", "q_schema_enforce", "q_hidden_partitioning",
+      "q_partition_counts")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

@@ -135,6 +135,40 @@ class TableMetadataOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitionCounts: metadata-only when covered; exact under tombstones") {
+    val t = freshTable()
+    val rows = (0L until 60L).map(i => (i, i * 10L)).toDF("id", "ts")
+    VersionedTable.commitTransformed(spark, t, rows, "ts", 100L,
+      append = false, statCols = Seq("ts"))
+    val tcol = "__part_div_ts_100"
+    def wanted(): Map[Option[String], Long] = VersionedTable.read(spark, t)
+      .groupBy(col(tcol).cast("string")).count()
+      .as[(Option[String], Long)].collect().toMap
+    var scans = 0
+    VersionedTable.statsScanNotifier = (_, n) => scans += n
+    try {
+      // fully covered, no tombstones: pure metadata — ZERO files read
+      val got = VersionedTable.partitionCounts(spark, t, tcol)
+        .as[(Option[String], Long)].collect().toMap
+      assert(got == wanted() && got.size == 6)
+      assert(scans == 0, s"covered snapshot must scan nothing, read $scans")
+      // tombstone two days: only their files are read
+      VersionedTable.deleteCommit(spark, t,
+        col("ts") < 200L && col("id") % 2 === 0, Seq("id"))
+      scans = 0
+      val got2 = VersionedTable.partitionCounts(spark, t, tcol)
+        .as[(Option[String], Long)].collect().toMap
+      assert(got2 == wanted())
+      assert(scans == 2, s"only the 2 tombstoned day files scan, read $scans")
+    } finally VersionedTable.statsScanNotifier = (_, _) => ()
+    // an untagged append is read for real but stays exact
+    VersionedTable.commit(spark, t,
+      Seq((999L, 150L)).toDF("id", "ts"), append = true)
+    val got3 = VersionedTable.partitionCounts(spark, t, tcol)
+      .as[(Option[String], Long)].collect().toMap
+    assert(got3 == wanted())
+  }
+
   test("readChangesAsOf == readChanges at the resolved versions") {
     val t = freshTable()
     VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
