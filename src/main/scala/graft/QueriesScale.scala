@@ -154,6 +154,29 @@ object QueriesScale {
   }
 
   // ---------------------------------------------------------------------
+  // N-dim Z-order: cluster orders by (customer, day, price band) —
+  // 3 dims, 21 bits each, dimension j at bit position 3*i+j
+  // ---------------------------------------------------------------------
+  def zorderKey3(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      ScaleOps.zorderKeyN(Seq(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")),
+        graft.functions.Exact.cents(col("o_totalprice")) / 100000L))
+        .as("zkey"))
+  }
+
+  val zorderKey3Sql: String = {
+    val dims = Seq("(o_custkey & 2097151)",
+      "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 2097151)",
+      "((CAST(round(o_totalprice * 100) AS BIGINT) // 100000) & 2097151)")
+    val terms = (for (j <- dims.indices; i <- 0 until 21) yield
+      s"(((${dims(j)} >> $i) & 1) << ${3 * i + j})").mkString(" | ")
+    s"SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey FROM orders"
+  }
+
+  // ---------------------------------------------------------------------
   // Misra-Gries heavy hitters, gated on the deterministic guarantees
   // (the raw counts are order-dependent; the BOUNDS are not — same
   // invariant-projection pattern as the HLL sketch gates)
@@ -341,6 +364,7 @@ object QueriesScale {
     "q_outlier_mad" -> (outlierMad _),
     "q_global_rank" -> (globalRank _),
     "q_zorder" -> (zorderKey _),
+    "q_zorder3" -> (zorderKey3 _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_repeated_spans" -> (repeatedSpans _),
     "q_mixture_sample" -> (mixtureSample _),
@@ -356,6 +380,7 @@ object QueriesScale {
     "q_outlier_mad" -> outlierMadSql,
     "q_global_rank" -> globalRankSql,
     "q_zorder" -> zorderKeySql,
+    "q_zorder3" -> zorderKey3Sql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_repeated_spans" -> repeatedSpansSql,
     "q_mixture_sample" -> mixtureSampleSql,

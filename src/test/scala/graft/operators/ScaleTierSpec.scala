@@ -124,6 +124,43 @@ class ScaleTierSpec extends SparkSpec {
     }
   }
 
+  test("zorderKeyN == reference interleave at n=3 and n=4; n=2 == zorderKey2") {
+    def mortonRefN(vs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      val n = vs.size
+      for (j <- vs.indices; i <- 0 until bits)
+        z |= ((vs(j) >> i) & 1L) << (n * i + j)
+      z
+    }
+    val rnd = new Random(13)
+    // n = 3 (21 bits/dim) and n = 4 (15 bits/dim), masking included
+    Seq(3, 4).foreach { n =>
+      val bits = 63 / n
+      val mask = (1L << bits) - 1L
+      val pts = Seq.fill(40)(Seq.fill(n)(rnd.nextLong().abs))
+      val cols = (0 until n).map(i => s"d$i")
+      import spark.implicits._
+      val df = pts.map {
+        case Seq(a, b, c) => (a, b, c, 0L)
+        case Seq(a, b, c, d) => (a, b, c, d)
+      }.toDF("d0", "d1", "d2", "d3")
+      val got = df.select((cols.map(col) :+
+        ScaleOps.zorderKeyN(cols.map(col)).as("z")): _*).collect()
+      got.foreach { r =>
+        val vs = (0 until n).map(i => r.getLong(i) & mask)
+        assert(r.getLong(n) === mortonRefN(vs, bits), s"n=$n $vs")
+      }
+    }
+    // n = 2 degenerates to... a 31-bit variant of zorderKey2's 16-bit
+    // interleave: same bit layout where both are defined
+    val two = Seq((7L, 9L), (65535L, 1L)).toDF("x", "y")
+      .select(ScaleOps.zorderKeyN(Seq(col("x"), col("y"))).as("zn"),
+        ScaleOps.zorderKey2(col("x"), col("y")).as("z2"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      "16-bit inputs must agree between zorderKey2 and zorderKeyN(2)"))
+  }
+
   test("z-order locality: 2x2 blocks of the 4x4 grid are contiguous") {
     // first 4 keys of the Morton curve are exactly the top-left 2x2 block
     val keys = for (y <- 0L until 4L; x <- 0L until 4L)

@@ -103,6 +103,29 @@ class TableHiddenPartitionSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(20L))
   }
 
+  test("mergeCommit composes: rewrite re-tags, range pruning survives") {
+    val t = freshTable()
+    val rows = (0L until 40L).map(i => (i * 10L, i, i * 100L))
+      .toDF("ts", "id", "x")
+    VersionedTable.commitTransformed(spark, t, rows, "ts", 100L,
+      append = false)
+    // COW-update one key through a merge (same-day row keeps its tag)
+    val (src, _) = VersionedTable.transformTag(
+      Seq((120L, 12L, -1L)).toDF("ts", "id", "x"), "ts", 100L)
+    VersionedTable.mergeCommit(spark, t, src, "id")
+    assert(VersionedTable.transformSpecOf(spark, t).contains(("ts", 100L)))
+    val got = VersionedTable.readTransformRange(spark, t, 100L, 199L)
+      .select("id", "x").as[(Long, Long)].collect().toMap
+    assert(got(12L) == -1L && got.size == 10)
+    // the untouched days' files still prune
+    val lines = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    val cand = VersionedTable.transformCandidates(lines,
+      "__part_div_ts_100", 3L, 3L)
+    assert(cand.size < VersionedTable.dataFilesOf(lines).size,
+      "post-merge table must still prune by tag")
+  }
+
   test("tombstones apply inside a pruned range read") {
     val t = freshTable()
     val rows = (0L until 40L).map(i => (i * 10L, i)).toDF("ts", "id")
