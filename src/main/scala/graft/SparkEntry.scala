@@ -1689,6 +1689,58 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
+  // (committed without a stat schema) gets per-file stats backfilled
+  // as a metadata-only commit; the merge AFTER it decides its touched
+  // files from the manifest (required in-query: >= 6 of 8 clustered
+  // files carried) and the analyze commit itself changes no row (the
+  // oracle never sees it).
+  // ---------------------------------------------------------------------
+  def tableAnalyze(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vana")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false)
+    val va = graft.sources.VersionedTable.analyzeCommit(s, table,
+      Seq("o_orderkey"))
+    require(graft.sources.VersionedTable.metaOf(
+      graft.sources.VersionedTable.manifest(s, table, va))
+      .get("analyzed").contains("o_orderkey"))
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val cut = mx / 10
+    import s.implicits._
+    val source = base.filter(col("o_orderkey") <= cut)
+      .withColumn("price_cents", col("price_cents") + 123L)
+      .unionByName(Seq((mx * 2 + 1, "Z", 777L))
+        .toDF("o_orderkey", "o_orderstatus", "price_cents"))
+    graft.sources.VersionedTable.mergeCommit(s, table, source,
+      "o_orderkey")
+    val m = (v: Int) => graft.sources.VersionedTable
+      .dataFilesOf(graft.sources.VersionedTable.manifest(s, table, v)).toSet
+    require(m(va + 1).intersect(m(1)).size >= 6,
+      "the post-ANALYZE merge must carry most clustered files")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("price_cents"))
+  }
+
+  val tableAnalyzeSql: String =
+    """WITH b AS (SELECT max(o_orderkey) // 10 AS cut FROM orders),
+      |u AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey <= (SELECT cut FROM b)
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) + 123
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+      |    END AS price_cents
+      |  FROM orders
+      |  UNION ALL SELECT 'Z', 777)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS price_cents
+      |FROM u GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PARTITION-WISE METADATA COUNTS (VersionedTable.partitionCounts):
   // the daily-volume report "SELECT day, count(*) GROUP BY 1" answered
   // from the manifest — per tag value, the sum of its files' st-line
@@ -2535,6 +2587,7 @@ object Queries {
     "q_table_update" -> (tableUpdate _),
     "q_hidden_partitioning" -> (hiddenPartitioning _),
     "q_partition_counts" -> (partitionCountsQ _),
+    "q_table_analyze" -> (tableAnalyze _),
     "q_incremental_mv" -> (incrementalMv _),
     "q_table_change_stream" -> (tableChangeStream _),
     "q_table_restore" -> (tableRestore _),
@@ -2612,6 +2665,7 @@ object Queries {
     "q_table_update" -> tableUpdateSql,
     "q_hidden_partitioning" -> hiddenPartitioningSql,
     "q_partition_counts" -> partitionCountsSql,
+    "q_table_analyze" -> tableAnalyzeSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,
     "q_table_restore" -> tableRestoreSql,

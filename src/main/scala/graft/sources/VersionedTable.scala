@@ -2153,6 +2153,44 @@ object VersionedTable {
       .groupBy(col(partCol)).agg(sum("n_rows").as("n_rows"))
   }
 
+  /** ANALYZE TABLE: backfill per-file st statistics for `statCols`
+    * into the manifest as a metadata-only commit — how an ADOPTED,
+    * cloned, or legacy table (whose files predate the table's stat
+    * schema) reaches the metadata-only decision path that commit-time
+    * stats give native writes. Computes stats ONLY for (file, column)
+    * pairs the head manifest doesn't cover (footer fast path — zero
+    * data I/O for integer/boolean columns), carries every existing
+    * line verbatim, and stamps the commit `content_preserving` so
+    * change-feed consumers skip it (no row changed). Idempotent: a
+    * fully covered table commits nothing and returns the current
+    * version. After ANALYZE, `mergeCommit`'s touched-file probe,
+    * `readPruned`, range deletes, `statsAggregate`, and
+    * `partitionCounts` all decide from the manifest. */
+  def analyzeCommit(spark: SparkSession, table: String,
+                    statCols: Seq[String]): Int = {
+    require(statCols.nonEmpty, "analyze needs at least one column")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val covered: Set[(String, String)] =
+      statsOf(lines).map(s => (norm(s._3), s._1)).toSet
+    val eff = (statCols ++ statColsOf(lines)).distinct
+    val missing = dataFilesOf(lines)
+      .filter(f => eff.exists(c => !covered((norm(f), c))))
+    if (missing.isEmpty) return vs.last
+    val fresh = computeStatLines(spark, missing, eff).filter { l =>
+      val cut = l.indexOf('\t', StPrefix.length)
+      val c = l.substring(StPrefix.length, l.indexOf('=', StPrefix.length))
+      !covered((norm(l.substring(cut + 1)), c))
+    }
+    val next = vs.last + 1
+    writeManifest(spark, table, next,
+      lines.filterNot(_.startsWith(MetaPrefix)) ++ fresh ++
+        metaLinesOf(Map("analyzed" -> eff.sorted.mkString(","),
+          "content_preserving" -> "true")))
+    next
+  }
+
   /** SHOW PARTITIONS: one row per (partition column, value) of a
     * snapshot — file count and whether any untagged files exist
     * (surfaced as a NULL/NULL row, since those files' partition

@@ -74,7 +74,14 @@ object OracleFuzz {
     // metadata-only aggregate: min/max/count served from st lines must
     // track whatever rows the perturbation leaves; bucket-map join must
     // stay row-identical to the plain join on any input subset
-    "q_table_stats_agg", "q_bucket_join", "q_join_mv")
+    "q_table_stats_agg", "q_bucket_join", "q_join_mv",
+    // round-7 late additions: COW UPDATE (pruned + probe updates track
+    // the perturbed rows), schema enforcement (rejections must leave
+    // zero residue on any input), hidden partitioning + partition
+    // counts (tag pruning and metadata counts vs perturbed events),
+    // ANALYZE (backfilled stats must describe the perturbed files)
+    "q_table_update", "q_schema_enforce", "q_hidden_partitioning",
+    "q_partition_counts", "q_table_analyze")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

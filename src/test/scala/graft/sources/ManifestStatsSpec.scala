@@ -86,6 +86,56 @@ class ManifestStatsSpec extends SparkSpec {
     assert(scans2 == 0, "coverage must survive a merge rewrite")
   }
 
+  test("analyzeCommit backfills coverage; a later merge decides scan-free") {
+    val t = freshTable()
+    // legacy table: committed WITHOUT a stat schema
+    VersionedTable.commit(spark, t,
+      sample.repartitionByRange(4, col("k")), append = false)
+    val (_, before) = countingScans {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((5L, "gA", 5.0)).toDF("k", "g", "amt"), "k")
+    }
+    assert(before > 0, "uncovered merge must pay the stats scan")
+    val va = VersionedTable.analyzeCommit(spark, t, Seq("k"))
+    assert(va == VersionedTable.versions(spark, t).last)
+    // the analyze commit is content-preserving: no row changed
+    assert(VersionedTable.readChanges(spark, t, va - 1, va).count() == 0L)
+    assert(VersionedTable.metaOf(VersionedTable.manifest(spark, t, va))
+      .get("analyzed").contains("k"))
+    val (_, after) = countingScans {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((7L, "gB", 7.0)).toDF("k", "g", "amt"), "k")
+    }
+    assert(after == 0, "post-ANALYZE merge must decide from the manifest")
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(sample.filter(col("k") =!= 5L && col("k") =!= 7L)
+        .unionByName(Seq((5L, "gA", 5.0), (7L, "gB", 7.0))
+          .toDF("k", "g", "amt"))))
+    // idempotent: fully covered -> no new version
+    val again = VersionedTable.analyzeCommit(spark, t, Seq("k"))
+    assert(again == VersionedTable.versions(spark, t).last)
+    assert(VersionedTable.versions(spark, t).size == va + 1) // +1 = merge
+  }
+
+  test("analyzeCommit covers only MISSING pairs; adopted files complete") {
+    val t = freshTable(); val stg = freshTable()
+    VersionedTable.commit(spark, t,
+      sample.repartitionByRange(2, col("k")), append = false,
+      statCols = Seq("k"))
+    // staged table without stats, adopted in (adopt computes target
+    // stat cols for adopted files; a NEW analyze col covers everything)
+    VersionedTable.commit(spark, stg,
+      Seq((500L, "gZ", 1.0)).toDF("k", "g", "amt"), append = false)
+    VersionedTable.adoptCommit(spark, t, stg)
+    val va = VersionedTable.analyzeCommit(spark, t, Seq("k", "amt"))
+    val st = VersionedTable.manifest(spark, t, va)
+      .filter(_.startsWith("st\t"))
+    val data = VersionedTable.dataFilesOf(VersionedTable.manifest(spark, t, va))
+    // every (file, col) pair covered exactly once
+    assert(st.size == data.size * 2, s"got ${st.size} st lines")
+    assert(st.distinct.size == st.size)
+  }
+
   test("compact on a stats-covered table finds small files without reading data") {
     val t = freshTable()
     VersionedTable.commit(spark, t, sample.repartition(8),
