@@ -1689,6 +1689,106 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // JOIN-DRIVEN FILE PRUNING (VersionedTable.readJoinPruned — dynamic
+  // partition pruning as a manifest range probe): the fact is events
+  // keyed and range-clustered by epoch day with manifest stats; the
+  // dim is a calendar whose predicate (day-of-week) the fact query
+  // CANNOT express statically — the star-schema date-dim case. The
+  // build side's surviving keys probe the O(files) stat ranges (a
+  // broadcast range join, no driver key list) and the read opens only
+  // the matching day files (required in-query: ~1/7 of ~30). The
+  // pruned join must be row-identical to the oracle's plain join.
+  // ---------------------------------------------------------------------
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val table = java.nio.file.Files.createTempDirectory("graft_vdpp")
+      .toAbsolutePath.toString + "/events"
+    val ev = graft.Tables.events(s, dir)
+      .withColumn("day", expr(s"ts_ns div $dayNs"))
+      .select(col("event_id"), col("day"), col("user_id"),
+        col("event_type"))
+    graft.sources.VersionedTable.commit(s, table,
+      ev.repartitionByRange(30, col("day")), append = false,
+      statCols = Seq("day"))
+    val dim = ev.select(col("day")).distinct()
+      .withColumn("dow", col("day") % 7)
+      .filter(col("dow") === 2)
+    val lines = graft.sources.VersionedTable.manifest(s, table,
+      graft.sources.VersionedTable.versions(s, table).last)
+    val total = graft.sources.VersionedTable.dataFilesOf(lines).size
+    val cand = graft.sources.VersionedTable.joinCandidates(s, lines,
+      "day", dim.select("day"))
+    require(total >= 25 && cand.size <= total / 3,
+      s"a one-weekday dim must open ~1/7 of the day files, " +
+        s"got ${cand.size} of $total")
+    graft.sources.VersionedTable.readJoinPruned(s, table, "day",
+      dim.select("day"))
+      .join(dim, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_uid"))
+  }
+
+  val dppJoinSql: String =
+    """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+      |           FROM events)
+      |SELECT day, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
+      |FROM e WHERE day % 7 = 2 GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TABLE MAINTENANCE lifecycle (VersionedTable.compactCommitWhere +
+  // vacuumRetention): a status-partitioned table lands fragmented in
+  // two batches, OPTIMIZE targets ONE hot partition (required
+  // in-query: scoped fragments collapse to one file, every
+  // out-of-scope file carried verbatim — the nightly "compact today's
+  // partition" shape), then a zero-window retention vacuum sweeps all
+  // history but the head. The surviving snapshot must still be
+  // row-identical to the oracle's plain aggregate.
+  // ---------------------------------------------------------------------
+  def tableMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vmnt")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commitPartitioned(s, table,
+      base.filter(col("o_orderkey") % 2 === 0).repartition(4),
+      "o_orderstatus", append = false, statCols = Seq("o_orderkey"))
+    graft.sources.VersionedTable.commitPartitioned(s, table,
+      base.filter(col("o_orderkey") % 2 === 1).repartition(4),
+      "o_orderstatus", append = true)
+    val VT = graft.sources.VersionedTable
+    val before = VT.manifest(s, table, VT.versions(s, table).last)
+    val coldBefore = VT.partitionsOf(before)
+      .collect { case ("o_orderstatus", v, f) if v != "O" => f }.toSet
+    val hotBefore = VT.partitionsOf(before)
+      .collect { case ("o_orderstatus", "O", f) => f }.toSet
+    val v3 = VT.compactCommitWhere(s, table, targetRows = 1000000L,
+      "o_orderstatus", Seq("O"))
+    val after = VT.manifest(s, table, v3)
+    val hotAfter = VT.partitionsOf(after)
+      .collect { case ("o_orderstatus", "O", f) => f }.toSet
+    val coldAfter = VT.partitionsOf(after)
+      .collect { case ("o_orderstatus", v, f) if v != "O" => f }.toSet
+    require(hotAfter.size == 1 && hotBefore.size >= 8,
+      s"scoped OPTIMIZE must collapse the hot partition's " +
+        s"${hotBefore.size} fragments to 1, got ${hotAfter.size}")
+    require(coldAfter == coldBefore,
+      "out-of-scope partitions must be carried verbatim")
+    Thread.sleep(5)
+    VT.vacuumRetention(s, table, retentionMs = 0L)
+    require(VT.versions(s, table) == Seq(v3),
+      "a zero-window retention vacuum keeps exactly the head")
+    VT.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("price_cents"))
+  }
+
+  val tableMaintenanceSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -2586,6 +2686,8 @@ object Queries {
     "q_schema_enforce" -> (schemaEnforce _),
     "q_table_update" -> (tableUpdate _),
     "q_hidden_partitioning" -> (hiddenPartitioning _),
+    "q_dpp_join" -> (dppJoin _),
+    "q_table_maintenance" -> (tableMaintenance _),
     "q_partition_counts" -> (partitionCountsQ _),
     "q_table_analyze" -> (tableAnalyze _),
     "q_incremental_mv" -> (incrementalMv _),
@@ -2665,6 +2767,8 @@ object Queries {
     "q_table_update" -> tableUpdateSql,
     "q_hidden_partitioning" -> hiddenPartitioningSql,
     "q_partition_counts" -> partitionCountsSql,
+    "q_dpp_join" -> dppJoinSql,
+    "q_table_maintenance" -> tableMaintenanceSql,
     "q_table_analyze" -> tableAnalyzeSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,

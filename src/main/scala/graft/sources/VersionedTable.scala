@@ -215,6 +215,13 @@ object VersionedTable {
   private[sources] var updatePruneNotifier: (Int, Int) => Unit =
     (_, _) => ()
 
+  /** Test seam: fired `(candidates, totalFiles)` by
+    * [[readJoinPruned]] after the manifest range probe — what the
+    * spec pins to prove a join-driven read opens only files whose
+    * stat range can hold a build-side key. */
+  private[sources] var joinPruneNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
   /** Manifest-served per-file stats for `cols`, as a DataFrame shaped
     * like [[FileSkipping.collectStatsFiles]] with min/max cast through
     * `typeOf` — Some only when EVERY data file of the manifest carries
@@ -1326,6 +1333,54 @@ object VersionedTable {
     rewriteSmallFiles(spark, table, lines, small, big, nOut)
   }
 
+  /** Partition-scoped OPTIMIZE — `OPTIMIZE ... WHERE partCol IN
+    * values`: compact only the scoped partitions' fragments and carry
+    * every other file verbatim. The 100 TB operating shape: a nightly
+    * job compacts TODAY's hot partition — O(one partition's files)
+    * decided and rewritten — and never touches the cold petabytes.
+    * The row-count decision reads manifest st lines when the scoped
+    * files are covered (falls back to ONE scan of just the scoped
+    * files, never the table); the rewrite tail is [[compactCommit]]'s
+    * (per-partition collapse, re-tag, tombstone purge, atomic
+    * `content_preserving` publish). Values match the tag column
+    * exactly; null-tagged files are out of every scope (compaction is
+    * a layout choice, not a correctness path). */
+  def compactCommitWhere(spark: SparkSession, table: String,
+                         targetRows: Long, partCol: String,
+                         values: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    require(targetRows > 0, "targetRows must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val tagged = partitionsOf(lines).filter(_._1 == partCol)
+    require(tagged.nonEmpty, s"no $partCol partition tags in $table")
+    val want = values.toSet
+    val scoped = tagged.collect { case (_, v, p) if want.contains(v) => p }
+      .distinct
+    if (scoped.isEmpty) return vs.last
+    val byFileRows = statsOf(lines).groupBy(s => norm(s._3))
+      .view.mapValues(_.head._2._4).toMap
+    val counts: Map[String, Long] =
+      if (scoped.forall(p => byFileRows.contains(norm(p))))
+        scoped.map(p => norm(p) -> byFileRows(norm(p))).toMap
+      else {
+        statsScanNotifier("compactCommitWhere", scoped.size)
+        spark.read.parquet(scoped: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"))
+          .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+      }
+    val (small, _) = scoped.partition(p =>
+      counts.getOrElse(norm(p), 0L) < targetRows)
+    if (small.size < 2) return vs.last
+    val smallSet = small.map(norm).toSet
+    val big = dataFilesOf(lines).filterNot(p => smallSet.contains(norm(p)))
+    val smallRows = small.map(p => counts.getOrElse(norm(p), 0L)).sum
+    val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
+    rewriteSmallFiles(spark, table, lines, small, big, nOut)
+  }
+
   /** The shared OPTIMIZE tail: rewrite `small` into `nOut` right-sized
     * files (per-partition-collapsed and re-tagged on a coherently
     * partitioned table), purge their tombstones, carry `big` verbatim
@@ -1432,6 +1487,81 @@ object VersionedTable {
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _))
+  }
+
+  /** Candidate data files for an equi-JOIN on `joinCol` against the
+    * key set `dimKeys` (single column, the build side AFTER its own
+    * filters): every file whose `joinCol` st range may contain at
+    * least one key, plus every file the manifest carries no `joinCol`
+    * stats for (never-prunable discipline). The probe is fully
+    * distributed — no driver-side key list: the O(files) stat ranges
+    * BROADCAST against the (arbitrarily large, un-deduplicated) key
+    * column as a range condition, and only matching PATHS return to
+    * the driver via a map-side-combined distinct — zero shuffle of
+    * the key set, driver state bounded by the manifest it already
+    * holds. Files whose `joinCol` is all-NULL can never satisfy an
+    * equi-join and drop out; NULL keys likewise. Bounds compare as
+    * DOUBLE (exact for every integral rendering — [[readPruned]]'s
+    * discipline); any stat value that does not parse as a number
+    * (string stat columns) disables pruning for the whole probe
+    * rather than risk a wrong skip. */
+  def joinCandidates(spark: SparkSession, lines: Seq[String],
+                     joinCol: String, dimKeys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(dimKeys.columns.length == 1,
+      s"dimKeys must be a single key column, got ${dimKeys.columns.toSeq}")
+    val data = dataFilesOf(lines)
+    val byFile = statsOf(lines)
+      .collect { case (c, st, p) if c == joinCol => norm(p) -> st }.toMap
+    val (covered, uncovered) = data.partition(f => byFile.contains(norm(f)))
+    val parsed = scala.util.Try {
+      covered.flatMap { f =>
+        val (mn, mx, _, _) = byFile(norm(f))
+        for (a <- mn; b <- mx) yield (f, a.toDouble, b.toDouble)
+      }
+    }
+    val cand = parsed match {
+      case scala.util.Failure(_) => data // unparseable bounds: no pruning
+      case scala.util.Success(ranges) if ranges.isEmpty => uncovered
+      case scala.util.Success(ranges) =>
+        import spark.implicits._
+        val stats = ranges.toDF("__file", "__mn", "__mx")
+        val k = dimKeys.columns.head
+        val hits = dimKeys.na.drop()
+          .select(col(k).cast("double").as("__k"))
+          .join(broadcast(stats),
+            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSeq
+        uncovered ++ hits
+    }
+    joinPruneNotifier(cand.size, data.size)
+    cand
+  }
+
+  /** JOIN-DRIVEN file pruning — the manifest realization of dynamic
+    * partition pruning (Spark's DPP, Delta's dynamic file pruning).
+    * Returns the snapshot restricted to [[joinCandidates]], so
+    * {{{ readJoinPruned(t, k, dim).join(dim, Seq(k)) }}} is
+    * row-identical to `read(t).join(dim, Seq(k))` for inner and semi
+    * joins (pruned-away files cannot hold a matching key), while a
+    * selective dim predicate whose surviving keys cluster in the
+    * fact's layout — the star-schema date-dim case — skips everything
+    * else by METADATA. The returned frame is a SUPERSET of the
+    * matching rows (candidate files hold other rows too): it is a
+    * join input, not a filter result. Deletion-vector sidecars still
+    * apply, so deleted rows never resurface through the pruned path. */
+  def readJoinPruned(spark: SparkSession, table: String, joinCol: String,
+                     dimKeys: DataFrame,
+                     version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = joinCandidates(spark, lines, joinCol, dimKeys)
+    if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+    else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
   }
 
   /** Write `df` hive-partitioned on `partCol` under version `v`'s
@@ -2778,6 +2908,31 @@ object VersionedTable {
     * removed and any data file no surviving manifest references is
     * deleted. Time travel to retired versions is gone; surviving
     * versions are untouched. */
+  /** [[vacuum]] by RETENTION WINDOW — the policy operators actually
+    * state ("keep 7 days of history"), translated to a version count
+    * at call time: every version whose manifest publish time (the
+    * rename IS the commit — [[versionAsOf]]'s clock) falls inside
+    * `now - retentionMs` survives, plus the head always. A version
+    * count means different things at different commit rates; a time
+    * window does not — and it composes with [[versionAsOf]]: any
+    * timestamp inside the window keeps resolving after the sweep.
+    * Consumer discipline still applies: pair with
+    * [[graft.streaming.TableChangeStream.safeVacuum]] when change
+    * streams follow the table. */
+  def vacuumRetention(spark: SparkSession, table: String,
+                      retentionMs: Long): Unit = {
+    require(retentionMs >= 0, "retentionMs must be non-negative")
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return
+    val f = fs(spark, manifestDir(table))
+    val cutoff = System.currentTimeMillis() - retentionMs
+    // publish mtimes are monotone in version order: the in-window
+    // versions are exactly the trailing `recent`
+    val recent = vs.count(v =>
+      f.getFileStatus(manifestPath(table, v)).getModificationTime >= cutoff)
+    vacuum(spark, table, math.max(1, recent))
+  }
+
   def vacuum(spark: SparkSession, table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the latest version")
     val vs = versions(spark, table)

@@ -134,8 +134,16 @@ object TableChangeStream {
     * versions delivered (0 = already caught up). A sink failure stops
     * the drain with the checkpoint at the last delivered version, so
     * the next drain resumes exactly there — at-least-once for the
-    * failed version, no loss, no skips. */
-  def drain(spark: SparkSession, table: String, checkpointDir: String)
+    * failed version, no loss, no skips.
+    *
+    * `maxVersions` RATE-LIMITS one drain (Delta's maxFilesPerTrigger
+    * shape): a consumer resuming after a long outage caps each
+    * trigger's work instead of replaying the whole backlog in one
+    * unbounded batch — repeated drains converge to the head, each one
+    * checkpointed, so a crash mid-catch-up loses at most one capped
+    * batch of progress. */
+  def drain(spark: SparkSession, table: String, checkpointDir: String,
+            maxVersions: Int = Int.MaxValue)
            (sink: (DataFrame, Int) => Unit): Int = {
     val vs = VersionedTable.versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
@@ -155,7 +163,8 @@ object TableChangeStream {
           s"between $c and ${vs.head} is unrecoverable; re-bootstrap " +
           "(fresh checkpoint + fresh downstream state)")
     }
-    val pending = vs.filter(v => from.forall(v > _))
+    require(maxVersions > 0, "maxVersions must be positive")
+    val pending = vs.filter(v => from.forall(v > _)).take(maxVersions)
     pending.foreach { v =>
       sink(feedFor(spark, table, v), v)
       advance(spark, checkpointDir, v)

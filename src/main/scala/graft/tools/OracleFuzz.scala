@@ -81,7 +81,11 @@ object OracleFuzz {
     // counts (tag pruning and metadata counts vs perturbed events),
     // ANALYZE (backfilled stats must describe the perturbed files)
     "q_table_update", "q_schema_enforce", "q_hidden_partitioning",
-    "q_partition_counts", "q_table_analyze")
+    "q_partition_counts", "q_table_analyze",
+    // round-7 seventh batch: the scoped-OPTIMIZE + retention-vacuum
+    // lifecycle must land the same snapshot on any input subset
+    // (q_dpp_join is events-only — the perturbation can't reach it)
+    "q_table_maintenance")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -149,7 +149,10 @@ object ScaleProofTail {
       // round-7 fourth batch: COW UPDATE, write-time schema
       // enforcement, and hidden partitioning at 10x
       "q_table_update", "q_schema_enforce", "q_hidden_partitioning",
-      "q_partition_counts", "q_table_analyze")
+      "q_partition_counts", "q_table_analyze",
+      // round-7 seventh batch: join-driven file pruning and the
+      // scoped-OPTIMIZE + retention-vacuum lifecycle at 10x
+      "q_dpp_join", "q_table_maintenance")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

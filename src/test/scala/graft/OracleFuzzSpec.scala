@@ -27,7 +27,7 @@ class OracleFuzzSpec extends SparkSpec {
     try Seq("python3", "-c", "import duckdb").! == 0
     catch { case _: Exception => false }
 
-  test("oracle pairs hold under seeded input perturbation (2 seeds x 28 pairs)") {
+  test("oracle pairs hold under seeded input perturbation (2 seeds x all listed pairs)") {
     assume(duckdbAvailable, "python3+duckdb not on this box (driver-side tool)")
     // sf0.01 not the spec default sf0.001: the dedup/graph pairs need
     // enough rows that perturbation actually moves candidates/clusters

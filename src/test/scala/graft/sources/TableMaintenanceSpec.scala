@@ -128,4 +128,62 @@ class TableMaintenanceSpec extends SparkSpec {
     val none = VersionedTable.readPruned(spark, t, Seq(("k", 5000L, 6000L)))
     assert(none.count() == 0L && none.columns.toSeq == Seq("k", "x"))
   }
+
+  test("compactCommitWhere: only the scoped partition's fragments collapse") {
+    val t = fresh("voptw")
+    def rows(p: String, lo: Long, n: Long) =
+      (lo until lo + n).map(i => (i, p)).toDF("k", "p")
+    // both partitions fragmented: 3 files each of ~40 rows
+    VersionedTable.commitPartitioned(spark, t,
+      rows("hot", 1L, 120L).repartition(3)
+        .unionByName(rows("cold", 1000L, 120L).repartition(3)),
+      "p", append = false, statCols = Seq("k"))
+    val before = VersionedTable.manifest(spark, t, 1)
+    val coldBefore = VersionedTable.partitionsOf(before)
+      .collect { case ("p", "cold", f) => f }.toSet
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val old = VersionedTable.statsScanNotifier
+    VersionedTable.statsScanNotifier = (_, _) => { scans.incrementAndGet(); () }
+    val v2 = try VersionedTable.compactCommitWhere(spark, t,
+      targetRows = 200L, "p", Seq("hot"))
+    finally VersionedTable.statsScanNotifier = old
+    val after = VersionedTable.manifest(spark, t, v2)
+    val hotAfter = VersionedTable.partitionsOf(after)
+      .collect { case ("p", "hot", f) => f }
+    val coldAfter = VersionedTable.partitionsOf(after)
+      .collect { case ("p", "cold", f) => f }.toSet
+    assert(hotAfter.size == 1, s"hot fragments must collapse: $hotAfter")
+    assert(coldAfter == coldBefore, "out-of-scope files must be carried verbatim")
+    assert(scans.get() == 0, "covered table: decision must be metadata-only")
+    // rewritten files stay tagged: pruned reads keep working
+    assert(VersionedTable.readPartitions(spark, t, "p", Seq("hot"))
+      .count() == 120L)
+    assert(VersionedTable.read(spark, t).count() == 240L)
+    // content-preserving: change-feed consumers skip it
+    assert(VersionedTable.metaOf(after).get("content_preserving")
+      .contains("true"))
+    // scoping a partition with < 2 fragments is a no-op
+    assert(VersionedTable.compactCommitWhere(spark, t, 200L, "p",
+      Seq("hot")) == v2)
+  }
+
+  test("vacuumRetention: out-of-window versions sweep, in-window survive") {
+    val t = fresh("vret")
+    VersionedTable.commit(spark, t,
+      Seq((1L, "a")).toDF("k", "v"), append = false)
+    VersionedTable.commit(spark, t,
+      Seq((2L, "b")).toDF("k", "v"), append = true)
+    Thread.sleep(1200)
+    VersionedTable.commit(spark, t,
+      Seq((3L, "c")).toDF("k", "v"), append = true)
+    // window covers only the last commit: v1/v2 retire, v3 survives
+    VersionedTable.vacuumRetention(spark, t, retentionMs = 1000L)
+    assert(VersionedTable.versions(spark, t) == Seq(3))
+    assert(VersionedTable.read(spark, t).count() == 3L)
+    // an all-old table always keeps its head
+    Thread.sleep(1200)
+    VersionedTable.vacuumRetention(spark, t, retentionMs = 1000L)
+    assert(VersionedTable.versions(spark, t) == Seq(3))
+    assert(VersionedTable.read(spark, t).count() == 3L)
+  }
 }

@@ -288,4 +288,24 @@ class TableChangeStreamSpec extends SparkSpec {
       TableChangeStream.drain(spark, other, ckpt)((_, _) => ())
     }
   }
+
+  test("maxVersions rate-limits a drain; repeated capped drains converge") {
+    val dir = scratch(); val t = dir + "/t"; val ckpt = dir + "/ckpt"
+    VersionedTable.commit(spark, t, kv(1L -> "a"), append = false)
+    (2L to 5L).foreach(i =>
+      VersionedTable.commit(spark, t, kv(i -> s"v$i"), append = true))
+    var seen = Vector.empty[Int]
+    // a backlogged consumer caps each trigger at 2 versions
+    assert(TableChangeStream.drain(spark, t, ckpt, maxVersions = 2) {
+      (_, v) => seen :+= v } == 2)
+    assert(seen == Vector(1, 2))
+    assert(TableChangeStream.lastConsumed(spark, ckpt).contains(2))
+    assert(TableChangeStream.drain(spark, t, ckpt, maxVersions = 2) {
+      (_, v) => seen :+= v } == 2)
+    assert(TableChangeStream.drain(spark, t, ckpt, maxVersions = 2) {
+      (_, v) => seen :+= v } == 1)
+    assert(seen == Vector(1, 2, 3, 4, 5), "capped drains must converge")
+    assert(TableChangeStream.drain(spark, t, ckpt, maxVersions = 2) {
+      (_, _) => fail() } == 0)
+  }
 }
