@@ -1789,6 +1789,169 @@ object Queries {
       |FROM orders GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // PER-PARTITION METADATA STATS (VersionedTable.partitionStats):
+  // `SELECT part, count(*), min(k), max(k) GROUP BY part` served from
+  // the manifest's per-file st lines (files are partition-pure, so
+  // file stats roll up exactly) — only the delete's tombstoned files
+  // are read for real. The oracle groups the surviving rows directly.
+  // ---------------------------------------------------------------------
+  def partitionStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vpst")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"))
+    graft.sources.VersionedTable.commitPartitioned(s, table, base,
+      "o_orderstatus", append = false, statCols = Seq("o_orderkey"))
+    graft.sources.VersionedTable.deleteCommit(s, table,
+      col("o_orderkey") % 97 === 0, Seq("o_orderkey"))
+    graft.sources.VersionedTable.partitionStats(s, table,
+      "o_orderstatus", "o_orderkey")
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("mn").as("min_key"), col("mx").as("max_key"))
+  }
+
+  val partitionStatsSql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // INCREMENTAL CLUSTERING + IDEMPOTENT INGEST (VersionedTable
+  // .clusterCommitIncremental / commitIdempotent): a clustered table
+  // takes a fresh batch through an idempotent writer token (the
+  // replayed commit must be a no-op — required in-query), then the
+  // incremental cluster re-lays ONLY the fresh files (baseline files
+  // carried verbatim — required in-query). The oracle sees the plain
+  // union of both halves.
+  // ---------------------------------------------------------------------
+  def clusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vcli")
+      .toAbsolutePath.toString + "/orders"
+    val VT = graft.sources.VersionedTable
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    VT.commit(s, table, base.filter(col("o_orderkey") % 2 === 0),
+      append = false, statCols = Seq("o_orderkey"))
+    val v2 = VT.clusterCommit(s, table, Seq("o_orderkey"), 8)
+    val clustered = VT.dataFilesOf(VT.manifest(s, table, v2)).toSet
+    val odd = base.filter(col("o_orderkey") % 2 === 1).repartition(4)
+    VT.commitIdempotent(s, table, odd, append = true, "ingest", 1L)
+    val replay = VT.commitIdempotent(s, table, odd, append = true,
+      "ingest", 1L)
+    require(replay == VT.versions(s, table).last &&
+      VT.read(s, table).count() == base.count(),
+      "the replayed idempotent commit must be a no-op")
+    val v4 = VT.clusterCommitIncremental(s, table, Seq("o_orderkey"),
+      targetRows = 100000L)
+    val data4 = VT.dataFilesOf(VT.manifest(s, table, v4)).toSet
+    require(clustered.subsetOf(data4),
+      "incremental clustering must carry every baseline file verbatim")
+    require((data4 -- clustered).nonEmpty, "fresh files must be re-laid")
+    VT.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("price_cents"))
+  }
+
+  val clusterIncrementalSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // NULL-COUNT FILE SKIPPING (VersionedTable.readPrunedNull): the
+  // backfill-hunting query `WHERE channel IS NULL` opens only files
+  // whose st lines say nulls exist (required in-query) — on the
+  // status-partitioned table the enrichment gap is status-correlated,
+  // so whole partitions skip by metadata. The oracle filters the same
+  // derived column directly.
+  // ---------------------------------------------------------------------
+  def nullSkipping(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vnul")
+      .toAbsolutePath.toString + "/orders"
+    val VT = graft.sources.VersionedTable
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"))
+      .withColumn("channel", when(col("o_orderstatus") === "F", lit(null)
+        .cast("string"))
+        .otherwise(concat(lit("web"), (col("o_orderkey") % 3))))
+    VT.commitPartitioned(s, table, base, "o_orderstatus",
+      append = false, statCols = Seq("o_orderkey", "channel"))
+    val lines = VT.manifest(s, table, VT.versions(s, table).last)
+    val total = VT.dataFilesOf(lines).size
+    val cand = VT.nullCandidates(lines, "channel", wantNull = true)
+    require(cand.size < total && total >= 3,
+      s"IS NULL must skip the null-free partitions: ${cand.size}/$total")
+    VT.readPrunedNull(s, table, "channel", wantNull = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_key"))
+  }
+
+  val nullSkippingSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders
+      |WHERE (CASE WHEN o_orderstatus = 'F' THEN NULL
+      |       ELSE 'web' || CAST(o_orderkey % 3 AS VARCHAR) END) IS NULL
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MERGE SCHEMA EVOLUTION (VersionedTable.mergeCommit with a source
+  // carrying a NEW column): upserted/inserted rows land the column,
+  // untouched rows surface it as NULL, and the cached schema line
+  // evolves with the merge (required in-query) so later writers are
+  // enforced against the merged shape. Oracle reconstructs the same
+  // post-merge state algebraically.
+  // ---------------------------------------------------------------------
+  def mergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vmev")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    graft.sources.VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("o_orderkey")), append = false,
+      statCols = Seq("o_orderkey"))
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val cut = mx / 10
+    // the merge source: repriced low keys + one new key, ALL carrying
+    // a new `channel` column the table never had
+    import s.implicits._
+    val source = base.filter(col("o_orderkey") <= cut)
+      .withColumn("price_cents", col("price_cents") + 500L)
+      .withColumn("channel",
+        when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("app")))
+      .unionByName(Seq((mx * 2 + 1, "Z", 999L, "web"))
+        .toDF("o_orderkey", "o_orderstatus", "price_cents", "channel"))
+    graft.sources.VersionedTable.mergeCommit(s, table, source, "o_orderkey")
+    require(graft.sources.VersionedTable.tableSchemaOf(s, table)
+      .exists(_.fieldNames.contains("channel")),
+      "the merge must evolve the cached schema line")
+    graft.sources.VersionedTable.read(s, table)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("price_cents"))
+  }
+
+  val mergeEvolutionSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS m FROM base),
+      |merged AS (
+      |  SELECT b.o_orderkey,
+      |    CASE WHEN b.o_orderkey <= m // 10 THEN b.price_cents + 500
+      |         ELSE b.price_cents END AS price_cents,
+      |    CASE WHEN b.o_orderkey <= m // 10 THEN
+      |      (CASE WHEN b.o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END)
+      |    END AS channel
+      |  FROM base b, mx
+      |  UNION ALL
+      |  SELECT m * 2 + 1, 999, 'web' FROM mx)
+      |SELECT coalesce(channel, 'legacy') AS channel, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS price_cents
+      |FROM merged GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -2688,6 +2851,10 @@ object Queries {
     "q_hidden_partitioning" -> (hiddenPartitioning _),
     "q_dpp_join" -> (dppJoin _),
     "q_table_maintenance" -> (tableMaintenance _),
+    "q_partition_stats" -> (partitionStatsQ _),
+    "q_merge_evolution" -> (mergeEvolution _),
+    "q_cluster_incremental" -> (clusterIncremental _),
+    "q_null_skipping" -> (nullSkipping _),
     "q_partition_counts" -> (partitionCountsQ _),
     "q_table_analyze" -> (tableAnalyze _),
     "q_incremental_mv" -> (incrementalMv _),
@@ -2769,6 +2936,10 @@ object Queries {
     "q_partition_counts" -> partitionCountsSql,
     "q_dpp_join" -> dppJoinSql,
     "q_table_maintenance" -> tableMaintenanceSql,
+    "q_partition_stats" -> partitionStatsSql,
+    "q_merge_evolution" -> mergeEvolutionSql,
+    "q_cluster_incremental" -> clusterIncrementalSql,
+    "q_null_skipping" -> nullSkippingSql,
     "q_table_analyze" -> tableAnalyzeSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,

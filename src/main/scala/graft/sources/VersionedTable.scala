@@ -541,6 +541,65 @@ object VersionedTable {
     next
   }
 
+  /** IDEMPOTENT WRITES (Delta's txnAppId/txnVersion contract): an
+    * external orchestrator retrying a failed job step must not land
+    * the same batch twice. The writer names itself (`appId`) and
+    * monotonically numbers its batches (`txnVersion`); a replay whose
+    * txnVersion is <= the last one this table committed for that app
+    * is a NO-OP returning the current head. The authoritative record
+    * is the commit's own metadata (`txn_app`/`txn_version` — atomic
+    * with the manifest publish, so a crash between data write and
+    * marker can't open a duplicate window); a `_txn/<appId>` cache
+    * file makes the replay check O(1) instead of an O(versions)
+    * history scan. Caveat (same as Delta's): vacuum retires old
+    * manifests' metadata — keep retention longer than the slowest
+    * orchestrator's replay horizon, or the history fallback can't see
+    * pre-retention txns (the cache file survives vacuum and covers
+    * the common case). */
+  def commitIdempotent(spark: SparkSession, table: String, df: DataFrame,
+                       append: Boolean, appId: String, txnVersion: Long,
+                       meta: Map[String, String] = Map.empty,
+                       statCols: Seq[String] = Nil): Int = {
+    require(appId.matches("[A-Za-z0-9_.-]+"),
+      s"appId must be [A-Za-z0-9_.-]+, got '$appId'")
+    val cache = new Path(table, s"_txn/$appId")
+    val f = fs(spark, cache)
+    def cached(): Option[Long] =
+      if (!f.exists(cache)) None
+      else scala.util.Try {
+        val in = f.open(cache)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }.toOption
+    def writeCache(v: Long): Unit = {
+      val tmp = new Path(table, s"_txn/.$appId.tmp")
+      f.mkdirs(cache.getParent)
+      val out = f.create(tmp, true)
+      out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      f.delete(cache, false)
+      f.rename(tmp, cache)
+    }
+    val vs = versions(spark, table)
+    if (cached().exists(_ >= txnVersion))
+      return vs.last
+    // cache miss/stale: the commit metadata is authoritative
+    val recorded = vs.reverse.iterator
+      .map(v => metaOf(readManifest(spark, table, v)))
+      .collectFirst { case m if m.get("txn_app").contains(appId) =>
+        m("txn_version").toLong }
+    if (recorded.exists(_ >= txnVersion)) {
+      recorded.foreach(writeCache) // repair the cache
+      return vs.last
+    }
+    val v = commit(spark, table, df, append,
+      meta ++ Map("txn_app" -> appId, "txn_version" -> txnVersion.toString),
+      statCols)
+    writeCache(txnVersion)
+    v
+  }
+
   /** Validated manifest lines for commit metadata — a '=' in a key or
     * a newline anywhere would corrupt the line-oriented manifest. */
   private def metaLinesOf(meta: Map[String, String]): Seq[String] = {
@@ -1147,13 +1206,26 @@ object VersionedTable {
     // schema — maintenance never strips the metadata later decisions
     // depend on
     val lineOf = dataLineByPath(currentLines)
+    // MERGE SCHEMA EVOLUTION: a source carrying NEW columns (allowed —
+    // enforcement only rejects type CHANGES) must evolve the cached sc
+    // line too, or tableSchemaOf would go stale and a LATER writer
+    // could land the evolved column at a conflicting type unnoticed.
+    // Same current ∪ new-fields merge as [[mergedSchemaLine]]; a
+    // legacy table without an sc line stays legacy (footer reads).
+    val scLines = schemaOfLines(currentLines) match {
+      case None => currentLines.filter(_.startsWith(ScPrefix))
+      case Some(cur) =>
+        val have = cur.fieldNames.toSet
+        schemaLineOf(upserts.schema.fields
+          .filterNot(f => have.contains(f.name)).foldLeft(cur)(_ add _))
+    }
     onAttempt(next)
     try writeManifest(spark, table, next,
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
           statColsOf(currentLines)) ++
-        currentLines.filter(_.startsWith(ScPrefix)))
+        scLines)
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, touchedNorm, e.getMessage)
@@ -1453,6 +1525,80 @@ object VersionedTable {
       statCols = (statColsOf(lines) ++ cols).distinct)
   }
 
+  /** INCREMENTAL clustering — maintain a CLUSTER BY layout without
+    * the full rewrite: only files that entered the table AFTER the
+    * last `clustered_by`-stamped commit (appends, merge/compact
+    * outputs — anything the head holds that the baseline didn't) are
+    * re-laid on `cols`; every still-clustered file is carried
+    * verbatim with its stats and tombstones. At 100 TB this is the
+    * difference between a nightly O(day's ingest) job and an
+    * impossible O(table) one — the full [[clusterCommit]] runs once,
+    * this maintains it (Delta liquid-clustering's operating shape).
+    * Provenance is pure metadata: the fresh set is a manifest diff
+    * against the baseline version, no file is opened to decide.
+    * Re-laid files are separate from carried ones, so pruning
+    * selectivity on OLD data is untouched and NEW data gets
+    * clustered bounds; a later full [[clusterCommit]] re-tightens
+    * globally if drift accumulates. No baseline (never clustered) →
+    * bootstraps with the full [[clusterCommit]]. Already caught up →
+    * returns the head, commits nothing. */
+  def clusterCommitIncremental(spark: SparkSession, table: String,
+                               cols: Seq[String],
+                               targetRows: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    require(cols.size == 1 || cols.size == 2,
+      "cluster on one column (range) or two (z-order)")
+    require(targetRows > 0, "targetRows must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val tag = cols.mkString(",")
+    val baseline = vs.reverse.find(v =>
+      metaOf(readManifest(spark, table, v)).get("clustered_by")
+        .contains(tag))
+    if (baseline.isEmpty) {
+      val lines = readManifest(spark, table, vs.last)
+      val approxFiles = math.max(1, dataFilesOf(lines).size)
+      return clusterCommit(spark, table, cols, approxFiles)
+    }
+    val lines = readManifest(spark, table, vs.last)
+    val clustered = dataFilesOf(readManifest(spark, table, baseline.get))
+      .map(norm).toSet
+    val head = dataFilesOf(lines)
+    val fresh = head.filterNot(f => clustered.contains(norm(f)))
+    if (fresh.isEmpty) return vs.last
+    val freshSet = fresh.map(norm).toSet
+    val carried = head.filterNot(f => freshSet.contains(norm(f)))
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    val next = vs.last + 1
+    val freshRows = readSnapshot(spark, fresh ++ dvLines)
+    val nOut = {
+      val byFile = statsOf(lines).groupBy(s => norm(s._3))
+        .view.mapValues(_.head._2._4).toMap
+      val n =
+        if (fresh.forall(f => byFile.contains(norm(f))))
+          fresh.map(f => byFile(norm(f))).sum
+        else freshRows.count()
+      math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    }
+    val laid = cols match {
+      case Seq(c) => freshRows.repartitionByRange(nOut, col(c))
+      case Seq(a, b) =>
+        graft.operators.ScaleOps.zorderLayout(freshRows, col(a), col(b), nOut)
+    }
+    val newLines = writeRewrite(spark, table, next, laid, fullSpecOf(lines))
+    val keptDv = consolidateTombstones(spark, dvLines, carried, table, next)
+    val lineOf = dataLineByPath(lines)
+    writeManifest(spark, table, next,
+      carried.map(p => lineOf(norm(p))) ++ stLinesFor(lines, carried) ++
+        keptDv ++ newLines ++
+        computeStatLines(spark, dataFilesOf(newLines),
+          (statColsOf(lines) ++ cols).distinct) ++
+        lines.filter(_.startsWith(ScPrefix)) ++
+        metaLinesOf(Map("clustered_by" -> tag,
+          "content_preserving" -> "true")))
+    next
+  }
+
   /** Snapshot read with FILE SKIPPING: per-file [min, max] stats over
     * the manifest's data files prune to the ranges' candidates, then
     * tombstones and the exact predicates apply as usual. Row-identical
@@ -1537,6 +1683,46 @@ object VersionedTable {
     }
     joinPruneNotifier(cand.size, data.size)
     cand
+  }
+
+  /** NULL-COUNT file skipping: candidate files for an `IS NULL`
+    * (`wantNull = true`) or `IS NOT NULL` (`false`) predicate on
+    * `c`, decided from the st lines' null counts — a file with zero
+    * nulls can hold no `IS NULL` match, an all-null file no
+    * `IS NOT NULL` one. Files without stats for `c` stay candidates
+    * (never-prunable). The practical 100 TB case: a repair/backfill
+    * job hunting rows that MISSED an enrichment column scans only the
+    * files where nulls exist instead of the table. */
+  def nullCandidates(lines: Seq[String], c: String,
+                     wantNull: Boolean): Seq[String] = {
+    val byFile = statsOf(lines)
+      .collect { case (cc, st, p) if cc == c => norm(p) -> st }.toMap
+    dataFilesOf(lines).filter { f =>
+      byFile.get(norm(f)) match {
+        case None => true // uncovered: never prunable
+        case Some((_, _, nulls, nrows)) =>
+          if (wantNull) nulls > 0 else nulls < nrows
+      }
+    }
+  }
+
+  /** Snapshot read restricted to [[nullCandidates]] with the exact
+    * predicate re-applied — row-identical to
+    * `read(...).filter(c IS [NOT] NULL)`; tombstones apply as usual. */
+  def readPrunedNull(spark: SparkSession, table: String, c: String,
+                     wantNull: Boolean,
+                     version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = nullCandidates(lines, c, wantNull)
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(if (wantNull) col(c).isNull else col(c).isNotNull)
   }
 
   /** JOIN-DRIVEN file pruning — the manifest realization of dynamic
@@ -2283,6 +2469,67 @@ object VersionedTable {
       .groupBy(col(partCol)).agg(sum("n_rows").as("n_rows"))
   }
 
+  /** Per-partition `count / min / max` of `statCol` served from the
+    * MANIFEST — `SELECT part, count(*), min(c), max(c) GROUP BY part`
+    * as a metadata fold (the dashboard/health-check query every
+    * partitioned 100 TB table answers daily). Data files are
+    * partition-PURE (each carries exactly one tag value), so per-file
+    * st stats roll up to exact per-partition figures; only
+    * tombstoned, stats-uncovered, all-NULL-stat, or null-tagged files
+    * are read for real ([[partitionCounts]]' discipline), and a
+    * covered pure-files snapshot costs ZERO data I/O. Min/max come
+    * back typed as `statCol`; the partition column comes back as its
+    * tag string. Row-identical to grouping the snapshot. */
+  def partitionStats(spark: SparkSession, table: String, partCol: String,
+                     statCol: String,
+                     version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    import spark.implicits._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    val tombstoned: Set[String] =
+      if (dvLines.isEmpty) Set.empty
+      else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+    val statOf = statsOf(lines)
+      .collect { case (c, st, p) if c == statCol => norm(p) -> st }.toMap
+    val tagOf = partitionsFor(lines, partCol).map { case (value, p) =>
+      norm(p) -> value }.toMap
+    val (served, scan) = data.partition { f =>
+      val n = norm(f)
+      !tombstoned(n) &&
+        statOf.get(n).exists(s => s._1.isDefined && s._2.isDefined) &&
+        tagOf.get(n).exists(_ != NullPartitionTag)
+    }
+    val typ = tableSchemaOf(spark, table)
+      .flatMap(_.fields.find(_.name == statCol).map(_.dataType))
+      .getOrElse(spark.read.option("mergeSchema", "true")
+        .parquet(data: _*).schema(statCol).dataType)
+    val servedDf = served.map { f =>
+      val n = norm(f); val st = statOf(n)
+      (Option(tagOf(n)), st._4, st._1.get, st._2.get)
+    }.toDF(partCol, "n_rows", "__mn", "__mx")
+      .select(col(partCol), col("n_rows"),
+        col("__mn").cast(typ).as("mn"), col("__mx").cast(typ).as("mx"))
+    val perFile =
+      if (scan.isEmpty) servedDf
+      else {
+        statsScanNotifier("partitionStats", scan.size)
+        servedDf.unionByName(readSnapshot(spark, scan ++ dvLines)
+          .groupBy(col(partCol).cast("string").as(partCol))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            min(col(statCol)).as("mn"), max(col(statCol)).as("mx")))
+      }
+    perFile.groupBy(col(partCol))
+      .agg(sum("n_rows").as("n_rows"), min("mn").as("mn"), max("mx").as("mx"))
+  }
+
   /** ANALYZE TABLE: backfill per-file st statistics for `statCols`
     * into the manifest as a metadata-only commit — how an ADOPTED,
     * cloned, or legacy table (whose files predate the table's stat
@@ -2931,6 +3178,28 @@ object VersionedTable {
     val recent = vs.count(v =>
       f.getFileStatus(manifestPath(table, v)).getModificationTime >= cutoff)
     vacuum(spark, table, math.max(1, recent))
+  }
+
+  /** What [[vacuum]] WOULD delete — `(retiredVersions, deadFiles)` —
+    * without touching anything: the pre-flight an operator runs
+    * before an irreversible sweep ("how much history am I about to
+    * lose, how many bytes come back"). Same retire/live/ownership
+    * arithmetic as vacuum itself. */
+  def vacuumDryRun(spark: SparkSession, table: String,
+                   keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val vs = versions(spark, table)
+    val (retire, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    if (retire.isEmpty) return (Seq.empty, Seq.empty)
+    def pathsOf(v: Int): Seq[String] = {
+      val lines = readManifest(spark, table, v)
+      dataFilesOf(lines) ++ dvFilesOf(lines)
+    }
+    val live = keep.flatMap(pathsOf).toSet
+    val root = norm(new Path(table).toString).stripSuffix("/") + "/"
+    val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
+      .filter(p => norm(p).startsWith(root))
+    (retire, dead)
   }
 
   def vacuum(spark: SparkSession, table: String, keepLast: Int): Unit = {

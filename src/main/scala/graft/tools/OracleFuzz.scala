@@ -85,7 +85,17 @@ object OracleFuzz {
     // round-7 seventh batch: the scoped-OPTIMIZE + retention-vacuum
     // lifecycle must land the same snapshot on any input subset
     // (q_dpp_join is events-only — the perturbation can't reach it)
-    "q_table_maintenance")
+    "q_table_maintenance",
+    // round-7 eighth batch: per-partition metadata stats must track
+    // whatever rows the perturbation leaves; merge evolution's
+    // NULL-backfill split shifts with the input
+    "q_partition_stats", "q_merge_evolution",
+    // round-7 ninth batch: incremental clustering's carried/fresh
+    // split and the idempotent-replay no-op on any input subset
+    "q_cluster_incremental",
+    // NULL-count skipping's candidate set and row answer must track
+    // the perturbed status mix
+    "q_null_skipping")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -152,7 +152,13 @@ object ScaleProofTail {
       "q_partition_counts", "q_table_analyze",
       // round-7 seventh batch: join-driven file pruning and the
       // scoped-OPTIMIZE + retention-vacuum lifecycle at 10x
-      "q_dpp_join", "q_table_maintenance")
+      "q_dpp_join", "q_table_maintenance",
+      // round-7 eighth batch: per-partition metadata stats, merge
+      // schema evolution at 10x
+      "q_partition_stats", "q_merge_evolution",
+      // round-7 ninth batch: incremental clustering + idempotent
+      // ingest at 10x
+      "q_cluster_incremental", "q_null_skipping")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

@@ -132,6 +132,59 @@ class TableJoinPruneSpec extends SparkSpec {
       s"unparseable bounds must keep every file, saw $cands")
   }
 
+  test("NULL-count skipping: IS NULL opens only files holding nulls") {
+    val t = freshTable()
+    // status-correlated nulls: channel missing exactly on p = "F"
+    val df = (1L to 300L).map { i =>
+      val p = if (i % 3 == 0) "F" else "O"
+      (i, p, if (p == "F") null else s"web$i")
+    }.toDF("k", "p", "channel")
+    VersionedTable.commitPartitioned(spark, t, df, "p",
+      append = false, statCols = Seq("k", "channel"))
+    val lines = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    val total = VersionedTable.dataFilesOf(lines).size
+    val candNull = VersionedTable.nullCandidates(lines, "channel",
+      wantNull = true)
+    val candNotNull = VersionedTable.nullCandidates(lines, "channel",
+      wantNull = false)
+    assert(candNull.size < total, "zero-null files must be skipped")
+    assert(candNotNull.size < total, "all-null files must be skipped")
+    val gotNull = VersionedTable.readPrunedNull(spark, t, "channel",
+      wantNull = true).count()
+    val gotNotNull = VersionedTable.readPrunedNull(spark, t, "channel",
+      wantNull = false).count()
+    assert(gotNull == 100L && gotNotNull == 200L)
+    // files without channel stats stay candidates (never-prunable)
+    val t2 = freshTable()
+    VersionedTable.commit(spark, t2, df, append = false)
+    val lines2 = VersionedTable.manifest(spark, t2, 1)
+    assert(VersionedTable.nullCandidates(lines2, "channel", wantNull = true)
+      .size == VersionedTable.dataFilesOf(lines2).size)
+  }
+
+  test("vacuumDryRun reports what vacuum then deletes, touching nothing") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      append = false)
+    VersionedTable.commit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+      append = false) // logical overwrite: v1's file becomes dead
+    VersionedTable.commit(spark, t, Seq((3L, "c")).toDF("k", "v"),
+      append = true)
+    val (retire, dead) = VersionedTable.vacuumDryRun(spark, t, keepLast = 2)
+    assert(retire == Seq(1) && dead.size == 1)
+    // nothing happened: all versions still read
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2, 3))
+    assert(VersionedTable.read(spark, t, Some(1)).count() == 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(t).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    assert(dead.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))))
+    VersionedTable.vacuum(spark, t, keepLast = 2)
+    assert(dead.forall(p => !fs.exists(new org.apache.hadoop.fs.Path(p))))
+    assert(VersionedTable.versions(spark, t) == Seq(2, 3))
+  }
+
   test("pruned join == full join under appends + a DV delete (lifecycle)") {
     val t = clustered()
     VersionedTable.commit(spark, t,

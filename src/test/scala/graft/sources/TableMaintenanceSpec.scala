@@ -167,6 +167,86 @@ class TableMaintenanceSpec extends SparkSpec {
       Seq("hot")) == v2)
   }
 
+  test("clusterCommitIncremental re-lays only post-baseline files") {
+    val t = fresh("vinc")
+    VersionedTable.commit(spark, t,
+      (1L to 800L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8),
+      append = false)
+    // baseline: full cluster (random layout -> 8 range files)
+    val v2 = VersionedTable.clusterCommit(spark, t, Seq("k"), 8)
+    val clusteredFiles = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, v2)).toSet
+    // fresh ingest arrives unclustered, spread over all key ranges
+    VersionedTable.commit(spark, t,
+      (801L to 1000L).map(i => (i * 31 % 997, s"n$i")).toDF("k", "v")
+        .repartition(4), append = true)
+    val v4 = VersionedTable.clusterCommitIncremental(spark, t,
+      Seq("k"), targetRows = 100L)
+    val m4 = VersionedTable.manifest(spark, t, v4)
+    val data4 = VersionedTable.dataFilesOf(m4).toSet
+    // every baseline file carried verbatim; the 4 fresh files re-laid
+    assert(clusteredFiles.subsetOf(data4),
+      "clustered files must be carried, not rewritten")
+    assert((data4 -- clusteredFiles).nonEmpty)
+    assert(VersionedTable.metaOf(m4).get("content_preserving")
+      .contains("true"))
+    // rows intact and the new layout keeps full stats coverage:
+    // a narrow range read opens few of the files
+    assert(VersionedTable.read(spark, t).count() == 1000L)
+    val cands = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val old = VersionedTable.statsScanNotifier
+    VersionedTable.statsScanNotifier = (_, _) => { cands.incrementAndGet(); () }
+    try {
+      val got = VersionedTable.readPruned(spark, t, Seq(("k", 1L, 50L)))
+        .count()
+      val want = VersionedTable.read(spark, t)
+        .filter(col("k") >= 1L && col("k") <= 50L).count()
+      assert(got == want)
+    } finally VersionedTable.statsScanNotifier = old
+    assert(cands.get() == -1, "post-incremental reads stay metadata-only")
+    // caught up: no-op
+    assert(VersionedTable.clusterCommitIncremental(spark, t, Seq("k"),
+      100L) == v4)
+    // never-clustered table bootstraps via the full cluster
+    val t2 = fresh("vinc2")
+    VersionedTable.commit(spark, t2,
+      (1L to 100L).map(i => (i, "x")).toDF("k", "v").repartition(2),
+      append = false)
+    val b = VersionedTable.clusterCommitIncremental(spark, t2, Seq("k"), 50L)
+    assert(VersionedTable.metaOf(VersionedTable.manifest(spark, t2, b))
+      .get("clustered_by").contains("k"))
+  }
+
+  test("commitIdempotent: replays are no-ops, cache crash-safe") {
+    val t = fresh("vtxn")
+    val v1 = VersionedTable.commitIdempotent(spark, t,
+      Seq((1L, "a")).toDF("k", "v"), append = false, "loader", 1L)
+    // replay of txn 1: no new version, no new rows
+    assert(VersionedTable.commitIdempotent(spark, t,
+      Seq((1L, "dup")).toDF("k", "v"), append = true, "loader", 1L) == v1)
+    assert(VersionedTable.read(spark, t).count() == 1L)
+    // next txn lands
+    val v2 = VersionedTable.commitIdempotent(spark, t,
+      Seq((2L, "b")).toDF("k", "v"), append = true, "loader", 2L)
+    assert(v2 == v1 + 1 && VersionedTable.read(spark, t).count() == 2L)
+    // ANOTHER app's txn 1 is independent
+    VersionedTable.commitIdempotent(spark, t,
+      Seq((3L, "c")).toDF("k", "v"), append = true, "other", 1L)
+    assert(VersionedTable.read(spark, t).count() == 3L)
+    // crash between commit and cache write: the commit metadata is
+    // authoritative — delete the cache and replay txn 2
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(t).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(t, "_txn/loader"), false)
+    assert(VersionedTable.commitIdempotent(spark, t,
+      Seq((2L, "dup")).toDF("k", "v"), append = true, "loader", 2L)
+      == VersionedTable.versions(spark, t).last)
+    assert(VersionedTable.read(spark, t).count() == 3L)
+    // and the history scan repaired the cache (fast path works again)
+    assert(f.exists(new org.apache.hadoop.fs.Path(t, "_txn/loader")))
+  }
+
   test("vacuumRetention: out-of-window versions sweep, in-window survive") {
     val t = fresh("vret")
     VersionedTable.commit(spark, t,

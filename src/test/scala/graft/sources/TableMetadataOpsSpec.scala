@@ -183,4 +183,37 @@ class TableMetadataOpsSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(got == Seq((2L, "b", "insert", 1L)))
   }
+
+  test("partitionStats == grouped snapshot, zero scans when covered") {
+    val t = freshTable()
+    val df = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b")).toDF("k", "p")
+    VersionedTable.commitPartitioned(spark, t, df, "p",
+      append = false, statCols = Seq("k"))
+    val (got, scans) = countScans {
+      VersionedTable.partitionStats(spark, t, "p", "k")
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    val want = VersionedTable.read(spark, t)
+      .groupBy(col("p")).agg(count(lit(1)).as("n_rows"),
+        min("k").as("mn"), max("k").as("mx"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want, s"$got vs $want")
+    assert(got == Set(("a", 100L, 3L, 300L), ("b", 200L, 1L, 299L)))
+    assert(scans == 0, "covered pure snapshot must be metadata-only")
+  }
+
+  test("partitionStats stays exact when a delete kills a partition's extremes") {
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t,
+      (1L to 200L).map(i => (i, if (i <= 100) "x" else "y"))
+        .toDF("k", "p"),
+      "p", append = false, statCols = Seq("k"))
+    // kill partition x's max and min: its file is tombstoned → scanned
+    VersionedTable.deleteCommit(spark, t,
+      col("k") === 100L || col("k") === 1L, Seq("k"))
+    val got = VersionedTable.partitionStats(spark, t, "p", "k")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("x", 98L, 2L, 99L), ("y", 100L, 101L, 200L)))
+  }
 }

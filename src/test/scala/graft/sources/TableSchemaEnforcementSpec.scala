@@ -61,6 +61,31 @@ class TableSchemaEnforcementSpec extends SparkSpec {
     }
   }
 
+  test("MERGE with a new source column evolves the cached schema too") {
+    val t = fresh()
+    VersionedTable.commit(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), append = false,
+      statCols = Seq("k"))
+    // upsert k=2 and insert k=3, both carrying a NEW column
+    VersionedTable.mergeCommit(spark, t,
+      Seq((2L, "B", 7.5), (3L, "c", 1.5)).toDF("k", "v", "score"), "k")
+    val sch = VersionedTable.tableSchemaOf(spark, t).get
+    assert(sch.fieldNames.toSet == Set("k", "v", "score"),
+      "the sc line must merge the evolved column, not carry stale")
+    // untouched rows surface the column as NULL
+    val rows = VersionedTable.read(spark, t)
+      .select("k", "v", "score").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "B", Some(7.5)),
+      (3L, "c", Some(1.5))))
+    // a later writer conflicting with the MERGE-evolved column rejects
+    // — the stale-schema hazard this guards against
+    intercept[IllegalStateException] {
+      VersionedTable.commit(spark, t,
+        Seq((4L, "d", "high")).toDF("k", "v", "score"), append = true)
+    }
+  }
+
   test("an overwrite may reshape the schema (fresh lineage)") {
     val t = fresh()
     VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
