@@ -1896,6 +1896,44 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // STRING-RANGE FILE SKIPPING (VersionedTable.readPrunedString): the
+  // table clusters on a yyyy-MM-dd date STRING and a one-quarter
+  // range read prunes from the manifest's exact string stats
+  // (required in-query: few of 8 date-clustered files open). The
+  // oracle filters the same derived date string directly.
+  // ---------------------------------------------------------------------
+  def stringSkipping(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vstr")
+      .toAbsolutePath.toString + "/orders"
+    val VT = graft.sources.VersionedTable
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_datestr"))
+    VT.commit(s, table,
+      base.repartitionByRange(8, col("o_datestr")), append = false,
+      statCols = Seq("o_datestr"))
+    val (lo, hi) = ("1996-04-01", "1996-06-30")
+    val lines = VT.manifest(s, table, VT.versions(s, table).last)
+    val total = VT.dataFilesOf(lines).size
+    val fstats = VT.files(s, table, Seq("o_datestr"))
+    val cand = fstats.filter(col("o_datestr_min") <= hi &&
+      col("o_datestr_max") >= lo).count()
+    require(total >= 8 && cand <= total / 2,
+      s"a one-quarter range over ~6.5 years must open few of the " +
+        s"date-clustered files: $cand of $total")
+    VT.readPrunedString(s, table, "o_datestr", lo, hi)
+      .groupBy(substring(col("o_datestr"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_key"))
+  }
+
+  val stringSkippingSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1996-04-01'
+      |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1996-06-30'
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MERGE SCHEMA EVOLUTION (VersionedTable.mergeCommit with a source
   // carrying a NEW column): upserted/inserted rows land the column,
   // untouched rows surface it as NULL, and the cached schema line
@@ -2855,6 +2893,7 @@ object Queries {
     "q_merge_evolution" -> (mergeEvolution _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
+    "q_string_skipping" -> (stringSkipping _),
     "q_partition_counts" -> (partitionCountsQ _),
     "q_table_analyze" -> (tableAnalyze _),
     "q_incremental_mv" -> (incrementalMv _),
@@ -2940,6 +2979,7 @@ object Queries {
     "q_merge_evolution" -> mergeEvolutionSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
+    "q_string_skipping" -> stringSkippingSql,
     "q_table_analyze" -> tableAnalyzeSql,
     "q_incremental_mv" -> incrementalMvSql,
     "q_table_change_stream" -> tableChangeStreamSql,

@@ -381,6 +381,11 @@ object VersionedTable {
   private val AddLinePrefix = "+\t"
   private val RemoveLinePrefix = "-\t"
 
+  /** The in-commit timestamp's meta-line spelling (see
+    * [[writeManifest]]): full frames carry it as a normal meta line,
+    * delta frames in the header's optional third field. */
+  private val CommitTsPrefix = s"${MetaPrefix}commit_ts="
+
   /** Every Nth version is written as a full snapshot manifest, however
     * small its delta — the checkpoint that bounds delta-chain length
     * (and so [[readManifest]] resolution cost) to < N hops. */
@@ -433,14 +438,22 @@ object VersionedTable {
     val raw = readRawManifest(spark, table, v)
     raw.headOption match {
       case Some(h) if h.startsWith(DeltaHeaderPrefix) =>
-        val base = h.substring(DeltaHeaderPrefix.length).toInt
+        // header: `delta\t<base>[\t<commit_ts>]` — the frame's own
+        // commit time rides the header (zero delta-size cost), so the
+        // resolution must drop the BASE's inherited commit_ts line
+        val fields = h.substring(DeltaHeaderPrefix.length).split("\t")
+        val base = fields(0).toInt
+        val hdrTs = fields.lift(1)
         val removed = raw.iterator
           .filter(_.startsWith(RemoveLinePrefix))
           .map(_.substring(RemoveLinePrefix.length)).toSet
         val added = raw
           .filter(_.startsWith(AddLinePrefix))
           .map(_.substring(AddLinePrefix.length))
-        readManifest(spark, table, base).filterNot(removed) ++ added
+        val resolved = readManifest(spark, table, base)
+          .filterNot(l => removed.contains(l) ||
+            (hdrTs.isDefined && l.startsWith(CommitTsPrefix))) ++ added
+        hdrTs.fold(resolved)(t => resolved :+ (CommitTsPrefix + t))
       case _ => raw
     }
   }
@@ -453,7 +466,8 @@ object VersionedTable {
     val acc = scala.collection.mutable.Set.empty[Int]
     var raw = readRawManifest(spark, table, v)
     while (raw.headOption.exists(_.startsWith(DeltaHeaderPrefix))) {
-      val base = raw.head.substring(DeltaHeaderPrefix.length).toInt
+      val base = raw.head.substring(DeltaHeaderPrefix.length)
+        .split("\t")(0).toInt
       acc += base
       raw = readRawManifest(spark, table, base)
     }
@@ -461,7 +475,17 @@ object VersionedTable {
   }
 
   private[sources] def writeManifest(spark: SparkSession, table: String, v: Int,
-                                     files: Seq[String]): Unit = {
+                                     files0: Seq[String]): Unit = {
+    // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamp): the commit's
+    // wall-clock is a manifest fact, not a filesystem accident —
+    // backup/restore and file copies lose mtimes, and [[versionAsOf]]
+    // must keep resolving afterwards. writeManifest owns the stamp
+    // (verbatim-republishing paths like restore must not carry a
+    // stale one): full frames append it as a meta line, delta frames
+    // ride it in the header so the stamp never costs delta lines.
+    val ts = System.currentTimeMillis()
+    val payload = files0.filterNot(_.startsWith(CommitTsPrefix))
+    val files = payload :+ (CommitTsPrefix + ts)
     val target = manifestPath(table, v)
     val f = fs(spark, target)
     f.mkdirs(manifestDir(table))
@@ -476,11 +500,12 @@ object VersionedTable {
             f.exists(baseManifestPath(table, v - 1)))) files
       else {
         val prev = readManifest(spark, table, v - 1)
+          .filterNot(_.startsWith(CommitTsPrefix))
         val prevSet = prev.toSet
-        val nextSet = files.toSet
+        val nextSet = payload.toSet
         val removed = prev.filterNot(nextSet)
-        val added = files.filterNot(prevSet)
-        val delta = (DeltaHeaderPrefix + (v - 1)) +:
+        val added = payload.filterNot(prevSet)
+        val delta = (DeltaHeaderPrefix + (v - 1) + "\t" + ts) +:
           (removed.map(RemoveLinePrefix + _) ++ added.map(AddLinePrefix + _))
         if (delta.size < files.size) delta else files
       }
@@ -635,13 +660,21 @@ object VersionedTable {
     * I/O; errors when the timestamp predates the table (nothing
     * existed to read). Vacuumed versions are gone here exactly as they
     * are for version-number travel. */
+  /** A version's commit wall-clock: the manifest's in-commit
+    * `commit_ts` stamp when present (survives file copies), the
+    * publish mtime for legacy manifests. */
+  private def commitTimeOf(spark: SparkSession, table: String,
+                           v: Int): Long =
+    metaOf(readManifest(spark, table, v)).get("commit_ts")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(fs(spark, manifestDir(table))
+        .getFileStatus(manifestPath(table, v)).getModificationTime)
+
   def versionAsOf(spark: SparkSession, table: String,
                   tsMillis: Long): Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
-    val f = fs(spark, manifestDir(table))
-    val at = vs.filter(v =>
-      f.getFileStatus(manifestPath(table, v)).getModificationTime <= tsMillis)
+    val at = vs.filter(v => commitTimeOf(spark, table, v) <= tsMillis)
     require(at.nonEmpty,
       s"timestamp $tsMillis predates the oldest retained commit of $table")
     at.last
@@ -1502,18 +1535,14 @@ object VersionedTable {
   def clusterCommit(spark: SparkSession, table: String,
                     cols: Seq[String], nFiles: Int): Int = {
     import org.apache.spark.sql.functions.col
-    require(cols.size == 1 || cols.size == 2,
-      "cluster on one column (range) or two (z-order)")
+    require(cols.nonEmpty && cols.size <= 8,
+      "cluster on 1 column (range), 2 (z-order) or up to 8 (N-dim z-order)")
     require(nFiles > 0, "nFiles must be positive")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
     val snap = readSnapshot(spark, lines)
-    val laid = cols match {
-      case Seq(c) => snap.repartitionByRange(nFiles, col(c))
-      case Seq(a, b) =>
-        graft.operators.ScaleOps.zorderLayout(snap, col(a), col(b), nFiles)
-    }
+    val laid = clusterLayout(snap, cols, nFiles)
     // a cluster rewrite REFRESHES the stat schema's st lines (tight
     // post-clustering bounds are the whole point) and, naturally,
     // declares the clustering columns as stat columns — they're what
@@ -1523,6 +1552,23 @@ object VersionedTable {
       meta = Map("clustered_by" -> cols.mkString(","),
         "content_preserving" -> "true"),
       statCols = (statColsOf(lines) ++ cols).distinct)
+  }
+
+  /** The shared CLUSTER BY layout: 1 column range-partitions, 2
+    * compose the 16-bit/dim Morton curve, 3..8 the 63/n-bit N-dim
+    * curve ([[graft.operators.ScaleOps.zorderKeyN]] — callers
+    * pre-bucket wide-range dimensions into the per-dim bit budget,
+    * same contract q_zorder3 gates). */
+  private def clusterLayout(snap: DataFrame, cols: Seq[String],
+                            nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    cols match {
+      case Seq(c) => snap.repartitionByRange(nFiles, col(c))
+      case Seq(a, b) =>
+        graft.operators.ScaleOps.zorderLayout(snap, col(a), col(b), nFiles)
+      case more =>
+        graft.operators.ScaleOps.zorderLayoutN(snap, more.map(col), nFiles)
+    }
   }
 
   /** INCREMENTAL clustering — maintain a CLUSTER BY layout without
@@ -1545,9 +1591,8 @@ object VersionedTable {
   def clusterCommitIncremental(spark: SparkSession, table: String,
                                cols: Seq[String],
                                targetRows: Long): Int = {
-    import org.apache.spark.sql.functions.col
-    require(cols.size == 1 || cols.size == 2,
-      "cluster on one column (range) or two (z-order)")
+    require(cols.nonEmpty && cols.size <= 8,
+      "cluster on 1 column (range), 2 (z-order) or up to 8 (N-dim z-order)")
     require(targetRows > 0, "targetRows must be positive")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
@@ -1580,11 +1625,7 @@ object VersionedTable {
         else freshRows.count()
       math.max(1L, (n + targetRows - 1) / targetRows).toInt
     }
-    val laid = cols match {
-      case Seq(c) => freshRows.repartitionByRange(nOut, col(c))
-      case Seq(a, b) =>
-        graft.operators.ScaleOps.zorderLayout(freshRows, col(a), col(b), nOut)
-    }
+    val laid = clusterLayout(freshRows, cols, nOut)
     val newLines = writeRewrite(spark, table, next, laid, fullSpecOf(lines))
     val keptDv = consolidateTombstones(spark, dvLines, carried, table, next)
     val lineOf = dataLineByPath(lines)
@@ -1683,6 +1724,52 @@ object VersionedTable {
     }
     joinPruneNotifier(cand.size, data.size)
     cand
+  }
+
+  /** FILE SKIPPING on a STRING range — the date-string layout case
+    * (`WHERE o_date BETWEEN '1995-06-01' AND '1995-08-31'` on a
+    * date-clustered table). Sound because manifest st strings are
+    * EXACT: they come from the one-scan stats path
+    * ([[FileSkipping.footerStats]] REFUSES strings precisely because
+    * parquet writers truncate footer string maxima — a truncated max
+    * understates the bound and would wrongly prune). Comparison is
+    * unsigned UTF-8 byte order (Spark's own string ordering), so the
+    * candidate test agrees with the re-applied exact predicate.
+    * Files without stats stay candidates; all-null files can't match
+    * a range. Row-identical to `read().filter(c between lo and hi)`. */
+  def readPrunedString(spark: SparkSession, table: String, c: String,
+                       lo: String, hi: String,
+                       version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    def cmp(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    val byFile = statsOf(lines)
+      .collect { case (cc, st, p) if cc == c => norm(p) -> st }.toMap
+    val cand = dataFilesOf(lines).filter { f =>
+      byFile.get(norm(f)) match {
+        case None => true // uncovered: never prunable
+        case Some((mn, mx, _, _)) =>
+          mn.exists(cmp(_, hi) <= 0) && mx.exists(cmp(_, lo) >= 0)
+      }
+    }
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(col(c) >= lo && col(c) <= hi)
   }
 
   /** NULL-COUNT file skipping: candidate files for an `IS NULL`
@@ -3171,12 +3258,10 @@ object VersionedTable {
     require(retentionMs >= 0, "retentionMs must be non-negative")
     val vs = versions(spark, table)
     if (vs.isEmpty) return
-    val f = fs(spark, manifestDir(table))
     val cutoff = System.currentTimeMillis() - retentionMs
-    // publish mtimes are monotone in version order: the in-window
+    // commit times are monotone in version order: the in-window
     // versions are exactly the trailing `recent`
-    val recent = vs.count(v =>
-      f.getFileStatus(manifestPath(table, v)).getModificationTime >= cutoff)
+    val recent = vs.count(v => commitTimeOf(spark, table, v) >= cutoff)
     vacuum(spark, table, math.max(1, recent))
   }
 

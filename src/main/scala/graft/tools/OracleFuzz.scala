@@ -95,7 +95,10 @@ object OracleFuzz {
     "q_cluster_incremental",
     // NULL-count skipping's candidate set and row answer must track
     // the perturbed status mix
-    "q_null_skipping")
+    "q_null_skipping",
+    // string-range skipping: the date distribution (and therefore the
+    // candidate set) shifts with the perturbed rows
+    "q_string_skipping")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

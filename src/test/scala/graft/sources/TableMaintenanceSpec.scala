@@ -217,6 +217,54 @@ class TableMaintenanceSpec extends SparkSpec {
       .get("clustered_by").contains("k"))
   }
 
+  test("clusterCommit on 3 columns: every dimension prunes independently") {
+    val t = fresh("vz3")
+    val df = (1L to 4096L).map(i =>
+      (i * 7 % 32, i * 13 % 32, i * 29 % 32, i)).toDF("a", "b", "c", "pay")
+    VersionedTable.commit(spark, t, df.repartition(8), append = false)
+    VersionedTable.clusterCommit(spark, t, Seq("a", "b", "c"), 8)
+    val stats = VersionedTable.files(spark, t, Seq("a", "b", "c"))
+    val total = stats.count()
+    assert(total >= 8)
+    for (dim <- Seq("a", "b", "c")) {
+      // a half-space on ANY dimension leaves candidate files behind —
+      // the property a 1-D sort can only give its own column
+      val cand = stats.filter(col(s"${dim}_min") <= 7L).count()
+      assert(cand < total, s"$dim: $cand of $total files — no pruning")
+      val got = VersionedTable.readPruned(spark, t, Seq((dim, 0L, 7L)))
+        .agg(count(lit(1)), sum("pay")).collect()(0).toSeq
+      val want = VersionedTable.read(spark, t)
+        .filter(col(dim) >= 0L && col(dim) <= 7L)
+        .agg(count(lit(1)), sum("pay")).collect()(0).toSeq
+      assert(got == want, s"$dim: $got vs $want")
+    }
+  }
+
+  test("readPrunedString: date-string ranges prune from exact st strings") {
+    val t = fresh("vstr")
+    val days = (0 until 365).map(d =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString, d.toLong))
+    VersionedTable.commit(spark, t,
+      days.toDF("d", "x").repartitionByRange(12, col("d")),
+      append = false, statCols = Seq("d"))
+    val stats = VersionedTable.files(spark, t, Seq("d"))
+    val cand = stats.filter(col("d_min") <= "2024-03-31" &&
+      col("d_max") >= "2024-03-01").count()
+    assert(cand < stats.count(),
+      s"a one-month range must skip most of 12 files, got $cand")
+    val got = VersionedTable.readPrunedString(spark, t, "d",
+      "2024-03-01", "2024-03-31").agg(count(lit(1)), sum("x"))
+      .collect()(0).toSeq
+    val want = VersionedTable.read(spark, t)
+      .filter(col("d") >= "2024-03-01" && col("d") <= "2024-03-31")
+      .agg(count(lit(1)), sum("x")).collect()(0).toSeq
+    assert(got == want && got.head == 31L)
+    // out-of-range: empty frame, correct schema
+    val none = VersionedTable.readPrunedString(spark, t, "d",
+      "2030-01-01", "2030-12-31")
+    assert(none.count() == 0L && none.columns.toSeq == Seq("d", "x"))
+  }
+
   test("commitIdempotent: replays are no-ops, cache crash-safe") {
     val t = fresh("vtxn")
     val v1 = VersionedTable.commitIdempotent(spark, t,

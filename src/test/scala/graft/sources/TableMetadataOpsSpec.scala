@@ -184,6 +184,27 @@ class TableMetadataOpsSpec extends SparkSpec {
     assert(got == Seq((2L, "b", "insert", 1L)))
   }
 
+  test("versionAsOf rides in-commit timestamps, surviving mtime loss") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      append = false)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedTable.commit(spark, t, Seq((2L, "b")).toDF("k", "v"),
+      append = true)
+    // a backup/restore cycle loses mtimes: fake it by pushing v1's
+    // manifest mtime into the future — resolution must not move
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(t).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val m1 = new org.apache.hadoop.fs.Path(t, "_manifests/v00000001.json")
+    f.setTimes(m1, System.currentTimeMillis() + 3600_000L, -1)
+    assert(VersionedTable.versionAsOf(spark, t, mid) == 1)
+    assert(VersionedTable.versionAsOf(spark, t,
+      System.currentTimeMillis()) == 2)
+  }
+
   test("partitionStats == grouped snapshot, zero scans when covered") {
     val t = freshTable()
     val df = (1L to 300L).map(i =>
