@@ -1990,6 +1990,68 @@ object Queries {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CONDITIONAL MERGE (VersionedTable.mergeCommitWhen): the full
+  // WHEN MATCHED [AND c] UPDATE/DELETE + WHEN NOT MATCHED [AND c]
+  // INSERT + WHEN NOT MATCHED BY SOURCE [AND c] DELETE statement in
+  // one commit — first-applicable-clause precedence, unclaimed rows
+  // carry. The oracle replays the same algebra as a LEFT JOIN pair.
+  // ---------------------------------------------------------------------
+  def mergeWhen(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    import VersionedTable.MergeClause._
+    val table = java.nio.file.Files.createTempDirectory("graft_vmw")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("cents"))
+    VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("k")), append = false,
+      statCols = Seq("k"))
+    val mx = base.agg(max(col("k"))).collect()(0).getLong(0)
+    // source: even target keys (delta/flag derived), plus new keys
+    // offset past the table's max — guaranteed not-matched
+    val src = base.filter(col("k") % 2 === 0)
+      .select(col("k"), (col("k") % 97).as("delta"), (col("k") % 5).as("flag"))
+      .unionByName(base.filter(col("k") % 2 === 1)
+        .select((col("k") + mx).as("k"), (col("k") % 97).as("delta"),
+          (col("k") % 5).as("flag")))
+    VersionedTable.mergeCommitWhen(s, table, src, "k",
+      matched = Seq(
+        whenMatchedUpdate(Map("cents" -> (col("t.cents") + col("s.delta")),
+          "status" -> lit("U")), Some(col("s.flag") === 0)),
+        whenMatchedDelete(Some(col("s.flag") === 1))),
+      notMatched = Seq(
+        whenNotMatchedInsert(Map("k" -> col("s.k"), "status" -> lit("N"),
+          "cents" -> col("s.delta")), Some(col("s.delta") > 48))),
+      notMatchedBySource = Seq(
+        whenMatchedDelete(Some(col("t.k") % 1000 === 17))))
+    VersionedTable.read(s, table).groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+  }
+
+  val mergeWhenSql: String =
+    """WITH tt AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |mx AS (SELECT max(k) AS m FROM tt),
+      |ss AS (
+      |  SELECT k, k % 97 AS delta, k % 5 AS flag FROM tt WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT k + m, k % 97, k % 5 FROM tt, mx WHERE k % 2 = 1),
+      |merged AS (
+      |  SELECT CASE WHEN ss.k IS NOT NULL AND ss.flag = 0
+      |              THEN 'U' ELSE tt.status END AS status,
+      |         CASE WHEN ss.k IS NOT NULL AND ss.flag = 0
+      |              THEN tt.cents + ss.delta ELSE tt.cents END AS cents
+      |  FROM tt LEFT JOIN ss ON tt.k = ss.k
+      |  WHERE NOT (ss.k IS NOT NULL AND ss.flag = 1)
+      |    AND NOT (ss.k IS NULL AND tt.k % 1000 = 17)
+      |  UNION ALL
+      |  SELECT 'N', ss.delta FROM ss LEFT JOIN tt ON ss.k = tt.k
+      |  WHERE tt.k IS NULL AND ss.delta > 48)
+      |SELECT status, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM merged GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -2891,6 +2953,7 @@ object Queries {
     "q_table_maintenance" -> (tableMaintenance _),
     "q_partition_stats" -> (partitionStatsQ _),
     "q_merge_evolution" -> (mergeEvolution _),
+    "q_merge_when" -> (mergeWhen _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -2977,6 +3040,7 @@ object Queries {
     "q_table_maintenance" -> tableMaintenanceSql,
     "q_partition_stats" -> partitionStatsSql,
     "q_merge_evolution" -> mergeEvolutionSql,
+    "q_merge_when" -> mergeWhenSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

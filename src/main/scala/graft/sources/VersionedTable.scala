@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** A minimal versioned-table layer over parquet — manifest-based
   * commits with time travel, the core mechanism of the table formats
@@ -1299,6 +1299,220 @@ object VersionedTable {
     retryReadModifyWrite(spark, table, maxRetries, "merge") { hook =>
       mergeCommitAttempt(spark, table, source, keyCol, deleteCol, hook)
     }(onAttempt)
+
+  /** One WHEN clause of a [[mergeCommitWhen]]: fires for a row in its
+    * branch (matched / not-matched / not-matched-by-source) when
+    * `condition` holds (None = always). Conditions and SET/VALUES
+    * expressions address the two sides through the `t` (target) and
+    * `s` (source) aliases — `col("t.cents") + col("s.delta")`. */
+  final case class MergeClause(condition: Option[Column],
+                               action: MergeClause.Action)
+  object MergeClause {
+    sealed trait Action
+    /** SET existing target columns from t/s-aliased expressions. */
+    final case class Update(set: Map[String, Column]) extends Action
+    /** Drop the target row. */
+    case object Delete extends Action
+    /** Insert a row built from t/s-aliased expressions; target
+      * columns absent from `values` land NULL. */
+    final case class Insert(values: Map[String, Column]) extends Action
+    /** Insert the source row: same-named target columns take the
+      * source value, the rest land NULL. */
+    case object InsertRow extends Action
+
+    def whenMatchedUpdate(set: Map[String, Column],
+                          condition: Option[Column] = None): MergeClause =
+      MergeClause(condition, Update(set))
+    def whenMatchedDelete(condition: Option[Column] = None): MergeClause =
+      MergeClause(condition, Delete)
+    def whenNotMatchedInsert(values: Map[String, Column],
+                             condition: Option[Column] = None): MergeClause =
+      MergeClause(condition, Insert(values))
+    def whenNotMatchedInsertRow(condition: Option[Column] = None): MergeClause =
+      MergeClause(condition, InsertRow)
+  }
+
+  /** CONDITIONAL MERGE — the full `MERGE INTO ... WHEN MATCHED [AND c]
+    * THEN UPDATE/DELETE, WHEN NOT MATCHED [AND c] THEN INSERT, WHEN NOT
+    * MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` statement
+    * ([[mergeCommit]] is the keyed-upsert special case). Per-row, the
+    * FIRST clause of the row's branch whose condition holds applies;
+    * a matched / not-matched-by-source row no clause claims carries
+    * unchanged, an unclaimed source row is ignored.
+    *
+    * Semantics guards (the ANSI/Delta rules): matched and
+    * not-matched-by-source clauses may only UPDATE or DELETE,
+    * not-matched clauses only INSERT; within a branch every clause but
+    * the last needs a condition (later ones would be unreachable); a
+    * source with duplicate keys is rejected (one target row must not
+    * merge against two source rows — nondeterministic which wins).
+    *
+    * Scale shape: identical to [[mergeCommit]] — the touched-file set
+    * comes from source keys probing the manifest's broadcast st
+    * ranges (exact stats, so a key present in the target is ALWAYS in
+    * a touched file — unclaimed source rows are genuinely new), only
+    * touched files rewrite (ONE full-outer join on the key), carried
+    * files keep their lines/stats/tombstones verbatim. EXCEPTION: any
+    * not-matched-by-source clause makes every target row a candidate,
+    * so the whole table rewrites — inherent to the semantics (Delta's
+    * `whenNotMatchedBySource` pays the same), use a keyed delete when
+    * the doomed set is expressible as a predicate. Single attempt
+    * under contention; wrap via [[mergeCommitWhenOptimistic]]. */
+  def mergeCommitWhen(spark: SparkSession, table: String,
+                      source: DataFrame, keyCol: String,
+                      matched: Seq[MergeClause] = Nil,
+                      notMatched: Seq[MergeClause] = Nil,
+                      notMatchedBySource: Seq[MergeClause] = Nil): Int =
+    try mergeCommitWhenAttempt(spark, table, source, keyCol, matched,
+      notMatched, notMatchedBySource, _ => ())
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+
+  /** [[mergeCommitWhen]] under [[mergeCommitOptimistic]]'s conflict
+    * re-evaluation loop: disjoint interlopers retry from the new
+    * head, true overlap aborts loudly. */
+  def mergeCommitWhenOptimistic(spark: SparkSession, table: String,
+                                source: DataFrame, keyCol: String,
+                                matched: Seq[MergeClause] = Nil,
+                                notMatched: Seq[MergeClause] = Nil,
+                                notMatchedBySource: Seq[MergeClause] = Nil,
+                                maxRetries: Int = 5): Int =
+    mergeCommitWhenOptimisticHook(spark, table, source, keyCol, matched,
+      notMatched, notMatchedBySource, maxRetries)
+
+  private[sources] def mergeCommitWhenOptimisticHook(
+      spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String, matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      maxRetries: Int = 5, onAttempt: Int => Unit = _ => ()): Int =
+    retryReadModifyWrite(spark, table, maxRetries, "merge") { hook =>
+      mergeCommitWhenAttempt(spark, table, source, keyCol, matched,
+        notMatched, notMatchedBySource, hook)
+    }(onAttempt)
+
+  private def mergeCommitWhenAttempt(spark: SparkSession, table: String,
+                                     source: DataFrame, keyCol: String,
+                                     matched: Seq[MergeClause],
+                                     notMatched: Seq[MergeClause],
+                                     notMatchedBySource: Seq[MergeClause],
+                                     onAttempt: Int => Unit): Int = {
+    import org.apache.spark.sql.functions._
+    import MergeClause._
+    matched.foreach(c => require(
+      c.action.isInstanceOf[Update] || c.action == Delete,
+      "WHEN MATCHED clauses may only UPDATE or DELETE"))
+    notMatchedBySource.foreach(c => require(
+      c.action.isInstanceOf[Update] || c.action == Delete,
+      "WHEN NOT MATCHED BY SOURCE clauses may only UPDATE or DELETE"))
+    notMatched.foreach(c => require(
+      c.action.isInstanceOf[Insert] || c.action == InsertRow,
+      "WHEN NOT MATCHED clauses may only INSERT"))
+    Seq(matched, notMatched, notMatchedBySource).foreach(br =>
+      br.dropRight(1).foreach(c => require(c.condition.isDefined,
+        "only a branch's LAST clause may omit its condition — later " +
+          "clauses would be unreachable")))
+    require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
+      "merge needs at least one clause")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val currentLines = readManifest(spark, table, vs.last)
+    val current = dataFilesOf(currentLines)
+    val dvLines = currentLines.filter(_.startsWith(DvPrefix))
+    // cardinality guard: one aggregate over the source, O(source)
+    require(source.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      s"source has duplicate $keyCol values — a target row must not " +
+        "merge against two source rows")
+    // touched files: source keys x broadcast manifest st ranges, the
+    // [[mergeCommit]] probe — unless a not-matched-by-source clause
+    // makes every target row a candidate
+    val touchedNorm: Set[String] =
+      if (notMatchedBySource.nonEmpty) current.map(norm).toSet
+      else {
+        val stats = manifestStats(spark, currentLines, Seq(keyCol),
+          _ => source.schema(keyCol).dataType).getOrElse {
+          statsScanNotifier("mergeCommitWhen", current.size)
+          FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
+        }
+        source.select(col(keyCol).as("__mk"))
+          .join(broadcast(stats),
+            col(s"${keyCol}_min") <= col("__mk") &&
+              col(s"${keyCol}_max") >= col("__mk"))
+          .select("file").distinct().collect()
+          .map(r => norm(r.getString(0))).toSet
+      }
+    val (rewrite, carry) = current.partition(f => touchedNorm.contains(norm(f)))
+    val targetSchema = readSnapshot(spark, currentLines).schema
+    val tRows = (if (rewrite.isEmpty)
+      readSnapshot(spark, currentLines).limit(0)
+    else readSnapshot(spark, rewrite ++ dvLines))
+      .withColumn("__graft_t", lit(true))
+    val sRows = source.withColumn("__graft_s", lit(true))
+    val joined = tRows.alias("t").join(sRows.alias("s"),
+      col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+    val isM = col("t.__graft_t").isNotNull && col("s.__graft_s").isNotNull
+    val isT = col("t.__graft_t").isNotNull && col("s.__graft_s").isNull
+    val isS = col("t.__graft_t").isNull && col("s.__graft_s").isNotNull
+    // first-applicable-clause index across the three (disjoint) branches
+    val all: Seq[(Column, MergeClause)] =
+      matched.map((isM, _)) ++ notMatched.map((isS, _)) ++
+        notMatchedBySource.map((isT, _))
+    val act = all.zipWithIndex.foldRight(lit(-1)) {
+      case (((branch, cl), i), els) =>
+        when(branch && cl.condition.getOrElse(lit(true)), lit(i))
+          .otherwise(els)
+    }
+    val acted = joined.withColumn("__graft_act", act)
+    val deleteIdx = all.zipWithIndex.collect {
+      case ((_, MergeClause(_, Delete)), i) => i }
+    val insertIdx = all.zipWithIndex.collect {
+      case ((_, MergeClause(_, Insert(_) | InsertRow)), i) => i }
+    def isin(c: Column, idx: Seq[Int]): Column =
+      if (idx.isEmpty) lit(false) else c.isin(idx: _*)
+    val a = col("__graft_act")
+    val kept = acted.filter(
+      when(isS, isin(a, insertIdx)).otherwise(!isin(a, deleteIdx)))
+    val sCols = source.columns.toSet
+    // output schema == target schema: each column folds the UPDATE
+    // SETs and INSERT VALUES into one when-chain over the clause
+    // index — every expression sees the pre-image row (ONE Project),
+    // and every result casts to the target column's type
+    val survivors = kept.select(targetSchema.fields.toSeq.map { f =>
+      val carryV = col(s"t.${f.name}")
+      val v = all.zipWithIndex.foldLeft(carryV) {
+        case (els, ((_, MergeClause(_, action)), i)) =>
+          val value = action match {
+            case Update(set) => set.get(f.name)
+            case Insert(values) =>
+              Some(values.getOrElse(f.name, lit(null)))
+            case InsertRow =>
+              Some(if (sCols.contains(f.name)) col(s"s.${f.name}")
+              else lit(null))
+            case Delete => None
+          }
+          value.fold(els)(x => when(a === i, x).otherwise(els))
+      }
+      v.cast(f.dataType).as(f.name)
+    }: _*)
+    val next = vs.last + 1
+    val newLines = writeRewrite(spark, table, next, survivors,
+      fullSpecOf(currentLines))
+    validateNewFiles(spark, table, dataFilesOf(newLines))
+    val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
+    val lineOf = dataLineByPath(currentLines)
+    onAttempt(next)
+    try writeManifest(spark, table, next,
+      carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
+        keptDv ++ newLines ++
+        computeStatLines(spark, dataFilesOf(newLines),
+          statColsOf(currentLines)) ++
+        currentLines.filter(_.startsWith(ScPrefix)))
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already committed") =>
+      throw VersionConflict(vs.last, touchedNorm, e.getMessage)
+    }
+    next
+  }
 
   /** The shared conflict-re-evaluation loop of the optimistic
     * read-modify-write commits: run `attempt`; on a version-rename

@@ -98,7 +98,10 @@ object OracleFuzz {
     "q_null_skipping",
     // string-range skipping: the date distribution (and therefore the
     // candidate set) shifts with the perturbed rows
-    "q_string_skipping")
+    "q_string_skipping",
+    // conditional merge: every clause's claimed row set shifts with
+    // the perturbed keys
+    "q_merge_when")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

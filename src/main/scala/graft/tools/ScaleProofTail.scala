@@ -158,7 +158,9 @@ object ScaleProofTail {
       "q_partition_stats", "q_merge_evolution",
       // round-7 ninth batch: incremental clustering + idempotent
       // ingest at 10x
-      "q_cluster_incremental", "q_null_skipping", "q_string_skipping")
+      "q_cluster_incremental", "q_null_skipping", "q_string_skipping",
+      // round-7 twelfth batch: conditional merge at 10x
+      "q_merge_when")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)
