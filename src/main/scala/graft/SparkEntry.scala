@@ -2052,6 +2052,58 @@ object Queries {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SCAN PLANNER (VersionedTable.readWhere): one compound-WHERE read
+  // composing partition-tag, numeric-range, string-range, and
+  // null-count skipping — the candidate set is the INTERSECTION of
+  // every manifest dimension's skip (required in-query: conjunction
+  // candidates <= each single dimension's and < half the files).
+  // ---------------------------------------------------------------------
+  def scanPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    import VersionedTable.ScanPred._
+    val table = java.nio.file.Files.createTempDirectory("graft_vsp")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("datestr"),
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(concat(lit("c"), col("o_orderkey") % 10)).as("clerk"))
+    VersionedTable.commitPartitioned(s, table,
+      base.repartitionByRange(8, col("k")), "status", append = false,
+      statCols = Seq("k", "datestr", "clerk"))
+    val mx = base.agg(max(col("k"))).collect()(0).getLong(0)
+    val (lo, hi) = (1L, mx / 4)
+    val lines = VersionedTable.manifest(s, table,
+      VersionedTable.versions(s, table).last)
+    val total = VersionedTable.dataFilesOf(lines).size
+    val byPart = VersionedTable.scanCandidates(lines,
+      Seq(PartIn("status", Seq("F")))).size
+    val byRange = VersionedTable.scanCandidates(lines,
+      Seq(NumBetween("k", lo, hi))).size
+    val preds = Seq(PartIn("status", Seq("F")), NumBetween("k", lo, hi),
+      StrBetween("datestr", "1993-01-01", "1997-12-31"), NotNull("clerk"))
+    val conj = VersionedTable.scanCandidates(lines, preds).size
+    require(conj <= math.min(byPart, byRange) && conj < total / 2,
+      s"conjunction must intersect the dimensions' skips: " +
+        s"$conj vs part=$byPart range=$byRange of $total")
+    VersionedTable.readWhere(s, table, preds)
+      .groupBy(col("clerk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+  }
+
+  val scanPlannerSql: String =
+    """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+      |SELECT 'c' || CAST(o_orderkey % 10 AS VARCHAR) AS clerk,
+      |  count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+      |FROM orders, mx
+      |WHERE o_orderstatus = 'F'
+      |  AND o_orderkey BETWEEN 1 AND m // 4
+      |  AND strftime(o_orderdate, '%Y-%m-%d') >= '1993-01-01'
+      |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1997-12-31'
+      |  AND o_orderkey % 7 <> 0
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -2954,6 +3006,7 @@ object Queries {
     "q_partition_stats" -> (partitionStatsQ _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_when" -> (mergeWhen _),
+    "q_scan_planner" -> (scanPlanner _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3041,6 +3094,7 @@ object Queries {
     "q_partition_stats" -> partitionStatsSql,
     "q_merge_evolution" -> mergeEvolutionSql,
     "q_merge_when" -> mergeWhenSql,
+    "q_scan_planner" -> scanPlannerSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

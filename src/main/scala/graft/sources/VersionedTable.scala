@@ -393,6 +393,7 @@ object VersionedTable {
 
   /** Dense, sorted list of committed versions. */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
+    checkReaderProtocol(spark, table) // every public entry starts here
     val dir = manifestDir(table)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
@@ -483,6 +484,7 @@ object VersionedTable {
     // (verbatim-republishing paths like restore must not carry a
     // stale one): full frames append it as a meta line, delta frames
     // ride it in the header so the stamp never costs delta lines.
+    checkWriterProtocol(spark, table) // every commit path ends here
     val ts = System.currentTimeMillis()
     val payload = files0.filterNot(_.startsWith(CommitTsPrefix))
     val files = payload :+ (CommitTsPrefix + ts)
@@ -2026,6 +2028,143 @@ object VersionedTable {
     base.filter(if (wantNull) col(c).isNull else col(c).isNotNull)
   }
 
+  // -------------------------------------------------------------------
+  // SCAN PLANNER: one read API composing EVERY manifest-resident
+  // skipping dimension. The per-dimension readers (readPruned,
+  // readPrunedString, readPrunedNull, readPartitions) each prune on
+  // one predicate; real queries carry conjunctions ("status = 'F'
+  // AND date BETWEEN x AND y AND enriched IS NOT NULL"), and the
+  // files worth opening are the INTERSECTION of every dimension's
+  // candidates — still a pure-metadata decision, zero data I/O.
+  // -------------------------------------------------------------------
+
+  /** One conjunct of a [[readWhere]] predicate. Every variant prunes
+    * from the manifest alone and is re-applied exactly after the
+    * pruned read, so the result is row-identical to
+    * `read(...).filter(conjunction)` on ANY table — covered files
+    * prune, uncovered files just scan. */
+  sealed trait ScanPred { def col: String }
+  object ScanPred {
+    /** `col BETWEEN lo AND hi` on an integral column (exact Long
+      * comparison, [[readPruned]]'s discipline). */
+    final case class NumBetween(col: String, lo: Long, hi: Long)
+      extends ScanPred
+    /** `col BETWEEN lo AND hi` on a string column — sound because
+      * manifest st strings are scan-exact ([[readPrunedString]]). */
+    final case class StrBetween(col: String, lo: String, hi: String)
+      extends ScanPred
+    /** `col IS NULL` / `col IS NOT NULL` (st null counts). */
+    final case class IsNull(col: String) extends ScanPred
+    final case class NotNull(col: String) extends ScanPred
+    /** `col IN (values)` on a partition column: prunes by pt tag
+      * (files tagged BY another column, or untagged, stay candidates
+      * — the spec-evolution discipline of [[readPartitions]]). */
+    final case class PartIn(col: String, values: Seq[String])
+      extends ScanPred
+
+    def numEq(col: String, v: Long): NumBetween = NumBetween(col, v, v)
+    def strEq(col: String, v: String): StrBetween = StrBetween(col, v, v)
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's own string ordering,
+    * so candidate tests agree with re-applied string predicates. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The data files a conjunction of [[ScanPred]]s can possibly
+    * match: per predicate, covered files keep only those whose
+    * manifest evidence (st range / null count / pt tag) intersects
+    * it; uncovered files are never prunable; the result is the
+    * intersection across predicates. O(files × preds) driver work on
+    * lines the caller already holds — no I/O at all. */
+  def scanCandidates(lines: Seq[String],
+                     preds: Seq[ScanPred]): Seq[String] = {
+    import ScanPred._
+    require(preds.nonEmpty, "scanCandidates needs at least one predicate")
+    val stats = statsOf(lines)
+    val statByColFile: Map[(String, String),
+      (Option[String], Option[String], Long, Long)] =
+      stats.map { case (c, st, p) => (c, norm(p)) -> st }.toMap
+    val ptByFile: Map[String, Seq[(String, String)]] =
+      partitionsOf(lines).groupBy(t => norm(t._3))
+        .view.mapValues(_.map(t => (t._1, t._2))).toMap
+    def survives(f: String, pred: ScanPred): Boolean = pred match {
+      case NumBetween(c, lo, hi) =>
+        statByColFile.get((c, norm(f))) match {
+          case None => true
+          case Some((mn, mx, _, _)) =>
+            // unparseable (string) bounds: never prune on them
+            val lohi = scala.util.Try((mn.map(_.toDouble),
+              mx.map(_.toDouble))).toOption
+            lohi match {
+              case None => true
+              case Some((pmn, pmx)) =>
+                pmn.exists(_ <= hi) && pmx.exists(_ >= lo)
+            }
+        }
+      case StrBetween(c, lo, hi) =>
+        statByColFile.get((c, norm(f))) match {
+          case None => true
+          case Some((mn, mx, _, _)) =>
+            mn.exists(utf8Cmp(_, hi) <= 0) && mx.exists(utf8Cmp(_, lo) >= 0)
+        }
+      case IsNull(c) =>
+        statByColFile.get((c, norm(f)))
+          .forall { case (_, _, nulls, _) => nulls > 0 }
+      case NotNull(c) =>
+        statByColFile.get((c, norm(f)))
+          .forall { case (_, _, nulls, nrows) => nulls < nrows }
+      case PartIn(c, values) =>
+        ptByFile.get(norm(f)) match {
+          case None => true // untagged: never prunable
+          case Some(tags) => tags.find(_._1 == c) match {
+            case None => true // tagged by OTHER columns only
+            case Some((_, v)) =>
+              values.contains(v) || v == NullPartitionTag
+          }
+        }
+    }
+    dataFilesOf(lines).filter(f => preds.forall(survives(f, _)))
+  }
+
+  /** Snapshot read for a CONJUNCTION of predicates: open only the
+    * [[scanCandidates]] intersection, apply tombstones, re-apply the
+    * exact predicates. Row-identical to `read(...).filter(AND of
+    * preds)`; on a table clustered/partitioned/stated along the
+    * predicate columns the candidate set is the intersection of
+    * every dimension's skip — the compound-WHERE 100 TB read. */
+  def readWhere(spark: SparkSession, table: String,
+                preds: Seq[ScanPred],
+                version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import ScanPred._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = scanCandidates(lines, preds)
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+    base.filter(preds.map {
+      case NumBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case StrBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case IsNull(c) => col(c).isNull
+      case NotNull(c) => col(c).isNotNull
+      case PartIn(c, values) => col(c).cast("string").isin(values: _*)
+    }.reduce(_ && _))
+  }
+
   /** JOIN-DRIVEN file pruning — the manifest realization of dynamic
     * partition pruning (Spark's DPP, Delta's dynamic file pruning).
     * Returns the snapshot restricted to [[joinCandidates]], so
@@ -2598,10 +2737,15 @@ object VersionedTable {
     import spark.implicits._
     versions(spark, table).map { v =>
       val lines = readManifest(spark, table, v)
+      val meta = metaOf(lines)
+      // the in-commit timestamp is a first-class column, not a
+      // commit property — keep the meta blob for the caller's own keys
       (v, dataFilesOf(lines).size, dvFilesOf(lines).size,
-        metaOf(lines).toSeq.sorted.map { case (k, x) => s"$k=$x" }
-          .mkString(","))
-    }.toDF("version", "n_data_files", "n_dv_files", "meta")
+        meta.get("commit_ts").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(0L),
+        (meta - "commit_ts").toSeq.sorted
+          .map { case (k, x) => s"$k=$x" }.mkString(","))
+    }.toDF("version", "n_data_files", "n_dv_files", "commit_ts", "meta")
   }
 
   /** DESCRIBE DETAIL / the `files` metadata table: per data file of a
@@ -3085,6 +3229,97 @@ object VersionedTable {
   // -------------------------------------------------------------------
   // CHECK constraints — data-quality contracts enforced at write time
   // -------------------------------------------------------------------
+
+  // -------------------------------------------------------------------
+  // PROTOCOL FEATURE GATES (Delta's reader/writer protocol versions,
+  // Iceberg's format-version): a table that starts using a capability
+  // old library builds cannot honor must make those builds FAIL
+  // LOUDLY, not silently misread — a reader that ignores (say) a
+  // future column-mapping feature would surface physical columns as
+  // data. `_protocol` lists the features required to READ (`r` lines:
+  // anything that changes how bytes become rows) and to WRITE (`w`
+  // lines: commit-path obligations only — old readers stay fine).
+  // Reads check at [[versions]] (every public entry point's first
+  // call), writes at [[writeManifest]] (every commit's last). One
+  // O(1) metadata read per operation; absent file = no requirements
+  // (all pre-protocol tables keep working).
+  // -------------------------------------------------------------------
+
+  /** Features THIS build can honor. A future build that introduces a
+    * semantics-changing capability adds its name here and calls
+    * [[requireFeature]] when a table first uses it. */
+  val SupportedReaderFeatures: Set[String] = Set("base")
+  val SupportedWriterFeatures: Set[String] = Set("base")
+
+  private def protocolPath(table: String) = new Path(table, "_protocol")
+
+  /** The table's protocol requirements: (readerFeatures,
+    * writerFeatures). Empty sets when no `_protocol` exists. */
+  def protocolOf(spark: SparkSession,
+                 table: String): (Set[String], Set[String]) = {
+    val p = protocolPath(table)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return (Set.empty, Set.empty)
+    val in = f.open(p)
+    val body = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
+    (lines.collect { case l if l.startsWith("r\t") => l.substring(2) }.toSet,
+      lines.collect { case l if l.startsWith("w\t") => l.substring(2) }.toSet)
+  }
+
+  /** Record that `table` now requires `feature` — of readers too
+    * (default), or of writers only (`writerOnly = true`, for commit-
+    * path obligations that leave read semantics untouched). Refuses
+    * features this build itself cannot honor (you cannot demand what
+    * you cannot do); idempotent; atomic tmp+rename publish. */
+  def requireFeature(spark: SparkSession, table: String, feature: String,
+                     writerOnly: Boolean = false): Unit = {
+    require(feature.nonEmpty && feature.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"feature name '$feature' must be [A-Za-z0-9_-]+")
+    require(SupportedWriterFeatures.contains(feature) &&
+      (writerOnly || SupportedReaderFeatures.contains(feature)),
+      s"this build does not support feature '$feature' — it cannot " +
+        "require of others what it cannot honor itself")
+    val (r, w) = protocolOf(spark, table)
+    val (r2, w2) = if (writerOnly) (r, w + feature)
+                   else (r + feature, w + feature)
+    if (r2 == r && w2 == w) return
+    val p = protocolPath(table)
+    val f = fs(spark, p)
+    val tmp = new Path(table, s"._protocol.tmp")
+    f.mkdirs(p.getParent)
+    val out = f.create(tmp, true)
+    try out.write((r2.toSeq.sorted.map("r\t" + _) ++
+      w2.toSeq.sorted.map("w\t" + _)).mkString("", "\n", "\n")
+      .getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p)) sys.error(s"could not publish protocol for $table")
+  }
+
+  /** Loud unsupported-feature errors — named features, named remedy. */
+  private def checkReaderProtocol(spark: SparkSession,
+                                  table: String): Unit = {
+    val unknown = protocolOf(spark, table)._1 diff SupportedReaderFeatures
+    if (unknown.nonEmpty) sys.error(
+      s"$table requires reader feature(s) ${unknown.toSeq.sorted
+        .mkString(", ")} this build does not support — reading would " +
+        "misinterpret the table; upgrade the library")
+  }
+  private def checkWriterProtocol(spark: SparkSession,
+                                  table: String): Unit = {
+    val unknown = protocolOf(spark, table)._2 diff SupportedWriterFeatures
+    if (unknown.nonEmpty) sys.error(
+      s"$table requires writer feature(s) ${unknown.toSeq.sorted
+        .mkString(", ")} this build does not support — committing " +
+        "would break the table's contract; upgrade the library")
+  }
 
   private def constraintsDir(table: String) = new Path(table, "_constraints")
 

@@ -101,7 +101,10 @@ object OracleFuzz {
     "q_string_skipping",
     // conditional merge: every clause's claimed row set shifts with
     // the perturbed keys
-    "q_merge_when")
+    "q_merge_when",
+    // scan planner: every dimension's candidate set shifts with the
+    // perturbed rows
+    "q_scan_planner")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

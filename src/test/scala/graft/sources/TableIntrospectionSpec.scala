@@ -24,11 +24,13 @@ class TableIntrospectionSpec extends SparkSpec {
       Seq((200L, 1L)).toDF("k", "x"), append = true,
       meta = Map("job" -> "nightly"))
     val h = VersionedTable.history(spark, t)
-      .as[(Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+      .as[(Int, Int, Int, Long, String)].collect().sortBy(_._1).toSeq
     assert(h.map(_._1) == Seq(1, 2, 3))
-    assert(h(0) == ((1, 4, 0, "")))
+    assert(h(0)._2 == 4 && h(0)._3 == 0 && h(0)._5 == "")
     assert(h(1)._2 == 4 && h(1)._3 == 1) // dv sidecar, no data rewrite
-    assert(h(2)._3 == 1 && h(2)._4 == "job=nightly")
+    assert(h(2)._3 == 1 && h(2)._5 == "job=nightly")
+    // in-commit timestamps surface as a real column, monotone
+    assert(h.map(_._4).forall(_ > 0) && h.map(_._4) == h.map(_._4).sorted)
   }
 
   test("files lists per-file row counts and min/max of a snapshot") {
