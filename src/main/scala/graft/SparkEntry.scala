@@ -2104,6 +2104,57 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // COLUMN MAPPING (VersionedTable.renameColumnCommit/dropColumnCommit):
+  // metadata-only RENAME + DROP (required in-query: neither touches a
+  // data file), then a COW merge THROUGH the renamed column — physical
+  // names stay in the files, every seam translates. The oracle replays
+  // the same algebra under the final names.
+  // ---------------------------------------------------------------------
+  def columnMapping(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = java.nio.file.Files.createTempDirectory("graft_vcm")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("amount"),
+      col("o_orderpriority").as("prio"))
+    VersionedTable.commit(s, table,
+      base.repartitionByRange(8, col("k")), append = false,
+      statCols = Seq("k", "amount"))
+    val files1 = VersionedTable.dataFilesOf(VersionedTable.manifest(s, table, 1))
+    val v2 = VersionedTable.renameColumnCommit(s, table, "amount", "cents")
+    val v3 = VersionedTable.dropColumnCommit(s, table, "prio")
+    require(VersionedTable.dataFilesOf(VersionedTable.manifest(s, table, v2))
+      == files1 &&
+      VersionedTable.dataFilesOf(VersionedTable.manifest(s, table, v3))
+        == files1,
+      "rename and drop must be metadata-only commits")
+    val mx = base.agg(max(col("k"))).collect()(0).getLong(0)
+    // reprice the low tenth THROUGH the new name; one brand-new key
+    import s.implicits._
+    val src = VersionedTable.read(s, table)
+      .filter(col("k") <= mx / 10)
+      .withColumn("cents", col("cents") + 500L)
+      .unionByName(Seq((mx * 2 + 1, "Z", 999L))
+        .toDF("k", "status", "cents"))
+    VersionedTable.mergeCommit(s, table, src, "k")
+    VersionedTable.read(s, table).groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+  }
+
+  val columnMappingSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |mx AS (SELECT max(k) AS m FROM base),
+      |merged AS (
+      |  SELECT status,
+      |    CASE WHEN k <= m // 10 THEN cents + 500 ELSE cents END AS cents
+      |  FROM base, mx
+      |  UNION ALL SELECT 'Z', 999 FROM mx)
+      |SELECT status, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM merged GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -3007,6 +3058,7 @@ object Queries {
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_when" -> (mergeWhen _),
     "q_scan_planner" -> (scanPlanner _),
+    "q_column_mapping" -> (columnMapping _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3095,6 +3147,7 @@ object Queries {
     "q_merge_evolution" -> mergeEvolutionSql,
     "q_merge_when" -> mergeWhenSql,
     "q_scan_planner" -> scanPlannerSql,
+    "q_column_mapping" -> columnMappingSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

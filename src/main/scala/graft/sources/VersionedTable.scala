@@ -112,6 +112,77 @@ object VersionedTable {
     * [[metaOf]]/[[history]] never see it. */
   private val ScPrefix = "sc\t"
 
+  /** COLUMN MAPPING LINE `cm<TAB><logical>=<physical>` (rename) or
+    * `cm<TAB>=<physical>` (drop): data files, st keys, pt tags, and
+    * dv sidecar key columns always store PHYSICAL names — the name a
+    * column was FIRST written under, its immutable identity — while
+    * every public API speaks LOGICAL names. The cm lines of a
+    * manifest define the (bijective) physical→logical view of THAT
+    * version, so RENAME/DROP COLUMN are metadata-only commits (zero
+    * data I/O on a 100 TB table) and time travel shows each version
+    * under its own names. Reads translate at the [[readSnapshot]]
+    * seam (after the dv anti-join, which runs physical); writes
+    * translate at [[toPhysicalDf]] before any file is produced.
+    * Tables with cm lines demand the `column-mapping` reader feature
+    * ([[requireFeature]]) — an old build would surface physical
+    * columns as data. */
+  private val CmPrefix = "cm\t"
+
+  private[sources] def cmLinesOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(CmPrefix))
+
+  /** logical → physical for RENAMED columns only (identity pairs are
+    * never stored). */
+  private def renameMapOf(lines: Seq[String]): Map[String, String] =
+    lines.collect {
+      case l if l.startsWith(CmPrefix) &&
+        !l.startsWith(CmPrefix + "=") =>
+        val kv = l.substring(CmPrefix.length)
+        val eq = kv.indexOf('=')
+        kv.take(eq) -> kv.drop(eq + 1)
+    }.toMap
+
+  /** The PHYSICAL names of dropped columns — present in old files,
+    * surfaced by no read. */
+  private def droppedPhysOf(lines: Seq[String]): Set[String] =
+    lines.collect {
+      case l if l.startsWith(CmPrefix + "=") =>
+        l.substring(CmPrefix.length + 1)
+    }.toSet
+
+  /** Rename a LOGICAL-named frame to physical spelling for a file
+    * write — a single simultaneous Project (sequential renames would
+    * corrupt swap chains like a→b, z→a). Columns without a mapping
+    * keep their name (their physical identity IS their name). */
+  private def toPhysicalDf(df: DataFrame,
+                           lines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val renames = renameMapOf(lines)
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(renames.getOrElse(c, c))): _*)
+  }
+
+  private def toPhysicalCols(lines: Seq[String],
+                             cols: Seq[String]): Seq[String] = {
+    val renames = renameMapOf(lines)
+    cols.map(c => renames.getOrElse(c, c))
+  }
+
+  /** Apply a manifest's column mapping to a PHYSICAL-named frame:
+    * drop the dropped, rename the renamed (one simultaneous Project).
+    * Extra columns (e.g. [[FileCol]]) pass through untouched. */
+  private def applyMapping(df: DataFrame,
+                           lines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val renames = renameMapOf(lines)
+    val dropped = droppedPhysOf(lines)
+    if (renames.isEmpty && dropped.isEmpty) return df
+    val phys2log = renames.map(_.swap)
+    df.select(df.columns.toSeq.filterNot(dropped.contains).map(c =>
+      col(c).as(phys2log.getOrElse(c, c))): _*)
+  }
+
   /** Tab/newline/comma/'='-free rendering for stat values (URL
     * encoding; comma is the field separator, '=' the tag separator). */
   private def encStat(v: String): String =
@@ -124,9 +195,14 @@ object VersionedTable {
     s"$StPrefix$c=${mn.fold("")(encStat)},${mx.fold("")(encStat)}," +
       s"$nulls,$nrows\t$path"
 
-  /** Parsed st lines: `(col, (minOpt, maxOpt, nulls, nrows), path)`. */
+  /** Parsed st lines: `(col, (minOpt, maxOpt, nulls, nrows), path)`.
+    * Column names come back LOGICAL (st keys store physical — the cm
+    * translation happens here, the single st parse point — and
+    * dropped columns' stats surface to no one). */
   private def statsOf(lines: Seq[String])
-      : Seq[(String, (Option[String], Option[String], Long, Long), String)] =
+      : Seq[(String, (Option[String], Option[String], Long, Long), String)] = {
+    val phys2log = renameMapOf(lines).map(_.swap)
+    val dropped = droppedPhysOf(lines)
     lines.collect { case l if l.startsWith(StPrefix) =>
       val cut = l.indexOf('\t', StPrefix.length)
       val tag = l.substring(StPrefix.length, cut)
@@ -136,7 +212,10 @@ object VersionedTable {
       (tag.take(eq),
         (opt(fields(0)), opt(fields(1)), fields(2).toLong, fields(3).toLong),
         l.substring(cut + 1))
+    }.collect { case (c, st, p) if !dropped.contains(c) =>
+      (phys2log.getOrElse(c, c), st, p)
     }
+  }
 
   /** The columns a manifest carries per-file stats for (on at least
     * one file) — the table's declared stat schema, inherited by every
@@ -164,7 +243,12 @@ object VersionedTable {
     * incremental discipline [[FileSkipping.updateStats]] documents).
     * Both paths render identically, so a table can mix them freely. */
   private def computeStatLines(spark: SparkSession, files: Seq[String],
-                               cols: Seq[String]): Seq[String] = {
+                               cols0: Seq[String],
+                               renames: Map[String, String] = Map.empty)
+      : Seq[String] = {
+    // callers pass LOGICAL column names; the files on disk — and the
+    // st keys rendered here — are PHYSICAL (the cm contract)
+    val cols = cols0.map(c => renames.getOrElse(c, c))
     if (cols.isEmpty || files.isEmpty) return Seq.empty
     FileSkipping.footerStats(spark, files, cols).foreach { byFile =>
       return files.flatMap { f =>
@@ -192,6 +276,24 @@ object VersionedTable {
         stLine(c, s(s"${c}_min"), s(s"${c}_max"),
           r.getLong(r.fieldIndex(s"${c}_nulls")), nrows, file)
       }
+    }
+  }
+
+  /** [[FileSkipping.collectStatsFiles]] for a LOGICAL column list on
+    * physical files: scans under the physical names, returns the
+    * stats frame under the logical ones — so manifest-stats fallbacks
+    * stay correct on column-mapped tables. */
+  private def collectStatsLogical(spark: SparkSession, files: Seq[String],
+                                  cols: Seq[String],
+                                  lines: Seq[String]): DataFrame = {
+    val renames = renameMapOf(lines)
+    val raw = FileSkipping.collectStatsFiles(spark, files,
+      cols.map(c => renames.getOrElse(c, c)))
+    cols.filter(renames.contains).foldLeft(raw) { (df, l) =>
+      val pfx = renames(l)
+      df.withColumnRenamed(s"${pfx}_min", s"${l}_min")
+        .withColumnRenamed(s"${pfx}_max", s"${l}_max")
+        .withColumnRenamed(s"${pfx}_nulls", s"${l}_nulls")
     }
   }
 
@@ -275,14 +377,18 @@ object VersionedTable {
       case l if l.startsWith(PtPrefix) =>
         l.substring(l.indexOf('\t', PtPrefix.length) + 1)
       case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
-        !l.startsWith(StPrefix) && !l.startsWith(ScPrefix) => l
+        !l.startsWith(StPrefix) && !l.startsWith(ScPrefix) &&
+        !l.startsWith(CmPrefix) => l
     }
 
   /** `(partition column, value, path)` of every PARTITION-TAGGED data
     * file in a manifest line list, values unescaped (untagged files
     * are absent — callers decide their fate). Manifest-only, no data
     * I/O. */
-  def partitionsOf(lines: Seq[String]): Seq[(String, String, String)] =
+  def partitionsOf(lines: Seq[String]): Seq[(String, String, String)] = {
+    // pt tags store PHYSICAL names (cm translation here, the single
+    // pt parse point; dropping a partition column is refused)
+    val phys2log = renameMapOf(lines).map(_.swap)
     lines.flatMap {
       case l if l.startsWith(PtPrefix) =>
         val cut = l.indexOf('\t', PtPrefix.length)
@@ -292,10 +398,12 @@ object VersionedTable {
         // escaped values are '/'-free by construction
         tag.split("/").toSeq.map { pair =>
           val eq = pair.indexOf('=')
-          (pair.take(eq), unescapeVal(pair.drop(eq + 1)), path)
+          (phys2log.getOrElse(pair.take(eq), pair.take(eq)),
+            unescapeVal(pair.drop(eq + 1)), path)
         }
       case _ => Seq.empty
     }
+  }
 
   /** The partition columns EVERY data file of a manifest is tagged by
     * (in tag order), when the table has one coherent spec — the
@@ -544,20 +652,21 @@ object VersionedTable {
              statCols: Seq[String] = Nil): Int = {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
-    val dataDir = new Path(table,
-      s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(dataDir.toString)
-    val f = fs(spark, dataDir)
-    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
           .filterNot(l => l.startsWith(MetaPrefix) ||
             l.startsWith(ScPrefix)) // fresh sc written below
-      else Seq.empty
+      else Seq.empty // overwrite: fresh lineage, column mapping resets
+    val dataDir = new Path(table,
+      s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    toPhysicalDf(df, carried).write.parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
-    val stLines = computeStatLines(spark, newFiles, effStatCols)
+    val stLines = computeStatLines(spark, newFiles, effStatCols,
+      renameMapOf(carried))
     // CHECK constraints + (on appends) schema enforcement, O(new data);
     // an overwrite starts a fresh lineage — nothing to conflict with
     validateNewFiles(spark, table, newFiles, checkSchema = append)
@@ -711,7 +820,9 @@ object VersionedTable {
     require(data.nonEmpty, "manifest lists no data files")
     val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
     val dvs = dvFilesOf(lines)
-    if (dvs.isEmpty) base
+    // dv sidecars key on PHYSICAL names: the anti-join runs before
+    // the cm translation, so tombstones survive any later rename
+    applyMapping(if (dvs.isEmpty) base
     else {
       val tomb = spark.read.parquet(dvs: _*)
       val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
@@ -719,7 +830,7 @@ object VersionedTable {
         .withColumn(FileCol, normFileExpr)
         .join(broadcast(tomb), FileCol +: keyCols, "left_anti")
         .drop(FileCol)
-    }
+    }, lines)
   }
 
   /** `input_file_name()` normalized to a bare path (scheme/authority
@@ -815,7 +926,7 @@ object VersionedTable {
     if (liveDvs.nonEmpty) {
       val existing = spark.read.parquet(liveDvs: _*).columns
         .filterNot(_ == FileCol).toSet
-      require(existing == keyCols.toSet,
+      require(existing == toPhysicalCols(lines, keyCols).toSet,
         s"table's live tombstones are keyed by $existing; a delete " +
           s"keyed by $keyCols would not compose — use the same key " +
           "columns (or mergeCommit/compactCommit to purge first)")
@@ -832,21 +943,22 @@ object VersionedTable {
         val stats = manifestStats(spark, lines, rangeCols,
           _ => org.apache.spark.sql.types.DoubleType).getOrElse {
           statsScanNotifier("deleteCommit", data.size)
-          FileSkipping.collectStatsFiles(spark, data, rangeCols)
+          collectStatsLogical(spark, data, rangeCols, lines)
         }
         val cand = FileSkipping.candidateFiles(stats, pruneRanges)
         deletePruneNotifier(cand.size, data.size)
-        cand ++ lines.filter(_.startsWith(DvPrefix))
+        cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix))
       }
     val rangePred = pruneRanges
       .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .foldLeft(predicate)(_ && _)
-    val doomed =
+    val doomed = toPhysicalDf(
       (if (dataFilesOf(scanLines).isEmpty)
         readSnapshotTagged(spark, lines).limit(0)
       else readSnapshotTagged(spark, scanLines))
         .filter(rangePred)
-        .select(FileCol, keyCols: _*)
+        .select(FileCol, keyCols: _*), lines) // sidecar keys: PHYSICAL
     val next = vs.last + 1
     val dvDir = new Path(table,
       s"data/$next-dv-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -955,7 +1067,7 @@ object VersionedTable {
         val stats = manifestStats(spark, lines, rangeCols,
           _ => org.apache.spark.sql.types.DoubleType).getOrElse {
           statsScanNotifier("updateCommit", data.size)
-          FileSkipping.collectStatsFiles(spark, data, rangeCols)
+          collectStatsLogical(spark, data, rangeCols, lines)
         }
         FileSkipping.candidateFiles(stats, pruneRanges) ++ dvLines
       }
@@ -973,7 +1085,8 @@ object VersionedTable {
     val newLines =
       if (rewrite.isEmpty) Seq.empty[String]
       else {
-        val rows = readSnapshot(spark, rewrite ++ dvLines)
+        val rows = readSnapshot(spark,
+          rewrite ++ dvLines ++ cmLinesOf(lines))
         // ONE Project: every SET expression evaluates against the
         // pre-image row, never a half-updated one
         val projected = rows.select(rows.columns.toSeq.map { c =>
@@ -981,7 +1094,8 @@ object VersionedTable {
             .map(e => when(rangePred, e).otherwise(col(c)).as(c))
             .getOrElse(col(c))
         }: _*)
-        writeRewrite(spark, table, next, projected, fullSpecOf(lines))
+        writeRewrite(spark, table, next, projected, fullSpecOf(lines),
+          cmLinesOf(lines))
       }
     // CHECK constraints + schema enforcement over the rewrite only
     validateNewFiles(spark, table, dataFilesOf(newLines))
@@ -991,8 +1105,9 @@ object VersionedTable {
     try writeManifest(spark, table, next,
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(lines, carry) ++
         keptDv ++ newLines ++
-        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)) ++
-        lines.filter(_.startsWith(ScPrefix)))
+        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines),
+          renameMapOf(lines)) ++
+        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, matched, e.getMessage)
@@ -1038,7 +1153,9 @@ object VersionedTable {
             org.apache.spark.sql.types.LongType, nullable = false))))
     }
     val a = restrictedRows(spark, linesA, touchedA)
+      .map(applyMapping(_, linesB))
     val b = restrictedRows(spark, linesB, touchedB)
+      .map(applyMapping(_, linesB))
     // column types come from the restricted reads themselves (B wins
     // on evolution — its spelling is the current one); never from a
     // full-table schema scan
@@ -1138,12 +1255,12 @@ object VersionedTable {
     val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
       .withColumn(FileCol, normFileExpr)
     val dvs = dvFilesOf(lines)
-    if (dvs.isEmpty) base
+    applyMapping(if (dvs.isEmpty) base
     else {
       val tomb = spark.read.parquet(dvs: _*)
       val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
       base.join(broadcast(tomb), FileCol +: keyCols, "left_anti")
-    }
+    }, lines)
   }
 
   /** MERGE INTO with FILE-LEVEL copy-on-write — the composition the
@@ -1198,7 +1315,7 @@ object VersionedTable {
     val stats = manifestStats(spark, currentLines, Seq(keyCol),
       _ => source.schema(keyCol).dataType).getOrElse {
       statsScanNotifier("mergeCommit", current.size)
-      FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
+      collectStatsLogical(spark, current, Seq(keyCol), currentLines)
     }
     // source keys x BROADCAST stats: each source partition probes the
     // O(files) stats list locally — distributed in the big dimension
@@ -1216,7 +1333,8 @@ object VersionedTable {
       source.filter(!col(d)).drop(d))
     val survivors =
       if (rewrite.isEmpty) upserts
-      else readSnapshot(spark, rewrite ++ dvLines)
+      else readSnapshot(spark,
+        rewrite ++ dvLines ++ cmLinesOf(currentLines))
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
@@ -1224,7 +1342,7 @@ object VersionedTable {
     // (partitioned write + pt lines), so one merge never strips the
     // table of the tags dynamicOverwrite and partition pruning need
     val newLines = writeRewrite(spark, table, next, survivors,
-      fullSpecOf(currentLines))
+      fullSpecOf(currentLines), cmLinesOf(currentLines))
     // CHECK constraints over the rewrite's output only (upserts land
     // there; carried files were validated by their own commits) —
     // BEFORE tombstone consolidation, so a rejected merge stages
@@ -1259,8 +1377,8 @@ object VersionedTable {
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
-          statColsOf(currentLines)) ++
-        scLines)
+          statColsOf(currentLines), renameMapOf(currentLines)) ++
+        scLines ++ cmLinesOf(currentLines))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, touchedNorm, e.getMessage)
@@ -1434,7 +1552,7 @@ object VersionedTable {
         val stats = manifestStats(spark, currentLines, Seq(keyCol),
           _ => source.schema(keyCol).dataType).getOrElse {
           statsScanNotifier("mergeCommitWhen", current.size)
-          FileSkipping.collectStatsFiles(spark, current, Seq(keyCol))
+          collectStatsLogical(spark, current, Seq(keyCol), currentLines)
         }
         source.select(col(keyCol).as("__mk"))
           .join(broadcast(stats),
@@ -1447,7 +1565,8 @@ object VersionedTable {
     val targetSchema = readSnapshot(spark, currentLines).schema
     val tRows = (if (rewrite.isEmpty)
       readSnapshot(spark, currentLines).limit(0)
-    else readSnapshot(spark, rewrite ++ dvLines))
+    else readSnapshot(spark,
+      rewrite ++ dvLines ++ cmLinesOf(currentLines)))
       .withColumn("__graft_t", lit(true))
     val sRows = source.withColumn("__graft_s", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"),
@@ -1498,7 +1617,7 @@ object VersionedTable {
     }: _*)
     val next = vs.last + 1
     val newLines = writeRewrite(spark, table, next, survivors,
-      fullSpecOf(currentLines))
+      fullSpecOf(currentLines), cmLinesOf(currentLines))
     validateNewFiles(spark, table, dataFilesOf(newLines))
     val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
     val lineOf = dataLineByPath(currentLines)
@@ -1507,8 +1626,9 @@ object VersionedTable {
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
-          statColsOf(currentLines)) ++
-        currentLines.filter(_.startsWith(ScPrefix)))
+          statColsOf(currentLines), renameMapOf(currentLines)) ++
+        currentLines.filter(_.startsWith(ScPrefix)) ++
+        cmLinesOf(currentLines))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, touchedNorm, e.getMessage)
@@ -1554,19 +1674,23 @@ object VersionedTable {
     * rows go through the partitioned write and come back as `pt`
     * manifest lines; otherwise a plain parquet write and bare paths. */
   private def writeRewrite(spark: SparkSession, table: String, v: Int,
-                           rows: DataFrame,
-                           spec: Seq[String]): Seq[String] =
+                           rows: DataFrame, spec: Seq[String],
+                           mapLines: Seq[String] = Seq.empty): Seq[String] = {
+    // rows and spec arrive LOGICAL; files and pt tags store PHYSICAL
+    val phys = toPhysicalDf(rows, mapLines)
     if (spec.nonEmpty && spec.forall(rows.columns.contains))
-      writePartitionedDataMulti(spark, table, v, rows, spec)
+      writePartitionedDataMulti(spark, table, v, phys,
+        toPhysicalCols(mapLines, spec))
         .map { case (pairs, p) => ptLineMulti(pairs, p) }
     else {
       val dataDir = new Path(table,
         s"data/$v-${java.util.UUID.randomUUID().toString.take(8)}")
-      rows.write.parquet(dataDir.toString)
+      phys.write.parquet(dataDir.toString)
       val f = fs(spark, dataDir)
       f.listStatus(dataDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.toString)
     }
+  }
 
   /** Rewrite the tombstones of `dvLines` that target a file in
     * `carried` into one new sidecar under version `v`'s data dir;
@@ -1715,7 +1839,7 @@ object VersionedTable {
     val next = vs.last + 1
     val spec = fullSpecOf(lines)
     val compacted = {
-      val snap = readSnapshot(spark, small ++ dvLines)
+      val snap = readSnapshot(spark, small ++ dvLines ++ cmLinesOf(lines))
       // partitioned table: hash on the partition column(s) so each
       // value's fragments collapse into ONE file (per-partition
       // compaction — outputs stay pt-tagged via writeRewrite)
@@ -1724,14 +1848,16 @@ object VersionedTable {
           spec.map(org.apache.spark.sql.functions.col): _*)
       else snap.repartition(nOut)
     }
-    val newLines = writeRewrite(spark, table, next, compacted, spec)
+    val newLines = writeRewrite(spark, table, next, compacted, spec,
+      cmLinesOf(lines))
     val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
     val lineOf = dataLineByPath(lines)
     writeManifest(spark, table, next,
       big.map(p => lineOf(norm(p))) ++ stLinesFor(lines, big) ++
         keptDv ++ newLines ++
-        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines)) ++
-        lines.filter(_.startsWith(ScPrefix)) ++
+        computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines),
+          renameMapOf(lines)) ++
+        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines) ++
         // layout-only commit: change-feed consumers skip it entirely
         // ([[graft.streaming.TableChangeStream.feedFor]]) instead of
         // paying the rewrite's worth of cancelling COW copies
@@ -1831,7 +1957,8 @@ object VersionedTable {
     val carried = head.filterNot(f => freshSet.contains(norm(f)))
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     val next = vs.last + 1
-    val freshRows = readSnapshot(spark, fresh ++ dvLines)
+    val freshRows = readSnapshot(spark,
+      fresh ++ dvLines ++ cmLinesOf(lines))
     val nOut = {
       val byFile = statsOf(lines).groupBy(s => norm(s._3))
         .view.mapValues(_.head._2._4).toMap
@@ -1842,15 +1969,16 @@ object VersionedTable {
       math.max(1L, (n + targetRows - 1) / targetRows).toInt
     }
     val laid = clusterLayout(freshRows, cols, nOut)
-    val newLines = writeRewrite(spark, table, next, laid, fullSpecOf(lines))
+    val newLines = writeRewrite(spark, table, next, laid,
+      fullSpecOf(lines), cmLinesOf(lines))
     val keptDv = consolidateTombstones(spark, dvLines, carried, table, next)
     val lineOf = dataLineByPath(lines)
     writeManifest(spark, table, next,
       carried.map(p => lineOf(norm(p))) ++ stLinesFor(lines, carried) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
-          (statColsOf(lines) ++ cols).distinct) ++
-        lines.filter(_.startsWith(ScPrefix)) ++
+          (statColsOf(lines) ++ cols).distinct, renameMapOf(lines)) ++
+        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines) ++
         metaLinesOf(Map("clustered_by" -> tag,
           "content_preserving" -> "true")))
     next
@@ -1880,13 +2008,14 @@ object VersionedTable {
     val stats = manifestStats(spark, lines, ranges.map(_._1).distinct,
       _ => org.apache.spark.sql.types.DoubleType).getOrElse {
       statsScanNotifier("readPruned", data.size)
-      FileSkipping.collectStatsFiles(spark, data, ranges.map(_._1).distinct)
+      collectStatsLogical(spark, data, ranges.map(_._1).distinct, lines)
     }
     val cand = FileSkipping.candidateFiles(stats, ranges)
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
-        cand ++ lines.filter(_.startsWith(DvPrefix)))
+        cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _))
@@ -1984,7 +2113,8 @@ object VersionedTable {
     }
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
-      else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+      else readSnapshot(spark, cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -2024,7 +2154,8 @@ object VersionedTable {
     val cand = nullCandidates(lines, c, wantNull)
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
-      else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+      else readSnapshot(spark, cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(if (wantNull) col(c).isNull else col(c).isNotNull)
   }
 
@@ -2155,7 +2286,8 @@ object VersionedTable {
     val cand = scanCandidates(lines, preds)
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
-      else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+      else readSnapshot(spark, cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(preds.map {
       case NumBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
       case StrBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
@@ -2187,7 +2319,8 @@ object VersionedTable {
     val lines = readManifest(spark, table, v)
     val cand = joinCandidates(spark, lines, joinCol, dimKeys)
     if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
-    else readSnapshot(spark, cand ++ lines.filter(_.startsWith(DvPrefix)))
+    else readSnapshot(spark, cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
   }
 
   /** Write `df` hive-partitioned on `partCol` under version `v`'s
@@ -2272,21 +2405,24 @@ object VersionedTable {
       !partCol.contains('\n'), "partition column name must be =/tab/newline-free")
     val metaLines = metaLinesOf(meta + ("partitioned_by" -> partCol))
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
-    val tagged = writePartitionedData(spark, table, next, df, partCol)
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
           .filterNot(l => l.startsWith(MetaPrefix) ||
             l.startsWith(ScPrefix)) // fresh sc written below
-      else Seq.empty
+      else Seq.empty // overwrite: fresh lineage, column mapping resets
+    val physPart = toPhysicalCols(carried, Seq(partCol)).head
+    val tagged = writePartitionedData(spark, table, next,
+      toPhysicalDf(df, carried), physPart)
     // same stat-schema inheritance as commit (st lines per new file)
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
-    val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
+    val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols,
+      renameMapOf(carried))
     validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
     val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
       else schemaLineOf(df.schema)
     writeManifest(spark, table, next,
-      carried ++ tagged.map { case (t, p) => ptLine(partCol, t, p) } ++
+      carried ++ tagged.map { case (t, p) => ptLine(physPart, t, p) } ++
         stLines ++ metaLines ++ schemaMeta)
     next
   }
@@ -2310,15 +2446,17 @@ object VersionedTable {
     val metaLines = metaLinesOf(
       meta + ("partitioned_by" -> partCols.mkString(",")))
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
-    val tagged = writePartitionedDataMulti(spark, table, next, df, partCols)
     val carried =
       if (append && next > 1)
         readManifest(spark, table, next - 1)
           .filterNot(l => l.startsWith(MetaPrefix) ||
             l.startsWith(ScPrefix)) // fresh sc written below
-      else Seq.empty
+      else Seq.empty // overwrite: fresh lineage, column mapping resets
+    val tagged = writePartitionedDataMulti(spark, table, next,
+      toPhysicalDf(df, carried), toPhysicalCols(carried, partCols))
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
-    val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols)
+    val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols,
+      renameMapOf(carried))
     validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
     val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
       else schemaLineOf(df.schema)
@@ -2364,7 +2502,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
-        cand ++ lines.filter(_.startsWith(DvPrefix)))
+        cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(filters.map { case (c, vals) =>
       col(c).cast("string").isin(vals: _*)
     }.reduce(_ && _))
@@ -2409,7 +2548,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
-        cand ++ lines.filter(_.startsWith(DvPrefix)))
+        cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(col(partCol).cast("string").isin(values: _*))
   }
 
@@ -2447,7 +2587,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
-        cand ++ lines.filter(_.startsWith(DvPrefix)))
+        cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(col(partCol).cast("string") >= lo &&
       col(partCol).cast("string") <= hi)
   }
@@ -2639,7 +2780,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
-        cand ++ lines.filter(_.startsWith(DvPrefix)))
+        cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
     base.filter(col(rawCol) >= lo && col(rawCol) <= hi)
   }
 
@@ -2711,14 +2853,18 @@ object VersionedTable {
       !replacedPaths.contains(norm(partitionsOf(Seq(l)).head._3)))
     val carriedPaths = partitionsOf(carriedLines).map(_._3)
     val next = vs.last + 1
-    val newTagged = writePartitionedData(spark, table, next, df, partCol)
+    val physPart = toPhysicalCols(lines, Seq(partCol)).head
+    val newTagged = writePartitionedData(spark, table, next,
+      toPhysicalDf(df, lines), physPart)
     validateNewFiles(spark, table, newTagged.map(_._2)) // CHECK constraints
     val keptDv = consolidateTombstones(spark,
       lines.filter(_.startsWith(DvPrefix)), carriedPaths, table, next)
     writeManifest(spark, table, next,
       carriedLines ++ stLinesFor(lines, carriedPaths) ++ keptDv ++
-        newTagged.map { case (t, p) => ptLine(partCol, t, p) } ++
-        computeStatLines(spark, newTagged.map(_._2), statColsOf(lines)) ++
+        newTagged.map { case (t, p) => ptLine(physPart, t, p) } ++
+        computeStatLines(spark, newTagged.map(_._2), statColsOf(lines),
+          renameMapOf(lines)) ++
+        cmLinesOf(lines) ++
         mergedSchemaLine(spark, table, df) ++
         metaLinesOf(Map("partitioned_by" -> partCol,
           "overwrote_partitions" -> mine.collect { case (v, _)
@@ -2768,7 +2914,7 @@ object VersionedTable {
       c => schema.fields.find(_.name == c).map(_.dataType)
         .getOrElse(org.apache.spark.sql.types.StringType)).getOrElse {
       statsScanNotifier("files", data.size)
-      FileSkipping.collectStatsFiles(spark, data, statCols)
+      collectStatsLogical(spark, data, statCols, lines)
     }
   }
 
@@ -2824,7 +2970,7 @@ object VersionedTable {
         else {
           if (scan.exists(f => !tombstoned(norm(f))))
             statsScanNotifier("statsAggregate", scan.size)
-          readSnapshot(spark, scan ++ dvLines).count()
+          readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines)).count()
         }
       return Seq(servedRows + scanRows).toDF("n_rows")
     }
@@ -2851,7 +2997,7 @@ object VersionedTable {
       else {
         if (scan.exists(f => !tombstoned(norm(f))))
           statsScanNotifier("statsAggregate", scan.size)
-        Some(aggd(readSnapshot(spark, scan ++ dvLines),
+        Some(aggd(readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines)),
           count(lit(1)), c => col(c), c => col(c)))
       }
     (servedAgg, scanAgg) match {
@@ -2907,7 +3053,7 @@ object VersionedTable {
       .toDF(partCol, "n_rows")
     if (scan.isEmpty) return servedDf
     statsScanNotifier("partitionCounts", scan.size)
-    val scanDf = readSnapshot(spark, scan ++ dvLines)
+    val scanDf = readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines))
       .groupBy(col(partCol).cast("string").as(partCol))
       .agg(count(lit(1)).cast("long").as("n_rows"))
     servedDf.unionByName(scanDf)
@@ -2966,7 +3112,7 @@ object VersionedTable {
       if (scan.isEmpty) servedDf
       else {
         statsScanNotifier("partitionStats", scan.size)
-        servedDf.unionByName(readSnapshot(spark, scan ++ dvLines)
+        servedDf.unionByName(readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines))
           .groupBy(col(partCol).cast("string").as(partCol))
           .agg(count(lit(1)).cast("long").as("n_rows"),
             min(col(statCol)).as("mn"), max(col(statCol)).as("mx")))
@@ -3000,9 +3146,12 @@ object VersionedTable {
     val missing = dataFilesOf(lines)
       .filter(f => eff.exists(c => !covered((norm(f), c))))
     if (missing.isEmpty) return vs.last
-    val fresh = computeStatLines(spark, missing, eff).filter { l =>
+    val phys2log = renameMapOf(lines).map(_.swap)
+    val fresh = computeStatLines(spark, missing, eff,
+      renameMapOf(lines)).filter { l =>
       val cut = l.indexOf('\t', StPrefix.length)
-      val c = l.substring(StPrefix.length, l.indexOf('=', StPrefix.length))
+      val c0 = l.substring(StPrefix.length, l.indexOf('=', StPrefix.length))
+      val c = phys2log.getOrElse(c0, c0)
       !covered((norm(l.substring(cut + 1)), c))
     }
     val next = vs.last + 1
@@ -3071,10 +3220,17 @@ object VersionedTable {
       statCols: Seq[String] = Nil): Int = {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     // data files are written ONCE — losing the version race costs a
-    // re-list and a manifest re-publish, never a data rewrite
+    // re-list and a manifest re-publish, never a data rewrite. The
+    // column mapping is read once here too: concurrent renames racing
+    // a retry loop are out of scope (renames are not append-safe ops)
+    val mapLines0 =
+      if (append) versions(spark, table).lastOption
+        .map(v => cmLinesOf(readManifest(spark, table, v)))
+        .getOrElse(Seq.empty)
+      else Seq.empty
     val dataDir = new Path(table,
       s"data/c-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.parquet(dataDir.toString)
+    toPhysicalDf(df, mapLines0).write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
@@ -3096,7 +3252,8 @@ object VersionedTable {
         else Seq.empty
       val eff = (statCols ++ statColsOf(carried)).distinct
       if (eff != cachedCols) {
-        cachedSt = computeStatLines(spark, newFiles, eff)
+        cachedSt = computeStatLines(spark, newFiles, eff,
+          renameMapOf(mapLines0))
         cachedCols = eff
       }
       // write-time contracts (CHECK constraints + schema enforcement)
@@ -3221,10 +3378,161 @@ object VersionedTable {
       .filterNot(_.startsWith(MetaPrefix))
     val srcMeta = metaOf(readManifest(spark, sourceTable, sv))
       .filter { case (k, _) => k == "partitioned_by" }
+    // the clone inherits the source's protocol requirements — its v1
+    // references the same files under the same cm/st/pt lines, so an
+    // old build must refuse it exactly as it refuses the source
+    val (rf, wf) = protocolOf(spark, sourceTable)
+    rf.foreach(f => requireFeature(spark, cloneDir, f))
+    (wf diff rf).foreach(f =>
+      requireFeature(spark, cloneDir, f, writerOnly = true))
     writeManifest(spark, cloneDir, 1, srcLines ++
       metaLinesOf(srcMeta + ("cloned_from" -> s"$sourceTable@v$sv")))
     1
   }
+
+  // -------------------------------------------------------------------
+  // RENAME / DROP COLUMN — metadata-only schema evolution (cm lines)
+  // -------------------------------------------------------------------
+
+  /** The head version's column mapping, for introspection:
+    * (logical → physical renames, dropped physical names). */
+  def columnMappingOf(spark: SparkSession,
+                      table: String): (Map[String, String], Set[String]) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    (renameMapOf(lines), droppedPhysOf(lines))
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit: no data file is read or
+    * written — the new manifest re-publishes every line verbatim with
+    * an updated cm mapping and a renamed `sc` schema. The column's
+    * PHYSICAL name (its first-written spelling) never changes, so
+    * every file, st line, pt tag, and dv sidecar stays valid; reads
+    * translate at the [[readSnapshot]] seam, writes at
+    * [[toPhysicalDf]]. Time travel shows each version under its own
+    * names (cm lines are versioned). The table starts requiring the
+    * `column-mapping` reader feature — old builds fail loudly instead
+    * of surfacing physical columns. Swap chains (a→b while z→a) are
+    * legal: logical and physical name spaces are independent, and the
+    * translation Projects are simultaneous. Refused when a CHECK
+    * constraint references the column (its expression text would go
+    * stale) — drop and re-add the constraint around the rename. */
+  def renameColumnCommit(spark: SparkSession, table: String,
+                         oldName: String, newName: String): Int = {
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(!newName.contains('=') && !newName.contains('\t') &&
+      !newName.contains('\n') && !newName.contains(',') && newName.nonEmpty,
+      "column names must be nonempty and =/tab/newline/comma-free")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val schema = schemaOfLines(lines).orElse(tableSchemaOf(spark, table))
+      .getOrElse(sys.error(s"$table has no resolvable schema"))
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${schema.fieldNames.toSeq}")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    constraintRefs(spark, table).get(oldName).foreach(c => sys.error(
+      s"CHECK constraint '$c' references '$oldName' — drop it, rename, " +
+        "re-add under the new name"))
+    // derived-spec tag columns embed the key's PHYSICAL name in their
+    // own name (__bucket_<key>_<n>, __part_div_<col>_<unit>) — a
+    // renamed key would orphan the spec discovery
+    val physOld = renameMapOf(lines).getOrElse(oldName, oldName)
+    require(!partitionsOf(lines).exists(t =>
+      t._1.startsWith(s"__bucket_${physOld}_") ||
+        t._1.startsWith(s"__part_div_${physOld}_")),
+      s"'$oldName' keys a bucket/transform spec — rewrite " +
+        "(commitBucketed / commitTransformPartitioned) under the new " +
+        "name instead")
+    val renames = renameMapOf(lines)
+    // the physical identity travels: a→b→c keeps physical 'a'
+    val physical = renames.getOrElse(oldName, oldName)
+    val nextRenames = (renames - oldName) ++
+      (if (newName == physical) Map.empty[String, String]
+       else Map(newName -> physical))
+    publishMapping(spark, table, lines, nextRenames, droppedPhysOf(lines),
+      org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)),
+      Map("renamed" -> s"$oldName->$newName"))
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the physical column stays
+    * in the already-written files (and old versions still read it —
+    * cm lines are versioned) but no current-version read surfaces it,
+    * and its st stats stop serving. Refused for partition-spec
+    * columns (pruning and dynamic overwrite key off them), dv
+    * sidecar key columns (the anti-join needs them), and
+    * constraint-referenced columns. Later appends may NOT reuse the
+    * dropped column's name-as-physical — [[schemaConflictsWithTable]]
+    * rejects the collision (two generations of one physical name
+    * would merge-read as one column). */
+  def dropColumnCommit(spark: SparkSession, table: String,
+                       colName: String): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val schema = schemaOfLines(lines).orElse(tableSchemaOf(spark, table))
+      .getOrElse(sys.error(s"$table has no resolvable schema"))
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName' in ${schema.fieldNames.toSeq}")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    require(!fullSpecOf(lines).contains(colName) &&
+      !partitionsOf(lines).exists(_._1 == colName),
+      s"'$colName' is a partition column — repartition " +
+        "(commitPartitioned append=false) before dropping")
+    val physCol = renameMapOf(lines).getOrElse(colName, colName)
+    require(!partitionsOf(lines).exists(t =>
+      t._1.startsWith(s"__bucket_${physCol}_") ||
+        t._1.startsWith(s"__part_div_${physCol}_")),
+      s"'$colName' keys a bucket/transform spec — rewrite first")
+    val dvs = dvFilesOf(lines)
+    if (dvs.nonEmpty) {
+      val physical = renameMapOf(lines).getOrElse(colName, colName)
+      require(!spark.read.parquet(dvs: _*).columns.contains(physical),
+        s"'$colName' keys the live deletion vectors — compactCommit " +
+          "to purge tombstones before dropping")
+    }
+    constraintRefs(spark, table).get(colName).foreach(c => sys.error(
+      s"CHECK constraint '$c' references '$colName' — drop it first"))
+    val renames = renameMapOf(lines)
+    val physical = renames.getOrElse(colName, colName)
+    publishMapping(spark, table, lines, renames - colName,
+      droppedPhysOf(lines) + physical,
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == colName)),
+      Map("dropped" -> colName))
+  }
+
+  /** Shared metadata-only publish of a new column mapping + schema:
+    * every non-cm/sc/meta line re-publishes verbatim. */
+  private def publishMapping(spark: SparkSession, table: String,
+                             lines: Seq[String],
+                             renames: Map[String, String],
+                             dropped: Set[String],
+                             newSchema: org.apache.spark.sql.types.StructType,
+                             meta: Map[String, String]): Int = {
+    requireFeature(spark, table, "column-mapping")
+    val kept = lines.filterNot(l => l.startsWith(CmPrefix) ||
+      l.startsWith(ScPrefix) || l.startsWith(MetaPrefix))
+    val cm = renames.toSeq.sorted.map { case (l, p) => s"$CmPrefix$l=$p" } ++
+      dropped.toSeq.sorted.map(p => s"$CmPrefix=$p")
+    val next = versions(spark, table).last + 1
+    writeManifest(spark, table, next,
+      kept ++ cm ++ schemaLineOf(newSchema) ++
+        metaLinesOf(meta + ("content_preserving" -> "true")))
+    next
+  }
+
+  /** column name → the name of ONE constraint referencing it (for
+    * rename/drop guard messages). */
+  private def constraintRefs(spark: SparkSession,
+                             table: String): Map[String, String] =
+    constraintsOf(spark, table).toSeq.flatMap { case (n, e) =>
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(e)
+        .references.map(_.name).toSeq).getOrElse(Seq.empty).map(_ -> n)
+    }.toMap
 
   // -------------------------------------------------------------------
   // CHECK constraints — data-quality contracts enforced at write time
@@ -3248,8 +3556,8 @@ object VersionedTable {
   /** Features THIS build can honor. A future build that introduces a
     * semantics-changing capability adds its name here and calls
     * [[requireFeature]] when a table first uses it. */
-  val SupportedReaderFeatures: Set[String] = Set("base")
-  val SupportedWriterFeatures: Set[String] = Set("base")
+  val SupportedReaderFeatures: Set[String] = Set("base", "column-mapping")
+  val SupportedWriterFeatures: Set[String] = Set("base", "column-mapping")
 
   private def protocolPath(table: String) = new Path(table, "_protocol")
 
@@ -3443,10 +3751,26 @@ object VersionedTable {
       : Option[Seq[String]] = {
     if (newFiles.isEmpty) return None
     val current = tableSchemaOf(spark, table).getOrElse(return None)
-    val incoming = spark.read.option("mergeSchema", "true")
+    val headLines = versions(spark, table).lastOption
+      .map(v => readManifest(spark, table, v)).getOrElse(Seq.empty)
+    val phys2log = renameMapOf(headLines).map(_.swap)
+    val incoming0 = spark.read.option("mergeSchema", "true")
       .parquet(newFiles: _*).schema
+    // new files carry PHYSICAL names — compare under logical ones
+    val incoming = org.apache.spark.sql.types.StructType(
+      incoming0.fields.map(f =>
+        f.copy(name = phys2log.getOrElse(f.name, f.name))))
     val byName = current.fields.map(f => f.name -> f.dataType).toMap
-    val conflicts = incoming.fields.toSeq.flatMap { f =>
+    // a NEW logical column must not reuse an ACTIVE physical name —
+    // old files already hold that name with other data, and a
+    // merged-schema read would fuse the two generations into one column
+    val takenPhys = (renameMapOf(headLines).values.toSet ++
+      droppedPhysOf(headLines)) -- byName.keySet
+    val physClashes = incoming.fields.toSeq.collect {
+      case f if !byName.contains(f.name) && takenPhys.contains(f.name) =>
+        s"${f.name}: reuses a renamed/dropped column's physical name"
+    }
+    val conflicts = physClashes ++ incoming.fields.toSeq.flatMap { f =>
       byName.get(f.name).collect {
         // catalogString is nullability-free at every nesting level —
         // the public spelling of "same type, nullability aside"
@@ -3510,8 +3834,12 @@ object VersionedTable {
     if (files.isEmpty) return Seq.empty
     val cs = constraintsOf(spark, table).toSeq.sortBy(_._1)
     if (cs.isEmpty) return Seq.empty
-    val staged = spark.read.option("mergeSchema", "true")
-      .parquet(files: _*)
+    val headLines = versions(spark, table).lastOption
+      .map(v => readManifest(spark, table, v)).getOrElse(Seq.empty)
+    // staged files carry PHYSICAL names; constraints are written in
+    // logical — validate under the mapped view
+    val staged = applyMapping(spark.read.option("mergeSchema", "true")
+      .parquet(files: _*), headLines)
     val counts = staged.agg(
       sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L)
         .otherwise(0L)).as(cs.head._1),
@@ -3563,6 +3891,11 @@ object VersionedTable {
     val srcLines = readManifest(spark, sourceTable, sv)
     require(dvFilesOf(srcLines).isEmpty,
       "adoptCommit needs a tombstone-free source — compactCommit it first")
+    require(cmLinesOf(srcLines).isEmpty && versions(spark, table).lastOption
+      .forall(v => cmLinesOf(readManifest(spark, table, v)).isEmpty),
+      "adoptCommit across column-mapped tables is not supported — the " +
+        "two physical-name spaces need not agree; rewrite instead " +
+        "(read + commit)")
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val destDir = new Path(table,
       s"data/$next-adopt-${java.util.UUID.randomUUID().toString.take(8)}")

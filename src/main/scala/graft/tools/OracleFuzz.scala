@@ -104,7 +104,10 @@ object OracleFuzz {
     "q_merge_when",
     // scan planner: every dimension's candidate set shifts with the
     // perturbed rows
-    "q_scan_planner")
+    "q_scan_planner",
+    // column mapping: the post-rename merge's touched-file set and
+    // repriced rows shift with the perturbed keys
+    "q_column_mapping")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.
