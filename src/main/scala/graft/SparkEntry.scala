@@ -2155,6 +2155,72 @@ object Queries {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // AUTO-MAINTENANCE POLICY (VersionedTable.maintain): one call
+  // inspects the head manifest (O(files) metadata decisions) and runs
+  // exactly what the churned table needs — DV-debt purge, OPTIMIZE,
+  // incremental recluster — each reading only what it rewrites.
+  // Required in-query: those three fire, a second call is a no-op,
+  // and the post-maintain table serves a zero-scan pruned read. The
+  // oracle sees only the content, which maintenance must preserve.
+  // ---------------------------------------------------------------------
+  def autoMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = java.nio.file.Files.createTempDirectory("graft_vam")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("cents"))
+    val mx = base.agg(max(col("k"))).collect()(0).getLong(0)
+    VersionedTable.commit(s, table,
+      base.filter(col("k") <= mx / 2).repartition(4), append = false,
+      statCols = Seq("k"))
+    VersionedTable.clusterCommit(s, table, Seq("k"), 4)
+    // churn: fragmenting appends + DV deletes on the clustered files
+    val rest = base.filter(col("k") > mx / 2)
+    Seq(0, 1, 2, 3).foreach { i =>
+      VersionedTable.commit(s, table,
+        rest.filter(col("k") % 4 === i).repartition(3), append = true,
+        statCols = Seq("k"))
+    }
+    (0 until 4).foreach { i =>
+      VersionedTable.deleteCommit(s, table,
+        col("k") === (i * 32 + 1).toLong, Seq("k"))
+    }
+    // target ~8 right-sized files so the compact's own outputs still
+    // trip the staleness check (recluster restores the z-layout)
+    val target = math.max(1L, base.count() / 8)
+    val report = VersionedTable.maintain(s, table, targetRows = target,
+      maxSmallFiles = 8, maxDvFiles = 4, maxUnclustered = 4)
+    require(report.map(_.kind) == Seq("purge-dv", "compact", "recluster"),
+      s"the churned table needs all three: $report")
+    // convergence check at target/2: right-sized outputs sit AT the
+    // target, so re-checking against the same strict threshold would
+    // flap on file-boundary noise — half-target is the honest "no
+    // real debt left" bar
+    require(VersionedTable.maintain(s, table,
+      targetRows = math.max(1L, target / 2),
+      maxSmallFiles = 8, maxDvFiles = 4, maxUnclustered = 4).isEmpty,
+      "maintain must converge in one pass")
+    val headLines = VersionedTable.manifest(s, table,
+      VersionedTable.versions(s, table).last)
+    require(VersionedTable.statsCovered(headLines, Seq("k")),
+      "post-maintain pruning must be metadata-only (full st coverage)")
+    VersionedTable.readPruned(s, table, Seq(("k", 1L, mx / 3)))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+  }
+
+  val autoMaintainSql: String =
+    """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+      |SELECT o_orderstatus AS status, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders, mx
+      |WHERE o_orderkey BETWEEN 1 AND m // 3
+      |  AND NOT (o_orderkey IN (1, 33, 65, 97))
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -3059,6 +3125,7 @@ object Queries {
     "q_merge_when" -> (mergeWhen _),
     "q_scan_planner" -> (scanPlanner _),
     "q_column_mapping" -> (columnMapping _),
+    "q_auto_maintain" -> (autoMaintain _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3148,6 +3215,7 @@ object Queries {
     "q_merge_when" -> mergeWhenSql,
     "q_scan_planner" -> scanPlannerSql,
     "q_column_mapping" -> columnMappingSql,
+    "q_auto_maintain" -> autoMaintainSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

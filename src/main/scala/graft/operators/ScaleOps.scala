@@ -256,4 +256,39 @@ object ScaleOps {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** LEX-RANK boundaries for an arbitrary orderable column: `buckets-1`
+    * evenly spaced DISTINCT values (one distinct+sort job, O(buckets)
+    * driver state — the same information a RangePartitioner samples,
+    * computed exactly). [[rankBucketExpr]] turns them into a per-row
+    * bucket id, which is what lets a STRING dimension join a Z-order
+    * key: `zorderKeyN` needs small integers, and a raw string casts to
+    * NULL — hashing would preserve nothing, but the lex rank keeps
+    * range locality, so post-clustering string [min,max] stats prune
+    * string ranges exactly like numeric ones. */
+  def rankBoundaries(df: DataFrame, c: org.apache.spark.sql.Column,
+                     buckets: Int): Seq[String] = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val d = df.select(c.cast("string").as("__v")).na.drop()
+      .distinct().orderBy(col("__v"))
+    val n = d.count()
+    if (n <= 1) return Seq.empty
+    val step = math.max(1L, n / buckets)
+    d.rdd.zipWithIndex()
+      .collect { case (r, i) if i % step == 0 && i > 0 => r.getString(0) }
+      .collect().toSeq.take(buckets - 1)
+  }
+
+  /** `# boundaries <= value` — the bucket id of `c` under
+    * [[rankBoundaries]], as ONE codegen-friendly expression (array
+    * literal + aggregate; no join, no window). NULLs land in bucket
+    * 0 with the smallest values. */
+  def rankBucketExpr(c: org.apache.spark.sql.Column,
+                     boundaries: Seq[String])
+      : org.apache.spark.sql.Column =
+    if (boundaries.isEmpty) lit(0L)
+    else aggregate(
+      lit(boundaries.toArray),
+      lit(0L),
+      (acc, b) => acc + when(c.cast("string") >= b, 1L).otherwise(0L))
 }

@@ -223,6 +223,16 @@ object VersionedTable {
   def statColsOf(lines: Seq[String]): Seq[String] =
     statsOf(lines).map(_._1).distinct
 
+  /** True when EVERY data file of `lines` carries st stats for ALL of
+    * `cols` — the condition under which every stats-driven decision
+    * (pruned reads, merge probes, OPTIMIZE) is metadata-only. */
+  def statsCovered(lines: Seq[String], cols: Seq[String]): Boolean = {
+    val have = statsOf(lines).map(st => (norm(st._3), st._1)).toSet
+    val data = dataFilesOf(lines)
+    data.nonEmpty && cols.nonEmpty &&
+      data.forall(f => cols.forall(c => have((norm(f), c))))
+  }
+
   /** st lines of `lines` whose file is in `paths` — how carry paths
     * keep carried files' stats alive across rewrites. */
   private def stLinesFor(lines: Seq[String],
@@ -1752,6 +1762,135 @@ object VersionedTable {
     rewriteSmallFiles(spark, table, lines, small, big, nOut)
   }
 
+  /** PURGE merge-on-read debt: rewrite exactly the files the live
+    * deletion vectors reference (materializing their logical rows)
+    * and drop every sidecar — O(tombstoned files) data I/O, the rest
+    * of the table carried verbatim. [[compactCommit]] purges only the
+    * tombstones of files it happens to rewrite (the small ones); this
+    * is the targeted "reconcile DV debt" maintenance a table
+    * accumulating point deletes on BIG files needs. No-op (current
+    * version) when no sidecars exist. */
+  def purgeTombstonesCommit(spark: SparkSession, table: String,
+                            targetRows: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    require(targetRows > 0, "targetRows must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val dvs = dvFilesOf(lines)
+    if (dvs.isEmpty) return vs.last
+    // O(deleted rows) driver probe — the sidecars a delete writes are
+    // tiny by construction
+    val tombstoned = spark.read.parquet(dvs: _*)
+      .select(col(FileCol)).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    val data = dataFilesOf(lines)
+    val (debt, clean) = data.partition(f => tombstoned.contains(norm(f)))
+    if (debt.isEmpty) return vs.last
+    val nOut = manifestRowCounts(lines) match {
+      case Some(counts) =>
+        val rows = debt.map(f => counts.getOrElse(norm(f), 0L)).sum
+        math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+      case None => debt.size
+    }
+    rewriteSmallFiles(spark, table, lines, debt, clean, nOut)
+  }
+
+  /** One report line of [[maintain]]. */
+  final case class MaintenanceAction(kind: String, detail: String,
+                                     version: Int)
+
+  /** AUTO-MAINTENANCE POLICY — the nightly one-call: inspect the head
+    * manifest and run exactly the maintenance this table needs, in
+    * dependency order. Every DECISION is O(files) metadata (zero data
+    * I/O); only the chosen actions read data, and each reads only
+    * what it rewrites:
+    *
+    *  1. `analyze` — files missing st coverage for the declared stat
+    *     schema get stats backfilled ([[analyzeCommit]]) so the later
+    *     decisions (and every pruned read) work from the manifest.
+    *  2. `purge-dv` — ≥ `maxDvFiles` tombstone sidecars: materialize
+    *     the tombstoned files ([[purgeTombstonesCommit]]).
+    *  3. `compact` — ≥ `maxSmallFiles` sub-`targetRows` files:
+    *     OPTIMIZE ([[compactCommit]]).
+    *  4. `recluster` — the table has a `clustered_by` stamp and ≥
+    *     `maxUnclustered` files entered since: incremental
+    *     re-clustering ([[clusterCommitIncremental]]).
+    *
+    * Vacuum is deliberately NOT automated (it deletes history —
+    * [[vacuumDryRun]]/[[vacuumRetention]] are one call away). Returns
+    * the actions taken, each with the version it committed; an
+    * already-healthy table returns an empty list and touches
+    * nothing. */
+  def maintain(spark: SparkSession, table: String, targetRows: Long,
+               maxSmallFiles: Int = 8, maxDvFiles: Int = 4,
+               maxUnclustered: Int = 8): Seq[MaintenanceAction] = {
+    require(targetRows > 0, "targetRows must be positive")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val out = scala.collection.mutable.ArrayBuffer.empty[MaintenanceAction]
+    def head(): Seq[String] =
+      readManifest(spark, table, versions(spark, table).last)
+
+    // 1. stats coverage (the other decisions read st lines)
+    val lines0 = head()
+    val declared = statColsOf(lines0)
+    if (declared.nonEmpty) {
+      val covered = statsOf(lines0).map(s => (norm(s._3), s._1)).toSet
+      val missing = dataFilesOf(lines0)
+        .count(f => declared.exists(c => !covered((norm(f), c))))
+      if (missing > 0) {
+        val v = analyzeCommit(spark, table, declared)
+        out += MaintenanceAction("analyze", s"$missing uncovered files", v)
+      }
+    }
+
+    // 2. deletion-vector debt
+    if (dvFilesOf(head()).size >= maxDvFiles) {
+      val v = purgeTombstonesCommit(spark, table, targetRows)
+      out += MaintenanceAction("purge-dv", "materialized tombstoned files", v)
+    }
+
+    // 3. small-file fragmentation (decision = manifest row counts;
+    // uncovered tables already got analyzed above when they declare
+    // stats, else fall back to the free byte listing)
+    val lines3 = head()
+    val small = manifestRowCounts(lines3) match {
+      case Some(counts) =>
+        dataFilesOf(lines3).count(f =>
+          counts.getOrElse(norm(f), 0L) < targetRows)
+      case None =>
+        val f = fs(spark, new Path(table))
+        // bytes-per-row unknown without stats: a conservative 64 B/row
+        dataFilesOf(lines3).count(p =>
+          f.getFileStatus(new Path(p)).getLen < targetRows * 64L)
+    }
+    if (small >= maxSmallFiles) {
+      val v = compactCommit(spark, table, targetRows)
+      out += MaintenanceAction("compact", s"$small small files", v)
+    }
+
+    // 4. clustering staleness
+    val vsNow = versions(spark, table)
+    val stamped = vsNow.reverse.flatMap(v =>
+      metaOf(readManifest(spark, table, v)).get("clustered_by")).headOption
+    stamped.foreach { tag =>
+      val cols = tag.split(",").toSeq
+      val baseV = vsNow.reverse.find(v =>
+        metaOf(readManifest(spark, table, v)).get("clustered_by")
+          .contains(tag)).get
+      val baseFiles = dataFilesOf(readManifest(spark, table, baseV))
+        .map(norm).toSet
+      val fresh = dataFilesOf(head()).count(f => !baseFiles(norm(f)))
+      if (fresh >= maxUnclustered) {
+        val v = clusterCommitIncremental(spark, table, cols, targetRows)
+        out += MaintenanceAction("recluster",
+          s"$fresh files since v$baseV", v)
+      }
+    }
+    out.toSeq
+  }
+
   /** [[compactCommit]] deciding by FILE SIZE instead of row count —
     * `FileStatus.getLen` per file, one O(files) metadata listing, so
     * the decision is free even on tables with NO manifest stats (size
@@ -1904,12 +2043,28 @@ object VersionedTable {
   private def clusterLayout(snap: DataFrame, cols: Seq[String],
                             nFiles: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // non-numeric dimensions (strings, dates) cast to NULL inside the
+    // Morton key — they enter via their LEX-RANK bucket instead (one
+    // distinct+sort job per such dim, O(buckets) driver state), which
+    // keeps range locality so post-clustering [min,max] stats prune
+    // ranges on EVERY dimension, string or numeric
+    def numeric(c: String): Boolean =
+      snap.schema.fields.find(_.name == c).map(_.dataType).exists {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }
+    val bits = if (cols.size <= 2) 16 else 63 / cols.size
+    val buckets = math.min(1L << bits, 1024L).toInt
+    def dim(c: String): org.apache.spark.sql.Column =
+      if (numeric(c)) col(c)
+      else graft.operators.ScaleOps.rankBucketExpr(col(c),
+        graft.operators.ScaleOps.rankBoundaries(snap, col(c), buckets))
     cols match {
       case Seq(c) => snap.repartitionByRange(nFiles, col(c))
       case Seq(a, b) =>
-        graft.operators.ScaleOps.zorderLayout(snap, col(a), col(b), nFiles)
+        graft.operators.ScaleOps.zorderLayout(snap, dim(a), dim(b), nFiles)
       case more =>
-        graft.operators.ScaleOps.zorderLayoutN(snap, more.map(col), nFiles)
+        graft.operators.ScaleOps.zorderLayoutN(snap, more.map(dim), nFiles)
     }
   }
 

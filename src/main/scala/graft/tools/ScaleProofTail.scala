@@ -160,7 +160,8 @@ object ScaleProofTail {
       // ingest at 10x
       "q_cluster_incremental", "q_null_skipping", "q_string_skipping",
       // round-7 twelfth batch: conditional merge at 10x
-      "q_merge_when", "q_scan_planner", "q_column_mapping")
+      "q_merge_when", "q_scan_planner", "q_column_mapping",
+      "q_auto_maintain")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The auto-maintenance policy ([[VersionedTable.maintain]]) and the
+  * targeted DV-debt purge ([[VersionedTable.purgeTombstonesCommit]]). */
+class TableMaintainPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(name).toString + "/t"
+
+  test("purgeTombstonesCommit rewrites ONLY tombstoned files, drops all sidecars") {
+    val t = fresh("vpurge")
+    // two big files; tombstones land on one
+    VersionedTable.commit(spark, t,
+      (1L to 500L).map(k => (k, k * 2)).toDF("k", "v").coalesce(1),
+      append = false, statCols = Seq("k"))
+    VersionedTable.commit(spark, t,
+      (1000L to 1500L).map(k => (k, k * 2)).toDF("k", "v").coalesce(1),
+      append = true, statCols = Seq("k"))
+    VersionedTable.deleteCommit(spark, t, col("k") === 5L || col("k") === 7L,
+      Seq("k"))
+    val before = VersionedTable.manifest(spark, t, 3)
+    val cleanFile = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 2))
+      .diff(VersionedTable.dataFilesOf(VersionedTable.manifest(spark, t, 1)))
+    val v = VersionedTable.purgeTombstonesCommit(spark, t, 1000L)
+    val after = VersionedTable.manifest(spark, t, v)
+    assert(VersionedTable.dvFilesOf(after).isEmpty, "sidecars must drop")
+    // the clean (untombstoned) file is carried byte-identical
+    assert(cleanFile.forall(VersionedTable.dataFilesOf(after).contains))
+    // the tombstoned file was rewritten (not carried)
+    val f1 = VersionedTable.dataFilesOf(VersionedTable.manifest(spark, t, 1))
+    assert(!f1.exists(VersionedTable.dataFilesOf(after).contains))
+    val got = VersionedTable.read(spark, t)
+    assert(got.count() == 999 && got.filter(col("k") === 5L).count() == 0)
+    // no-op on a clean table
+    assert(VersionedTable.purgeTombstonesCommit(spark, t, 1000L) == v)
+  }
+
+  test("maintain: a healthy table gets an empty report and no commit") {
+    val t = fresh("vmok")
+    VersionedTable.commit(spark, t,
+      (1L to 1000L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      append = false, statCols = Seq("k"))
+    val report = VersionedTable.maintain(spark, t, targetRows = 500L)
+    assert(report.isEmpty)
+    assert(VersionedTable.versions(spark, t) == Seq(1))
+  }
+
+  test("maintain runs analyze, purge-dv, compact, recluster in order, each needed") {
+    val t = fresh("vmfull")
+    // clustered baseline with declared stats
+    VersionedTable.commit(spark, t,
+      (1L to 2000L).map(k => (k, k * 3)).toDF("k", "v").repartition(4),
+      append = false, statCols = Seq("k"))
+    VersionedTable.clusterCommit(spark, t, Seq("k"), 4)
+    // churn: many tiny appends (fragmentation + clustering staleness),
+    // one WITHOUT stats via a raw carried path is not possible here, so
+    // uncovered stats come from commitWithRetry? — plain commits carry
+    // stat schema; instead new fresh files all have stats, and we
+    // un-cover nothing: analyze must NOT fire
+    (1 to 10).foreach { i =>
+      VersionedTable.commit(spark, t,
+        Seq((10000L + i, i.toLong)).toDF("k", "v"), append = true,
+        statCols = Seq("k"))
+    }
+    // DV debt on the big clustered files
+    (0 until 4).foreach { i =>
+      VersionedTable.deleteCommit(spark, t, col("k") === (100L + i), Seq("k"))
+    }
+    // maxUnclustered low enough that the compact's own outputs (all
+    // fresh vs the cluster baseline) still trip the recluster check —
+    // with a high threshold compact legitimately SUBSUMES it
+    val report = VersionedTable.maintain(spark, t, targetRows = 600L,
+      maxSmallFiles = 8, maxDvFiles = 4, maxUnclustered = 3)
+    val kinds = report.map(_.kind)
+    assert(kinds == Seq("purge-dv", "compact", "recluster"),
+      s"got $report")
+    // converged: a second call is a no-op
+    assert(VersionedTable.maintain(spark, t, targetRows = 600L,
+      maxUnclustered = 3).isEmpty)
+    // content preserved through the whole session
+    val got = VersionedTable.read(spark, t)
+    assert(got.count() == 2000 + 10 - 4)
+    assert(got.filter(col("k") === 100L).count() == 0)
+    assert(got.filter(col("k") === 10001L).count() == 1)
+  }
+
+  test("maintain backfills stats first when coverage is missing") {
+    val t = fresh("vmana")
+    // legacy commit without stats, then declare them via one stats
+    // append — the original file stays uncovered
+    VersionedTable.commit(spark, t,
+      (1L to 300L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      append = false)
+    VersionedTable.commit(spark, t,
+      Seq((1000L, 1L)).toDF("k", "v"), append = true, statCols = Seq("k"))
+    val report = VersionedTable.maintain(spark, t, targetRows = 100L)
+    assert(report.exists(_.kind == "analyze"), s"got $report")
+    // post-maintain, every file serves stats: zero-scan pruned read
+    var scans = 0
+    VersionedTable.statsScanNotifier = (_, _) => scans += 1
+    try {
+      VersionedTable.readPruned(spark, t, Seq(("k", 1L, 50L))).count()
+      assert(scans == 0)
+    } finally VersionedTable.statsScanNotifier = (_, _) => ()
+  }
+}

@@ -240,6 +240,43 @@ class TableMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("clusterCommit mixes STRING and numeric dimensions: both prune") {
+    val t = fresh("vzstr")
+    // date string x numeric key, deliberately uncorrelated
+    val df = (1L to 4096L).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i % 330).toString
+      (d, i * 37 % 1000, i)
+    }.toDF("d", "k", "pay")
+    VersionedTable.commit(spark, t, df.repartition(8), append = false)
+    VersionedTable.clusterCommit(spark, t, Seq("d", "k"), 16)
+    val stats = VersionedTable.files(spark, t, Seq("k"))
+    val total = stats.count()
+    // numeric half-space prunes
+    val candK = stats.filter(col("k_min") <= 250L).count()
+    assert(candK < total, s"k: $candK of $total")
+    // string month-range prunes (lex-rank kept range locality)
+    val head = VersionedTable.versions(spark, t).last
+    val lines = VersionedTable.manifest(spark, t, head)
+    val candD = VersionedTable.scanCandidates(lines,
+      Seq(VersionedTable.ScanPred.StrBetween("d",
+        "2024-03-01", "2024-03-31"))).size
+    assert(candD < total, s"d: $candD of $total")
+    // and both reads stay row-exact
+    val gotD = VersionedTable.readPrunedString(spark, t, "d",
+      "2024-03-01", "2024-03-31").agg(count(lit(1)), sum("pay"))
+      .collect()(0).toSeq
+    val wantD = VersionedTable.read(spark, t)
+      .filter(col("d") >= "2024-03-01" && col("d") <= "2024-03-31")
+      .agg(count(lit(1)), sum("pay")).collect()(0).toSeq
+    assert(gotD == wantD)
+    val gotK = VersionedTable.readPruned(spark, t, Seq(("k", 0L, 250L)))
+      .agg(count(lit(1)), sum("pay")).collect()(0).toSeq
+    val wantK = VersionedTable.read(spark, t)
+      .filter(col("k").between(0L, 250L))
+      .agg(count(lit(1)), sum("pay")).collect()(0).toSeq
+    assert(gotK == wantK)
+  }
+
   test("readPrunedString: date-string ranges prune from exact st strings") {
     val t = fresh("vstr")
     val days = (0 until 365).map(d =>
