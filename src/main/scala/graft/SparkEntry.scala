@@ -2221,6 +2221,49 @@ object Queries {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // VERSION TAGS (VersionedTable.tagVersion/readTag): a named ref pins
+  // its snapshot against vacuum (Iceberg tags). The table evolves
+  // through an append and a COW merge, gets aggressively vacuumed to
+  // keepLast=1 — and the tagged mid-history snapshot must still read
+  // exactly (required in-query: untagged mid versions are gone). The
+  // oracle recomputes the tagged version's algebra.
+  // ---------------------------------------------------------------------
+  def tableTags(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = java.nio.file.Files.createTempDirectory("graft_vtg")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("cents"))
+    val mx = base.agg(max(col("k"))).collect()(0).getLong(0)
+    // v1: the low half; v2: the rest appended (the tagged corpus cut)
+    VersionedTable.commit(s, table,
+      base.filter(col("k") <= mx / 2).repartitionByRange(4, col("k")),
+      append = false, statCols = Seq("k"))
+    VersionedTable.commit(s, table, base.filter(col("k") > mx / 2),
+      append = true, statCols = Seq("k"))
+    VersionedTable.tagVersion(s, table, "corpus-cut", 2)
+    // v3: a merge reprices everything AFTER the cut
+    VersionedTable.mergeCommit(s, table,
+      base.withColumn("cents", col("cents") + 100L), "k")
+    // v4: a delete after the cut
+    VersionedTable.deleteCommit(s, table, col("k") % 100 === 0, Seq("k"))
+    VersionedTable.vacuum(s, table, keepLast = 1)
+    val vs = VersionedTable.versions(s, table)
+    require(vs == Seq(2, 4),
+      s"vacuum must retire untagged history but keep the pin: $vs")
+    VersionedTable.readTag(s, table, "corpus-cut")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+  }
+
+  val tableTagsSql: String =
+    """SELECT o_orderstatus AS status, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -3126,6 +3169,7 @@ object Queries {
     "q_scan_planner" -> (scanPlanner _),
     "q_column_mapping" -> (columnMapping _),
     "q_auto_maintain" -> (autoMaintain _),
+    "q_table_tags" -> (tableTags _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3216,6 +3260,7 @@ object Queries {
     "q_scan_planner" -> scanPlannerSql,
     "q_column_mapping" -> columnMappingSql,
     "q_auto_maintain" -> autoMaintainSql,
+    "q_table_tags" -> tableTagsSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

@@ -1796,6 +1796,61 @@ object VersionedTable {
     rewriteSmallFiles(spark, table, lines, debt, clean, nOut)
   }
 
+  // -------------------------------------------------------------------
+  // VERSION TAGS (Iceberg tags / git-style refs): named pointers to
+  // committed versions. A tag PINS its snapshot — vacuum never retires
+  // a tagged version however old, so "the eval-v3 training corpus" or
+  // "the audited quarter close" stays readable for exactly as long as
+  // the name exists. `_refs/<name>` holds the version; create is
+  // exclusive (no silent retarget — drop first), drop is idempotent.
+  // -------------------------------------------------------------------
+
+  private def refsDir(table: String) = new Path(table, "_refs")
+
+  /** Tag `version` as `name`. Fails if the name exists (retargeting a
+    * published ref silently would defeat its promise) or the version
+    * is not committed. */
+  def tagVersion(spark: SparkSession, table: String, name: String,
+                 version: Int): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    require(versions(spark, table).contains(version),
+      s"version $version is not committed")
+    val p = new Path(refsDir(table), name)
+    val f = fs(spark, p)
+    f.mkdirs(refsDir(table))
+    val out = f.create(p, false) // create-exclusive
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table's tags (name → version). */
+  def tagsOf(spark: SparkSession, table: String): Map[String, Int] = {
+    val dir = refsDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val body = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+        scala.util.Try(body.toInt).toOption.map(st.getPath.getName -> _)
+      }.toMap
+  }
+
+  /** Snapshot read of the tagged version — `VERSION AS OF` by name. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = tagsOf(spark, table).getOrElse(name,
+      sys.error(s"no tag '$name' on $table"))
+    read(spark, table, Some(v))
+  }
+
+  /** Drop a tag (idempotent) — its version becomes vacuumable again. */
+  def dropTag(spark: SparkSession, table: String, name: String): Unit = {
+    val p = new Path(refsDir(table), name)
+    fs(spark, p).delete(p, false)
+  }
+
   /** One report line of [[maintain]]. */
   final case class MaintenanceAction(kind: String, detail: String,
                                      version: Int)
@@ -4211,7 +4266,9 @@ object VersionedTable {
                    keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the latest version")
     val vs = versions(spark, table)
-    val (retire, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    val pinned = tagsOf(spark, table).values.toSet
+    val suffix = vs.takeRight(keepLast).toSet
+    val (keep, retire) = vs.partition(v => suffix(v) || pinned(v))
     if (retire.isEmpty) return (Seq.empty, Seq.empty)
     def pathsOf(v: Int): Seq[String] = {
       val lines = readManifest(spark, table, v)
@@ -4227,7 +4284,11 @@ object VersionedTable {
   def vacuum(spark: SparkSession, table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the latest version")
     val vs = versions(spark, table)
-    val (retire, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    // TAGGED versions are PINNED: a ref is a promise that this
+    // snapshot stays readable until the tag is dropped (Iceberg tags)
+    val pinned = tagsOf(spark, table).values.toSet
+    val suffix = vs.takeRight(keepLast).toSet
+    val (keep, retire) = vs.partition(v => suffix(v) || pinned(v))
     if (retire.isEmpty) return
     // a manifest line's path part (data file or dv sidecar) is what
     // lives on disk — liveness is per path, not per line spelling
@@ -4243,11 +4304,14 @@ object VersionedTable {
     val root = norm(new Path(table).toString).stripSuffix("/") + "/"
     val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
       .filter(p => norm(p).startsWith(root))
-    // the oldest SURVIVING version may be a delta frame whose chain
-    // resolves through retired versions — keep those manifests (renamed
-    // to `.base`: hidden from versions(), still chain-resolvable) or
-    // every kept delta would dangle. Computed BEFORE any mutation.
-    val neededBases = baseChainOf(spark, table, keep.head)
+    // a SURVIVING version may be a delta frame whose chain resolves
+    // through retired versions — keep those manifests (renamed to
+    // `.base`: hidden from versions(), still chain-resolvable) or the
+    // kept delta would dangle. With tag pins the kept set is not a
+    // contiguous suffix, so every kept version's chain counts.
+    // Computed BEFORE any mutation.
+    val neededBases = keep.map(v => baseChainOf(spark, table, v))
+      .foldLeft(Set.empty[Int])(_ ++ _)
     val f = fs(spark, new Path(table))
     dead.foreach(p => f.delete(new Path(p), false))
     retire.foreach { v =>

@@ -199,8 +199,12 @@ object IncrementalIngest {
     * txn log the commits were already writing. */
   def drainToVersionedTablePartitioned(
       spark: SparkSession, sourceDir: String, schema: StructType,
-      table: String, checkpointDir: String, partitionBy: Option[String])
+      table: String, checkpointDir: String, partitionBy: Option[String],
+      maintainEvery: Option[(Int, Long)] = None)
       (transform: DataFrame => DataFrame): Unit = {
+    maintainEvery.foreach { case (k, tr) =>
+      require(k > 0 && tr > 0, "maintainEvery wants (batches > 0, rows > 0)")
+    }
     val q = transform(spark.readStream.schema(schema).parquet(sourceDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -220,6 +224,17 @@ object IncrementalIngest {
           }
           fsys.mkdirs(marker.getParent)
           fsys.create(marker, false).close() // idempotence publish
+          // AUTO-MAINTENANCE under streaming ingest (the Delta
+          // autoCompact shape): every k-th batch runs the metadata-
+          // driven policy, so a long-running drain's file count stays
+          // bounded instead of growing one fragment per trigger.
+          // After the marker: a crash mid-maintenance replays as a
+          // no-op batch and maintenance re-decides from the manifest.
+          maintainEvery.foreach { case (k, targetRows) =>
+            if ((batchId + 1) % k == 0)
+              graft.sources.VersionedTable.maintain(spark, table,
+                targetRows)
+          }
         }
         ()
       }

@@ -107,7 +107,9 @@ object OracleFuzz {
     "q_scan_planner",
     // column mapping: the post-rename merge's touched-file set and
     // repriced rows shift with the perturbed keys
-    "q_column_mapping")
+    "q_column_mapping",
+    // tags: the pinned snapshot's content shifts with the perturbed rows
+    "q_table_tags")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -63,6 +63,34 @@ class IncrementalIngestSpec extends SparkSpec {
       .count() == docs.count())
   }
 
+  test("maintainEvery bounds a long drain's file count (auto-OPTIMIZE)") {
+    val w = work()
+    val table = s"$w/table"
+    import graft.sources.VersionedTable
+    def drainVt(): Unit = IncrementalIngest.drainToVersionedTablePartitioned(
+      spark, s"$w/src", docs.schema, table, s"$w/ckpt",
+      partitionBy = None, maintainEvery = Some((4, 1000000L)))(
+      _.select(org.apache.spark.sql.functions.col("doc_id")))
+    // 12 tiny staged arrivals = 12 commits of one fragment each
+    (0 until 12).foreach { i =>
+      docs.filter(col("doc_id") % 12 === i)
+        .coalesce(1).write.mode("append").parquet(s"$w/src")
+      drainVt()
+    }
+    val head = VersionedTable.versions(spark, table).last
+    val files = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, table, head)).size
+    // without maintenance this is 12 fragments; the policy compacts
+    // whenever >= maxSmallFiles (8) accumulate, so the live count
+    // stays bounded by the threshold instead of growing per trigger
+    // (here: batch 8 collapses 8 -> 1, batches 9..12 add 4 -> 5)
+    assert(files <= 8, s"auto-maintenance must bound fragments: $files")
+    val got = VersionedTable.read(spark, table)
+    assert(got.count() == docs.count())
+    assert(got.groupBy("doc_id").count().filter(col("count") > 1)
+      .count() == 0, "maintenance must never duplicate a row")
+  }
+
   test("versioned-table ingest: a replayed batch is skipped by its marker") {
     val w = work()
     val table = s"$w/table"
