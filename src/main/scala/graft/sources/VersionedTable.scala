@@ -307,6 +307,11 @@ object VersionedTable {
     }
   }
 
+  /** Test seam: fired with the version a maintenance rewrite is about
+    * to claim, BEFORE its publish — how specs inject a deterministic
+    * interloper to exercise [[compactCommitOptimistic]]'s retry. */
+  private[sources] var maintenanceAttemptNotifier: Int => Unit = _ => ()
+
   /** Test seam: fired `(operation, nFiles)` whenever a consumer falls
     * back to an on-the-fly stats SCAN because the manifest lacks st
     * coverage — what specs pin to prove a stats-tagged table's merge/
@@ -1759,7 +1764,36 @@ object VersionedTable {
     if (small.size < 2) return vs.last
     val smallRows = small.map(f => counts.getOrElse(norm(f), 0L)).sum
     val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
-    rewriteSmallFiles(spark, table, lines, small, big, nOut)
+    try rewriteSmallFiles(spark, table, lines, small, big, nOut)
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+  }
+
+  /** [[compactCommit]] under optimistic conflict re-evaluation: a
+    * maintenance rewrite is content-preserving, so losing the version
+    * race to ANY interloper (append, merge, even another OPTIMIZE) is
+    * always safely answered by re-deciding from the new head — there
+    * is no lost update to abort over. The nightly OPTIMIZE should not
+    * die to one ingest batch. */
+  def compactCommitOptimistic(spark: SparkSession, table: String,
+                              targetRows: Long, maxRetries: Int = 5): Int =
+    retryMaintenance(maxRetries) { compactCommit(spark, table, targetRows) }
+
+  /** Retry loop for CONTENT-PRESERVING maintenance commits: unlike
+    * [[retryReadModifyWrite]] there is no overlap abort — re-deciding
+    * from the new head is always the serializable outcome. */
+  private def retryMaintenance(maxRetries: Int)(attempt: => Int): Int = {
+    var tries = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("already committed") &&
+              tries < maxRetries =>
+          tries += 1
+      }
+    }
+    -1 // unreachable
   }
 
   /** PURGE merge-on-read debt: rewrite exactly the files the live
@@ -1793,7 +1827,8 @@ object VersionedTable {
         math.max(1L, (rows + targetRows - 1) / targetRows).toInt
       case None => debt.size
     }
-    rewriteSmallFiles(spark, table, lines, debt, clean, nOut)
+    try rewriteSmallFiles(spark, table, lines, debt, clean, nOut)
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
   }
 
   // -------------------------------------------------------------------
@@ -1895,14 +1930,15 @@ object VersionedTable {
       val missing = dataFilesOf(lines0)
         .count(f => declared.exists(c => !covered((norm(f), c))))
       if (missing > 0) {
-        val v = analyzeCommit(spark, table, declared)
+        val v = retryMaintenance(5) { analyzeCommit(spark, table, declared) }
         out += MaintenanceAction("analyze", s"$missing uncovered files", v)
       }
     }
 
     // 2. deletion-vector debt
     if (dvFilesOf(head()).size >= maxDvFiles) {
-      val v = purgeTombstonesCommit(spark, table, targetRows)
+      val v = retryMaintenance(5) {
+        purgeTombstonesCommit(spark, table, targetRows) }
       out += MaintenanceAction("purge-dv", "materialized tombstoned files", v)
     }
 
@@ -1921,7 +1957,7 @@ object VersionedTable {
           f.getFileStatus(new Path(p)).getLen < targetRows * 64L)
     }
     if (small >= maxSmallFiles) {
-      val v = compactCommit(spark, table, targetRows)
+      val v = compactCommitOptimistic(spark, table, targetRows)
       out += MaintenanceAction("compact", s"$small small files", v)
     }
 
@@ -1938,7 +1974,8 @@ object VersionedTable {
         .map(norm).toSet
       val fresh = dataFilesOf(head()).count(f => !baseFiles(norm(f)))
       if (fresh >= maxUnclustered) {
-        val v = clusterCommitIncremental(spark, table, cols, targetRows)
+        val v = retryMaintenance(5) {
+          clusterCommitIncremental(spark, table, cols, targetRows) }
         out += MaintenanceAction("recluster",
           s"$fresh files since v$baseV", v)
       }
@@ -1969,7 +2006,8 @@ object VersionedTable {
     val smallBytes = small.map(p => sizes(norm(p))).sum
     val nOut = math.max(1L,
       (smallBytes + targetBytes - 1) / targetBytes).toInt
-    rewriteSmallFiles(spark, table, lines, small, big, nOut)
+    try rewriteSmallFiles(spark, table, lines, small, big, nOut)
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
   }
 
   /** Partition-scoped OPTIMIZE — `OPTIMIZE ... WHERE partCol IN
@@ -2046,7 +2084,8 @@ object VersionedTable {
       cmLinesOf(lines))
     val keptDv = consolidateTombstones(spark, dvLines, big, table, next)
     val lineOf = dataLineByPath(lines)
-    writeManifest(spark, table, next,
+    maintenanceAttemptNotifier(next)
+    try writeManifest(spark, table, next,
       big.map(p => lineOf(norm(p))) ++ stLinesFor(lines, big) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines),
@@ -2057,6 +2096,10 @@ object VersionedTable {
         // paying the rewrite's worth of cancelling COW copies
         metaLinesOf(Map("compacted" -> "true",
           "content_preserving" -> "true")))
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already committed") =>
+      throw VersionConflict(vs.last, small.map(norm).toSet, e.getMessage)
+    }
     next
   }
 

@@ -111,4 +111,34 @@ class TableMaintainPolicySpec extends SparkSpec {
       assert(scans == 0)
     } finally VersionedTable.statsScanNotifier = (_, _) => ()
   }
+
+  test("compactCommitOptimistic: a racing append loses nothing") {
+    val t = fresh("vmopt")
+    (1 to 9).foreach { i =>
+      VersionedTable.commit(spark, t,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"), append = i > 1,
+        statCols = Seq("k"))
+    }
+    var fired = false
+    VersionedTable.maintenanceAttemptNotifier = { _ =>
+      if (!fired) {
+        fired = true // interloper claims the version compact wanted
+        VersionedTable.commit(spark, t, Seq((100L, 100L)).toDF("k", "v"),
+          append = true, statCols = Seq("k"))
+      }
+    }
+    try {
+      val v = VersionedTable.compactCommitOptimistic(spark, t,
+        targetRows = 1000L)
+      assert(fired && v == 11) // lost v10, re-decided, landed v11
+    } finally VersionedTable.maintenanceAttemptNotifier = _ => ()
+    val got = VersionedTable.read(spark, t)
+    // both the compacted rows AND the interloper's row survive
+    assert(got.count() == 10)
+    assert(got.filter(col("k") === 100L).count() == 1)
+    // and the re-decided compact actually collapsed the fragments
+    val head = VersionedTable.versions(spark, t).last
+    assert(VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, head)).size <= 2)
+  }
 }
