@@ -2264,6 +2264,64 @@ object Queries {
       |FROM orders GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // METADATA-ONLY FILTERED COUNT (VersionedTable.countWhere): on a
+  // date-clustered table, "count the quarter" = manifest nrows of the
+  // range-interior files + a scan of only the files straddling the
+  // quarter's edges (required in-query: contained > boundary, and an
+  // all-covering range scans ZERO files). Composes with a partition
+  // predicate and stays exact under a deletion-vector delete.
+  // ---------------------------------------------------------------------
+  def countWhereQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    import VersionedTable.ScanPred._
+    val table = java.nio.file.Files.createTempDirectory("graft_vcw")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+      col("o_orderstatus").as("status"))
+    // 48 date ranges (~50 days each over the ~6.5-year span): a
+    // one-quarter predicate fully CONTAINS interior files and only
+    // straddles the two edge ones
+    VersionedTable.commitPartitioned(s, table,
+      base.repartitionByRange(48, col("d")), "status", append = false,
+      statCols = Seq("k", "d"))
+    // a one-DAY delete: its tombstones confine to the date-clustered
+    // file(s) holding that day, so they alone become boundary files
+    VersionedTable.deleteCommit(s, table, col("d") === "1995-07-04", Seq("k"))
+    val (q, qc, _) = VersionedTable.countWhereDetailed(s, table,
+      Seq(StrBetween("d", "1995-04-01", "1995-06-30")))
+    require(qc > 0,
+      s"quarter-interior files must count from metadata: cont=$qc")
+    val (fCnt, _, _) = VersionedTable.countWhereDetailed(s, table,
+      Seq(StrBetween("d", "1995-04-01", "1995-06-30"),
+        PartIn("status", Seq("F"))))
+    val (oCnt, oc, ob) = VersionedTable.countWhereDetailed(s, table,
+      Seq(StrBetween("d", "1000-01-01", "9999-12-31")))
+    require(ob < oc,
+      s"an all-covering range must scan only the tombstoned files: " +
+        s"cont=$oc bound=$ob")
+    import s.implicits._
+    Seq((q, fCnt, oCnt)).toDF("quarter_cnt", "quarter_f_cnt", "all_cnt")
+  }
+
+  val countWhereSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM orders
+      |   WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-04-01'
+      |     AND strftime(o_orderdate, '%Y-%m-%d') <= '1995-06-30'
+      |     AND strftime(o_orderdate, '%Y-%m-%d') <> '1995-07-04')
+      |    AS quarter_cnt,
+      |  (SELECT count(*) FROM orders
+      |   WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-04-01'
+      |     AND strftime(o_orderdate, '%Y-%m-%d') <= '1995-06-30'
+      |     AND o_orderstatus = 'F'
+      |     AND strftime(o_orderdate, '%Y-%m-%d') <> '1995-07-04')
+      |    AS quarter_f_cnt,
+      |  (SELECT count(*) FROM orders
+      |   WHERE strftime(o_orderdate, '%Y-%m-%d') <> '1995-07-04')
+      |    AS all_cnt""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -3170,6 +3228,7 @@ object Queries {
     "q_column_mapping" -> (columnMapping _),
     "q_auto_maintain" -> (autoMaintain _),
     "q_table_tags" -> (tableTags _),
+    "q_count_where" -> (countWhereQ _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3261,6 +3320,7 @@ object Queries {
     "q_column_mapping" -> columnMappingSql,
     "q_auto_maintain" -> autoMaintainSql,
     "q_table_tags" -> tableTagsSql,
+    "q_count_where" -> countWhereSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

@@ -2550,6 +2550,102 @@ object VersionedTable {
     }.reduce(_ && _))
   }
 
+  /** METADATA-ONLY FILTERED COUNT — `SELECT count(*) WHERE <conj>`
+    * answered as a three-way manifest classification:
+    *  - DISJOINT files (some predicate can't match any row) count 0,
+    *  - CONTAINED files (every predicate provably holds for EVERY
+    *    row: range covers [min,max] with zero nulls, IS NULL with
+    *    all-null, partition tag inside the value set) contribute
+    *    their manifest `nrows` with zero I/O,
+    *  - only BOUNDARY files — the ones straddling a predicate edge —
+    *    are read, with the exact conjunction re-applied.
+    * Tombstoned files are never trusted as contained (their manifest
+    * nrows over-counts) — one O(deleted rows) sidecar probe finds
+    * them. On a 100 TB table clustered along the predicate columns,
+    * "count the quarter" costs the manifest fold plus the two files
+    * that straddle the quarter's edges. Row-identical to
+    * `readWhere(...).count()` on any table. */
+  def countWhere(spark: SparkSession, table: String,
+                 preds: Seq[ScanPred],
+                 version: Option[Int] = None): Long =
+    countWhereDetailed(spark, table, preds, version)._1
+
+  /** [[countWhere]] plus its decision split `(count, containedFiles,
+    * boundaryFiles)` — the public evidence that the count was mostly
+    * metadata (what gates and capacity audits pin). */
+  def countWhereDetailed(spark: SparkSession, table: String,
+                         preds: Seq[ScanPred],
+                         version: Option[Int] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    import ScanPred._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = scanCandidates(lines, preds).map(norm).toSet
+    val statByColFile = statsOf(lines)
+      .map { case (c, st, p) => (c, norm(p)) -> st }.toMap
+    val ptByFile = partitionsOf(lines).groupBy(t => norm(t._3))
+      .view.mapValues(_.map(t => (t._1, t._2))).toMap
+    val dvs = dvFilesOf(lines)
+    val tombstoned: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs: _*).select(col(FileCol)).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    def containedBy(f: String, pred: ScanPred): Boolean = pred match {
+      case NumBetween(c, lo, hi) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (mn, mx, nulls, _) =>
+            nulls == 0 && scala.util.Try(
+              mn.exists(_.toDouble >= lo) && mx.exists(_.toDouble <= hi))
+              .getOrElse(false)
+        }
+      case StrBetween(c, lo, hi) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (mn, mx, nulls, _) =>
+            nulls == 0 && mn.exists(utf8Cmp(_, lo) >= 0) &&
+              mx.exists(utf8Cmp(_, hi) <= 0)
+        }
+      case IsNull(c) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (_, _, nulls, nrows) => nulls == nrows
+        }
+      case NotNull(c) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (_, _, nulls, _) => nulls == 0
+        }
+      case PartIn(c, values) =>
+        ptByFile.get(norm(f)).exists(_.exists { case (cc, vv) =>
+          cc == c && vv != NullPartitionTag && values.contains(vv) })
+    }
+    val nrowsOf: Map[String, Long] = statsOf(lines)
+      .groupBy(st => norm(st._3)).view.mapValues(_.head._2._4).toMap
+    val (contained, boundary) = dataFilesOf(lines)
+      .filter(f => cand(norm(f)))
+      .partition(f => !tombstoned(norm(f)) &&
+        nrowsOf.contains(norm(f)) && preds.forall(containedBy(f, _)))
+    countWhereNotifier(contained.size, boundary.size)
+    val metadataCount = contained.map(f => nrowsOf(norm(f))).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else readSnapshot(spark, boundary ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        .filter(preds.map {
+          case NumBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
+          case StrBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
+          case IsNull(c) => col(c).isNull
+          case NotNull(c) => col(c).isNotNull
+          case PartIn(c, values) => col(c).cast("string").isin(values: _*)
+        }.reduce(_ && _)).count()
+    (metadataCount + scanned, contained.size, boundary.size)
+  }
+
+  /** Test seam: `(containedFiles, boundaryFiles)` of a [[countWhere]]
+    * — what specs pin to prove the count was mostly metadata. */
+  private[sources] var countWhereNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
   /** JOIN-DRIVEN file pruning — the manifest realization of dynamic
     * partition pruning (Spark's DPP, Delta's dynamic file pruning).
     * Returns the snapshot restricted to [[joinCandidates]], so

@@ -109,7 +109,10 @@ object OracleFuzz {
     // repriced rows shift with the perturbed keys
     "q_column_mapping",
     // tags: the pinned snapshot's content shifts with the perturbed rows
-    "q_table_tags")
+    "q_table_tags",
+    // metadata count: the contained/boundary split and all three
+    // counts shift with the perturbed rows
+    "q_count_where")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

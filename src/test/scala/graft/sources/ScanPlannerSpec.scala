@@ -131,4 +131,38 @@ class ScanPlannerSpec extends SparkSpec {
     assert(VersionedTable.scanCandidates(ls,
       Seq(StrBetween("d", "2024-0", "2024-99"))).size == 1)
   }
+
+  test("countWhere: contained files answer from metadata, boundary files scan") {
+    val t = fresh("vcw")
+    seed(t)
+    var (cont, bound) = (0, 0)
+    VersionedTable.countWhereNotifier = (c, b) => { cont = c; bound = b }
+    try {
+      val preds = Seq(NumBetween("k", 1L, 600L))
+      val got = VersionedTable.countWhere(spark, t, preds)
+      val want = VersionedTable.readWhere(spark, t, preds).count()
+      assert(got == want && got > 0)
+      assert(cont > 0, "range-interior files must count from nrows alone")
+      assert(bound < cont + bound, s"cont=$cont bound=$bound")
+      // whole-table predicate: pure metadata, zero files opened
+      val all = VersionedTable.countWhere(spark, t,
+        Seq(NumBetween("k", 0L, 10000L)))
+      assert(all == 1200L && bound == 0,
+        s"an all-covering range must scan nothing: bound=$bound")
+    } finally VersionedTable.countWhereNotifier = (_, _) => ()
+  }
+
+  test("countWhere never trusts tombstoned files' manifest counts") {
+    val t = fresh("vcwdv")
+    seed(t)
+    VersionedTable.deleteCommit(spark, t, col("k") === 50L, Seq("k"))
+    val preds = Seq(NumBetween("k", 1L, 1200L))
+    assert(VersionedTable.countWhere(spark, t, preds) == 1199L)
+    // and composed with a partition containment
+    val got = VersionedTable.countWhere(spark, t,
+      Seq(PartIn("par", Seq("p1", "p2")), NumBetween("k", 1L, 1200L)))
+    val want = VersionedTable.read(spark, t)
+      .filter(col("par").isin("p1", "p2")).count()
+    assert(got == want)
+  }
 }
