@@ -2322,6 +2322,51 @@ object Queries {
       |    AS all_cnt""".stripMargin
 
   // ---------------------------------------------------------------------
+  // DNF SCAN PLANNING (VersionedTable.readWhereAny): an OR of
+  // conjunctions opens the UNION of the branches' candidate files —
+  // once — then re-applies the exact predicate (required in-query:
+  // the union still skips files, and stays <= the branch sum).
+  // ---------------------------------------------------------------------
+  def scanPlannerOr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    import VersionedTable.ScanPred._
+    val table = java.nio.file.Files.createTempDirectory("graft_vspo")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+    VersionedTable.commitPartitioned(s, table,
+      base.repartitionByRange(16, col("d")), "status", append = false,
+      statCols = Seq("k", "d"))
+    val lines = VersionedTable.manifest(s, table,
+      VersionedTable.versions(s, table).last)
+    val d1 = Seq(StrBetween("d", "1995-04-01", "1995-06-30"),
+      PartIn("status", Seq("F")))
+    val d2 = Seq(StrBetween("d", "1996-10-01", "1996-12-31"),
+      PartIn("status", Seq("O")))
+    val total = VersionedTable.dataFilesOf(lines).size
+    val u = VersionedTable.scanCandidatesAny(lines, Seq(d1, d2)).size
+    val (c1, c2) = (VersionedTable.scanCandidates(lines, d1).size,
+      VersionedTable.scanCandidates(lines, d2).size)
+    require(u < total / 2 && u <= c1 + c2 && u >= math.max(c1, c2),
+      s"the DNF union must still skip: u=$u c1=$c1 c2=$c2 of $total")
+    VersionedTable.readWhereAny(s, table, Seq(d1, d2))
+      .groupBy(col("status"), substring(col("d"), 1, 4).as("year"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+  }
+
+  val scanPlannerOrSql: String =
+    """SELECT o_orderstatus AS status,
+      |  strftime(o_orderdate, '%Y') AS year,
+      |  count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+      |FROM orders
+      |WHERE (strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1995-04-01'
+      |         AND '1995-06-30' AND o_orderstatus = 'F')
+      |   OR (strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1996-10-01'
+      |         AND '1996-12-31' AND o_orderstatus = 'O')
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -3229,6 +3274,7 @@ object Queries {
     "q_auto_maintain" -> (autoMaintain _),
     "q_table_tags" -> (tableTags _),
     "q_count_where" -> (countWhereQ _),
+    "q_scan_planner_or" -> (scanPlannerOr _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3321,6 +3367,7 @@ object Queries {
     "q_auto_maintain" -> autoMaintainSql,
     "q_table_tags" -> tableTagsSql,
     "q_count_where" -> countWhereSql,
+    "q_scan_planner_or" -> scanPlannerOrSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

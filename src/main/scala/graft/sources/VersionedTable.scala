@@ -2541,13 +2541,53 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
-    base.filter(preds.map {
+    base.filter(predExpr(preds))
+  }
+
+  /** [[scanCandidates]] for a DISJUNCTION of conjunctions (DNF —
+    * every WHERE clause normalizes to one): a file is a candidate
+    * when ANY disjunct cannot rule it out, so the set is the UNION of
+    * the disjuncts' candidate sets. Still pure metadata. */
+  def scanCandidatesAny(lines: Seq[String],
+                        disjuncts: Seq[Seq[ScanPred]]): Seq[String] = {
+    require(disjuncts.nonEmpty && disjuncts.forall(_.nonEmpty),
+      "need at least one non-empty disjunct")
+    val hit = disjuncts.flatMap(d => scanCandidates(lines, d).map(norm))
+      .toSet
+    dataFilesOf(lines).filter(f => hit(norm(f)))
+  }
+
+  private def predExpr(preds: Seq[ScanPred]): Column = {
+    import org.apache.spark.sql.functions.col
+    import ScanPred._
+    preds.map {
       case NumBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
       case StrBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
       case IsNull(c) => col(c).isNull
       case NotNull(c) => col(c).isNotNull
       case PartIn(c, values) => col(c).cast("string").isin(values: _*)
-    }.reduce(_ && _))
+    }.reduce(_ && _)
+  }
+
+  /** [[readWhere]] for an OR of conjunctions — `WHERE (q2 AND f) OR
+    * (q4 AND o)` opens the UNION of the branches' candidate files
+    * once (a file in both branches is read once, not twice), then
+    * re-applies the exact DNF predicate. Row-identical to
+    * `read(...).filter(OR of ANDs)` on any table. */
+  def readWhereAny(spark: SparkSession, table: String,
+                   disjuncts: Seq[Seq[ScanPred]],
+                   version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = scanCandidatesAny(lines, disjuncts)
+    val base =
+      if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
+      else readSnapshot(spark, cand ++ lines.filter(l =>
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+    base.filter(disjuncts.map(predExpr).reduce(_ || _))
   }
 
   /** METADATA-ONLY FILTERED COUNT — `SELECT count(*) WHERE <conj>`
@@ -2631,13 +2671,7 @@ object VersionedTable {
       if (boundary.isEmpty) 0L
       else readSnapshot(spark, boundary ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
-        .filter(preds.map {
-          case NumBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
-          case StrBetween(c, lo, hi) => col(c) >= lo && col(c) <= hi
-          case IsNull(c) => col(c).isNull
-          case NotNull(c) => col(c).isNotNull
-          case PartIn(c, values) => col(c).cast("string").isin(values: _*)
-        }.reduce(_ && _)).count()
+        .filter(predExpr(preds)).count()
     (metadataCount + scanned, contained.size, boundary.size)
   }
 

@@ -112,7 +112,9 @@ object OracleFuzz {
     "q_table_tags",
     // metadata count: the contained/boundary split and all three
     // counts shift with the perturbed rows
-    "q_count_where")
+    "q_count_where",
+    // DNF planner: each branch's candidate set shifts independently
+    "q_scan_planner_or")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -165,4 +165,29 @@ class ScanPlannerSpec extends SparkSpec {
       .filter(col("par").isin("p1", "p2")).count()
     assert(got == want)
   }
+
+  test("readWhereAny: OR of conjunctions opens the union of candidates once") {
+    val t = fresh("vspor")
+    seed(t)
+    val ls = lines(t)
+    val d1 = Seq(PartIn("par", Seq("p0")), NumBetween("k", 1L, 200L))
+    val d2 = Seq(PartIn("par", Seq("p2")), NumBetween("k", 900L, 1200L))
+    val u = VersionedTable.scanCandidatesAny(ls, Seq(d1, d2)).size
+    val c1 = VersionedTable.scanCandidates(ls, d1).size
+    val c2 = VersionedTable.scanCandidates(ls, d2).size
+    assert(u <= c1 + c2 && u >= math.max(c1, c2))
+    assert(u < VersionedTable.dataFilesOf(ls).size)
+    val got = VersionedTable.readWhereAny(spark, t, Seq(d1, d2))
+      .agg(count(lit(1)), sum("k")).collect()(0).toSeq
+    val want = VersionedTable.read(spark, t)
+      .filter((col("par") === "p0" && col("k").between(1L, 200L)) ||
+        (col("par") === "p2" && col("k").between(900L, 1200L)))
+      .agg(count(lit(1)), sum("k")).collect()(0).toSeq
+    assert(got == want && want.head.asInstanceOf[Long] > 0)
+    // a row matching BOTH branches is produced once, not twice
+    val d3 = Seq(NumBetween("k", 1L, 100L))
+    val d4 = Seq(NumBetween("k", 50L, 150L))
+    assert(VersionedTable.readWhereAny(spark, t, Seq(d3, d4))
+      .count() == 150L)
+  }
 }
