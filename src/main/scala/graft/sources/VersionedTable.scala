@@ -661,6 +661,28 @@ object VersionedTable {
     * keeps every later commit covered and every [[mergeCommit]]/
     * [[readPruned]]/[[compactCommit]] decision metadata-only. Returns
     * the committed version number. */
+  def commitSized(spark: SparkSession, table: String, df: DataFrame,
+                  append: Boolean, targetBytes: Long = 128L << 20,
+                  meta: Map[String, String] = Map.empty,
+                  statCols: Seq[String] = Nil): Int = {
+    // OPTIMIZED WRITE (Databricks optimizeWrite / Spark's REBALANCE
+    // hint): route the frame through an AQE rebalance shuffle so the
+    // commit lands ~targetBytes files regardless of the incoming
+    // partitioning — ingest stops MANUFACTURING the fragments
+    // maintain()/OPTIMIZE would later pay to fix. One extra shuffle
+    // per commit, bought back by every later read's open count. The
+    // advisory size is session-scoped in Spark, so set-and-restore.
+    require(targetBytes > 0, "targetBytes must be positive")
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, targetBytes.toString)
+    try commit(spark, table, df.hint("rebalance"), append, meta, statCols)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def commit(spark: SparkSession, table: String, df: DataFrame,
              append: Boolean,
              meta: Map[String, String] = Map.empty,

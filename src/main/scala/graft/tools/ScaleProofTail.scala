@@ -161,7 +161,8 @@ object ScaleProofTail {
       "q_cluster_incremental", "q_null_skipping", "q_string_skipping",
       // round-7 twelfth batch: conditional merge at 10x
       "q_merge_when", "q_scan_planner", "q_column_mapping",
-      "q_auto_maintain", "q_table_tags", "q_count_where")
+      "q_auto_maintain", "q_table_tags", "q_count_where",
+      "q_scan_planner_or")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

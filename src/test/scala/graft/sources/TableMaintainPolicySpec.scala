@@ -141,4 +141,25 @@ class TableMaintainPolicySpec extends SparkSpec {
     assert(VersionedTable.dataFilesOf(
       VersionedTable.manifest(spark, t, head)).size <= 2)
   }
+
+  test("commitSized: a fragmented frame lands few right-sized files") {
+    val t = fresh("vsized")
+    // 64 tiny input partitions would write 64 fragments via commit;
+    // the rebalance write coalesces them to ~targetBytes files
+    val df = (1L to 20000L).map(k => (k, s"payload-$k-${"x" * 40}"))
+      .toDF("k", "v").repartition(64)
+    val advisoryBefore = spark.conf.getOption(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    VersionedTable.commitSized(spark, t, df, append = false,
+      targetBytes = 4L << 20, statCols = Seq("k"))
+    val files = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 1)).size
+    assert(files <= 4, s"rebalance write must coalesce 64 -> few: $files")
+    val got = VersionedTable.read(spark, t)
+    assert(got.count() == 20000L)
+    assert(got.groupBy("k").count().filter(col("count") > 1).count() == 0)
+    // the advisory conf was restored to its pre-call reading
+    assert(spark.conf.getOption(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes") == advisoryBefore)
+  }
 }
