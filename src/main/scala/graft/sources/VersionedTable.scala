@@ -3713,6 +3713,10 @@ object VersionedTable {
       constraintsOf(spark, table).toSeq.sortBy(_._1)
         .toDF("name", "expression")
         .createOrReplaceTempView(s"${name}_constraints")
+      // SHOW TAGS surface (the vacuum-pinned named refs)
+      tagsOf(spark, table).toSeq.sortBy(_._1)
+        .toDF("name", "version")
+        .createOrReplaceTempView(s"${name}_tags")
     }
   }
 

@@ -102,8 +102,16 @@ class TableIntrospectionSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT name, expression FROM vt_sql_constraints")
       .as[(String, String)].head() == (("x_pos", "x > 0")))
+    // tags view: empty before, populated after tagging + re-register
+    assert(spark.sql("SELECT count(*) FROM vt_sql_tags")
+      .as[Long].head() == 0L)
+    VersionedTable.tagVersion(spark, t, "audit", 1)
+    VersionedTable.registerViews(spark, "vt_sql", t)
+    assert(spark.sql("SELECT name, version FROM vt_sql_tags")
+      .as[(String, Int)].head() == (("audit", 1)))
     Seq("vt_sql", "vt_sql_history", "vt_sql_files", "vt_sql_v1",
-      "vt_sql_v1_history", "vt_sql_constraints", "vt_sql_v1_constraints")
+      "vt_sql_v1_history", "vt_sql_constraints", "vt_sql_v1_constraints",
+      "vt_sql_tags", "vt_sql_v1_tags")
       .foreach(spark.catalog.dropTempView)
   }
 
