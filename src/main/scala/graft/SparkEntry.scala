@@ -2367,6 +2367,53 @@ object Queries {
       |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // METADATA-ONLY FILTERED MIN/MAX (VersionedTable.minMaxWhere):
+  // range-interior files bound the answer from their manifest stats;
+  // only boundary/tombstoned files are read. Exact under a DV delete
+  // that kills an extreme.
+  // ---------------------------------------------------------------------
+  def minMaxWhereQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    import VersionedTable.ScanPred._
+    val table = java.nio.file.Files.createTempDirectory("graft_vmm")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+      col("o_orderstatus").as("status"))
+    VersionedTable.commitPartitioned(s, table,
+      base.repartitionByRange(48, col("d")), "status", append = false,
+      statCols = Seq("k", "d"))
+    val mxk = base.agg(max(col("k"))).collect()(0).getLong(0)
+    // DV-delete the global max key: the metadata answer must not
+    // resurrect it (tombstoned files are read, not trusted)
+    VersionedTable.deleteCommit(s, table, col("k") === mxk, Seq("k"))
+    val (qmn, qmx) = VersionedTable.minMaxWhere(s, table, "k",
+      Seq(StrBetween("d", "1995-04-01", "1995-06-30"),
+        PartIn("status", Seq("F"))))
+    val (dmn, dmx) = VersionedTable.minMaxWhere(s, table, "d",
+      Seq(NumBetween("k", 1L, mxk)))
+    import s.implicits._
+    Seq((qmn.get.toLong, qmx.get.toLong, dmn.get, dmx.get))
+      .toDF("q_min_k", "q_max_k", "d_min", "d_max")
+  }
+
+  val minMaxWhereSql: String =
+    """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+      |SELECT
+      |  (SELECT min(o_orderkey) FROM orders, mx
+      |   WHERE strftime(o_orderdate, '%Y-%m-%d')
+      |           BETWEEN '1995-04-01' AND '1995-06-30'
+      |     AND o_orderstatus = 'F' AND o_orderkey <> m) AS q_min_k,
+      |  (SELECT max(o_orderkey) FROM orders, mx
+      |   WHERE strftime(o_orderdate, '%Y-%m-%d')
+      |           BETWEEN '1995-04-01' AND '1995-06-30'
+      |     AND o_orderstatus = 'F' AND o_orderkey <> m) AS q_max_k,
+      |  (SELECT min(strftime(o_orderdate, '%Y-%m-%d')) FROM orders, mx
+      |   WHERE o_orderkey <> m) AS d_min,
+      |  (SELECT max(strftime(o_orderdate, '%Y-%m-%d')) FROM orders, mx
+      |   WHERE o_orderkey <> m) AS d_max""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANALYZE TABLE (VersionedTable.analyzeCommit): a LEGACY table
   // (committed without a stat schema) gets per-file stats backfilled
   // as a metadata-only commit; the merge AFTER it decides its touched
@@ -3275,6 +3322,7 @@ object Queries {
     "q_table_tags" -> (tableTags _),
     "q_count_where" -> (countWhereQ _),
     "q_scan_planner_or" -> (scanPlannerOr _),
+    "q_minmax_where" -> (minMaxWhereQ _),
     "q_cluster_incremental" -> (clusterIncremental _),
     "q_null_skipping" -> (nullSkipping _),
     "q_string_skipping" -> (stringSkipping _),
@@ -3368,6 +3416,7 @@ object Queries {
     "q_table_tags" -> tableTagsSql,
     "q_count_where" -> countWhereSql,
     "q_scan_planner_or" -> scanPlannerOrSql,
+    "q_minmax_where" -> minMaxWhereSql,
     "q_cluster_incremental" -> clusterIncrementalSql,
     "q_null_skipping" -> nullSkippingSql,
     "q_string_skipping" -> stringSkippingSql,

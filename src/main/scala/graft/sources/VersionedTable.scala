@@ -2702,6 +2702,104 @@ object VersionedTable {
   private[sources] var countWhereNotifier: (Int, Int) => Unit =
     (_, _) => ()
 
+  /** METADATA-ONLY FILTERED MIN/MAX — `SELECT min(c), max(c) WHERE
+    * <conj>` with [[countWhere]]'s classification: a CONTAINED file's
+    * every row satisfies the predicate, so its manifest `c` stats
+    * bound it exactly (skipped when `c` is stats-uncovered or the
+    * file all-null on `c`); boundary/uncovered/tombstoned files are
+    * read with the exact conjunction. Values return as strings in the
+    * manifest's exact rendering — numeric callers cast (the st
+    * encoding is the scan's own `toString`, order-faithful for the
+    * integral stat columns the skipping layer supports). None/None on
+    * zero matching non-null rows. Row-identical to
+    * `readWhere(preds).agg(min(c), max(c))`. */
+  def minMaxWhere(spark: SparkSession, table: String, c: String,
+                  preds: Seq[ScanPred],
+                  version: Option[Int] = None)
+      : (Option[String], Option[String]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import ScanPred._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = scanCandidates(lines, preds).map(norm).toSet
+    val statByColFile = statsOf(lines)
+      .map { case (cc, st, p) => (cc, norm(p)) -> st }.toMap
+    val ptByFile = partitionsOf(lines).groupBy(t => norm(t._3))
+      .view.mapValues(_.map(t => (t._1, t._2))).toMap
+    val dvs = dvFilesOf(lines)
+    val tombstoned: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs: _*).select(col(FileCol)).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    def containedBy(f: String, pred: ScanPred): Boolean = pred match {
+      case NumBetween(cc, lo, hi) =>
+        statByColFile.get((cc, norm(f))).exists {
+          case (mn, mx, nulls, _) =>
+            nulls == 0 && scala.util.Try(
+              mn.exists(_.toDouble >= lo) && mx.exists(_.toDouble <= hi))
+              .getOrElse(false)
+        }
+      case StrBetween(cc, lo, hi) =>
+        statByColFile.get((cc, norm(f))).exists {
+          case (mn, mx, nulls, _) =>
+            nulls == 0 && mn.exists(utf8Cmp(_, lo) >= 0) &&
+              mx.exists(utf8Cmp(_, hi) <= 0)
+        }
+      case IsNull(cc) =>
+        statByColFile.get((cc, norm(f))).exists {
+          case (_, _, nulls, nrows) => nulls == nrows
+        }
+      case NotNull(cc) =>
+        statByColFile.get((cc, norm(f))).exists {
+          case (_, _, nulls, _) => nulls == 0
+        }
+      case PartIn(cc, values) =>
+        ptByFile.get(norm(f)).exists(_.exists { case (pc, pv) =>
+          pc == cc && pv != NullPartitionTag && values.contains(pv) })
+    }
+    // contained AND c-stat-covered files answer from metadata; the
+    // rest (boundary, uncovered on c, tombstoned) are read exactly
+    val (meta, scan) = dataFilesOf(lines)
+      .filter(f => cand(norm(f)))
+      .partition(f => !tombstoned(norm(f)) &&
+        statByColFile.contains((c, norm(f))) &&
+        preds.forall(containedBy(f, _)))
+    val metaBounds = meta.flatMap { f =>
+      val (mn, mx, _, _) = statByColFile((c, norm(f)))
+      for (a <- mn; b <- mx) yield (a, b) // all-null files contribute nothing
+    }
+    val scanned: Option[(String, String)] =
+      if (scan.isEmpty) None
+      else {
+        val r = readSnapshot(spark, scan ++ lines.filter(l =>
+          l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+          .filter(predExpr(preds))
+          .agg(min(col(c)), max(col(c))).collect()(0)
+        if (r.isNullAt(0)) None
+        else Some((r.get(0).toString, r.get(1).toString))
+      }
+    // combine in the column's own order: numeric when every value
+    // parses (the supported stat types), UTF-8 string order otherwise
+    val all = metaBounds ++ scanned.toSeq
+    if (all.isEmpty) return (None, None)
+    val numeric = scala.util.Try {
+      (all.map(_._1.toDouble), all.map(_._2.toDouble))
+    }.toOption
+    numeric match {
+      case Some((mins, maxs)) =>
+        (Some(all(mins.indexOf(mins.min))._1),
+          Some(all(maxs.indexOf(maxs.max))._2))
+      case None =>
+        (Some(all.map(_._1).min(Ordering.fromLessThan[String](
+          utf8Cmp(_, _) < 0))),
+          Some(all.map(_._2).max(Ordering.fromLessThan[String](
+            utf8Cmp(_, _) < 0))))
+    }
+  }
+
   /** JOIN-DRIVEN file pruning — the manifest realization of dynamic
     * partition pruning (Spark's DPP, Delta's dynamic file pruning).
     * Returns the snapshot restricted to [[joinCandidates]], so

@@ -114,7 +114,9 @@ object OracleFuzz {
     // counts shift with the perturbed rows
     "q_count_where",
     // DNF planner: each branch's candidate set shifts independently
-    "q_scan_planner_or")
+    "q_scan_planner_or",
+    // filtered min/max: extremes and the contained split shift
+    "q_minmax_where")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -162,7 +162,7 @@ object ScaleProofTail {
       // round-7 twelfth batch: conditional merge at 10x
       "q_merge_when", "q_scan_planner", "q_column_mapping",
       "q_auto_maintain", "q_table_tags", "q_count_where",
-      "q_scan_planner_or")
+      "q_scan_planner_or", "q_minmax_where")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

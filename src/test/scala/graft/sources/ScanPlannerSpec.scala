@@ -190,4 +190,29 @@ class ScanPlannerSpec extends SparkSpec {
     assert(VersionedTable.readWhereAny(spark, t, Seq(d3, d4))
       .count() == 150L)
   }
+
+  test("minMaxWhere == readWhere().agg(min,max); contained files never scan") {
+    val t = fresh("vmm")
+    seed(t)
+    val preds = Seq(NumBetween("k", 100L, 900L), PartIn("par", Seq("p1")))
+    val (mn, mx) = VersionedTable.minMaxWhere(spark, t, "k", preds)
+    val want = VersionedTable.readWhere(spark, t, preds)
+      .agg(min("k"), max("k")).collect()(0)
+    assert(mn.map(_.toLong) == Some(want.getLong(0)))
+    assert(mx.map(_.toLong) == Some(want.getLong(1)))
+    // string column through the same path
+    val (smn, smx) = VersionedTable.minMaxWhere(spark, t, "d",
+      Seq(NumBetween("k", 1L, 1200L)))
+    val wantS = VersionedTable.read(spark, t).agg(min("d"), max("d"))
+      .collect()(0)
+    assert(smn.contains(wantS.getString(0)) && smx.contains(wantS.getString(1)))
+    // zero matching rows -> (None, None)
+    assert(VersionedTable.minMaxWhere(spark, t, "k",
+      Seq(NumBetween("k", 50000L, 60000L))) == ((None, None)))
+    // exact under a tombstone that kills an extreme
+    VersionedTable.deleteCommit(spark, t, col("k") === 1200L, Seq("k"))
+    val (_, mx2) = VersionedTable.minMaxWhere(spark, t, "k",
+      Seq(NumBetween("k", 1L, 1200L)))
+    assert(mx2.map(_.toLong) == Some(1199L))
+  }
 }
