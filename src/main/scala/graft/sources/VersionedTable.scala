@@ -1106,7 +1106,10 @@ object VersionedTable {
           statsScanNotifier("updateCommit", data.size)
           collectStatsLogical(spark, data, rangeCols, lines)
         }
-        FileSkipping.candidateFiles(stats, pruneRanges) ++ dvLines
+        // carry cm lines so the probe resolves LOGICAL column names on
+        // column-mapped tables (matches deleteCommitPruned/readPruned)
+        FileSkipping.candidateFiles(stats, pruneRanges) ++ dvLines ++
+          cmLinesOf(lines)
       }
     val rangePred = pruneRanges
       .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
@@ -2077,7 +2080,10 @@ object VersionedTable {
     val big = dataFilesOf(lines).filterNot(p => smallSet.contains(norm(p)))
     val smallRows = small.map(p => counts.getOrElse(norm(p), 0L)).sum
     val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
-    rewriteSmallFiles(spark, table, lines, small, big, nOut)
+    // surface a lost version race uniformly with compactCommit /
+    // purgeTombstonesCommit (callers can't catch the internal type)
+    try rewriteSmallFiles(spark, table, lines, small, big, nOut)
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
   }
 
   /** The shared OPTIMIZE tail: rewrite `small` into `nOut` right-sized
@@ -3169,18 +3175,25 @@ object VersionedTable {
   def bucketJoin(spark: SparkSession, tableA: String, tableB: String,
                  key: String, joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val sa = bucketSpecOf(spark, tableA)
-    val sb = bucketSpecOf(spark, tableB)
+    // pin BOTH tables' head versions ONCE so a commit landing mid-plan
+    // can't make different buckets (or the two sides) read different
+    // snapshots — every per-bucket read below resolves the same pin
+    val va = versions(spark, tableA).lastOption.getOrElse(
+      sys.error(s"no committed versions in $tableA"))
+    val vb = versions(spark, tableB).lastOption.getOrElse(
+      sys.error(s"no committed versions in $tableB"))
+    val sa = bucketSpecOf(spark, tableA, Some(va))
+    val sb = bucketSpecOf(spark, tableB, Some(vb))
     require(sa.isDefined && sa == sb && sa.get._1 == key,
       s"bucketJoin needs both tables bucketed on ($key, same n): " +
         s"$tableA=$sa, $tableB=$sb")
     val n = sa.get._2
     val bcol = bucketColName(key, n)
     (0 until n).map { i =>
-      val ai = readPartitions(spark, tableA, bcol, Seq(i.toString))
-        .drop(bcol)
-      val bi = readPartitions(spark, tableB, bcol, Seq(i.toString))
-        .drop(bcol)
+      val ai = readPartitions(spark, tableA, bcol, Seq(i.toString),
+        Some(va)).drop(bcol)
+      val bi = readPartitions(spark, tableB, bcol, Seq(i.toString),
+        Some(vb)).drop(bcol)
       ai.join(broadcast(bi), Seq(key), joinType)
     }.reduce(_ unionByName _)
   }
@@ -4548,10 +4561,15 @@ object VersionedTable {
     val vs = versions(spark, table)
     if (vs.isEmpty) return
     val cutoff = System.currentTimeMillis() - retentionMs
-    // commit times are monotone in version order: the in-window
-    // versions are exactly the trailing `recent`
-    val recent = vs.count(v => commitTimeOf(spark, table, v) >= cutoff)
-    vacuum(spark, table, math.max(1, recent))
+    // keep from the OLDEST in-window version onward, not a count of
+    // in-window versions: with mixed in-commit timestamps and mtime
+    // fallbacks (legacy manifests, restored copies, clock skew) commit
+    // times need not be monotone in version order, and a count could
+    // retire an in-window version while sparing an out-of-window one
+    val firstIn = vs.indexWhere(v =>
+      commitTimeOf(spark, table, v) >= cutoff)
+    val keep = if (firstIn < 0) 1 else vs.size - firstIn
+    vacuum(spark, table, math.max(1, keep))
   }
 
   /** What [[vacuum]] WOULD delete — `(retiredVersions, deadFiles)` —

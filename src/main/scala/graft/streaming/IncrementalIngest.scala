@@ -152,7 +152,12 @@ object IncrementalIngest {
             // strictly-newer lexicographic guard vs the current table
             // row of each batch key; the comparison set comes from a
             // stats-pruned read bounded by the batch's key range
-            val bounds = latest.agg(min(col(keyCol)), max(col(keyCol)))
+            // cast to long so any integral key type (Int/Short/Long)
+            // yields the Long range readPruned expects — bare getLong
+            // would ClassCastException on an int-typed key
+            val bounds = latest.agg(
+                min(col(keyCol).cast("long")),
+                max(col(keyCol).cast("long")))
               .collect()(0)
             val src =
               if (bounds.isNullAt(0)) latest.limit(0)

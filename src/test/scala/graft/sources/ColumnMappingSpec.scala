@@ -220,4 +220,21 @@ class ColumnMappingSpec extends SparkSpec {
       (Map.empty[String, String], Set.empty[String]))
     assert(VersionedTable.read(spark, t).columns.toSeq == Seq("k", "cents"))
   }
+
+  test("PRUNED update on a renamed column reaches the right rows") {
+    val t = fresh("vcmupru")
+    seed(t)
+    VersionedTable.renameColumnCommit(spark, t, "amount", "cents")
+    // range-pruned UPDATE spelled entirely in the LOGICAL name: the
+    // match probe's scan lines must carry the cm lines or the probe
+    // resolves PHYSICAL names — AnalysisException on the rename, or
+    // (under a swap chain) silently the wrong column
+    VersionedTable.updateCommit(spark, t, col("cents") === 500L,
+      Map("cents" -> (col("cents") + 1L)), Seq(("cents", 400L, 600L)))
+    val got = VersionedTable.read(spark, t)
+    assert(got.filter(col("k") === 50L)
+      .select("cents").as[Long].head() == 501L)
+    assert(got.agg(sum("cents")).as[Long].head() ==
+      (1L to 100L).map(_ * 10).sum + 1L)
+  }
 }

@@ -351,4 +351,67 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, t) == Seq(3))
     assert(VersionedTable.read(spark, t).count() == 3L)
   }
+
+  /** Forge a committed version's in-commit timestamp — the restore /
+    * clock-skew scenario retention sweeps must survive. Handles both
+    * manifest frames: full (`meta\tcommit_ts=` line) and delta (ts
+    * rides the header's third field). */
+  private def setCommitTs(t: String, v: Int, ts: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(t, "_manifests", f"v$v%08d.json")
+    val out = java.nio.file.Files.readAllLines(p).asScala.toSeq.map { l =>
+      if (l.startsWith("meta\tcommit_ts=")) s"meta\tcommit_ts=$ts"
+      else if (l.startsWith("delta\t"))
+        s"delta\t${l.split("\t")(1)}\t$ts"
+      else l
+    }
+    java.nio.file.Files.write(p, out.asJava)
+    // drop the local-FS checksum sidecar the out-of-band edit broke
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve(s".${p.getFileName}.crc"))
+    ()
+  }
+
+  test("vacuumRetention keeps every version at or above the oldest in-window one") {
+    val t = fresh("vretnm")
+    VersionedTable.commit(spark, t,
+      Seq((1L, "a")).toDF("k", "v"), append = false)
+    VersionedTable.commit(spark, t,
+      Seq((2L, "b")).toDF("k", "v"), append = true)
+    VersionedTable.commit(spark, t,
+      Seq((3L, "c")).toDF("k", "v"), append = true)
+    // NON-monotone commit times (restored v1 manifest with a fresh
+    // stamp, older v2/v3): v1 is IN the window, so nothing may retire
+    // — a trailing-count sweep would irreversibly retire v1 and v2
+    val now = System.currentTimeMillis()
+    setCommitTs(t, 1, now)
+    setCommitTs(t, 2, now - 7200000L)
+    setCommitTs(t, 3, now - 7200000L)
+    VersionedTable.vacuumRetention(spark, t, retentionMs = 3600000L)
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2, 3))
+    assert(VersionedTable.read(spark, t).count() == 3L)
+  }
+
+  test("compactCommitWhere surfaces a lost version race uniformly") {
+    val t = fresh("voptwc")
+    def rows(p: String, lo: Long, n: Long) =
+      (lo until lo + n).map(i => (i, p)).toDF("k", "p")
+    VersionedTable.commitPartitioned(spark, t,
+      rows("hot", 1L, 120L).repartition(3), "p", append = false,
+      statCols = Seq("k"))
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    VersionedTable.maintenanceAttemptNotifier = { _ =>
+      if (fired.incrementAndGet() == 1)
+        VersionedTable.commitPartitioned(spark, t,
+          rows("cold", 1000L, 5L).coalesce(1), "p", append = true)
+    }
+    val e = try intercept[RuntimeException] {
+      VersionedTable.compactCommitWhere(spark, t, targetRows = 200L,
+        "p", Seq("hot"))
+    } finally VersionedTable.maintenanceAttemptNotifier = _ => ()
+    assert(e.getMessage.contains("already committed"))
+    // the INTERNAL conflict type must not escape: callers get the
+    // same RuntimeException contract as compactCommit
+    assert(e.getClass.getSimpleName != "VersionConflict")
+  }
 }

@@ -192,4 +192,25 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(graft.sources.VersionedTable.read(spark, table)
       .filter(col("__deleted")).count() == 0L)
   }
+
+  test("CDC drain accepts a non-Long integral key") {
+    import spark.implicits._
+    val w = work(); val table = s"$w/latestInt"
+    // Int-typed key: the guarded batch's bounds read must cast, not
+    // Row.getLong (ClassCastException on the first non-empty batch)
+    val schema = Seq((0, 0L, "x")).toDF("k", "ord", "v").schema
+    def drainCdc(): Unit = IncrementalIngest.drainCdcToVersionedTable(
+      spark, s"$w/src", schema, table, s"$w/ckpt", keyCol = "k",
+      orderCols = Seq("ord"))
+    Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "ord", "v")
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainCdc() // first batch: create path, no bounds read
+    Seq((1, 2L, "a2"), (3, 1L, "c")).toDF("k", "ord", "v")
+      .coalesce(1).write.mode("append").parquet(s"$w/src")
+    drainCdc() // guarded batch: key-range bounds on the Int key
+    val got = graft.sources.VersionedTable.read(spark, table)
+      .filter(!col("__deleted"))
+      .select(col("k"), col("v")).as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a2", 2 -> "b", 3 -> "c"))
+  }
 }
