@@ -1,0 +1,181 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, VersionedTable}
+
+/** DSv2 catalog gate queries ([[graft.sources.GraftCatalog]]): the
+  * versioned table layer driven ENTIRELY through Spark SQL — reads,
+  * time travel, DML, and metadata-answered aggregates — each
+  * hash-gated against a DuckDB oracle that recomputes the same result
+  * from the raw parquet tables. What these pin beyond the library-API
+  * gates: identifier resolution, Catalyst's DSv2 pushdown negotiation
+  * (claimed filters, pruned columns, complete aggregate pushdown),
+  * and the SQL write path committing real manifest versions.
+  */
+object QueriesCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val nextId = new AtomicInteger(0)
+
+  /** A fresh catalog (unique name — Spark caches catalog instances by
+    * name, so a new warehouse needs a new name) over a fresh temp
+    * warehouse. Returns (catalogName, warehousePath). */
+  private def freshCatalog(s: SparkSession): (String, String) = {
+    val w = java.nio.file.Files.createTempDirectory("graft_catq")
+      .toAbsolutePath.toString
+    val name = s"gtq${nextId.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", w)
+    (name, w)
+  }
+
+  // ---------------------------------------------------------------------
+  // SQL read through the catalog: seed a versioned table from orders,
+  // then a filtered GROUP BY runs as plain SQL. The WHERE range is
+  // claimed by the scan (manifest file skipping) and re-applied
+  // exactly; the oracle recomputes from orders directly.
+  // ---------------------------------------------------------------------
+  def catalogSqlRead(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    VersionedTable.commit(s, s"$w/orders",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        graft.functions.Exact.cents(col("o_totalprice"))
+          .as("price_cents"))
+        .repartitionByRange(8, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey"))
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM $cat.orders
+         |WHERE o_orderkey BETWEEN 1000 AND 30000
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val catalogSqlReadSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 30000
+      |GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SQL time travel + SQL DML: v1 is a third of orders, INSERT INTO
+  // (a real append commit) lands another third; both snapshots are
+  // then read back via VERSION AS OF. Pins that the SQL write path
+  // produces the same immutable history the library API does.
+  // ---------------------------------------------------------------------
+  def catalogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, s"$w/ord",
+      base.filter(col("o_orderkey") % 3 === 0), append = false)
+    base.filter(col("o_orderkey") % 3 === 1)
+      .createOrReplaceTempView("catalog_tt_src")
+    s.sql(s"INSERT INTO $cat.ord SELECT * FROM catalog_tt_src")
+    s.sql(
+      s"""SELECT 1 AS version, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS price_cents
+         |FROM $cat.ord VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2, count(*), CAST(sum(price_cents) AS BIGINT)
+         |FROM $cat.ord VERSION AS OF 2""".stripMargin)
+  }
+
+  val catalogTimeTravelSql: String =
+    """SELECT 1 AS version, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 2, count(*),
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // COMPLETE aggregate pushdown: COUNT/MIN/MAX with a claimed range
+  // filter must vanish from the physical plan (no HashAggregate) —
+  // answered by countWhere/minMaxWhere from manifest metadata plus
+  // exact boundary scans. The in-query require pins the plan shape;
+  // the oracle pins the values.
+  // ---------------------------------------------------------------------
+  def catalogAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    VersionedTable.commit(s, s"$w/li",
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")
+        .cast("long").as("qty"))
+        .repartitionByRange(8, col("l_orderkey")),
+      append = false, statCols = Seq("l_orderkey", "qty"))
+    val out = s.sql(
+      s"""SELECT count(*) AS cnt, min(qty) AS min_qty,
+         |  max(qty) AS max_qty,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+         |FROM $cat.li WHERE l_orderkey BETWEEN 500 AND 20000""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("HashAggregate"),
+      s"aggregate must push down completely to the manifest:\n$plan")
+    out
+  }
+
+  val catalogAggPushdownSql: String =
+    """SELECT count(*) AS cnt,
+      |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+      |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem WHERE l_orderkey BETWEEN 500 AND 20000""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SQL DDL + DML round trip: CREATE TABLE declares the schema (an
+  // empty v1 snapshot), INSERT INTO ... SELECT fills it, INSERT
+  // OVERWRITE replaces it — and history still time-travels across the
+  // overwrite. Final read mixes the overwritten head and the
+  // pre-overwrite snapshot.
+  // ---------------------------------------------------------------------
+  def catalogDdlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val _ = w
+    s.sql(s"CREATE TABLE $cat.cust (c_custkey BIGINT, c_acctbal_cents BIGINT)")
+    t(s, dir, "customer").select(col("c_custkey"),
+      graft.functions.Exact.cents(col("c_acctbal")).as("c_acctbal_cents"))
+      .createOrReplaceTempView("catalog_ddl_src")
+    s.sql(s"INSERT INTO $cat.cust SELECT * FROM catalog_ddl_src")
+    s.sql(s"INSERT OVERWRITE $cat.cust " +
+      "SELECT * FROM catalog_ddl_src WHERE c_custkey % 2 = 0")
+    s.sql(
+      s"""SELECT 'head' AS snap, count(*) AS cnt,
+         |  CAST(sum(c_acctbal_cents) AS BIGINT) AS bal_cents
+         |FROM $cat.cust
+         |UNION ALL
+         |SELECT 'v2', count(*), CAST(sum(c_acctbal_cents) AS BIGINT)
+         |FROM $cat.cust VERSION AS OF 2""".stripMargin)
+  }
+
+  val catalogDdlRoundtripSql: String =
+    """SELECT 'head' AS snap, count(*) AS cnt,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT 'v2', count(*),
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |FROM customer""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_sql_read" -> (catalogSqlRead _),
+    "q_catalog_time_travel" -> (catalogTimeTravel _),
+    "q_catalog_agg_pushdown" -> (catalogAggPushdown _),
+    "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
+
+  def oracles: Map[String, String] = Map(
+    "q_catalog_sql_read" -> catalogSqlReadSql,
+    "q_catalog_time_travel" -> catalogTimeTravelSql,
+    "q_catalog_agg_pushdown" -> catalogAggPushdownSql,
+    "q_catalog_ddl_roundtrip" -> catalogDdlRoundtripSql)
+}

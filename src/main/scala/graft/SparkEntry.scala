@@ -31,12 +31,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesML.all ++ SourceGateQueries.all ++
-      ReferenceGateQueries.all ++ QueriesPipeline.all ++ QueriesScale.all
+      ReferenceGateQueries.all ++ QueriesPipeline.all ++
+      QueriesScale.all ++ QueriesCatalog.all
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesML.oracles ++ SourceGateQueries.oracles ++
       ReferenceGateQueries.oracles ++ QueriesPipeline.oracles ++
-      QueriesScale.oracles
+      QueriesScale.oracles ++ QueriesCatalog.oracles
 }
 
 /** The operator-demonstration query set (SURVEY.md §2 inventory). */

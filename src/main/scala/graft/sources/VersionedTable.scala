@@ -376,7 +376,7 @@ object VersionedTable {
   /** Per-file row counts from the manifest's st lines — Some only when
     * every data file is covered (any stat column's nrows serves). The
     * O(files) metadata [[compactCommit]] decides from. */
-  private def manifestRowCounts(lines: Seq[String])
+  private[sources] def manifestRowCounts(lines: Seq[String])
       : Option[Map[String, Long]] = {
     val data = dataFilesOf(lines).map(norm)
     if (data.isEmpty) return None
@@ -2501,7 +2501,7 @@ object VersionedTable {
   def scanCandidates(lines: Seq[String],
                      preds: Seq[ScanPred]): Seq[String] = {
     import ScanPred._
-    require(preds.nonEmpty, "scanCandidates needs at least one predicate")
+    if (preds.isEmpty) return dataFilesOf(lines) // nothing to rule out
     val stats = statsOf(lines)
     val statByColFile: Map[(String, String),
       (Option[String], Option[String], Long, Long)] =
@@ -2594,7 +2594,8 @@ object VersionedTable {
       case IsNull(c) => col(c).isNull
       case NotNull(c) => col(c).isNotNull
       case PartIn(c, values) => col(c).cast("string").isin(values: _*)
-    }.reduce(_ && _)
+    }.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
   }
 
   /** [[readWhere]] for an OR of conjunctions — `WHERE (q2 AND f) OR

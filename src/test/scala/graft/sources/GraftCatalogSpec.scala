@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DSv2 surface ([[GraftCatalog]] / [[GraftSource]]): SQL reads with
+  * time travel, filter/column/aggregate pushdown, manifest statistics,
+  * SQL writes. The catalog is registered at RUNTIME on the shared
+  * session (catalogs instantiate lazily on first reference). */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.gt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gt.warehouse", w)
+    w
+  }
+
+  private def seed(name: String): String = {
+    val t = s"$warehouse/$name"
+    VersionedTable.commit(spark, t,
+      (1L to 100L).map(k => (k, k * 10, s"s${k % 7}"))
+        .toDF("k", "amount", "tag")
+        .repartitionByRange(4, col("k")),
+      append = false, statCols = Seq("k", "amount"))
+    t
+  }
+
+  test("SQL read equals the library read; filters prune files") {
+    seed("ta")
+    val got = spark.sql(
+      "SELECT k, amount FROM gt.ta WHERE k BETWEEN 10 AND 20 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == (10L to 20L).map(k => (k, k * 10)))
+    // the claimed filter reaches the scan: candidate files < all files
+    val scan = new GraftScanBuilder(s"$warehouse/ta", 1,
+      VersionedTable.read(spark, s"$warehouse/ta").schema, Set.empty)
+    val residual = scan.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 10L),
+      org.apache.spark.sql.sources.LessThanOrEqual("k", 20L)))
+    assert(residual.isEmpty, "integral range filters must be claimed")
+    val lines = VersionedTable.manifest(spark, s"$warehouse/ta", 1)
+    val cand = VersionedTable.scanCandidates(lines,
+      Seq(VersionedTable.ScanPred.NumBetween("k", 10L, 20L)))
+    assert(cand.size < VersionedTable.dataFilesOf(lines).size,
+      "range-clustered table: the probe must skip files")
+  }
+
+  test("time travel via SQL: VERSION AS OF and pinned snapshots") {
+    val t = seed("tb")
+    VersionedTable.commit(spark, t,
+      Seq((200L, 1L, "x")).toDF("k", "amount", "tag"), append = true)
+    assert(spark.sql("SELECT count(*) AS n FROM gt.tb")
+      .as[Long].head() == 101L)
+    assert(spark.sql("SELECT count(*) AS n FROM gt.tb VERSION AS OF 1")
+      .as[Long].head() == 100L)
+  }
+
+  test("SQL INSERT commits new versions; OVERWRITE truncates") {
+    val t = seed("tc")
+    spark.sql("INSERT INTO gt.tc VALUES (500, 5000, 'ins')")
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2))
+    assert(spark.sql("SELECT amount FROM gt.tc WHERE k = 500")
+      .as[Long].head() == 5000L)
+    spark.sql("INSERT OVERWRITE gt.tc VALUES (1, 10, 'only')")
+    assert(spark.sql("SELECT count(*) FROM gt.tc").as[Long].head() == 1L)
+    // history survives: the pre-overwrite snapshot still travels
+    assert(spark.sql("SELECT count(*) FROM gt.tc VERSION AS OF 2")
+      .as[Long].head() == 101L)
+  }
+
+  test("CREATE TABLE then INSERT; DROP removes it") {
+    warehouse
+    spark.sql("CREATE TABLE gt.td (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gt.td VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM gt.td").as[Long].head() == 2L)
+    assert(spark.sql("SHOW TABLES IN gt").collect()
+      .map(_.getString(1)).contains("td"))
+    spark.sql("DROP TABLE gt.td")
+    assert(!new java.io.File(s"$warehouse/td/_manifests").exists())
+  }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answer from metadata") {
+    val t = seed("te")
+    var scanned = (0, 0)
+    VersionedTable.countWhereNotifier = (c, b) => scanned = (c, b)
+    try {
+      val r = spark.sql(
+        "SELECT count(*), min(amount), max(amount) FROM gt.te " +
+          "WHERE k BETWEEN 1 AND 100").collect()(0)
+      assert(r.getLong(0) == 100L && r.getLong(1) == 10L &&
+        r.getLong(2) == 1000L)
+      assert(scanned._1 > 0 && scanned._2 == 0,
+        s"count must be all-contained metadata, got $scanned")
+    } finally VersionedTable.countWhereNotifier = (_, _) => ()
+    // the plan carries no real aggregate exec: pushed down completely
+    val plan = spark.sql(
+      "SELECT count(*) FROM gt.te WHERE k BETWEEN 1 AND 100")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must remove the aggregate exec:\n$plan")
+    val _ = t
+  }
+
+  test("deletion vectors and column mapping flow through SQL") {
+    val t = seed("tf")
+    VersionedTable.deleteCommit(spark, t, col("k") === 5L, Seq("k"))
+    VersionedTable.renameColumnCommit(spark, t, "amount", "cents")
+    assert(spark.sql("SELECT count(*) FROM gt.tf").as[Long].head() == 99L)
+    assert(spark.sql("SELECT sum(cents) FROM gt.tf").as[Long].head() ==
+      (1L to 100L).map(_ * 10).sum - 50L)
+  }
+
+  test("manifest statistics make a small table broadcast") {
+    seed("tg")
+    val big = (1L to 10000L).map(k => (k % 100 + 1, k)).toDF("k", "x")
+    big.createOrReplaceTempView("bigv")
+    val plan = spark.sql(
+      "SELECT /*+ NO_HINTS */ b.x, t.tag FROM bigv b JOIN gt.tg t ON b.k = t.k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a manifest-sized small table must broadcast:\n$plan")
+  }
+
+  test("path-based source: format(\"graft\") with versionAsOf") {
+    val t = seed("th")
+    VersionedTable.commit(spark, t,
+      Seq((999L, 1L, "z")).toDF("k", "amount", "tag"), append = true)
+    assert(spark.read.format("graft").load(t).count() == 101L)
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(t).count() == 100L)
+  }
+
+  test("writes to a travelled snapshot are rejected") {
+    seed("ti")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gt.ti VERSION AS OF 1 VALUES (1, 1, 'x')")
+    }
+    val _ = e // either parse rejection or our guard — both fine
+  }
+}
