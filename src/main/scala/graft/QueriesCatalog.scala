@@ -167,13 +167,78 @@ object QueriesCatalog {
       |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
       |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // STREAMING SOURCE (graft.streaming.GraftStreamSourceProvider): the
+  // table's commit history — base commit, append, COW merge (update),
+  // DV delete — consumed as a readStream CDC feed under
+  // Trigger.AvailableNow, one micro-batch per version
+  // (maxVersionsPerBatch=1 exercises admission control). The collected
+  // feed folds (sum of signed n per row) back into exactly the final
+  // snapshot, which is what the gated output aggregates; the oracle
+  // recomputes that final state from orders algebraically.
+  // ---------------------------------------------------------------------
+  def streamSourceCdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val w = java.nio.file.Files.createTempDirectory("graft_ssrc")
+      .toAbsolutePath.toString
+    val t0 = s"$w/ord"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    val VT = graft.sources.VersionedTable
+    VT.commit(s, t0, base.filter(col("o_orderkey") % 3 === 0),
+      append = false, statCols = Seq("o_orderkey"))
+    VT.commit(s, t0, base.filter(col("o_orderkey") % 3 === 1),
+      append = true)
+    VT.mergeCommit(s, t0,
+      base.filter(col("o_orderkey") % 30 === 0)
+        .withColumn("price_cents", col("price_cents") * 2), "o_orderkey")
+    VT.deleteCommit(s, t0, col("o_orderkey") % 3000 === 0,
+      Seq("o_orderkey"))
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerBatch", 1)
+      .load(t0)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$w/feed"); ()
+      }
+      .option("checkpointLocation", s"$w/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // fold the feed: signed multiset sum per row == the final snapshot
+    val folded = s.read.parquet(s"$w/feed")
+      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
+      .agg(sum(when(col("change") === "insert", col("n"))
+        .otherwise(-col("n"))).as("m"))
+      .filter(col("m") =!= 0)
+    folded.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents") * col("m")).cast("long").as("total_cents"))
+  }
+
+  val streamSourceCdcSql: String =
+    """WITH state AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 30 = 0
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+      |      AS price_cents
+      |  FROM orders
+      |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 3000 <> 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+      |FROM state GROUP BY o_orderstatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_source_cdc" -> (streamSourceCdc _),
     "q_catalog_sql_read" -> (catalogSqlRead _),
     "q_catalog_time_travel" -> (catalogTimeTravel _),
     "q_catalog_agg_pushdown" -> (catalogAggPushdown _),
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_source_cdc" -> streamSourceCdcSql,
     "q_catalog_sql_read" -> catalogSqlReadSql,
     "q_catalog_time_travel" -> catalogTimeTravelSql,
     "q_catalog_agg_pushdown" -> catalogAggPushdownSql,

@@ -478,9 +478,13 @@ private[sources] object GraftFilterTranslation {
 
 /** `spark.read.format("graft").option("versionAsOf", 3).load(path)` —
   * the path-based twin of [[GraftCatalog]] for sessions that don't
-  * configure a catalog. */
-class GraftSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+  * configure a catalog. Also a STREAMING source: extending
+  * [[graft.streaming.GraftStreamSourceProvider]] makes
+  * `spark.readStream.format("graft")` resolve to the change-feed
+  * source (the table declares no MICRO_BATCH_READ capability, so
+  * Spark's resolution falls back to the V1 streaming relation). */
+class GraftSource extends graft.streaming.GraftStreamSourceProvider
+    with TableProvider {
   override def shortName(): String = "graft"
 
   private def pathFrom(options: CaseInsensitiveStringMap): String = {
