@@ -162,7 +162,12 @@ object ScaleProofTail {
       // round-7 twelfth batch: conditional merge at 10x
       "q_merge_when", "q_scan_planner", "q_column_mapping",
       "q_auto_maintain", "q_table_tags", "q_count_where",
-      "q_scan_planner_or", "q_minmax_where")
+      "q_scan_planner_or", "q_minmax_where",
+      // round-8: DSv2 catalog SQL (filter/agg pushdown through
+      // Catalyst) and the readStream CDC source at 10x
+      "q_catalog_sql_read", "q_catalog_agg_pushdown",
+      "q_catalog_time_travel", "q_catalog_ddl_roundtrip",
+      "q_stream_source_cdc")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)
