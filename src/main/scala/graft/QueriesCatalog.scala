@@ -168,6 +168,43 @@ object QueriesCatalog {
       |FROM customer""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SQL DELETE FROM (SupportsDelete -> copy-on-write
+  // deleteCommitWhere): a range + status conjunction deletes through
+  // plain SQL; the claimed l_orderkey range narrows the matched-file
+  // probe by manifest stats. The gated output reads BOTH the head
+  // (post-delete) and the pre-delete snapshot — one statement's
+  // delete, full history retained.
+  // ---------------------------------------------------------------------
+  def catalogDelete(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    VersionedTable.commit(s, s"$w/li",
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"))
+        .repartitionByRange(8, col("l_orderkey")),
+      append = false, statCols = Seq("l_orderkey"))
+    s.sql(s"DELETE FROM $cat.li " +
+      "WHERE l_orderkey BETWEEN 2000 AND 40000 AND l_linestatus = 'F'")
+    s.sql(
+      s"""SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+         |  CAST(sum(qty) AS BIGINT) AS qty_sum
+         |FROM $cat.li GROUP BY l_linestatus
+         |UNION ALL
+         |SELECT 'v1', l_linestatus, count(*), CAST(sum(qty) AS BIGINT)
+         |FROM $cat.li VERSION AS OF 1 GROUP BY l_linestatus""".stripMargin)
+  }
+
+  val catalogDeleteSql: String =
+    """SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem
+      |WHERE NOT (l_orderkey BETWEEN 2000 AND 40000 AND l_linestatus = 'F')
+      |GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT 'v1', l_linestatus, count(*),
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // STREAMING SOURCE (graft.streaming.GraftStreamSourceProvider): the
   // table's commit history — base commit, append, COW merge (update),
   // DV delete — consumed as a readStream CDC feed under
@@ -231,6 +268,7 @@ object QueriesCatalog {
       |FROM state GROUP BY o_orderstatus""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_delete" -> (catalogDelete _),
     "q_stream_source_cdc" -> (streamSourceCdc _),
     "q_catalog_sql_read" -> (catalogSqlRead _),
     "q_catalog_time_travel" -> (catalogTimeTravel _),
@@ -238,6 +276,7 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_delete" -> catalogDeleteSql,
     "q_stream_source_cdc" -> streamSourceCdcSql,
     "q_catalog_sql_read" -> catalogSqlReadSql,
     "q_catalog_time_travel" -> catalogTimeTravelSql,

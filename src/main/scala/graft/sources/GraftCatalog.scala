@@ -183,10 +183,14 @@ class GraftCatalog extends TableCatalog {
 }
 
 /** One versioned table at one PINNED version (head resolved at load
-  * time — snapshot isolation for the whole query). */
+  * time — snapshot isolation for the whole query). SQL `DELETE FROM
+  * ... WHERE` lands on [[SupportsDelete]] → one copy-on-write
+  * [[VersionedTable.deleteCommitWhere]] commit (claimed range
+  * conjuncts narrow the matched-file probe by manifest stats). */
 private[sources] class GraftTable(path: String, displayName: String,
                                   versionOpt: Option[Int])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
   private def spark: SparkSession = SparkSession.active
 
   /** Resolved once: either the travel target or the head AT LOAD. */
@@ -227,6 +231,29 @@ private[sources] class GraftTable(path: String, displayName: String,
     require(versionOpt.isEmpty,
       "cannot write to a time-travelled snapshot")
     new GraftWriteBuilder(path)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionOpt.isEmpty &&
+      filters.forall(f => GraftFilterTranslation.column(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(versionOpt.isEmpty,
+      "cannot delete from a time-travelled snapshot")
+    val pred = filters.toSeq
+      .flatMap(GraftFilterTranslation.column)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // claimed integral-range conjuncts double as stats-prune ranges
+    // for the matched-file probe (O(candidate files), not O(table))
+    val partCols = VersionedTable
+      .partitionsOf(VersionedTable.manifest(spark, path, pinned))
+      .map(_._1).toSet
+    val ranges = filters.toSeq
+      .flatMap(f => GraftFilterTranslation.translate(f, schema, partCols)
+        .getOrElse(Nil))
+      .collect { case ScanPred.NumBetween(c, lo, hi) => (c, lo, hi) }
+    VersionedTable.deleteCommitWhere(spark, path, pred, ranges)
   }
 }
 
@@ -433,6 +460,38 @@ private[sources] object GraftFilterTranslation {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case _ => None
+  }
+
+  /** `sources.Filter` → [[org.apache.spark.sql.Column]], COMPLETE
+    * over every shape Spark's filter translation produces — what SQL
+    * DELETE needs: [[GraftTable.deleteWhere]] must delete ALL rows the
+    * conjunction matches, so the translation can't drop a conjunct the
+    * way scan pruning may. None only for shapes that never reach a
+    * DSv2 deleteWhere (e.g. V2 expressions a future Spark might add). */
+  def column(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.EqualTo(c, v) => Some(col(c) === lit(v))
+      case sources.EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case sources.GreaterThan(c, v) => Some(col(c) > lit(v))
+      case sources.GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case sources.LessThan(c, v) => Some(col(c) < lit(v))
+      case sources.LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case sources.In(c, vs) => Some(col(c).isin(vs.toSeq: _*))
+      case sources.IsNull(c) => Some(col(c).isNull)
+      case sources.IsNotNull(c) => Some(col(c).isNotNull)
+      case sources.And(l, r) =>
+        for { a <- column(l); b <- column(r) } yield a && b
+      case sources.Or(l, r) =>
+        for { a <- column(l); b <- column(r) } yield a || b
+      case sources.Not(x) => column(x).map(!_)
+      case sources.StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case sources.StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case sources.StringContains(c, v) => Some(col(c).contains(v))
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
   }
 
   /** Some(preds) = claim the filter as this exact conjunction;

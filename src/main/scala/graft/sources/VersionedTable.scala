@@ -1083,17 +1083,65 @@ object VersionedTable {
                                   onAttempt: Int => Unit): Int = {
     import org.apache.spark.sql.functions.{col, when}
     require(set.nonEmpty, "update needs at least one SET column")
+    tableSchemaOf(spark, table).foreach { sch =>
+      set.keys.foreach(k => require(sch.fieldNames.contains(k),
+        s"UPDATE cannot introduce column $k — it SETs existing " +
+          "columns only (add columns via an evolving append)"))
+    }
+    rewriteCommitAttempt(spark, table, predicate, pruneRanges,
+      onAttempt) { (rows, rangePred) =>
+      // ONE Project: every SET expression evaluates against the
+      // pre-image row, never a half-updated one
+      rows.select(rows.columns.toSeq.map { c =>
+        set.get(c)
+          .map(e => when(rangePred, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** COPY-ON-WRITE DELETE by predicate — no key columns: where
+    * [[deleteCommit]] tombstones rows into a deletion-vector sidecar
+    * (merge-on-read, needs per-file row identity), this REWRITES
+    * exactly the files holding a match, minus their matching rows
+    * (SQL `DELETE FROM ... WHERE` semantics: rows where the predicate
+    * is null survive). Same pruned probe as [[updateCommit]]: `ranges`
+    * narrow the match scan by manifest stats, and only files with a
+    * real match are rewritten — O(matched files) of I/O. Tombstones of
+    * rewritten files are purged by the rewrite (their logical rows
+    * materialize); the change feed reports exactly the deleted rows.
+    * This is the seam SQL `DELETE FROM` ([[GraftTable]]) lands on. */
+  def deleteCommitWhere(spark: SparkSession, table: String,
+                        predicate: org.apache.spark.sql.Column,
+                        ranges: Seq[(String, Long, Long)] = Nil): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    try rewriteCommitAttempt(spark, table, predicate, ranges, _ => ()) {
+      (rows, rangePred) =>
+        rows.filter(not(coalesce(rangePred, lit(false))))
+    }
+    catch { case c: VersionConflict => sys.error(c.getMessage) }
+  }
+
+  /** The shared COW rewrite tail of UPDATE and predicate DELETE:
+    * stats-pruned candidate probe, matched-file detection, transform
+    * of exactly the matched files' logical rows, atomic publish with
+    * untouched files carried verbatim (stats included). `transform`
+    * receives (matched rows, effective predicate) and returns the
+    * replacement rows. */
+  private def rewriteCommitAttempt(spark: SparkSession, table: String,
+                                   predicate: org.apache.spark.sql.Column,
+                                   pruneRanges: Seq[(String, Long, Long)],
+                                   onAttempt: Int => Unit)
+                                  (transform: (DataFrame,
+                                    org.apache.spark.sql.Column) => DataFrame)
+      : Int = {
+    import org.apache.spark.sql.functions.col
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
     val dvLines = lines.filter(_.startsWith(DvPrefix))
-    tableSchemaOf(spark, table).foreach { sch =>
-      set.keys.foreach(k => require(sch.fieldNames.contains(k),
-        s"UPDATE cannot introduce column $k — it SETs existing " +
-          "columns only (add columns via an evolving append)"))
-    }
     // candidate files by stats range, then ONLY files with a real
     // match get rewritten: the match probe reads candidates once and
     // reports the file identities it matched in (O(files) driver set)
@@ -1127,15 +1175,8 @@ object VersionedTable {
       else {
         val rows = readSnapshot(spark,
           rewrite ++ dvLines ++ cmLinesOf(lines))
-        // ONE Project: every SET expression evaluates against the
-        // pre-image row, never a half-updated one
-        val projected = rows.select(rows.columns.toSeq.map { c =>
-          set.get(c)
-            .map(e => when(rangePred, e).otherwise(col(c)).as(c))
-            .getOrElse(col(c))
-        }: _*)
-        writeRewrite(spark, table, next, projected, fullSpecOf(lines),
-          cmLinesOf(lines))
+        writeRewrite(spark, table, next, transform(rows, rangePred),
+          fullSpecOf(lines), cmLinesOf(lines))
       }
     // CHECK constraints + schema enforcement over the rewrite only
     validateNewFiles(spark, table, dataFilesOf(newLines))

@@ -135,6 +135,35 @@ class GraftCatalogSpec extends SparkSpec {
       .load(t).count() == 100L)
   }
 
+  test("SQL DELETE FROM: copy-on-write, history preserved, nulls survive") {
+    val t = seed("tj")
+    // null predicate rows must SURVIVE a delete (SQL semantics)
+    VersionedTable.commit(spark, t,
+      Seq((Some(300L), None: Option[Long], Some("n")))
+        .toDF("k", "amount", "tag"), append = true)
+    val filesBefore = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 2))
+    spark.sql("DELETE FROM gt.tj WHERE amount >= 100 AND amount <= 300")
+    val got = spark.sql("SELECT k FROM gt.tj ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(got == ((1L to 9L) ++ (31L to 100L) :+ 300L),
+      s"rows 10..30 deleted, null-amount row survives; got $got")
+    // COW: a new version, untouched files carried, no DV sidecars
+    val m = VersionedTable.manifest(spark, t, 3)
+    assert(VersionedTable.dvFilesOf(m).isEmpty, "COW delete writes no DVs")
+    assert(VersionedTable.dataFilesOf(m)
+      .exists(filesBefore.contains), "unmatched files must carry")
+    assert(spark.sql("SELECT count(*) FROM gt.tj VERSION AS OF 2")
+      .as[Long].head() == 101L, "history must survive the delete")
+  }
+
+  test("DELETE with a string predicate (full filter translation)") {
+    seed("tk")
+    spark.sql("DELETE FROM gt.tk WHERE tag = 's3' OR k > 95")
+    assert(spark.sql("SELECT count(*) FROM gt.tk").as[Long].head() ==
+      (1L to 95L).count(k => s"s${k % 7}" != "s3"))
+  }
+
   test("writes to a travelled snapshot are rejected") {
     seed("ti")
     val e = intercept[Exception] {
