@@ -266,8 +266,15 @@ private[sources] class GraftWriteBuilder(path: String)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: DataFrame, ovr: Boolean) => {
-        VersionedTable.commit(data.sparkSession, path, data,
-          append = !(overwrite || ovr))
+        if (overwrite || ovr)
+          // overwrite is last-writer-wins by definition: one attempt
+          VersionedTable.commit(data.sparkSession, path, data,
+            append = false)
+        else
+          // concurrent INSERTs are commutative appends — retry past
+          // version races like the library's own ingest paths
+          VersionedTable.commitWithRetry(data.sparkSession, path, data,
+            append = true)
         ()
       }
   }

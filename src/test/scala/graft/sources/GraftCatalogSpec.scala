@@ -164,6 +164,21 @@ class GraftCatalogSpec extends SparkSpec {
       (1L to 95L).count(k => s"s${k % 7}" != "s3"))
   }
 
+  test("concurrent SQL INSERTs all land (append retry past version races)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = seed("tl")
+    val inserts = (1 to 4).map(i => Future {
+      spark.sql(s"INSERT INTO gt.tl VALUES (${1000 + i}, $i, 'c$i')")
+      ()
+    })
+    Await.result(Future.sequence(inserts), 120.seconds)
+    assert(spark.sql("SELECT count(*) FROM gt.tl").as[Long].head() == 104L)
+    assert(VersionedTable.versions(spark, t) == (1 to 5),
+      "each INSERT must claim its own version")
+  }
+
   test("writes to a travelled snapshot are rejected") {
     seed("ti")
     val e = intercept[Exception] {
