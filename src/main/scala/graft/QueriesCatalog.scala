@@ -205,6 +205,57 @@ object QueriesCatalog {
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SQL DDL evolution (alterTable -> the layer's metadata-only
+  // commits): RENAME COLUMN (column mapping), ADD COLUMN (declared-
+  // schema widen, zero data I/O — in-query require pins that no data
+  // file changes), then values land through the widened schema and a
+  // CHECK constraint gates them. The gated output reads the evolved
+  // table; the oracle recomputes from customer.
+  // ---------------------------------------------------------------------
+  def catalogAlter(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    VersionedTable.commit(s, s"$w/cust",
+      t(s, dir, "customer").select(col("c_custkey"),
+        graft.functions.Exact.cents(col("c_acctbal")).as("bal")),
+      append = false, statCols = Seq("c_custkey"))
+    s.sql(s"ALTER TABLE $cat.cust RENAME COLUMN bal TO bal_cents")
+    val before = VersionedTable.dataFilesOf(VersionedTable.manifest(
+      s, s"$w/cust", VersionedTable.versions(s, s"$w/cust").last))
+    s.sql(s"ALTER TABLE $cat.cust ADD COLUMN tier BIGINT")
+    val after = VersionedTable.dataFilesOf(VersionedTable.manifest(
+      s, s"$w/cust", VersionedTable.versions(s, s"$w/cust").last))
+    require(after == before, "ADD COLUMN must be metadata-only")
+    s.sql(s"ALTER TABLE $cat.cust ADD CONSTRAINT nonneg " +
+      "CHECK (tier IS NULL OR tier >= 0)")
+    // new rows carry the added column; old rows read as nulls
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        graft.functions.Exact.cents(col("c_acctbal")).as("bal_cents"),
+        (col("c_custkey") % 3).as("tier"))
+      .createOrReplaceTempView("catalog_alter_src")
+    s.sql(s"INSERT INTO $cat.cust SELECT * FROM catalog_alter_src")
+    s.sql(
+      s"""SELECT coalesce(tier, -1) AS tier, count(*) AS cnt,
+         |  CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+         |FROM $cat.cust GROUP BY coalesce(tier, -1)""".stripMargin)
+  }
+
+  val catalogAlterSql: String =
+    """WITH evolved AS (
+      |  SELECT c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |    CAST(NULL AS BIGINT) AS tier
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    CAST(round(c_acctbal * 100) AS BIGINT), c_custkey % 3
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT coalesce(tier, -1) AS tier, count(*) AS cnt,
+      |  CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+      |FROM evolved GROUP BY coalesce(tier, -1)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // STREAMING SOURCE (graft.streaming.GraftStreamSourceProvider): the
   // table's commit history — base commit, append, COW merge (update),
   // DV delete — consumed as a readStream CDC feed under
@@ -269,6 +320,7 @@ object QueriesCatalog {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_delete" -> (catalogDelete _),
+    "q_catalog_alter" -> (catalogAlter _),
     "q_stream_source_cdc" -> (streamSourceCdc _),
     "q_catalog_sql_read" -> (catalogSqlRead _),
     "q_catalog_time_travel" -> (catalogTimeTravel _),
@@ -277,6 +329,7 @@ object QueriesCatalog {
 
   def oracles: Map[String, String] = Map(
     "q_catalog_delete" -> catalogDeleteSql,
+    "q_catalog_alter" -> catalogAlterSql,
     "q_stream_source_cdc" -> streamSourceCdcSql,
     "q_catalog_sql_read" -> catalogSqlReadSql,
     "q_catalog_time_travel" -> catalogTimeTravelSql,

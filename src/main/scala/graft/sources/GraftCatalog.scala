@@ -159,11 +159,51 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(p, ident.toString, None)
   }
 
+  override def capabilities()
+      : java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** SQL DDL → the layer's metadata-only commits: RENAME/DROP COLUMN
+    * ride the column-mapping publishes, ADD COLUMN the declared-schema
+    * widen, ADD/DROP CONSTRAINT the CHECK registry (validated against
+    * the current snapshot on add, enforced on every later commit). */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use VersionedTable.renameColumnCommit / " +
-        "dropColumnCommit / addCheckConstraint")
+                          changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested columns are not supported: ${names.mkString(".")}")
+      names(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumnCommit(spark, p,
+          one(r.fieldNames()), r.newName())
+      case d: TableChange.DeleteColumn =>
+        VersionedTable.dropColumnCommit(spark, p, one(d.fieldNames()))
+      case a: TableChange.AddColumn =>
+        require(a.isNullable && a.position() == null &&
+          a.defaultValue() == null,
+          "ADD COLUMN supports nullable columns, appended last, " +
+            "without defaults")
+        VersionedTable.addColumnCommit(spark, p,
+          one(a.fieldNames()), a.dataType())
+      case c: TableChange.AddConstraint =>
+        c.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            VersionedTable.addConstraint(spark, p, ck.name(),
+              ck.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got: $other")
+        }
+      case d: TableChange.DropConstraint =>
+        VersionedTable.dropConstraint(spark, p, d.name())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -206,6 +246,14 @@ private[sources] class GraftTable(path: String, displayName: String,
 
   override def name(): String = displayName
   override def version(): String = pinned.toString
+
+  /** Version-qualified identity for Spark's cross-statement relation
+    * cache (`CatalogV2Util.isSameTable` compares `Table.id`): every
+    * commit changes the head version, so a cached relation from
+    * before an ALTER/INSERT/DELETE stops matching and the next
+    * statement re-resolves fresh. Leaving the default (null) makes
+    * EVERY load look like the same table and serves stale schemas. */
+  override def id(): String = s"graft:$path#v$pinned"
 
   override lazy val schema: StructType =
     VersionedTable.read(spark, path, Some(pinned)).schema

@@ -131,6 +131,12 @@ object VersionedTable {
   private[sources] def cmLinesOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(CmPrefix))
 
+  /** The declared-schema (`sc`) lines — carried alongside cm/dv lines
+    * into every subset read so [[widenToDeclared]] can surface
+    * metadata-only added columns ([[addColumnCommit]]). */
+  private[sources] def scLinesOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(ScPrefix))
+
   /** logical → physical for RENAMED columns only (identity pairs are
     * never stored). */
   private def renameMapOf(lines: Seq[String]): Map[String, String] =
@@ -859,7 +865,7 @@ object VersionedTable {
     val dvs = dvFilesOf(lines)
     // dv sidecars key on PHYSICAL names: the anti-join runs before
     // the cm translation, so tombstones survive any later rename
-    applyMapping(if (dvs.isEmpty) base
+    widenToDeclared(applyMapping(if (dvs.isEmpty) base
     else {
       val tomb = spark.read.parquet(dvs: _*)
       val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
@@ -867,8 +873,24 @@ object VersionedTable {
         .withColumn(FileCol, normFileExpr)
         .join(broadcast(tomb), FileCol +: keyCols, "left_anti")
         .drop(FileCol)
-    }, lines)
+    }, lines), lines)
   }
+
+  /** Reconcile a snapshot read with the DECLARED schema (sc line):
+    * a column added metadata-only ([[addColumnCommit]]) exists in no
+    * file yet, so the merged footers can't surface it — it appears
+    * here as a typed null column. Columns only ever APPEND (declared
+    * order is not imposed on the merged read). */
+  private def widenToDeclared(df: DataFrame,
+                              lines: Seq[String]): DataFrame =
+    schemaOfLines(lines) match {
+      case Some(sc) =>
+        val have = df.columns.toSet
+        sc.fields.filterNot(f => have.contains(f.name))
+          .foldLeft(df)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      case None => df
+    }
 
   /** `input_file_name()` normalized to a bare path (scheme/authority
     * stripped) so it compares equal to manifest entries regardless of
@@ -985,7 +1007,8 @@ object VersionedTable {
         val cand = FileSkipping.candidateFiles(stats, pruneRanges)
         deletePruneNotifier(cand.size, data.size)
         cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix))
       }
     val rangePred = pruneRanges
       .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
@@ -1174,7 +1197,7 @@ object VersionedTable {
       if (rewrite.isEmpty) Seq.empty[String]
       else {
         val rows = readSnapshot(spark,
-          rewrite ++ dvLines ++ cmLinesOf(lines))
+          rewrite ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
         writeRewrite(spark, table, next, transform(rows, rangePred),
           fullSpecOf(lines), cmLinesOf(lines))
       }
@@ -1336,12 +1359,12 @@ object VersionedTable {
     val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
       .withColumn(FileCol, normFileExpr)
     val dvs = dvFilesOf(lines)
-    applyMapping(if (dvs.isEmpty) base
+    widenToDeclared(applyMapping(if (dvs.isEmpty) base
     else {
       val tomb = spark.read.parquet(dvs: _*)
       val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
       base.join(broadcast(tomb), FileCol +: keyCols, "left_anti")
-    }, lines)
+    }, lines), lines)
   }
 
   /** MERGE INTO with FILE-LEVEL copy-on-write — the composition the
@@ -1415,7 +1438,8 @@ object VersionedTable {
     val survivors =
       if (rewrite.isEmpty) upserts
       else readSnapshot(spark,
-        rewrite ++ dvLines ++ cmLinesOf(currentLines))
+        rewrite ++ dvLines ++ cmLinesOf(currentLines) ++
+        scLinesOf(currentLines))
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
@@ -1647,7 +1671,8 @@ object VersionedTable {
     val tRows = (if (rewrite.isEmpty)
       readSnapshot(spark, currentLines).limit(0)
     else readSnapshot(spark,
-      rewrite ++ dvLines ++ cmLinesOf(currentLines)))
+      rewrite ++ dvLines ++ cmLinesOf(currentLines) ++
+        scLinesOf(currentLines)))
       .withColumn("__graft_t", lit(true))
     val sRows = source.withColumn("__graft_s", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"),
@@ -2140,7 +2165,8 @@ object VersionedTable {
     val next = vs.last + 1
     val spec = fullSpecOf(lines)
     val compacted = {
-      val snap = readSnapshot(spark, small ++ dvLines ++ cmLinesOf(lines))
+      val snap = readSnapshot(spark,
+        small ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
       // partitioned table: hash on the partition column(s) so each
       // value's fragments collapse into ONE file (per-partition
       // compaction — outputs stay pt-tagged via writeRewrite)
@@ -2280,7 +2306,7 @@ object VersionedTable {
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     val next = vs.last + 1
     val freshRows = readSnapshot(spark,
-      fresh ++ dvLines ++ cmLinesOf(lines))
+      fresh ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
     val nOut = {
       val byFile = statsOf(lines).groupBy(s => norm(s._3))
         .view.mapValues(_.head._2._4).toMap
@@ -2337,7 +2363,8 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _))
@@ -2436,7 +2463,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -2477,7 +2505,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(if (wantNull) col(c).isNull else col(c).isNotNull)
   }
 
@@ -2609,7 +2638,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(predExpr(preds))
   }
 
@@ -2656,7 +2686,8 @@ object VersionedTable {
     val base =
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(disjuncts.map(predExpr).reduce(_ || _))
   }
 
@@ -2740,7 +2771,8 @@ object VersionedTable {
     val scanned =
       if (boundary.isEmpty) 0L
       else readSnapshot(spark, boundary ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
         .filter(predExpr(preds)).count()
     (metadataCount + scanned, contained.size, boundary.size)
   }
@@ -2823,7 +2855,8 @@ object VersionedTable {
       if (scan.isEmpty) None
       else {
         val r = readSnapshot(spark, scan ++ lines.filter(l =>
-          l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+          l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
           .filter(predExpr(preds))
           .agg(min(col(c)), max(col(c))).collect()(0)
         if (r.isNullAt(0)) None
@@ -2871,7 +2904,8 @@ object VersionedTable {
     val cand = joinCandidates(spark, lines, joinCol, dimKeys)
     if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
     else readSnapshot(spark, cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
   }
 
   /** Write `df` hive-partitioned on `partCol` under version `v`'s
@@ -3054,7 +3088,8 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(filters.map { case (c, vals) =>
       col(c).cast("string").isin(vals: _*)
     }.reduce(_ && _))
@@ -3100,7 +3135,8 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(col(partCol).cast("string").isin(values: _*))
   }
 
@@ -3139,7 +3175,8 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(col(partCol).cast("string") >= lo &&
       col(partCol).cast("string") <= hi)
   }
@@ -3339,7 +3376,8 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
-        l.startsWith(DvPrefix) || l.startsWith(CmPrefix)))
+        l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(ScPrefix)))
     base.filter(col(rawCol) >= lo && col(rawCol) <= hi)
   }
 
@@ -4030,6 +4068,42 @@ object VersionedTable {
     * dropped column's name-as-physical — [[schemaConflictsWithTable]]
     * rejects the collision (two generations of one physical name
     * would merge-read as one column). */
+  /** ALTER TABLE ADD COLUMN, metadata-only: the new NULLABLE column
+    * joins the declared schema (sc line) as a new version — zero data
+    * I/O; existing files never carry it, so reads surface it as typed
+    * nulls ([[widenToDeclared]]) until appends start writing values.
+    * The commit is `content_preserving` (no logical row changes — the
+    * new column is null everywhere, and change-feed consumers see the
+    * schema change through [[tableSchemaOf]], not a row churn).
+    * Re-adding a previously DROPPED name is rejected: old files still
+    * hold the physical column, and the mapping layer would either
+    * resurrect stale values or swallow new ones — use a fresh name. */
+  def addColumnCommit(spark: SparkSession, table: String,
+                      colName: String,
+                      dataType: org.apache.spark.sql.types.DataType)
+      : Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val schema = schemaOfLines(lines).orElse(tableSchemaOf(spark, table))
+      .getOrElse(sys.error(s"$table has no resolvable schema"))
+    require(!schema.fieldNames.contains(colName),
+      s"column '$colName' already exists")
+    require(!droppedPhysOf(lines).contains(colName) &&
+      !renameMapOf(lines).valuesIterator.contains(colName),
+      s"'$colName' is (or shadows) a retired physical column — " +
+        "pick a fresh name")
+    val kept = lines.filterNot(l => l.startsWith(ScPrefix) ||
+      l.startsWith(MetaPrefix))
+    val next = vs.last + 1
+    writeManifest(spark, table, next,
+      kept ++ schemaLineOf(schema.add(colName, dataType,
+        nullable = true)) ++
+        metaLinesOf(Map("added_column" -> colName,
+          "content_preserving" -> "true")))
+    next
+  }
+
   def dropColumnCommit(spark: SparkSession, table: String,
                        colName: String): Int = {
     val vs = versions(spark, table)

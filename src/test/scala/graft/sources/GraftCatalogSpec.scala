@@ -179,6 +179,41 @@ class GraftCatalogSpec extends SparkSpec {
       "each INSERT must claim its own version")
   }
 
+  test("ALTER TABLE: rename, add (metadata-only), drop, CHECK constraints") {
+    val t = seed("tm")
+    spark.sql("ALTER TABLE gt.tm RENAME COLUMN amount TO cents")
+    assert(spark.sql("SELECT sum(cents) FROM gt.tm").as[Long].head() ==
+      (1L to 100L).map(_ * 10).sum)
+    // metadata-only ADD COLUMN: no data I/O, reads see typed nulls
+    val filesBefore = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t,
+        VersionedTable.versions(spark, t).last))
+    spark.sql("ALTER TABLE gt.tm ADD COLUMN score BIGINT")
+    val mAfter = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    assert(VersionedTable.dataFilesOf(mAfter) == filesBefore,
+      "ADD COLUMN must not touch data files")
+    assert(spark.sql("SELECT count(*) FROM gt.tm WHERE score IS NULL")
+      .as[Long].head() == 100L)
+    // values land through the widened schema; old rows stay null
+    spark.sql("INSERT INTO gt.tm VALUES (500, 1, 'x', 9)")
+    assert(spark.sql("SELECT score FROM gt.tm WHERE k = 500")
+      .as[Long].head() == 9L)
+    // CHECK constraint: valid add enforces future writes
+    spark.sql("ALTER TABLE gt.tm ADD CONSTRAINT pos CHECK (cents >= 0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gt.tm VALUES (501, -5, 'bad', 0)")
+    }
+    assert(e.getMessage.contains("pos"), s"got: ${e.getMessage}")
+    spark.sql("ALTER TABLE gt.tm DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO gt.tm VALUES (501, -5, 'ok-now', 0)")
+    // drop a column
+    spark.sql("ALTER TABLE gt.tm DROP COLUMN tag")
+    assert(spark.sql("SELECT * FROM gt.tm").columns.toSeq ==
+      Seq("k", "cents", "score"))
+    assert(spark.sql("SELECT count(*) FROM gt.tm").as[Long].head() == 102L)
+  }
+
   test("writes to a travelled snapshot are rejected") {
     seed("ti")
     val e = intercept[Exception] {
