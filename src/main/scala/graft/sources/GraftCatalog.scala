@@ -166,7 +166,17 @@ class GraftCatalog extends TableCatalog {
   /** SQL DDL → the layer's metadata-only commits: RENAME/DROP COLUMN
     * ride the column-mapping publishes, ADD COLUMN the declared-schema
     * widen, ADD/DROP CONSTRAINT the CHECK registry (validated against
-    * the current snapshot on add, enforced on every later commit). */
+    * the current snapshot on add, enforced on every later commit).
+    *
+    * One ALTER statement may carry several changes (`ADD COLUMNS (a,
+    * b)`); each lands as its own metadata commit, so a failure midway
+    * would leave the statement half-applied. [[validateAlter]] runs
+    * the whole sequence against a SIMULATED schema + snapshot FIRST —
+    * existence/absence rules, constraint-name registry, and each new
+    * CHECK evaluated over the post-change row shape — so by the time
+    * the first commit publishes, every later change is known good
+    * (short of a concurrent-writer race, which each commit still
+    * surfaces loudly). */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -176,6 +186,7 @@ class GraftCatalog extends TableCatalog {
         s"nested columns are not supported: ${names.mkString(".")}")
       names(0)
     }
+    validateAlter(p, changes, one)
     changes.foreach {
       case r: TableChange.RenameColumn =>
         VersionedTable.renameColumnCommit(spark, p,
@@ -203,6 +214,74 @@ class GraftCatalog extends TableCatalog {
         s"unsupported ALTER TABLE change: $other")
     }
     loadTable(ident)
+  }
+
+  /** The upfront pass behind [[alterTable]]'s all-or-nothing promise:
+    * walks the change sequence over a simulated schema (renames/drops/
+    * adds applied in order), enforcing the same structural rules the
+    * commits will, and evaluates every ADD CONSTRAINT's CHECK against
+    * the current snapshot RESHAPED to that point in the sequence (new
+    * columns as typed nulls), so a doomed later change rejects the
+    * statement before the first commit publishes. */
+  private def validateAlter(p: String, changes: Seq[TableChange],
+                            one: Array[String] => String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    var schema = VersionedTable.read(spark, p).schema
+    var constraints = VersionedTable.constraintsOf(spark, p).keySet
+    // snapshot reshaped through the sequence, built lazily (only ADD
+    // CONSTRAINT forces a read; pure column DDL stays metadata-only)
+    var reshape: DataFrame => DataFrame = identity
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        val c = one(r.fieldNames()); val n = r.newName()
+        require(schema.fieldNames.contains(c),
+          s"ALTER would fail: no column '$c'")
+        require(!schema.fieldNames.contains(n),
+          s"ALTER would fail: column '$n' already exists")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == c) f.copy(name = n) else f))
+        val prev = reshape
+        reshape = df => prev(df).withColumnRenamed(c, n)
+      case d: TableChange.DeleteColumn =>
+        val c = one(d.fieldNames())
+        require(schema.fieldNames.contains(c),
+          s"ALTER would fail: no column '$c'")
+        require(schema.fields.length > 1,
+          "ALTER would fail: cannot drop the last column")
+        schema = StructType(schema.fields.filterNot(_.name == c))
+        val prev = reshape
+        reshape = df => prev(df).drop(c)
+      case a: TableChange.AddColumn =>
+        require(a.isNullable && a.position() == null &&
+          a.defaultValue() == null,
+          "ADD COLUMN supports nullable columns, appended last, " +
+            "without defaults")
+        val c = one(a.fieldNames())
+        require(!schema.fieldNames.contains(c),
+          s"ALTER would fail: column '$c' already exists")
+        schema = schema.add(c, a.dataType(), nullable = true)
+        val prev = reshape
+        reshape = df => prev(df)
+          .withColumn(c, lit(null).cast(a.dataType()))
+      case c: TableChange.AddConstraint =>
+        c.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(!constraints.contains(ck.name()),
+              s"ALTER would fail: constraint '${ck.name()}' exists")
+            constraints += ck.name()
+            val bad = reshape(VersionedTable.read(spark, p))
+              .filter(not(coalesce(expr(ck.predicateSql()), lit(true))))
+              .limit(1).count()
+            require(bad == 0L, "ALTER would fail: current snapshot " +
+              s"violates CHECK ${ck.name()} (${ck.predicateSql()})")
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got: $other")
+        }
+      case d: TableChange.DropConstraint =>
+        constraints -= d.name()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -292,16 +371,17 @@ private[sources] class GraftTable(path: String, displayName: String,
     val pred = filters.toSeq
       .flatMap(GraftFilterTranslation.column)
       .reduceOption(_ && _).getOrElse(lit(true))
-    // claimed integral-range conjuncts double as stats-prune ranges
-    // for the matched-file probe (O(candidate files), not O(table))
+    // every claimed conjunct — integral AND string ranges, partition
+    // tags, null tests — prunes the matched-file probe by manifest
+    // metadata (O(candidate files), not O(table)): a DELETE scoped to
+    // one string partition opens only that partition's files
     val partCols = VersionedTable
       .partitionsOf(VersionedTable.manifest(spark, path, pinned))
       .map(_._1).toSet
-    val ranges = filters.toSeq
+    val preds = filters.toSeq
       .flatMap(f => GraftFilterTranslation.translate(f, schema, partCols)
         .getOrElse(Nil))
-      .collect { case ScanPred.NumBetween(c, lo, hi) => (c, lo, hi) }
-    VersionedTable.deleteCommitWhere(spark, path, pred, ranges)
+    VersionedTable.deleteCommitWherePruned(spark, path, pred, preds)
   }
 }
 
@@ -439,15 +519,18 @@ private[sources] class GraftScan(path: String, version: Int,
           case ByteType => s.toByte
           case _ => s
         }).orNull
+      // one boundary-file classification per column: `min(c), max(c)`
+      // in the same SELECT share a single minMaxWhere call
+      val minMaxByCol = scala.collection.mutable.Map
+        .empty[String, (Option[String], Option[String])]
+      def minMaxOf(c: String): (Option[String], Option[String]) =
+        minMaxByCol.getOrElseUpdate(c,
+          VersionedTable.minMaxWhere(spark, path, c, preds, Some(version)))
       val values = specs.map {
         case GraftAgg.CountStar =>
           VersionedTable.countWhere(spark, path, preds, Some(version))
-        case GraftAgg.MinOf(c, dt) =>
-          conv(VersionedTable.minMaxWhere(spark, path, c, preds,
-            Some(version))._1, dt)
-        case GraftAgg.MaxOf(c, dt) =>
-          conv(VersionedTable.minMaxWhere(spark, path, c, preds,
-            Some(version))._2, dt)
+        case GraftAgg.MinOf(c, dt) => conv(minMaxOf(c)._1, dt)
+        case GraftAgg.MaxOf(c, dt) => conv(minMaxOf(c)._2, dt)
       }
       spark.createDataFrame(
         java.util.List.of(Row(values: _*)), aggSchema)

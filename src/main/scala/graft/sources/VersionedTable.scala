@@ -338,6 +338,13 @@ object VersionedTable {
   private[sources] var updatePruneNotifier: (Int, Int) => Unit =
     (_, _) => ()
 
+  /** Test seam: fired `(probeCandidates, totalFiles)` by the COW
+    * rewrite tail BEFORE the match scan — what the spec pins to prove
+    * a string-partition / string-range DELETE or UPDATE probes only
+    * the files its [[ScanPred]]s admit, not the whole table. */
+  private[sources] var rewriteProbeNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
   /** Test seam: fired `(candidates, totalFiles)` by
     * [[readJoinPruned]] after the manifest range probe — what the
     * spec pins to prove a join-driven read opens only files whose
@@ -1075,8 +1082,23 @@ object VersionedTable {
                    predicate: org.apache.spark.sql.Column,
                    set: Map[String, org.apache.spark.sql.Column],
                    ranges: Seq[(String, Long, Long)] = Nil): Int =
-    try updateCommitAttempt(spark, table, predicate, set, ranges, _ => ())
+    updateCommitPruned(spark, table, predicate, set, rangePreds(ranges))
+
+  /** [[updateCommit]] with the probe pruned by the FULL [[ScanPred]]
+    * language — string ranges, partition tags, and null tests prune
+    * alongside integral ranges, so an `UPDATE ... WHERE region = 'X'`
+    * on a partitioned/stated table probes only that slice's files. */
+  def updateCommitPruned(spark: SparkSession, table: String,
+                         predicate: org.apache.spark.sql.Column,
+                         set: Map[String, org.apache.spark.sql.Column],
+                         preds: Seq[ScanPred]): Int =
+    try updateCommitAttempt(spark, table, predicate, set, preds, _ => ())
     catch { case c: VersionConflict => sys.error(c.getMessage) }
+
+  /** Integral prune ranges in [[ScanPred]] form — the tuple-based
+    * public signatures' bridge into the generalized probe. */
+  private def rangePreds(ranges: Seq[(String, Long, Long)]): Seq[ScanPred] =
+    ranges.map { case (c, lo, hi) => ScanPred.NumBetween(c, lo, hi) }
 
   /** [[updateCommit]] with optimistic concurrency — same conflict
     * re-evaluation as [[mergeCommitOptimistic]]: retries from the new
@@ -1096,13 +1118,14 @@ object VersionedTable {
       ranges: Seq[(String, Long, Long)] = Nil, maxRetries: Int = 5,
       onAttempt: Int => Unit = _ => ()): Int =
     retryReadModifyWrite(spark, table, maxRetries, "update") { hook =>
-      updateCommitAttempt(spark, table, predicate, set, ranges, hook)
+      updateCommitAttempt(spark, table, predicate, set,
+        rangePreds(ranges), hook)
     }(onAttempt)
 
   private def updateCommitAttempt(spark: SparkSession, table: String,
                                   predicate: org.apache.spark.sql.Column,
                                   set: Map[String, org.apache.spark.sql.Column],
-                                  pruneRanges: Seq[(String, Long, Long)],
+                                  prunePreds: Seq[ScanPred],
                                   onAttempt: Int => Unit): Int = {
     import org.apache.spark.sql.functions.{col, when}
     require(set.nonEmpty, "update needs at least one SET column")
@@ -1111,7 +1134,7 @@ object VersionedTable {
         s"UPDATE cannot introduce column $k — it SETs existing " +
           "columns only (add columns via an evolving append)"))
     }
-    rewriteCommitAttempt(spark, table, predicate, pruneRanges,
+    rewriteCommitAttempt(spark, table, predicate, prunePreds,
       onAttempt) { (rows, rangePred) =>
       // ONE Project: every SET expression evaluates against the
       // pre-image row, never a half-updated one
@@ -1136,9 +1159,19 @@ object VersionedTable {
     * This is the seam SQL `DELETE FROM` ([[GraftTable]]) lands on. */
   def deleteCommitWhere(spark: SparkSession, table: String,
                         predicate: org.apache.spark.sql.Column,
-                        ranges: Seq[(String, Long, Long)] = Nil): Int = {
+                        ranges: Seq[(String, Long, Long)] = Nil): Int =
+    deleteCommitWherePruned(spark, table, predicate, rangePreds(ranges))
+
+  /** [[deleteCommitWhere]] with the probe pruned by the FULL
+    * [[ScanPred]] language — what SQL DELETE passes: every claimed
+    * conjunct (string ranges and partition tags included) narrows the
+    * matched-file probe, so a one-partition DELETE opens only that
+    * partition's files. */
+  def deleteCommitWherePruned(spark: SparkSession, table: String,
+                              predicate: org.apache.spark.sql.Column,
+                              preds: Seq[ScanPred]): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    try rewriteCommitAttempt(spark, table, predicate, ranges, _ => ()) {
+    try rewriteCommitAttempt(spark, table, predicate, preds, _ => ()) {
       (rows, rangePred) =>
         rows.filter(not(coalesce(rangePred, lit(false))))
     }
@@ -1150,41 +1183,43 @@ object VersionedTable {
     * of exactly the matched files' logical rows, atomic publish with
     * untouched files carried verbatim (stats included). `transform`
     * receives (matched rows, effective predicate) and returns the
-    * replacement rows. */
+    * replacement rows.
+    *
+    * Pruning takes the FULL [[ScanPred]] language — integral ranges,
+    * string ranges, partition-tag membership, null tests — through
+    * [[scanCandidates]]' cannot-rule-out contract, the same metadata
+    * walk the read path uses. A `DELETE FROM t WHERE status = 'X'` or
+    * a delete scoped to one string partition therefore probes only
+    * the files whose st stats / pt tags admit a match, not the whole
+    * table; files the manifest does not cover stay candidates
+    * (conservative, never wrong). The probe's scan lines carry dv,
+    * cm, AND sc lines so tombstones apply, column-mapped names
+    * resolve, and predicates on metadata-only added columns (null
+    * everywhere in old files) still analyze. */
   private def rewriteCommitAttempt(spark: SparkSession, table: String,
                                    predicate: org.apache.spark.sql.Column,
-                                   pruneRanges: Seq[(String, Long, Long)],
+                                   prunePreds: Seq[ScanPred],
                                    onAttempt: Int => Unit)
                                   (transform: (DataFrame,
                                     org.apache.spark.sql.Column) => DataFrame)
       : Int = {
-    import org.apache.spark.sql.functions.col
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
     val dvLines = lines.filter(_.startsWith(DvPrefix))
-    // candidate files by stats range, then ONLY files with a real
-    // match get rewritten: the match probe reads candidates once and
-    // reports the file identities it matched in (O(files) driver set)
+    // candidate files by manifest metadata, then ONLY files with a
+    // real match get rewritten: the match probe reads candidates once
+    // and reports the file identities it matched in (O(files) set)
     val scanLines =
-      if (pruneRanges.isEmpty) lines
-      else {
-        val rangeCols = pruneRanges.map(_._1).distinct
-        val stats = manifestStats(spark, lines, rangeCols,
-          _ => org.apache.spark.sql.types.DoubleType).getOrElse {
-          statsScanNotifier("updateCommit", data.size)
-          collectStatsLogical(spark, data, rangeCols, lines)
-        }
-        // carry cm lines so the probe resolves LOGICAL column names on
-        // column-mapped tables (matches deleteCommitPruned/readPruned)
-        FileSkipping.candidateFiles(stats, pruneRanges) ++ dvLines ++
-          cmLinesOf(lines)
-      }
-    val rangePred = pruneRanges
-      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .foldLeft(predicate)(_ && _)
+      if (prunePreds.isEmpty) lines
+      else scanCandidates(lines, prunePreds) ++ dvLines ++
+        cmLinesOf(lines) ++ scLinesOf(lines)
+    rewriteProbeNotifier(dataFilesOf(scanLines).size, data.size)
+    val rangePred =
+      if (prunePreds.isEmpty) predicate
+      else predicate && predExpr(prunePreds)
     val matched =
       if (dataFilesOf(scanLines).isEmpty) Set.empty[String]
       else readSnapshotTagged(spark, scanLines).filter(rangePred)

@@ -119,9 +119,15 @@ private[streaming] class GraftStreamSource(spark: SparkSession,
   private val cdc = GraftStreamSource.cdcMode(parameters)
   private val startingVersion: Option[Int] =
     parameters.get("startingVersion").map(_.toInt)
+  /** Default 64, NOT unbounded: a consumer catching up over thousands
+    * of commits would otherwise fold every pending version's feed into
+    * ONE micro-batch — a thousands-wide union plan and a giant
+    * all-or-nothing batch. 64 versions per trigger keeps the plan
+    * bounded while converging on any backlog in a handful of
+    * checkpointed triggers (Delta's maxFilesPerTrigger default
+    * discipline). */
   private val maxPerBatch: Int =
-    parameters.get("maxVersionsPerBatch").map(_.toInt)
-      .getOrElse(Int.MaxValue)
+    parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(64)
   require(maxPerBatch > 0, "maxVersionsPerBatch must be positive")
 
   override val schema: StructType =
@@ -186,6 +192,26 @@ private[streaming] class GraftStreamSource(spark: SparkSession,
       .orElse(startingVersion.map(_ - 1))
     val vs = VersionedTable.versions(spark, table)
     val scoped = vs.filter(v => startV.forall(_ < v) && v <= endV)
+    // vacuum-past-checkpoint guard: a checkpointed start offset means
+    // every scoped version must diff against its true predecessor. If
+    // retention retired the versions at/below the checkpoint, the
+    // first scoped version's predecessor in the retained log is no
+    // longer the checkpointed one and feedFor would silently re-emit
+    // already-consumed changes (idx==0 would even re-emit the FULL
+    // snapshot as inserts — double-counting everything the consumer
+    // folded). Fail loudly instead: re-bootstrap the consumer. The
+    // snapshot bootstrap stays legal only on a FRESH stream (no start
+    // offset) or an explicit startingVersion.
+    if (start.isDefined && scoped.nonEmpty) {
+      val chk = startV.get
+      val predIdx = vs.indexOf(scoped.head) - 1
+      require(predIdx >= 0 && vs(predIdx) == chk,
+        s"checkpointed version $chk of $table was vacuumed — the " +
+          s"change feed between $chk and ${scoped.head} is " +
+          "unrecoverable; re-bootstrap the stream (fresh checkpoint " +
+          "+ fresh downstream state). Pair retention with " +
+          "TableChangeStream.safeVacuum to prevent this.")
+    }
     val batch: DataFrame =
       if (scoped.isEmpty) {
         spark.createDataFrame(
@@ -204,13 +230,35 @@ private[streaming] class GraftStreamSource(spark: SparkSession,
               .drop("change", "n", "_commit_version", "__dup")
           }
         }
-        feeds.reduce(_ unionByName _)
+        // every feed PROJECTED onto the schema pinned at stream start
+        // (Delta-source discipline: a column added mid-stream is
+        // invisible until restart; a dropped one reads as nulls) — so
+        // a batch spanning a schema-evolving commit still unions
+        // cleanly and matches the declared source schema exactly
+        val aligned = feeds.map { f =>
+          val have = f.columns.toSet
+          f.select(schema.fields.toSeq.map { fld =>
+            if (have(fld.name)) col(fld.name).cast(fld.dataType)
+            else lit(null).cast(fld.dataType).as(fld.name)
+          }: _*)
+        }
+        balancedUnion(aligned)
       }
     // the streaming harness requires isStreaming=true batches —
     // handed over via the one-method bridge into the private[sql] seam
     org.apache.spark.sql.GraftStreamingBridge.streamingFrame(
       spark, batch.queryExecution.toRdd, batch.schema)
   }
+
+  /** Union as a balanced tree, not a linear fold — a catch-up batch
+    * over k versions plans at depth O(log k), not O(k), so even the
+    * capped 64-version batch never builds a lopsided plan tree. */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else {
+      val (l, r) = dfs.splitAt(dfs.size / 2)
+      balancedUnion(l).unionByName(balancedUnion(r))
+    }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

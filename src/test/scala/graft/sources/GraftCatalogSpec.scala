@@ -214,6 +214,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gt.tm").as[Long].head() == 102L)
   }
 
+  test("string-partition DELETE probes ONLY that partition's files") {
+    val t = s"$warehouse/tsp"
+    VersionedTable.commitPartitioned(spark, t,
+      (1L to 90L).map(k => (k, s"p${k % 3}", k * 2))
+        .toDF("k", "part", "x"), "part", append = false)
+    val total = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 1)).size
+    assert(total >= 3, s"need one file per partition, got $total")
+    var probe: (Int, Int) = (-1, -1)
+    VersionedTable.rewriteProbeNotifier = (c, n) => probe = (c, n)
+    try spark.sql("DELETE FROM gt.tsp WHERE part = 'p1'")
+    finally VersionedTable.rewriteProbeNotifier = (_, _) => ()
+    assert(probe._2 == total && probe._1 < total,
+      s"a one-partition DELETE must probe fewer than all files: $probe")
+    assert(spark.sql("SELECT count(*) FROM gt.tsp").as[Long].head() ==
+      (1L to 90L).count(_ % 3 != 1))
+    assert(spark.sql(
+      "SELECT count(*) FROM gt.tsp WHERE part = 'p1'").as[Long].head() == 0L)
+  }
+
+  test("multi-change ALTER is all-or-nothing: doomed CHECK aborts the rename") {
+    val t = seed("tat")
+    // one alterTable CALL: a valid rename followed by a CHECK the
+    // current rows violate — the upfront validation must reject the
+    // whole statement BEFORE the rename commits
+    val cat = spark.sessionState.catalogManager.catalog("gt")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "tat")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val doomed = intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("tag"), "label"),
+        TableChange.addConstraint(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .check("impossible").predicateSql("amount > 5000").build(),
+          null))
+    }
+    assert(doomed.getMessage.contains("impossible") ||
+      doomed.getMessage.contains("violates"),
+      s"got: ${doomed.getMessage}")
+    // the rename from the failed statement must NOT have landed
+    val sch = VersionedTable.read(spark, t).schema.fieldNames.toSeq
+    assert(sch.contains("tag") && !sch.contains("label"),
+      s"half-applied ALTER: $sch")
+    // a CHECK referencing a column ADDED in the same statement
+    // validates against the reshaped snapshot and goes through whole
+    cat.alterTable(ident,
+      TableChange.addColumn(Array("bonus"), org.apache.spark.sql.types
+        .LongType, true),
+      TableChange.addConstraint(
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check("bonus_pos").predicateSql("bonus >= 0").build(),
+        null))
+    assert(VersionedTable.read(spark, t).schema.fieldNames
+      .contains("bonus"))
+    assert(VersionedTable.constraintsOf(spark, t).contains("bonus_pos"))
+  }
+
   test("writes to a travelled snapshot are rejected") {
     seed("ti")
     val e = intercept[Exception] {

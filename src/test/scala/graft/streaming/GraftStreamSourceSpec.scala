@@ -117,6 +117,41 @@ class GraftStreamSourceSpec extends SparkSpec {
       "only the v2 append may stream")
   }
 
+  test("default catch-up batches are bounded at 64 versions") {
+    val w = fresh("gssb"); val t = s"$w/t"
+    VersionedTable.commit(spark, t,
+      Seq((0L, 0L)).toDF("k", "amt"), append = false)
+    (1 to 69).foreach(i => VersionedTable.commit(spark, t,
+      Seq((i.toLong, i.toLong)).toDF("k", "amt"), append = true))
+    val (rows, batches) = drain(t, s"$w/ckpt")
+    assert(rows.size == 70, s"one insert per version, got ${rows.size}")
+    assert(batches == 2,
+      s"70 pending versions under the default 64-cap must drain as " +
+        s"64+6, got $batches")
+  }
+
+  test("a vacuumed checkpoint fails loudly instead of re-bootstrapping") {
+    val w = fresh("gssv"); val t = s"$w/t"
+    VersionedTable.commit(spark, t,
+      Seq((1L, 1L)).toDF("k", "amt"), append = false)
+    VersionedTable.commit(spark, t,
+      Seq((2L, 2L)).toDF("k", "amt"), append = true)
+    drain(t, s"$w/ckpt") // checkpoint lands at v2
+    VersionedTable.commit(spark, t,
+      Seq((3L, 3L)).toDF("k", "amt"), append = true)
+    VersionedTable.commit(spark, t,
+      Seq((4L, 4L)).toDF("k", "amt"), append = true)
+    VersionedTable.vacuum(spark, t, keepLast = 1) // retires v2, v3
+    // silently re-emitting the v4 snapshot would double-count every
+    // row the consumer already folded — the batch must throw instead
+    val e = intercept[Exception] { drain(t, s"$w/ckpt") }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t2 =>
+        Option(t2.getMessage).toSeq ++ messages(t2.getCause))
+    assert(messages(e).exists(_.contains("vacuumed")),
+      s"got: ${messages(e).mkString(" | ")}")
+  }
+
   test("layout-only commits stream nothing") {
     val w = fresh("gssc"); val t = s"$w/t"
     VersionedTable.commit(spark, t,
