@@ -553,24 +553,32 @@ private[sources] class GraftScan(path: String, version: Int,
     }.asInstanceOf[T]
   }
 
+  /** Plan-time statistics from the MANIFEST ALONE on current-format
+    * tables: candidate-file byte sizes come from the fz lines the
+    * commit recorded, so planning a query over a 100k-file table
+    * costs zero filesystem RPCs (the Delta/Iceberg discipline);
+    * getFileStatus remains only as the legacy fallback for files
+    * committed before fz lines existed. */
   override def estimateStatistics(): Statistics = {
     val lines = VersionedTable.manifest(spark, path, version)
     val cand = VersionedTable.scanCandidates(lines, preds)
-    val candSet = cand.map(VersionedTable.norm).toSet
     // exact when the manifest covers every candidate and no deletion
     // vectors are live; absent otherwise (never a wrong number)
     val rows: Option[Long] =
       if (preds.nonEmpty || VersionedTable.dvFilesOf(lines).nonEmpty) None
       else VersionedTable.manifestRowCounts(lines).map(_.values.sum)
-    val bytes: Long = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      cand.map { f =>
-        val p = new Path(f)
-        scala.util.Try(p.getFileSystem(conf).getFileStatus(p).getLen)
-          .getOrElse(0L)
-      }.sum
-    }
-    val _ = candSet
+    val sizes = VersionedTable.fileSizesOf(lines)
+    val legacy = cand.filterNot(f => sizes.contains(VersionedTable.norm(f)))
+    if (legacy.nonEmpty)
+      VersionedTable.fileSizeRpcNotifier("estimateStatistics", legacy.size)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes: Long =
+      cand.flatMap(f => sizes.get(VersionedTable.norm(f))).sum +
+        legacy.map { f =>
+          val p = new Path(f)
+          scala.util.Try(p.getFileSystem(conf).getFileStatus(p).getLen)
+            .getOrElse(0L)
+        }.sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong =

@@ -128,6 +128,66 @@ object VersionedTable {
     * columns as data. */
   private val CmPrefix = "cm\t"
 
+  /** FILE SIZE LINE `fz<TAB><bytes><TAB><path>`: each data file's
+    * byte length, recorded once at commit time (the writer just
+    * produced the file — one listing, no extra I/O class) and carried
+    * forward by [[writeManifest]] itself, so PLAN-TIME consumers —
+    * [[GraftScan.estimateStatistics]]'s sizeInBytes for join
+    * planning, capacity audits — answer from the manifest with ZERO
+    * filesystem RPCs. Without it every SQL statement over a 100k-file
+    * table would pay 100k serial getFileStatus calls before the first
+    * task launches (the reason Delta/Iceberg log file sizes).
+    * Files without fz lines (legacy manifests) fall back to
+    * getFileStatus at use — correct, just slower. */
+  private val FzPrefix = "fz\t"
+
+  /** Parsed fz lines: normalized path → byte length. */
+  private[sources] def fileSizesOf(lines: Seq[String]): Map[String, Long] =
+    lines.collect { case l if l.startsWith(FzPrefix) =>
+      val cut = l.indexOf('\t', FzPrefix.length)
+      norm(l.substring(cut + 1)) -> l.substring(FzPrefix.length, cut).toLong
+    }.toMap
+
+  /** Test seam: fired `(where, nCalls)` whenever file sizes must come
+    * from live getFileStatus/listStatus instead of manifest fz lines
+    * — what specs pin to prove plan-time statistics are RPC-free on
+    * current-format tables. */
+  private[sources] var fileSizeRpcNotifier: (String, Int) => Unit =
+    (_, _) => ()
+
+  /** [[writeManifest]]'s fz reconciliation: every data file of the
+    * new version gets exactly one fz line — carried from the incoming
+    * lines or the predecessor manifest when known, fetched (one
+    * listStatus per parent directory of the commit's NEW files —
+    * O(new dirs) RPCs, at commit time, once ever per file) otherwise.
+    * Stale fz lines of departed files are dropped. Central here so
+    * every commit path — appends, COW rewrites, merges, maintenance —
+    * inherits the bookkeeping without threading it. */
+  private def withFileSizes(spark: SparkSession, lines: Seq[String],
+                            prevLines: Seq[String]): Seq[String] = {
+    val data = dataFilesOf(lines)
+    val bare = lines.filterNot(_.startsWith(FzPrefix))
+    if (data.isEmpty) return bare
+    val known = fileSizesOf(prevLines) ++ fileSizesOf(lines)
+    val missing = data.filterNot(f => known.contains(norm(f)))
+    val fetched: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val byDir = missing.groupBy(f => new Path(f).getParent)
+        fileSizeRpcNotifier("writeManifest", byDir.size)
+        byDir.flatMap { case (dir, fs0) =>
+          val want = fs0.map(norm).toSet
+          val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          scala.util.Try(f.listStatus(dir).toSeq).getOrElse(Seq.empty)
+            .collect { case s if want(norm(s.getPath.toString)) =>
+              norm(s.getPath.toString) -> s.getLen }
+        }
+      }
+    val sizes = known ++ fetched
+    bare ++ data.flatMap(f => sizes.get(norm(f))
+      .map(b => s"$FzPrefix$b\t${norm(f)}")).distinct
+  }
+
   private[sources] def cmLinesOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(CmPrefix))
 
@@ -406,7 +466,7 @@ object VersionedTable {
         l.substring(l.indexOf('\t', PtPrefix.length) + 1)
       case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
         !l.startsWith(StPrefix) && !l.startsWith(ScPrefix) &&
-        !l.startsWith(CmPrefix) => l
+        !l.startsWith(CmPrefix) && !l.startsWith(FzPrefix) => l
     }
 
   /** `(partition column, value, path)` of every PARTITION-TAGGED data
@@ -622,26 +682,30 @@ object VersionedTable {
     // ride it in the header so the stamp never costs delta lines.
     checkWriterProtocol(spark, table) // every commit path ends here
     val ts = System.currentTimeMillis()
-    val payload = files0.filterNot(_.startsWith(CommitTsPrefix))
-    val files = payload :+ (CommitTsPrefix + ts)
     val target = manifestPath(table, v)
     val f = fs(spark, target)
     f.mkdirs(manifestDir(table))
+    val prevResolvable = v > 1 &&
+      (f.exists(manifestPath(table, v - 1)) ||
+        f.exists(baseManifestPath(table, v - 1)))
+    val prevLines: Seq[String] =
+      if (!prevResolvable) Seq.empty
+      else readManifest(spark, table, v - 1)
+        .filterNot(_.startsWith(CommitTsPrefix))
+    val payload = withFileSizes(spark,
+      files0.filterNot(_.startsWith(CommitTsPrefix)), prevLines)
+    val files = payload :+ (CommitTsPrefix + ts)
     // choose the physical encoding: delta vs v-1 when strictly smaller
     // than the snapshot (the common append/merge/delete case — O(changed
     // lines) written, not O(table files)); full at v1, at checkpoints,
     // and whenever the history doesn't help (first commit, overwrites,
     // restores to distant versions)
     val body: Seq[String] =
-      if (v <= 1 || v % CheckpointInterval == 0 ||
-          !(f.exists(manifestPath(table, v - 1)) ||
-            f.exists(baseManifestPath(table, v - 1)))) files
+      if (v <= 1 || v % CheckpointInterval == 0 || !prevResolvable) files
       else {
-        val prev = readManifest(spark, table, v - 1)
-          .filterNot(_.startsWith(CommitTsPrefix))
-        val prevSet = prev.toSet
+        val prevSet = prevLines.toSet
         val nextSet = payload.toSet
-        val removed = prev.filterNot(nextSet)
+        val removed = prevLines.filterNot(nextSet)
         val added = payload.filterNot(prevSet)
         val delta = (DeltaHeaderPrefix + (v - 1) + "\t" + ts) +:
           (removed.map(RemoveLinePrefix + _) ++ added.map(AddLinePrefix + _))

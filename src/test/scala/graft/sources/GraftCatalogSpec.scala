@@ -214,6 +214,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gt.tm").as[Long].head() == 102L)
   }
 
+  test("plan-time statistics are RPC-free: fz lines carry file sizes") {
+    val t = seed("tfz")
+    // every commit path records fz lines; rewrites carry them
+    spark.sql("INSERT INTO gt.tfz VALUES (900, 9000, 'z')")
+    spark.sql("DELETE FROM gt.tfz WHERE k BETWEEN 1 AND 5")
+    val head = VersionedTable.versions(spark, t).last
+    val lines = VersionedTable.manifest(spark, t, head)
+    val data = VersionedTable.dataFilesOf(lines)
+    val sizes = VersionedTable.fileSizesOf(lines)
+    assert(data.nonEmpty &&
+      data.forall(f => sizes.contains(VersionedTable.norm(f))),
+      s"every data file needs an fz line; have ${sizes.size} of ${data.size}")
+    assert(sizes.values.forall(_ > 0L))
+    // estimateStatistics answers from the manifest: zero FS calls
+    var rpcs = 0
+    VersionedTable.fileSizeRpcNotifier = (_, n) => rpcs += n
+    val stats = try {
+      new GraftScan(t, head, Nil,
+        VersionedTable.read(spark, t).schema, None).estimateStatistics()
+    } finally VersionedTable.fileSizeRpcNotifier = (_, _) => ()
+    assert(rpcs == 0, s"plan-time stats must be RPC-free, paid $rpcs")
+    assert(stats.sizeInBytes().getAsLong ==
+      data.map(f => sizes(VersionedTable.norm(f))).sum)
+  }
+
+  test("legacy manifests without fz lines fall back to getFileStatus") {
+    val t = seed("tfl")
+    // strip the fz lines from the manifest on disk — a pre-fz table
+    val dir = new org.apache.hadoop.fs.Path(t, "_manifests")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = fsys.listStatus(dir).map(_.getPath)
+      .find(_.getName == "v00000001.json").get
+    val body = {
+      val in = fsys.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val stripped = body.linesIterator.filterNot(_.startsWith("fz\t"))
+      .mkString("\n") + "\n"
+    fsys.delete(mf, false)
+    val out = fsys.create(mf, false)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    var rpcs = 0
+    VersionedTable.fileSizeRpcNotifier = (_, n) => rpcs += n
+    val stats = try {
+      new GraftScan(t, 1, Nil,
+        VersionedTable.read(spark, t).schema, None).estimateStatistics()
+    } finally VersionedTable.fileSizeRpcNotifier = (_, _) => ()
+    assert(rpcs > 0, "legacy table must fall back to live statuses")
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
+
   test("string-partition DELETE probes ONLY that partition's files") {
     val t = s"$warehouse/tsp"
     VersionedTable.commitPartitioned(spark, t,
