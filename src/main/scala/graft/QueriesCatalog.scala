@@ -205,6 +205,118 @@ object QueriesCatalog {
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SQL UPDATE (SupportsRowLevelOperations -> group-based COW
+  // ReplaceData): the claimed range prunes the operation scan to the
+  // manifest's candidate files, so only stats-touched files are read
+  // and rewritten — the in-query require pins that untouched files
+  // carry verbatim across the UPDATE's commit. The gated output reads
+  // BOTH the head (post-update) and the pre-update snapshot; the
+  // oracle applies the SET algebraically.
+  // ---------------------------------------------------------------------
+  def catalogUpdate(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val src = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+    // DETERMINISTIC range clustering (repartitionByRange samples its
+    // boundaries — session-dependent skew would make the prune pin
+    // flaky): 8 exact, disjoint key slices, one append commit each
+    val maxKey = src.agg(max("l_orderkey")).head().getLong(0)
+    val width = maxKey / 8 + 1
+    (0 until 8).foreach { i =>
+      // slice 0 is open-bottomed: keys at/below zero belong to it
+      val lo = if (i == 0) lit(true)
+        else col("l_orderkey") > i * width
+      VersionedTable.commit(s, s"$w/li",
+        src.filter(lo && col("l_orderkey") <= (i + 1) * width)
+          .coalesce(1),
+        append = i > 0, statCols = Seq("l_orderkey"))
+    }
+    s.sql(s"UPDATE $cat.li SET qty = qty + 100 " +
+      s"WHERE l_orderkey BETWEEN 2000 AND ${maxKey / 2} " +
+      "AND l_linestatus = 'F'")
+    val m1 = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/li", 8)).toSet
+    val m2 = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/li", 9)).toSet
+    require(m1.intersect(m2).size >= 2,
+      s"the claimed range must prune the rewrite: the files above " +
+        s"${maxKey / 2} carry verbatim (m1=${m1.size}, m2=${m2.size})")
+    s.sql(
+      s"""SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+         |  CAST(sum(qty) AS BIGINT) AS qty_sum
+         |FROM $cat.li GROUP BY l_linestatus
+         |UNION ALL
+         |SELECT 'pre', l_linestatus, count(*), CAST(sum(qty) AS BIGINT)
+         |FROM $cat.li VERSION AS OF 8 GROUP BY l_linestatus""".stripMargin)
+  }
+
+  val catalogUpdateSql: String =
+    """WITH hi AS (SELECT CAST(max(l_orderkey) // 2 AS BIGINT) AS v
+      |            FROM lineitem)
+      |SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CASE WHEN l_orderkey BETWEEN 2000 AND (SELECT v FROM hi)
+      |      AND l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS BIGINT) + 100
+      |    ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_sum
+      |FROM lineitem GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT 'pre', l_linestatus, count(*),
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SQL MERGE INTO (group-based COW): one statement carrying all three
+  // clause kinds — conditional DELETE, UPDATE from the source row,
+  // INSERT * — against a versioned target, through plain SQL. Matched
+  // rows with o_orderkey % 30 = 0 are deleted, other matches take the
+  // source's doubled price and 'U' status, unmatched source rows
+  // insert. The oracle recomputes the final state algebraically from
+  // orders.
+  // ---------------------------------------------------------------------
+  def catalogMerge(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, s"$w/ord",
+      base.filter(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey"))
+    base.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("price_cents", col("price_cents") * 2)
+      .unionByName(base.filter(col("o_orderkey") % 3 === 1))
+      .createOrReplaceTempView("catalog_merge_src")
+    s.sql(
+      s"""MERGE INTO $cat.ord t USING catalog_merge_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND t.o_orderkey % 30 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderstatus = s.o_orderstatus, price_cents = s.price_cents
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM $cat.ord GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val catalogMergeSql: String =
+    """WITH state AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN 'U'
+      |      ELSE o_orderstatus END AS status,
+      |    CASE WHEN o_orderkey % 6 = 0
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+      |      AS price_cents
+      |  FROM orders
+      |  WHERE (o_orderkey % 3 = 0 AND o_orderkey % 30 <> 0)
+      |     OR o_orderkey % 3 = 1)
+      |SELECT status, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+      |FROM state GROUP BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
   // SQL DDL evolution (alterTable -> the layer's metadata-only
   // commits): RENAME COLUMN (column mapping), ADD COLUMN (declared-
   // schema widen, zero data I/O — in-query require pins that no data
@@ -318,7 +430,101 @@ object QueriesCatalog {
       |  CAST(sum(price_cents) AS BIGINT) AS total_cents
       |FROM state GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SQL CREATE TABLE ... PARTITIONED BY (catalog identity transforms
+  // -> commitPartitionedMulti pt tags): the table is created
+  // partitioned through DDL, filled through plain INSERTs, and a
+  // partition-value predicate prunes by manifest tags — the in-query
+  // require pins that the one-partition read's candidate set is a
+  // strict subset. Oracle recomputes both aggregates from orders.
+  // ---------------------------------------------------------------------
+  def catalogPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    s.sql(s"CREATE TABLE $cat.ordp (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price_cents BIGINT) " +
+      "PARTITIONED BY (o_orderstatus)")
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+      .createOrReplaceTempView("catalog_part_src")
+    s.sql(s"INSERT INTO $cat.ordp SELECT * FROM catalog_part_src " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql(s"INSERT INTO $cat.ordp SELECT * FROM catalog_part_src " +
+      "WHERE o_orderkey % 2 = 1")
+    val lines = VersionedTable.manifest(s, s"$w/ordp",
+      VersionedTable.versions(s, s"$w/ordp").last)
+    val all = VersionedTable.dataFilesOf(lines).size
+    val one = VersionedTable.scanCandidates(lines,
+      Seq(VersionedTable.ScanPred.PartIn("o_orderstatus", Seq("F")))).size
+    require(one < all, s"a one-partition read must prune by pt tags " +
+      s"($one of $all files)")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+         |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS even_cnt
+         |FROM $cat.ordp GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val catalogPartitionedSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS even_cnt
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // STREAMING SINK (graft.streaming.GraftStreamSinkProvider): the full
+  // loop — table A's CDC stream (inserts mode) filtered and written
+  // into table B entirely through readStream -> writeStream, two
+  // AvailableNow pumps with a source commit in between (incremental
+  // delivery, exactly-once via the sink's txn contract). The gated
+  // output aggregates B's snapshot; the oracle recomputes it from
+  // orders algebraically.
+  // ---------------------------------------------------------------------
+  def streamSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val w = java.nio.file.Files.createTempDirectory("graft_ssink")
+      .toAbsolutePath.toString
+    val a = s"$w/a"; val b = s"$w/b"; val ckpt = s"$w/ckpt"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, a, base.filter(col("o_orderkey") % 3 === 0),
+      append = false)
+    def pump(): Unit = {
+      val q = s.readStream.format("graft").option("mode", "inserts")
+        .load(a)
+        .filter(col("o_orderkey") % 2 === 0)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination()
+    }
+    pump()
+    VersionedTable.commit(s, a, base.filter(col("o_orderkey") % 3 === 1),
+      append = true)
+    pump()
+    VersionedTable.read(s, b)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("price_cents").cast("long").as("total_cents"))
+  }
+
+  val streamSinkSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 0
+      |GROUP BY o_orderstatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_partitioned" -> (catalogPartitioned _),
+    "q_stream_sink" -> (streamSink _),
+    "q_catalog_update" -> (catalogUpdate _),
+    "q_catalog_merge" -> (catalogMerge _),
     "q_catalog_delete" -> (catalogDelete _),
     "q_catalog_alter" -> (catalogAlter _),
     "q_stream_source_cdc" -> (streamSourceCdc _),
@@ -328,6 +534,10 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_partitioned" -> catalogPartitionedSql,
+    "q_stream_sink" -> streamSinkSql,
+    "q_catalog_update" -> catalogUpdateSql,
+    "q_catalog_merge" -> catalogMergeSql,
     "q_catalog_delete" -> catalogDeleteSql,
     "q_catalog_alter" -> catalogAlterSql,
     "q_stream_source_cdc" -> streamSourceCdcSql,

@@ -142,20 +142,39 @@ class GraftCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
       : Table = {
-    require(partitions.isEmpty,
-      "CREATE TABLE ... PARTITIONED BY: use the library API " +
-        "(VersionedTable.commitPartitioned) — SQL DDL creates " +
-        "unpartitioned tables")
+    // PARTITIONED BY (col, ...) — identity transforms map straight
+    // onto the layer's multi-column pt tags: the spec is stamped in
+    // the creating commit's meta and every INSERT routes through
+    // commitPartitionedMulti, so partition-value predicates prune by
+    // manifest tags from the first row written
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" &&
+          t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY column $c is not in the table schema")
+        c
+      case other => throw new UnsupportedOperationException(
+        s"only identity PARTITIONED BY columns are supported, got: " +
+          s"$other (bucket/transform specs: library API " +
+          "commitBucketed / commitTransformPartitioned)")
+    }
     val p = pathOf(ident)
     if (isTable(p))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace().toSeq :+ ident.name()).toSeq)
-    // v1 = the empty snapshot carrying the declared schema: reads
-    // resolve the schema line; the first INSERT appends files
-    VersionedTable.commit(spark, p,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema), append = false)
+    // v1 = the empty snapshot carrying the declared schema (and the
+    // partition spec in its meta — a partitioned write of zero rows
+    // would produce zero files, so the spec rides the commit metadata
+    // until the first INSERT's tagged files anchor it): reads resolve
+    // the schema line; the first INSERT appends files
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    VersionedTable.commit(spark, p, empty, append = false,
+      meta = if (partCols.isEmpty) Map.empty
+        else Map("partitioned_by" -> partCols.mkString(",")))
     new GraftTable(p, ident.toString, None)
   }
 
@@ -304,12 +323,28 @@ class GraftCatalog extends TableCatalog {
 /** One versioned table at one PINNED version (head resolved at load
   * time — snapshot isolation for the whole query). SQL `DELETE FROM
   * ... WHERE` lands on [[SupportsDelete]] → one copy-on-write
-  * [[VersionedTable.deleteCommitWhere]] commit (claimed range
-  * conjuncts narrow the matched-file probe by manifest stats). */
+  * [[VersionedTable.deleteCommitWhere]] commit (claimed conjuncts
+  * narrow the matched-file probe by manifest stats); SQL `UPDATE` and
+  * `MERGE INTO` land on [[SupportsRowLevelOperations]] → the
+  * group-based COW seam ([[GraftRowLevelOperation]]). */
 private[sources] class GraftTable(path: String, displayName: String,
                                   versionOpt: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
+
+  /** `_file` — the data file each row lives in (normalized path):
+    * user-queryable (`SELECT _file FROM gt.t`, Delta/Iceberg parity)
+    * and the handle the group-based row-level operations' projecting
+    * write rides ([[GraftRowLevelOperation.requiredMetadataAttributes]]). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = VersionedTable.MetaFileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "normalized path of the data file holding the row"
+    })
   private def spark: SparkSession = SparkSession.active
 
   /** Resolved once: either the travel target or the head AT LOAD. */
@@ -341,6 +376,21 @@ private[sources] class GraftTable(path: String, displayName: String,
     Map(TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> path).asJava
 
+  /** DESCRIBE surface: the identity partition spec, when coherent
+    * (derived bucket/transform tag columns stay internal). */
+  override def partitioning(): Array[Transform] = {
+    val lines = VersionedTable.manifest(spark, path, pinned)
+    val spec = {
+      val full = VersionedTable.fullSpecOf(lines)
+      if (full.nonEmpty) full
+      else VersionedTable.metaOf(lines).get("partitioned_by")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    }
+    spec.filterNot(_.startsWith("__"))
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c)).toArray
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -358,6 +408,14 @@ private[sources] class GraftTable(path: String, displayName: String,
     require(versionOpt.isEmpty,
       "cannot write to a time-travelled snapshot")
     new GraftWriteBuilder(path)
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(versionOpt.isEmpty,
+      "cannot run DML against a time-travelled snapshot")
+    new GraftRowLevelOperationBuilder(path, pinned, info)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -386,23 +444,65 @@ private[sources] class GraftTable(path: String, displayName: String,
 }
 
 /** INSERT INTO → append commit; INSERT OVERWRITE → truncating commit.
-  * Each insert is ONE atomic manifest publish. */
+  * Each insert is ONE atomic manifest publish. On a table created (or
+  * last written) with an identity partition spec, inserts route
+  * through [[VersionedTable.commitPartitionedMulti]] so every new
+  * file lands pt-tagged — partition-value predicates prune by
+  * manifest metadata from the first SQL row written. */
 private[sources] class GraftWriteBuilder(path: String)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** The table's identity partition spec, if every spec column is a
+    * real data column of this write (derived bucket/transform tag
+    * columns fall back to the plain commit — mixing would orphan the
+    * derived spec). Discovered from the head's coherent per-file tags
+    * or, on an empty just-created table, the creating commit's
+    * `partitioned_by` meta. */
+  private def specFor(data: DataFrame): Seq[String] = {
+    val spark = data.sparkSession
+    val vs = VersionedTable.versions(spark, path)
+    if (vs.isEmpty) return Nil
+    val lines = VersionedTable.manifest(spark, path, vs.last)
+    val spec = {
+      val full = VersionedTable.fullSpecOf(lines)
+      if (full.nonEmpty) full
+      else VersionedTable.metaOf(lines).get("partitioned_by")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    }
+    if (spec.nonEmpty && spec.forall(data.columns.contains)) spec
+    else Nil
+  }
+
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: DataFrame, ovr: Boolean) => {
-        if (overwrite || ovr)
-          // overwrite is last-writer-wins by definition: one attempt
-          VersionedTable.commit(data.sparkSession, path, data,
-            append = false)
+        val spark = data.sparkSession
+        val spec = specFor(data)
+        val append = !(overwrite || ovr)
+        if (spec.nonEmpty) {
+          // commutative appends: retry past concurrent-version races
+          // (recomputes the head each attempt); overwrite stays
+          // last-writer-wins single-shot
+          var attempts = if (append) 5 else 1
+          var done = false
+          while (!done) {
+            attempts -= 1
+            try {
+              VersionedTable.commitPartitionedMulti(spark, path, data,
+                spec, append = append)
+              done = true
+            } catch {
+              case e: RuntimeException if attempts > 0 &&
+                  e.getMessage != null &&
+                  e.getMessage.contains("already committed") => ()
+            }
+          }
+        } else if (append)
+          VersionedTable.commitWithRetry(spark, path, data, append = true)
         else
-          // concurrent INSERTs are commutative appends — retry past
-          // version races like the library's own ingest paths
-          VersionedTable.commitWithRetry(data.sparkSession, path, data,
-            append = true)
+          VersionedTable.commit(spark, path, data, append = false)
         ()
       }
   }
@@ -536,7 +636,10 @@ private[sources] class GraftScan(path: String, version: Int,
         java.util.List.of(Row(values: _*)), aggSchema)
     case None =>
       val base =
-        if (preds.isEmpty) VersionedTable.read(spark, path, Some(version))
+        if (required.fieldNames.contains(VersionedTable.MetaFileCol))
+          VersionedTable.readWhereTagged(spark, path, preds, Some(version))
+        else if (preds.isEmpty)
+          VersionedTable.read(spark, path, Some(version))
         else VersionedTable.readWhere(spark, path, preds, Some(version))
       // prune to the required columns so parquet reads only those;
       // zero-column required (bare COUNT) selects no columns at all
@@ -689,8 +792,21 @@ private[sources] object GraftFilterTranslation {
   * source (the table declares no MICRO_BATCH_READ capability, so
   * Spark's resolution falls back to the V1 streaming relation). */
 class GraftSource extends graft.streaming.GraftStreamSourceProvider
-    with TableProvider {
+    with TableProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — the V1 streaming SINK twin
+    * ([[graft.streaming.GraftStreamSinkProvider]]): per-batch
+    * idempotent commits, so readStream → transform → writeStream
+    * composes without library calls. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new graft.streaming.GraftStreamSinkProvider()
+      .createSink(sqlContext, parameters, partitionColumns, outputMode)
 
   private def pathFrom(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -710,9 +826,19 @@ class GraftSource extends graft.streaming.GraftStreamSourceProvider
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap)
-      : StructType =
-    new GraftTable(pathFrom(options), pathFrom(options),
-      versionFrom(options)).schema
+      : StructType = {
+    val p = pathFrom(options)
+    // a table that does not exist YET has no schema to infer — return
+    // empty instead of failing so `writeStream.format("graft")
+    // .start(newTable)` can resolve through to the V1 sink (which
+    // creates the table on the first batch); a batch READ of a
+    // missing table still fails loudly at scan build
+    val exists = scala.util.Try(
+      VersionedTable.versions(SparkSession.active, p).nonEmpty)
+      .getOrElse(false)
+    if (!exists) new StructType()
+    else new GraftTable(p, p, versionFrom(options)).schema
+  }
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],

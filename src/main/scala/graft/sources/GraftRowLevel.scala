@@ -1,0 +1,415 @@
+package graft.sources
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.TaskContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
+import VersionedTable.ScanPred
+
+/** SQL `UPDATE` and `MERGE INTO` over the versioned table — the DSv2
+  * GROUP-BASED (copy-on-write) row-level operation seam
+  * ([[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]),
+  * the same architecture Iceberg's Spark COW mode rides:
+  *
+  *  1. Spark's rewrite rules (`RewriteUpdateTable` /
+  *     `RewriteMergeIntoTable`) replace the DML with a
+  *     `ReplaceData` plan: read the affected GROUPS (files), compute
+  *     every replacement row (CASE WHEN for UPDATE; the merge join
+  *     with carry-over for MERGE), write them back.
+  *  2. `GroupBasedRowLevelOperationScanPlanning` pushes the COMMAND
+  *     condition into [[GraftRowLevelScanBuilder]] — used for FILE
+  *     PRUNING ONLY through [[VersionedTable.scanCandidates]]'
+  *     cannot-rule-out contract. The scan claims nothing row-level:
+  *     it returns EVERY logical row of each candidate file (group
+  *     replacement needs the unmatched rows carried), so an
+  *     `UPDATE ... WHERE k BETWEEN a AND b` on a clustered table
+  *     reads and rewrites only the files whose manifest stats admit
+  *     a match — O(candidate files), never O(table).
+  *  3. The write side ([[GraftReplaceBatchWrite]]) streams the
+  *     replacement rows into fresh parquet files from the EXECUTORS
+  *     (physical column names per the cm mapping; identity partition
+  *     specs split per-task so pt tags survive the rewrite), then
+  *     commits once via [[VersionedTable.replaceFilesCommit]]:
+  *     candidates out, new files in, untouched files carried with
+  *     stats, tombstones consolidated, CHECK constraints enforced —
+  *     one atomic manifest publish against the statement's pinned
+  *     snapshot (a concurrent commit fails the statement loudly
+  *     rather than losing its rows).
+  *
+  * SQL `DELETE` keeps its dedicated [[GraftTable.deleteWhere]] path
+  * (`OptimizeMetadataOnlyDeleteFromTable` restores it whenever every
+  * conjunct translates); a DELETE with predicates the filter language
+  * cannot express now falls back to this group-based path instead of
+  * failing. Reference analog: the library-level `updateCommit` /
+  * `mergeCommit` semantics already gated at sf0.01 — this lifts them
+  * to the SQL surface.
+  */
+private[sources] class GraftRowLevelOperationBuilder(
+    path: String, pinned: Int, info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(path, pinned, info.command())
+}
+
+private[sources] class GraftRowLevelOperation(
+    val path: String, val pinned: Int,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Normalized paths of the files the operation scan planned — what
+    * the write REPLACES. None until the scan builds (then: the
+    * statement's candidate set); a write committing without a planned
+    * scan replaces everything (full rewrite — correct, never lossy,
+    * because the query then read everything too). */
+  @volatile private[sources] var plannedCandidates
+      : Option[Seq[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftRowLevelScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(GraftRowLevelOperation.this,
+            info.schema(), info.queryId())
+      }
+    }
+
+  /** Declaring the file-identity metadata attribute routes the
+    * replace-data write through Spark's projecting task
+    * (`DataAndMetadataWritingSparkTask`): the writer receives the ROW
+    * part exactly in the declared write schema — the engine's own
+    * split of data vs bookkeeping columns (the same contract
+    * Iceberg's COW operation rides with `_file`/`_pos`). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(VersionedTable.MetaFileCol))
+
+  override def description(): String = s"graft-$cmd $path v$pinned"
+}
+
+/** The operation scan: pushed filters prune FILES only (nothing is
+  * claimed — every row of a surviving file is returned, tombstones
+  * applied, columns mapped, declared schema widened). */
+private[sources] class GraftRowLevelScanBuilder(
+    op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private def spark: SparkSession = SparkSession.active
+  private lazy val lines: Seq[String] =
+    VersionedTable.manifest(spark, op.path, op.pinned)
+  private lazy val fullSchema: StructType =
+    VersionedTable.read(spark, op.path, Some(op.pinned)).schema
+  private var required: Option[StructType] = None
+  private var preds: Seq[ScanPred] = Nil
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val partCols = VersionedTable.partitionsOf(lines).map(_._1).toSet
+    preds = filters.toSeq.flatMap(f =>
+      GraftFilterTranslation.translate(f, fullSchema, partCols)
+        .getOrElse(Nil))
+    GraftRowLevelScanBuilder.pushNotifier(filters.toSeq, preds)
+    filters // group replacement: every filter stays Spark-side
+  }
+
+  /** Claim NOTHING: the scan's row set is "all rows of candidate
+    * files", not "rows matching the condition" — the engine keeps the
+    * full condition in the rewrite plan either way. */
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val cand = VersionedTable.scanCandidates(lines, preds)
+    op.plannedCandidates = Some(cand)
+    new GraftRowLevelScan(op.path, op.pinned, preds, cand.size,
+      required.getOrElse(fullSchema))
+  }
+}
+
+private[sources] object GraftRowLevelScanBuilder {
+  /** Test seam: fired `(pushed filters, translated preds)` on every
+    * row-level pushdown negotiation — what specs pin to prove a DML's
+    * claimed condition actually reached the group-pruning probe. */
+  private[sources] var pushNotifier
+      : (Seq[Filter], Seq[ScanPred]) => Unit = (_, _) => ()
+}
+
+private[sources] class GraftRowLevelScan(path: String, version: Int,
+                                         preds: Seq[ScanPred],
+                                         candCount: Int,
+                                         required: StructType)
+    extends Scan {
+  private def spark: SparkSession = SparkSession.active
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-rowlevel $path v$version files=$candCount"
+
+  override def toBatch: Batch = {
+    val base = VersionedTable.readCandidatesTagged(spark, path, preds,
+      Some(version))
+    val projected = base.select(required.fieldNames.toSeq.map(col): _*)
+    new RddBackedBatch(projected.queryExecution.toRdd)
+  }
+}
+
+/** A DSv2 `Batch` over an already-planned Spark RDD — how the
+  * library's own gated read (deletion vectors, column mapping,
+  * declared-schema widening) serves a scan surface that offers no V1
+  * fallback. Each input partition is one RDD partition; the reader
+  * computes it inside the running task (standard task semantics:
+  * broadcasts and shuffle state resolve exactly as they would for the
+  * plan's own job). */
+private[sources] class RddBackedBatch(rdd: RDD[InternalRow])
+    extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    rdd.partitions.map(p => RddSlice(p)): Array[InputPartition]
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RddReaderFactory(rdd)
+}
+
+private[sources] final case class RddSlice(part: org.apache.spark.Partition)
+    extends InputPartition
+
+private[sources] class RddReaderFactory(rdd: RDD[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val it = rdd.iterator(p.asInstanceOf[RddSlice].part, TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** One replaced-group commit: executors write the replacement rows as
+  * parquet (physical names; identity-spec partition values split into
+  * per-value files so pt tags survive), the driver publishes one
+  * [[VersionedTable.replaceFilesCommit]]. */
+private[sources] class GraftReplaceBatchWrite(
+    op: GraftRowLevelOperation, rowSchema: StructType, queryId: String)
+    extends BatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val lines = VersionedTable.manifest(spark, op.path, op.pinned)
+  private val renames = VersionedTable.renameMapOf(lines)
+  private val physSchema = StructType(rowSchema.fields.map(f =>
+    f.copy(name = renames.getOrElse(f.name, f.name))))
+  private val writeDir =
+    s"${op.path}/data/rlo-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** Identity partition spec, split-able only when every spec column
+    * is in the row schema with an exactly-renderable type (the string
+    * cast [[VersionedTable.commitPartitioned]] itself applies);
+    * otherwise the rewrite emits untagged files — reads stay correct
+    * (untagged = never prunable), OPTIMIZE re-tags later. */
+  private val specIdx: Seq[(String, Int, DataType)] = {
+    val spec = VersionedTable.fullSpecOf(lines)
+    def renderable(dt: DataType): Boolean = dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType => true
+      case _ => false
+    }
+    // derived tag columns (__bucket_*, __part_div_*) are not row
+    // columns — their specs cannot split here
+    if (spec.nonEmpty && spec.forall(c =>
+        rowSchema.fieldNames.contains(c) &&
+          renderable(rowSchema(c).dataType)))
+      spec.map(c => (renames.getOrElse(c, c),
+        rowSchema.fieldIndex(c), rowSchema(c).dataType))
+    else Seq.empty
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    ParquetWriteSupport.setSchema(physSchema, conf)
+    // every key ParquetWriteSupport / SparkToParquetSchemaConverter
+    // reads raw from the Configuration, pinned from the session (the
+    // same prep the built-in parquet writer's prepareWrite does)
+    Seq("spark.sql.parquet.writeLegacyFormat" -> "false",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false",
+      "spark.sql.parquet.datetimeRebaseModeInWrite" -> "EXCEPTION",
+      "spark.sql.parquet.int96RebaseModeInWrite" -> "EXCEPTION",
+      "spark.sql.session.timeZone" ->
+        java.util.TimeZone.getDefault.getID)
+      .foreach { case (k, dflt) =>
+        conf.set(k, scala.util.Try(spark.conf.get(k)).toOption
+          .filter(v => v != null && v != "null").getOrElse(dflt))
+      }
+    val codec = spark.conf.get("spark.sql.parquet.compression.codec")
+    new GraftReplaceWriterFactory(writeDir,
+      new SerializableHadoopConf(conf), specIdx, codec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.toSeq.flatMap {
+      case GraftFilesWritten(files) => files
+      case other => sys.error(s"unexpected commit message: $other")
+    }
+    val remove = op.plannedCandidates
+      .getOrElse(VersionedTable.dataFilesOf(lines))
+      .map(VersionedTable.norm).toSet
+    VersionedTable.replaceFilesCommit(spark, op.path, remove, newFiles,
+      op.pinned)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(writeDir)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(dir, true)
+    ()
+  }
+}
+
+/** `(path, pt tag pairs)` per file one task wrote. */
+private[sources] final case class GraftFilesWritten(
+    files: Seq[(String, Seq[(String, String)])])
+    extends WriterCommitMessage
+
+private[sources] class GraftReplaceWriterFactory(
+    dir: String, conf: SerializableHadoopConf,
+    specIdx: Seq[(String, Int, DataType)], codec: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftReplaceDataWriter(dir, conf.value, specIdx, codec,
+      partitionId, taskId)
+}
+
+/** Streams InternalRows into parquet via Spark's own
+  * [[ParquetWriteSupport]] (same encoder the built-in writer uses —
+  * full type fidelity), one file per (task, partition-value combo);
+  * null spec values tag [[VersionedTable.NullPartitionTag]]. Opens
+  * lazily: an empty task writes nothing. */
+private[sources] class GraftReplaceDataWriter(
+    dir: String, conf: Configuration,
+    specIdx: Seq[(String, Int, DataType)], codec: String,
+    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val open = mutable.LinkedHashMap.empty[
+    List[String], (ParquetWriter[InternalRow], String)]
+
+  private def codecName: CompressionCodecName = codec.toLowerCase match {
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "gzip" => CompressionCodecName.GZIP
+    case "zstd" => CompressionCodecName.ZSTD
+    case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+    case "brotli" => CompressionCodecName.BROTLI
+    case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+    case _ => CompressionCodecName.SNAPPY
+  }
+
+  private def render(row: InternalRow, idx: Int, dt: DataType): String =
+    if (row.isNullAt(idx)) VersionedTable.NullPartitionTag
+    else VersionedTable.escapeVal(dt match {
+      case StringType => row.getUTF8String(idx).toString
+      case ByteType => row.getByte(idx).toString
+      case ShortType => row.getShort(idx).toString
+      case IntegerType => row.getInt(idx).toString
+      case LongType => row.getLong(idx).toString
+      case BooleanType => row.getBoolean(idx).toString
+      case other => sys.error(s"unrenderable partition type $other")
+    })
+
+  private def writerFor(key: List[String])
+      : ParquetWriter[InternalRow] =
+    open.getOrElseUpdate(key, {
+      val path = s"$dir/part-$partitionId-$taskId-${open.size}.parquet"
+      val hp = new Path(path)
+      val w = new InternalRowParquetBuilder(
+        HadoopOutputFile.fromPath(hp, conf))
+        .withConf(conf)
+        .withCompressionCodec(codecName)
+        .build()
+      (w, path)
+    })._1
+
+  override def write(row: InternalRow): Unit =
+    writerFor(specIdx.map { case (_, i, dt) => render(row, i, dt) }.toList)
+      .write(row)
+
+  /** The projecting write task hands (metadata, row) — the file
+    * identity already did its job selecting the replaced groups; only
+    * the row lands. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val files = open.toSeq.map { case (key, (w, path)) =>
+      w.close()
+      (path, specIdx.map(_._1).zip(key))
+    }
+    GraftFilesWritten(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (w, path) =>
+      scala.util.Try(w.close())
+      val p = new Path(path)
+      scala.util.Try(p.getFileSystem(conf).delete(p, false))
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] class InternalRowParquetBuilder(file: HadoopOutputFile)
+    extends ParquetWriter.Builder[InternalRow, InternalRowParquetBuilder](
+      file) {
+  override def self(): InternalRowParquetBuilder = this
+  override def getWriteSupport(conf: Configuration)
+      : WriteSupport[InternalRow] = new ParquetWriteSupport
+}
+
+/** Hadoop Configuration with Java serialization — the writer factory
+  * ships the prepared parquet conf (schema + session parquet settings)
+  * to executors. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -49,6 +49,36 @@ object VersionedTable {
     * tombstones to the one data file the deleted row lives in. */
   private val FileCol = "__gf"
 
+  /** The SQL-facing file-identity metadata column (`SELECT _file FROM
+    * gt.t`, and the handle group-based row-level operations project):
+    * the normalized path of the data file each row lives in. */
+  val MetaFileCol = "_file"
+
+  /** Snapshot read carrying [[MetaFileCol]] — tombstones applied,
+    * columns mapped, declared schema widened, plus the file identity
+    * per row. `preds` restrict to [[scanCandidates]] and are NOT
+    * re-applied (callers needing the filtered rows apply it
+    * themselves) — the row-level operation scan wants ALL rows of
+    * candidate files. */
+  private[sources] def readCandidatesTagged(
+      spark: SparkSession, table: String, preds: Seq[ScanPred],
+      version: Option[Int]): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val cand = scanCandidates(lines, preds)
+    if (cand.isEmpty)
+      readSnapshot(spark, lines).limit(0)
+        .withColumn(MetaFileCol,
+          org.apache.spark.sql.functions.lit(null)
+            .cast(org.apache.spark.sql.types.StringType))
+    else readSnapshotTagged(spark,
+      cand ++ dvLinesOf(lines) ++ cmLinesOf(lines) ++ scLinesOf(lines))
+      .withColumnRenamed(FileCol, MetaFileCol)
+  }
+
   /** Commit-metadata manifest-line prefix (`meta<TAB>key=value`) —
     * properties published atomically WITH the commit (e.g. the source
     * version a materialized view was computed from). Not carried by
@@ -71,7 +101,7 @@ object VersionedTable {
     * lines coexist (mixed tables read fine). */
   private val PtPrefix = "pt\t"
 
-  private def escapeVal(v: String): String =
+  private[sources] def escapeVal(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(v)
   private def unescapeVal(v: String): String =
@@ -191,6 +221,11 @@ object VersionedTable {
   private[sources] def cmLinesOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(CmPrefix))
 
+  /** The deletion-vector sidecar lines — carried into subset reads so
+    * tombstones apply ([[readSnapshot]]). */
+  private[sources] def dvLinesOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(DvPrefix))
+
   /** The declared-schema (`sc`) lines — carried alongside cm/dv lines
     * into every subset read so [[widenToDeclared]] can surface
     * metadata-only added columns ([[addColumnCommit]]). */
@@ -199,7 +234,7 @@ object VersionedTable {
 
   /** logical → physical for RENAMED columns only (identity pairs are
     * never stored). */
-  private def renameMapOf(lines: Seq[String]): Map[String, String] =
+  private[sources] def renameMapOf(lines: Seq[String]): Map[String, String] =
     lines.collect {
       case l if l.startsWith(CmPrefix) &&
         !l.startsWith(CmPrefix + "=") =>
@@ -502,7 +537,7 @@ object VersionedTable {
     * empty: their rewrites emit untagged files, which reads treat as
     * never-prunable (correct, just unpruned) and dynamicOverwrite
     * rejects until a full `commitPartitioned(append = false)`. */
-  private def fullSpecOf(lines: Seq[String]): Seq[String] = {
+  private[sources] def fullSpecOf(lines: Seq[String]): Seq[String] = {
     val data = dataFilesOf(lines).map(norm)
     val byFile = partitionsOf(lines).groupBy(t => norm(t._3))
       .view.mapValues(_.map(_._1)).toMap
@@ -809,7 +844,33 @@ object VersionedTable {
   def commitIdempotent(spark: SparkSession, table: String, df: DataFrame,
                        append: Boolean, appId: String, txnVersion: Long,
                        meta: Map[String, String] = Map.empty,
-                       statCols: Seq[String] = Nil): Int = {
+                       statCols: Seq[String] = Nil): Int =
+    idempotentGuard(spark, table, appId, txnVersion) { txnMeta =>
+      commit(spark, table, df, append, meta ++ txnMeta, statCols)
+    }
+
+  /** [[commitIdempotent]] for PARTITIONED commits — the same
+    * txnAppId/txnVersion replay contract around
+    * [[commitPartitionedMulti]], so a partitioned streaming sink
+    * ([[graft.streaming.GraftStreamSinkProvider]]) keeps pt tags AND
+    * exactly-once across restarts. */
+  def commitPartitionedIdempotent(spark: SparkSession, table: String,
+                                  df: DataFrame, partCols: Seq[String],
+                                  append: Boolean, appId: String,
+                                  txnVersion: Long,
+                                  meta: Map[String, String] = Map.empty,
+                                  statCols: Seq[String] = Nil): Int =
+    idempotentGuard(spark, table, appId, txnVersion) { txnMeta =>
+      commitPartitionedMulti(spark, table, df, partCols, append,
+        meta ++ txnMeta, statCols)
+    }
+
+  /** The shared txnAppId/txnVersion replay check: runs `doCommit`
+    * (handing it the txn metadata to stamp) only when this
+    * (appId, txnVersion) has not already committed. */
+  private def idempotentGuard(spark: SparkSession, table: String,
+                              appId: String, txnVersion: Long)
+                             (doCommit: Map[String, String] => Int): Int = {
     require(appId.matches("[A-Za-z0-9_.-]+"),
       s"appId must be [A-Za-z0-9_.-]+, got '$appId'")
     val cache = new Path(table, s"_txn/$appId")
@@ -832,7 +893,7 @@ object VersionedTable {
       f.rename(tmp, cache)
     }
     val vs = versions(spark, table)
-    if (cached().exists(_ >= txnVersion))
+    if (vs.nonEmpty && cached().exists(_ >= txnVersion))
       return vs.last
     // cache miss/stale: the commit metadata is authoritative
     val recorded = vs.reverse.iterator
@@ -843,9 +904,8 @@ object VersionedTable {
       recorded.foreach(writeCache) // repair the cache
       return vs.last
     }
-    val v = commit(spark, table, df, append,
-      meta ++ Map("txn_app" -> appId, "txn_version" -> txnVersion.toString),
-      statCols)
+    val v = doCommit(Map("txn_app" -> appId,
+      "txn_version" -> txnVersion.toString))
     writeCache(txnVersion)
     v
   }
@@ -1318,6 +1378,64 @@ object VersionedTable {
     next
   }
 
+  /** GROUP-REPLACEMENT COMMIT — the publish seam SQL UPDATE and MERGE
+    * INTO land on ([[GraftRowLevelOperation]]): the DSv2 engine has
+    * already read exactly `removeNorm`'s files (all their logical
+    * rows), recomputed the replacement rows, and written them as
+    * `newFiles` (physical-name parquet under the table dir, tagged
+    * pairs carrying identity-spec partition values when the writer
+    * could split); this turns that into ONE atomic manifest publish:
+    *  - untouched files carry verbatim — data line, st stats, fz size;
+    *  - removed files' tombstones are purged (their logical rows
+    *    materialized through the replacement read), carried files'
+    *    tombstones consolidate;
+    *  - new files get st stats (footer pass), CHECK-constraint and
+    *    schema enforcement, and pt tags when provided;
+    *  - the commit lands at `expectedHead` + 1 or fails loudly
+    *    ([[VersionConflict]] semantics) when a concurrent writer got
+    *    there first — the statement read snapshot `expectedHead`, so
+    *    publishing over a newer head could lose that writer's rows.
+    * Cost: O(removed + new files) of metadata and the stats footer
+    * pass — never O(table). */
+  private[sources] def replaceFilesCommit(
+      spark: SparkSession, table: String, removeNorm: Set[String],
+      newFiles: Seq[(String, Seq[(String, String)])],
+      expectedHead: Int): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    if (vs.last != expectedHead)
+      sys.error(s"version conflict on $table: the statement planned " +
+        s"against v$expectedHead but the head is now v${vs.last} — " +
+        "re-run the statement")
+    val lines = readManifest(spark, table, expectedHead)
+    val data = dataFilesOf(lines)
+    val (removed, carry) = data.partition(f => removeNorm.contains(norm(f)))
+    require(removed.map(norm).toSet == removeNorm,
+      s"replace set names ${removeNorm.size - removed.size} files not " +
+        s"in v$expectedHead")
+    val newPaths = newFiles.map(_._1)
+    validateNewFiles(spark, table, newPaths)
+    val dvLines = lines.filter(_.startsWith(DvPrefix))
+    val next = expectedHead + 1
+    val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
+    val lineOf = dataLineByPath(lines)
+    val newDataLines = newFiles.map {
+      case (p, Nil) => p
+      case (p, tags) => ptLineMulti(tags, p)
+    }
+    try writeManifest(spark, table, next,
+      carry.map(p => lineOf(norm(p))) ++ stLinesFor(lines, carry) ++
+        keptDv ++ newDataLines ++
+        computeStatLines(spark, newPaths, statColsOf(lines),
+          renameMapOf(lines)) ++
+        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines))
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already committed") =>
+      throw VersionConflict(expectedHead, removeNorm, e.getMessage)
+    }
+    next
+  }
+
   /** CHANGE DATA FEED: the logical row changes between two committed
     * versions, computed from O(changed files) of I/O. Output schema is
     * the (merged) table schema plus `change` ('insert' | 'delete') and
@@ -1450,7 +1568,7 @@ object VersionedTable {
   /** [[readSnapshot]] keeping the normalized file-identity column
     * `__gf` — the delete path needs to know which file each surviving
     * row lives in. */
-  private def readSnapshotTagged(spark: SparkSession,
+  private[sources] def readSnapshotTagged(spark: SparkSession,
                                  lines: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val data = dataFilesOf(lines)
@@ -2741,6 +2859,15 @@ object VersionedTable {
         l.startsWith(ScPrefix)))
     base.filter(predExpr(preds))
   }
+
+  /** [[readWhere]] carrying [[MetaFileCol]] — how `SELECT _file, ...`
+    * resolves through the SQL scan: candidate files opened, exact
+    * predicates re-applied, each row tagged with its file identity. */
+  def readWhereTagged(spark: SparkSession, table: String,
+                      preds: Seq[ScanPred],
+                      version: Option[Int] = None): DataFrame =
+    readCandidatesTagged(spark, table, preds, version)
+      .filter(predExpr(preds))
 
   /** [[scanCandidates]] for a DISJUNCTION of conjunctions (DNF —
     * every WHERE clause normalizes to one): a file is a candidate

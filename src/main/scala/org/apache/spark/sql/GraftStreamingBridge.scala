@@ -14,4 +14,13 @@ object GraftStreamingBridge {
                      schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The sink-side twin: re-anchor a micro-batch's rows as a PLAIN
+    * batch DataFrame (the V1 `Sink.addBatch` frame is tied to the
+    * incremental execution and must not be re-planned — Delta's
+    * DeltaSink does exactly this repackaging). */
+  def batchFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                 schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

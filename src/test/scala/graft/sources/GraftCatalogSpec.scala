@@ -325,6 +325,91 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.constraintsOf(spark, t).contains("bonus_pos"))
   }
 
+  test("SQL UPDATE: group-based COW rewrites only stats-touched files") {
+    val t = seed("tup")
+    val before = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 1))
+    spark.sql(
+      "UPDATE gt.tup SET amount = amount + 1000000 " +
+        "WHERE k >= 10 AND k <= 20")
+    val got = spark.sql("SELECT k, amount FROM gt.tup ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 100L).map(k =>
+      (k, if (k >= 10 && k <= 20) k * 10 + 1000000 else k * 10)))
+    // the claimed range pruned the scan: untouched files carried
+    val after = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 2))
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size >= 2,
+      s"a narrow UPDATE over 4 range-clustered files must carry >=2 " +
+        s"untouched files, carried ${carried.size}")
+    // history intact
+    assert(spark.sql(
+      "SELECT sum(amount) FROM gt.tup VERSION AS OF 1").as[Long].head() ==
+      (1L to 100L).map(_ * 10).sum)
+  }
+
+  test("SQL UPDATE with a predicate filters cannot express") {
+    seed("tux")
+    spark.sql("UPDATE gt.tux SET amount = 0 WHERE k % 10 = 3")
+    assert(spark.sql(
+      "SELECT count(*) FROM gt.tux WHERE amount = 0").as[Long].head() ==
+      (1L to 100L).count(_ % 10 == 3))
+    assert(spark.sql("SELECT sum(amount) FROM gt.tux").as[Long].head() ==
+      (1L to 100L).filterNot(_ % 10 == 3).map(_ * 10).sum)
+  }
+
+  test("SQL MERGE INTO: matched update, not-matched insert") {
+    val t = seed("tmg")
+    Seq((5L, 555L, "m"), (200L, 2000L, "n"))
+      .toDF("k", "amount", "tag").createOrReplaceTempView("mg_src")
+    spark.sql(
+      """MERGE INTO gt.tmg t USING mg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount, tag = s.tag
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, amount, tag FROM gt.tmg WHERE k IN (5, 6, 200) ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((5L, 555L, "m"), (6L, 60L, "s6"), (200L, 2000L, "n")),
+      s"got $got")
+    assert(spark.sql("SELECT count(*) FROM gt.tmg").as[Long].head() == 101L)
+    val _ = t
+  }
+
+  test("SQL MERGE with DELETE and NOT MATCHED BY SOURCE") {
+    seed("tmd")
+    (96L to 105L).map(k => (k, k)).toDF("k", "amount")
+      .createOrReplaceTempView("md_src")
+    spark.sql(
+      """MERGE INTO gt.tmd t USING md_src s ON t.k = s.k
+        |WHEN MATCHED AND t.k = 99 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount
+        |WHEN NOT MATCHED THEN INSERT (k, amount, tag)
+        |  VALUES (s.k, s.amount, 'new')""".stripMargin)
+    val got = spark.sql("SELECT k, amount FROM gt.tmd WHERE k >= 95 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((95L, 950L), (96L, 96L), (97L, 97L), (98L, 98L),
+      (100L, 100L), (101L, 101L), (102L, 102L), (103L, 103L),
+      (104L, 104L), (105L, 105L)), s"got $got")
+  }
+
+  test("SQL UPDATE on a partitioned table keeps pt tags alive") {
+    val t = s"$warehouse/tupp"
+    VersionedTable.commitPartitioned(spark, t,
+      (1L to 60L).map(k => (k, s"g${k % 3}", k))
+        .toDF("k", "part", "x"), "part", append = false)
+    spark.sql("UPDATE gt.tupp SET x = x * 10 WHERE part = 'g1'")
+    val m2 = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    val tags = VersionedTable.partitionsOf(m2).map(_._2).distinct.sorted
+    assert(tags == Seq("g0", "g1", "g2"),
+      s"rewrite must stay pt-tagged, got $tags")
+    assert(spark.sql("SELECT sum(x) FROM gt.tupp WHERE part = 'g1'")
+      .as[Long].head() == (1L to 60L).filter(_ % 3 == 1).map(_ * 10).sum)
+    assert(spark.sql("SELECT sum(x) FROM gt.tupp WHERE part = 'g0'")
+      .as[Long].head() == (1L to 60L).filter(_ % 3 == 0).sum)
+  }
+
   test("writes to a travelled snapshot are rejected") {
     seed("ti")
     val e = intercept[Exception] {

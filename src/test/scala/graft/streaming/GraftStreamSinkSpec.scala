@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.VersionedTable
+
+/** [[GraftStreamSinkProvider]]: the versioned table as a streaming
+  * SINK — per-batch atomic commits, exactly-once across restarts via
+  * the txn contract, complete-mode snapshot replacement, partitioned
+  * writes, and the full readStream → writeStream loop. */
+class GraftStreamSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("file stream -> graft sink: each batch one commit; restart no-op") {
+    val w = fresh("gsk"); val src = s"$w/src"; val dest = s"$w/dest"
+    val ckpt = s"$w/ckpt"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.parquet(s"$src/b0")
+    def drainOnce(): Unit = {
+      val q = spark.readStream.schema("k LONG, v LONG")
+        .parquet(s"$src/*")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dest)
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L)))
+    val v1 = VersionedTable.versions(spark, dest)
+    // restart with nothing new: no extra commit, no doubled rows
+    drainOnce()
+    assert(VersionedTable.versions(spark, dest) == v1,
+      "an empty restart must not commit")
+    // new data: lands as the next version
+    Seq((3L, 30L)).toDF("k", "v").write.parquet(s"$src/b1")
+    drainOnce()
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("replayed batch is a no-op: same txnVersion commits once") {
+    val w = fresh("gskr"); val dest = s"$w/dest"
+    val sink = new GraftStreamSink(dest, appId = "replay-spec",
+      append = true, Seq.empty, Map.empty)
+    val b = Seq((1L, 1L)).toDF("k", "v")
+    sink.addBatch(0L, b)
+    sink.addBatch(0L, b) // crash-replay of the same micro-batch
+    sink.addBatch(1L, Seq((2L, 2L)).toDF("k", "v"))
+    assert(VersionedTable.versions(spark, dest) == Seq(1, 2))
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("complete mode replaces the snapshot per batch") {
+    val w = fresh("gskc"); val dest = s"$w/dest"
+    val sink = new GraftStreamSink(dest, appId = "complete-spec",
+      append = false, Seq.empty, Map.empty)
+    sink.addBatch(0L, Seq((1L, 1L)).toDF("k", "n"))
+    sink.addBatch(1L, Seq((1L, 3L), (2L, 1L)).toDF("k", "n"))
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 3L), (2L, 1L)),
+      "the head must be batch 1's snapshot alone")
+    assert(VersionedTable.read(spark, dest, Some(1)).as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L)), "batch 0 still time-travels")
+  }
+
+  test("partitioned sink commits pt-tagged files") {
+    val w = fresh("gskp"); val dest = s"$w/dest"
+    val sink = new GraftStreamSink(dest, appId = "part-spec",
+      append = true, Seq("g"), Map.empty)
+    sink.addBatch(0L,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "g"))
+    val tags = VersionedTable.partitionsOf(
+      VersionedTable.manifest(spark, dest, 1)).map(_._2).distinct.sorted
+    assert(tags == Seq("a", "b"), s"got $tags")
+    assert(VersionedTable.readPartitions(spark, dest, "g", Seq("a"))
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("graft source -> graft sink: the loop composes end to end") {
+    val w = fresh("gskl"); val a = s"$w/a"; val b = s"$w/b"
+    val ckpt = s"$w/ckpt"
+    VersionedTable.commit(spark, a,
+      (1L to 40L).map(k => (k, k * 2)).toDF("k", "v"), append = false)
+    VersionedTable.commit(spark, a,
+      Seq((100L, 7L)).toDF("k", "v"), append = true)
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("mode", "inserts").load(a)
+        .filter(col("k") % 2 === 0)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination()
+    }
+    pump()
+    // a further source commit flows through on the next trigger
+    VersionedTable.commit(spark, a,
+      Seq((102L, 9L), (103L, 9L)).toDF("k", "v"), append = true)
+    pump()
+    val got = VersionedTable.read(spark, b).as[(Long, Long)]
+      .collect().toSet
+    val want = ((1L to 40L).map(k => (k, k * 2)) ++
+      Seq((100L, 7L), (102L, 9L))).filter(_._1 % 2 == 0).toSet
+    assert(got == want, s"diff: ${got diff want} / ${want diff got}")
+  }
+}
