@@ -224,6 +224,8 @@ object QueriesCatalog {
     val width = maxKey / 8 + 1
     (0 until 8).foreach { i =>
       // slice 0 is open-bottomed: keys at/below zero belong to it
+      // (8 filtered re-reads of the columnar source beat a persist —
+      // measured: cache materialization costs more than the scans)
       val lo = if (i == 0) lit(true)
         else col("l_orderkey") > i * width
       VersionedTable.commit(s, s"$w/li",

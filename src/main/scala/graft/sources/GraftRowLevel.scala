@@ -19,6 +19,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
@@ -147,8 +148,7 @@ private[sources] class GraftRowLevelScanBuilder(
   override def build(): Scan = {
     val cand = VersionedTable.scanCandidates(lines, preds)
     op.plannedCandidates = Some(cand)
-    new GraftRowLevelScan(op.path, op.pinned, preds, cand.size,
-      required.getOrElse(fullSchema))
+    new GraftRowLevelScan(op, cand, required.getOrElse(fullSchema))
   }
 }
 
@@ -158,23 +158,73 @@ private[sources] object GraftRowLevelScanBuilder {
     * claimed condition actually reached the group-pruning probe. */
   private[sources] var pushNotifier
       : (Seq[Filter], Seq[ScanPred]) => Unit = (_, _) => ()
+
+  /** Test seam: fired `(runtimeMatchedFiles, staticCandidates)` when
+    * the engine's runtime group filter narrows the scan — what specs
+    * pin to prove a MERGE/UPDATE rewrites only files holding a real
+    * match, not every static candidate. */
+  private[sources] var runtimeFilterNotifier: (Int, Int) => Unit =
+    (_, _) => ()
 }
 
-private[sources] class GraftRowLevelScan(path: String, version: Int,
-                                         preds: Seq[ScanPred],
-                                         candCount: Int,
+/** The row-level operation's scan. [[SupportsRuntimeFiltering]] on
+  * `_file` enables Spark's `RowLevelOperationRuntimeGroupFiltering`:
+  * the engine plans a matching-rows subquery (the command condition
+  * over a second, ordinary pruned scan), collects the DISTINCT file
+  * identities holding a match, and hands them back here as an IN
+  * filter BEFORE partitions are planned — so a MERGE whose ON keys
+  * touch three files reads and rewrites three files, not every static
+  * candidate. The write's replace set narrows with it (the scan and
+  * the commit must agree on the group set). Iceberg's COW scan rides
+  * the identical contract. */
+private[sources] class GraftRowLevelScan(op: GraftRowLevelOperation,
+                                         staticCandidates: Seq[String],
                                          required: StructType)
-    extends Scan {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private def spark: SparkSession = SparkSession.active
+
+  @volatile private var candidates: Seq[String] = staticCandidates
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-rowlevel $path v$version files=$candCount"
+    s"graft-rowlevel ${op.path} v${op.pinned} files=${candidates.size}"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(VersionedTable.MetaFileCol))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case sources.In(c, vs)
+          if c.equalsIgnoreCase(VersionedTable.MetaFileCol) =>
+        val keep = vs.toSeq.collect { case s: String =>
+          VersionedTable.norm(s) }.toSet
+        val narrowed = candidates.filter(f =>
+          keep(VersionedTable.norm(f)))
+        GraftRowLevelScanBuilder.runtimeFilterNotifier(
+          narrowed.size, staticCandidates.size)
+        candidates = narrowed
+        // the commit must replace exactly what the scan reads
+        op.plannedCandidates = Some(narrowed)
+      case _ => () // pruning-only contract: unknown filters are hints
+    }
 
   override def toBatch: Batch = {
-    val base = VersionedTable.readCandidatesTagged(spark, path, preds,
-      Some(version))
+    val lines = VersionedTable.manifest(spark, op.path, op.pinned)
+    val base =
+      if (candidates.isEmpty)
+        VersionedTable.read(spark, op.path, Some(op.pinned)).limit(0)
+          .withColumn(VersionedTable.MetaFileCol,
+            org.apache.spark.sql.functions.lit(null).cast(StringType))
+      else VersionedTable.readSnapshotTagged(spark,
+        candidates ++ VersionedTable.dvLinesOf(lines) ++
+          VersionedTable.cmLinesOf(lines) ++
+          VersionedTable.scLinesOf(lines))
+        .withColumnRenamed(VersionedTable.FileColName,
+          VersionedTable.MetaFileCol)
     val projected = base.select(required.fieldNames.toSeq.map(col): _*)
     new RddBackedBatch(projected.queryExecution.toRdd)
   }
@@ -183,26 +233,29 @@ private[sources] class GraftRowLevelScan(path: String, version: Int,
 /** A DSv2 `Batch` over an already-planned Spark RDD — how the
   * library's own gated read (deletion vectors, column mapping,
   * declared-schema widening) serves a scan surface that offers no V1
-  * fallback. Each input partition is one RDD partition; the reader
-  * computes it inside the running task (standard task semantics:
-  * broadcasts and shuffle state resolve exactly as they would for the
-  * plan's own job). */
+  * fallback. Each input partition is one RDD partition and CARRIES
+  * its RDD (runtime group filtering replans the batch, so partitions
+  * and reader factory may come from different toBatch calls — the
+  * slice must be self-contained); the reader computes it inside the
+  * running task (standard task semantics: broadcasts and shuffle
+  * state resolve exactly as they would for the plan's own job). */
 private[sources] class RddBackedBatch(rdd: RDD[InternalRow])
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    rdd.partitions.map(p => RddSlice(p)): Array[InputPartition]
+    rdd.partitions.map(p => RddSlice(rdd, p)): Array[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
-    new RddReaderFactory(rdd)
+    new RddReaderFactory
 }
 
-private[sources] final case class RddSlice(part: org.apache.spark.Partition)
+private[sources] final case class RddSlice(rdd: RDD[InternalRow],
+                                           part: org.apache.spark.Partition)
     extends InputPartition
 
-private[sources] class RddReaderFactory(rdd: RDD[InternalRow])
-    extends PartitionReaderFactory {
+private[sources] class RddReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val it = rdd.iterator(p.asInstanceOf[RddSlice].part, TaskContext.get())
+    val slice = p.asInstanceOf[RddSlice]
+    val it = slice.rdd.iterator(slice.part, TaskContext.get())
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =

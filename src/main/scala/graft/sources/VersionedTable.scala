@@ -49,6 +49,11 @@ object VersionedTable {
     * tombstones to the one data file the deleted row lives in. */
   private val FileCol = "__gf"
 
+  /** [[FileCol]] for the package's DSv2 surfaces (the tagged reads
+    * keep the file identity under this internal name until the public
+    * rename to [[MetaFileCol]]). */
+  private[sources] def FileColName: String = FileCol
+
   /** The SQL-facing file-identity metadata column (`SELECT _file FROM
     * gt.t`, and the handle group-based row-level operations project):
     * the normalized path of the data file each row lives in. */

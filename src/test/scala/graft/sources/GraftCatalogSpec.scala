@@ -393,6 +393,43 @@ class GraftCatalogSpec extends SparkSpec {
       (104L, 104L), (105L, 105L)), s"got $got")
   }
 
+  test("MERGE runtime group filter narrows the rewrite to matched files") {
+    val t = s"$warehouse/tmrf"
+    // four deterministic key slices, one commit (= one file) each
+    (0 until 4).foreach { i =>
+      VersionedTable.commit(spark, t,
+        (1L to 25L).map(j => (i * 25L + j, 0L)).toDF("k", "x")
+          .coalesce(1),
+        append = i > 0, statCols = Seq("k"))
+    }
+    Seq((3L, 30L), (7L, 70L), (500L, 1L)).toDF("k", "x")
+      .createOrReplaceTempView("mrf_src")
+    var narrowed = (-1, -1)
+    GraftRowLevelScanBuilder.runtimeFilterNotifier =
+      (n, s0) => narrowed = (n, s0)
+    try spark.sql(
+      """MERGE INTO gt.tmrf t USING mrf_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET x = s.x
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally GraftRowLevelScanBuilder.runtimeFilterNotifier = (_, _) => ()
+    assert(narrowed == (1, 4),
+      s"keys 3 and 7 live in ONE of four slice files, got $narrowed")
+    // three untouched files carried verbatim through the MERGE commit
+    val before = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 4)).toSet
+    val after = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 5)).toSet
+    assert(before.intersect(after).size == 3,
+      s"carried ${before.intersect(after).size} of 4")
+    val got = spark.sql(
+      "SELECT k, x FROM gt.tmrf WHERE k IN (3, 7, 8, 500) ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 30L), (7L, 70L), (8L, 0L), (500L, 1L)),
+      s"got $got")
+    assert(spark.sql("SELECT count(*) FROM gt.tmrf").as[Long].head() ==
+      101L)
+  }
+
   test("SQL UPDATE on a partitioned table keeps pt tags alive") {
     val t = s"$warehouse/tupp"
     VersionedTable.commitPartitioned(spark, t,
