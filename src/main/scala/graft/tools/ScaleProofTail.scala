@@ -167,7 +167,12 @@ object ScaleProofTail {
       // Catalyst) and the readStream CDC source at 10x
       "q_catalog_sql_read", "q_catalog_agg_pushdown",
       "q_catalog_time_travel", "q_catalog_ddl_roundtrip",
-      "q_stream_source_cdc")
+      "q_stream_source_cdc",
+      // round-9: SQL row-level DML (group-based COW UPDATE/MERGE with
+      // runtime group filtering), SQL DELETE, partitioned DDL, and
+      // the streaming sink loop at 10x
+      "q_catalog_update", "q_catalog_merge", "q_catalog_delete",
+      "q_catalog_partitioned", "q_stream_sink")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)
