@@ -522,7 +522,61 @@ object QueriesCatalog {
       |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 0
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SQL CALL procedures (DSv2 ProcedureCatalog): the maintenance
+  // lifecycle — OPTIMIZE, ANALYZE, tag, deep VACUUM — driven entirely
+  // through `CALL gt.system.*`, every step content-preserving. The
+  // in-query requires pin that optimize compacts (fewer files),
+  // analyze covers stats, and the tagged version survives the vacuum;
+  // the gated output reads both the head and the tagged snapshot, and
+  // the oracle recomputes the (identical) content from orders.
+  // ---------------------------------------------------------------------
+  def catalogCall(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    (0 until 4).foreach(i => VersionedTable.commit(s, s"$w/ord",
+      base.filter(col("o_orderkey") % 4 === i), append = i > 0))
+    val filesBefore = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/ord", 4)).size
+    val v = s.sql(s"CALL $cat.system.optimize(`table` => 'ord', " +
+      "target_rows => 100000000)").collect().head.getLong(0)
+    require(v == 5L, s"optimize must commit v5, got $v")
+    require(VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/ord", 5)).size < filesBefore,
+      "optimize must compact the four fragments")
+    s.sql(s"CALL $cat.system.analyze('ord', 'o_orderkey')")
+    require(VersionedTable.statsCovered(
+      VersionedTable.manifest(s, s"$w/ord", 6), Seq("o_orderkey")),
+      "analyze must cover o_orderkey stats")
+    s.sql(s"CALL $cat.system.tag('ord', 'cut', 5)")
+    s.sql(s"CALL $cat.system.vacuum('ord', 1)")
+    val vs = VersionedTable.versions(s, s"$w/ord")
+    require(vs.contains(5) && !vs.contains(4),
+      s"vacuum must keep only the head and the tagged pin, got $vs")
+    s.sql(
+      s"""SELECT 'head' AS snap, o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM $cat.ord GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'tagged', o_orderstatus, count(*),
+         |  CAST(sum(price_cents) AS BIGINT)
+         |FROM $cat.ord VERSION AS OF 5 GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val catalogCallSql: String =
+    """SELECT 'head' AS snap, o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'tagged', o_orderstatus, count(*),
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_call" -> (catalogCall _),
     "q_catalog_partitioned" -> (catalogPartitioned _),
     "q_stream_sink" -> (streamSink _),
     "q_catalog_update" -> (catalogUpdate _),
@@ -536,6 +590,7 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_call" -> catalogCallSql,
     "q_catalog_partitioned" -> catalogPartitionedSql,
     "q_stream_sink" -> streamSinkSql,
     "q_catalog_update" -> catalogUpdateSql,

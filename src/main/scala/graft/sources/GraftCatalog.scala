@@ -76,9 +76,28 @@ import VersionedTable.ScanPred
   * a warehouse — here the warehouse is the manifest-log directory
   * tree and table names resolve inside it.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** SQL `CALL gt.system.<proc>(...)` — table maintenance through the
+    * DSv2 procedure surface ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(GraftProcedures.Namespace),
+      s"procedures live under the 'system' namespace, got: $ident")
+    GraftProcedures.load(warehouse, ident.name()).getOrElse(
+      sys.error(s"no such procedure: ${ident.name()} — available: " +
+        GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = {
+    if (!namespace.sameElements(GraftProcedures.Namespace))
+      return Array.empty
+    GraftProcedures.names
+      .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+  }
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {

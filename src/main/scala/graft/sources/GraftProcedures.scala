@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for table maintenance — the DSv2
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
+  * (Iceberg's stored-procedure shape, native in Spark 4):
+  *
+  * {{{
+  * CALL gt.system.optimize(`table` => 'events', target_rows => 500000)
+  * CALL gt.system.vacuum('events', 10)
+  * CALL gt.system.analyze('events', 'k,amount')
+  * CALL gt.system.cluster_by('events', 'k,ts', 16)
+  * CALL gt.system.maintain('events', 1000000)
+  * CALL gt.system.purge_tombstones('events', 1000000)
+  * CALL gt.system.tag('events', 'audit-close', 7)
+  * CALL gt.system.drop_tag('events', 'audit-close')
+  * }}}
+  *
+  * Each procedure delegates to the gated library operation
+  * ([[VersionedTable.compactCommit]] / `vacuum` / `analyzeCommit` /
+  * `clusterCommit` / `maintain` / `purgeTombstonesCommit` /
+  * `tagVersion`), so SQL-operated tables get the same O(files)
+  * metadata-decision maintenance the library API provides — a
+  * SQL-only user can now run the whole table lifecycle (DDL, DML,
+  * streaming, maintenance) without a single library call. Results
+  * return as rows (version numbers, vacuum's retire/delete counts,
+  * maintain's typed action report) via driver-side [[LocalScan]]s —
+  * maintenance output is O(actions), never data-sized.
+  */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
+    "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag")
+
+  def load(warehouse: String, name: String): Option[UnboundProcedure] = {
+    def pathOf(table: String): String = {
+      val parts = table.split('.').toSeq
+      parts.foreach(p => require(
+        p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+          p != ".." && !p.startsWith("."),
+        s"illegal table identifier segment: $p"))
+      (warehouse +: parts).mkString("/")
+    }
+    def spark = SparkSession.active
+    def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+    val versionOut = StructType(Seq(StructField("version", LongType,
+      nullable = false)))
+    def versionRow(v: Int): Seq[InternalRow] =
+      Seq(new GenericInternalRow(Array[Any](v.toLong)))
+
+    name match {
+      case "optimize" => Some(proc("optimize",
+        "compact small files into right-sized ones (one atomic commit)",
+        Seq(in("table", StringType),
+          in("target_rows", LongType, Some("1000000"))),
+        versionOut) { r =>
+        versionRow(VersionedTable.compactCommit(spark,
+          pathOf(str(r, 0)), r.getLong(1)))
+      })
+      case "vacuum" => Some(proc("vacuum",
+        "retire history older than the last keep_last versions",
+        Seq(in("table", StringType), in("keep_last", IntegerType)),
+        StructType(Seq(
+          StructField("retired_versions", IntegerType, nullable = false),
+          StructField("deleted_files", IntegerType, nullable = false)))) { r =>
+        val p = pathOf(str(r, 0)); val keep = r.getInt(1)
+        val (retired, dead) = VersionedTable.vacuumDryRun(spark, p, keep)
+        VersionedTable.vacuum(spark, p, keep)
+        Seq(new GenericInternalRow(Array[Any](retired.size, dead.size)))
+      })
+      case "analyze" => Some(proc("analyze",
+        "backfill per-file column statistics (metadata-only commit)",
+        Seq(in("table", StringType), in("columns", StringType)),
+        versionOut) { r =>
+        versionRow(VersionedTable.analyzeCommit(spark, pathOf(str(r, 0)),
+          str(r, 1).split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      })
+      case "cluster_by" => Some(proc("cluster_by",
+        "re-lay the table along 1..8 columns (range / Z-order)",
+        Seq(in("table", StringType), in("columns", StringType),
+          in("n_files", IntegerType, Some("8"))),
+        versionOut) { r =>
+        versionRow(VersionedTable.clusterCommit(spark, pathOf(str(r, 0)),
+          str(r, 1).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+          r.getInt(2)))
+      })
+      case "maintain" => Some(proc("maintain",
+        "policy-driven auto-maintenance (analyze/purge/optimize/recluster)",
+        Seq(in("table", StringType),
+          in("target_rows", LongType, Some("1000000"))),
+        StructType(Seq(StructField("kind", StringType, nullable = false),
+          StructField("detail", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))) { r =>
+        VersionedTable.maintain(spark, pathOf(str(r, 0)), r.getLong(1))
+          .map(a => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(a.kind), UTF8String.fromString(a.detail),
+            a.version.toLong)))
+      })
+      case "purge_tombstones" => Some(proc("purge_tombstones",
+        "materialize deletion-vector debt back into pure files",
+        Seq(in("table", StringType),
+          in("target_rows", LongType, Some("1000000"))),
+        versionOut) { r =>
+        versionRow(VersionedTable.purgeTombstonesCommit(spark,
+          pathOf(str(r, 0)), r.getLong(1)))
+      })
+      case "tag" => Some(proc("tag",
+        "pin a version under a name (vacuum keeps it)",
+        Seq(in("table", StringType), in("name", StringType),
+          in("version", LongType)),
+        StructType(Seq(StructField("tagged", BooleanType,
+          nullable = false)))) { r =>
+        VersionedTable.tagVersion(spark, pathOf(str(r, 0)), str(r, 1),
+          r.getLong(2).toInt)
+        Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case "drop_tag" => Some(proc("drop_tag",
+        "drop a named version pin (idempotent)",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType,
+          nullable = false)))) { r =>
+        VersionedTable.dropTag(spark, pathOf(str(r, 0)), str(r, 1))
+        Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case _ => None
+    }
+  }
+
+  private def in(name: String, dt: DataType,
+                 dflt: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    dflt.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One bound-on-sight procedure: args arrive in declared parameter
+    * order, the body returns result rows, surfaced as one driver-side
+    * [[LocalScan]]. */
+  private def proc(procName: String, doc: String,
+                   params: Seq[ProcedureParameter], out: StructType)
+                  (body: InternalRow => Seq[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] =
+        params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val result = body(input).toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = result
+          override def readSchema(): StructType = out
+        }).iterator()
+      }
+    }
+}
+

@@ -172,7 +172,7 @@ object ScaleProofTail {
       // runtime group filtering), SQL DELETE, partitioned DDL, and
       // the streaming sink loop at 10x
       "q_catalog_update", "q_catalog_merge", "q_catalog_delete",
-      "q_catalog_partitioned", "q_stream_sink")
+      "q_catalog_partitioned", "q_stream_sink", "q_catalog_call")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

@@ -447,6 +447,63 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == (1L to 60L).filter(_ % 3 == 0).sum)
   }
 
+  test("CALL procedures: optimize, analyze, vacuum, tag, maintain") {
+    val t = s"$warehouse/tproc"
+    // 6 tiny fragments — the OPTIMIZE bait
+    (0 until 6).foreach(i => VersionedTable.commit(spark, t,
+      Seq((i.toLong, i.toLong)).toDF("k", "x"), append = i > 0))
+    val v = spark.sql(
+      "CALL gt.system.optimize(`table` => 'tproc', target_rows => 1000)")
+      .as[Long].head()
+    assert(v == 7, s"optimize must commit v7, got $v")
+    assert(VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 7)).size < 6,
+      "fragments must compact")
+    // analyze backfills stats as a metadata commit
+    val va = spark.sql("CALL gt.system.analyze('tproc', 'k')")
+      .as[Long].head()
+    assert(va == 8)
+    assert(VersionedTable.statsCovered(
+      VersionedTable.manifest(spark, t, 8), Seq("k")))
+    // tag pins v7 through a deep vacuum
+    assert(spark.sql("CALL gt.system.tag('tproc', 'keep', 7)")
+      .as[Boolean].head())
+    val vac = spark.sql("CALL gt.system.vacuum('tproc', 1)")
+      .collect().head
+    assert(vac.getAs[Int]("retired_versions") > 0)
+    assert(VersionedTable.versions(spark, t).contains(7),
+      "the tagged version must survive vacuum")
+    assert(spark.sql("CALL gt.system.drop_tag('tproc', 'keep')")
+      .as[Boolean].head())
+    // maintain on a healthy table: empty report
+    assert(spark.sql("CALL gt.system.maintain('tproc', 1000)")
+      .collect().isEmpty, "healthy table needs no maintenance")
+    // rows intact through the whole lifecycle
+    assert(spark.sql("SELECT count(*) FROM gt.tproc").as[Long].head() == 6L)
+    // unknown procedure fails loudly, listing what exists (our
+    // message rides the cause under Spark's FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] {
+      spark.sql("CALL gt.system.nope('tproc')")
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t2 =>
+        Option(t2.getMessage).toSeq ++ msgs(t2.getCause))
+    assert(msgs(e).exists(_.contains("optimize")),
+      s"got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("TRUNCATE TABLE: all rows go, history survives") {
+    val t = seed("ttr")
+    spark.sql("TRUNCATE TABLE gt.ttr")
+    assert(spark.sql("SELECT count(*) FROM gt.ttr").as[Long].head() == 0L)
+    assert(spark.sql("SELECT count(*) FROM gt.ttr VERSION AS OF 1")
+      .as[Long].head() == 100L, "pre-truncate snapshot must survive")
+    // the table stays writable after the truncate
+    spark.sql("INSERT INTO gt.ttr VALUES (7, 70, 'x')")
+    assert(spark.sql("SELECT count(*) FROM gt.ttr").as[Long].head() == 1L)
+    val _ = t
+  }
+
   test("writes to a travelled snapshot are rejected") {
     seed("ti")
     val e = intercept[Exception] {
