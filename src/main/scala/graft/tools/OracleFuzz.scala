@@ -116,7 +116,13 @@ object OracleFuzz {
     // DNF planner: each branch's candidate set shifts independently
     "q_scan_planner_or",
     // filtered min/max: extremes and the contained split shift
-    "q_minmax_where")
+    "q_minmax_where",
+    // round-9 SQL DML: the UPDATE's range (derived from the perturbed
+    // max key) and SET'd row set, the MERGE's matched/deleted/inserted
+    // splits, the partitioned-DDL counts, and the CALL lifecycle's
+    // preserved content all shift with the input subset
+    "q_catalog_update", "q_catalog_merge", "q_catalog_delete",
+    "q_catalog_partitioned", "q_catalog_call")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.
