@@ -388,8 +388,12 @@ private[sources] class GraftTable(path: String, displayName: String,
     * EVERY load look like the same table and serves stale schemas. */
   override def id(): String = s"graft:$path#v$pinned"
 
+  /** Schema from the pinned manifest's `sc` line — zero data I/O per
+    * statement; the merged-footer read remains only as the legacy
+    * fallback (pre-sc manifests). */
   override lazy val schema: StructType =
-    VersionedTable.read(spark, path, Some(pinned)).schema
+    VersionedTable.tableSchemaAt(spark, path, pinned)
+      .getOrElse(VersionedTable.read(spark, path, Some(pinned)).schema)
 
   override def properties(): java.util.Map[String, String] =
     Map(TableCatalog.PROP_PROVIDER -> "graft",

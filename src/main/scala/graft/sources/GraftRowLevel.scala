@@ -124,7 +124,9 @@ private[sources] class GraftRowLevelScanBuilder(
   private lazy val lines: Seq[String] =
     VersionedTable.manifest(spark, op.path, op.pinned)
   private lazy val fullSchema: StructType =
-    VersionedTable.read(spark, op.path, Some(op.pinned)).schema
+    VersionedTable.tableSchemaAt(spark, op.path, op.pinned)
+      .getOrElse(VersionedTable.read(spark, op.path, Some(op.pinned))
+        .schema)
   private var required: Option[StructType] = None
   private var preds: Seq[ScanPred] = Nil
 

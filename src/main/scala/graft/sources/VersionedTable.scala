@@ -4662,6 +4662,16 @@ object VersionedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
+  /** Version `v`'s logical schema from its manifest `sc` line alone —
+    * ZERO data I/O. None on legacy manifests (pre-sc commits) — the
+    * caller falls back to the merged-footer read. What the SQL catalog
+    * resolves table schemas with: without it every statement over a
+    * 100k-file table would open 100k parquet footers at PLAN time
+    * just to name the columns. */
+  def tableSchemaAt(spark: SparkSession, table: String,
+                    v: Int): Option[org.apache.spark.sql.types.StructType] =
+    schemaOfLines(readManifest(spark, table, v))
+
   /** The table's current logical schema: head-manifest `sc` line when
     * present (zero I/O), merged snapshot footers otherwise
     * (metadata-only reads); None for an empty table (first commit —

@@ -99,7 +99,11 @@ private[streaming] object GraftStreamSource {
 
   def schemaFor(spark: SparkSession, table: String,
                 cdc: Boolean): StructType = {
-    val base = VersionedTable.read(spark, table).schema
+    val head = VersionedTable.versions(spark, table).lastOption
+      .getOrElse(sys.error(s"no committed versions in $table"))
+    // sc-line resolution: zero data I/O per stream start
+    val base = VersionedTable.tableSchemaAt(spark, table, head)
+      .getOrElse(VersionedTable.read(spark, table).schema)
     if (!cdc) base
     else StructType(base.fields ++ Seq(
       StructField("change", StringType),
