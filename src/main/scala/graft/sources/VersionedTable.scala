@@ -992,12 +992,36 @@ object VersionedTable {
     * file is unaffected. The sidecar union is O(deleted rows) and
     * broadcast — at 100 TB the anti-join costs one broadcast probe
     * per scanned row, zero shuffle of the data side. */
+  /** The base parquet frame over a snapshot's data files. When the
+    * manifest carries the declared schema (sc line) the reader gets
+    * it EXPLICITLY (spelled physical per the cm mapping, nullable —
+    * inference's own convention): NO schema-inference job runs, where
+    * `mergeSchema` costs an O(files) distributed footer read at
+    * DataFrame creation — per read, per query, on a 100k-file table.
+    * The explicit read serves evolution natively: files missing a
+    * declared column surface it as typed nulls, files carrying
+    * retired physical columns have them ignored. Legacy manifests
+    * (no sc line — pre-sc history, adopted trees) keep the
+    * merged-footer inference. */
+  private def baseSnapshotRead(spark: SparkSession, lines: Seq[String],
+                               data: Seq[String]): DataFrame =
+    schemaOfLines(lines) match {
+      case Some(sc) =>
+        val renames = renameMapOf(lines) // logical -> physical
+        val phys = org.apache.spark.sql.types.StructType(sc.fields.map(
+          f => f.copy(name = renames.getOrElse(f.name, f.name),
+            nullable = true)))
+        spark.read.schema(phys).parquet(data: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(data: _*)
+    }
+
   private[sources] def readSnapshot(spark: SparkSession,
                                     lines: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
-    val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
+    val base = baseSnapshotRead(spark, lines, data)
     val dvs = dvFilesOf(lines)
     // dv sidecars key on PHYSICAL names: the anti-join runs before
     // the cm translation, so tombstones survive any later rename
@@ -1578,7 +1602,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
-    val base = spark.read.option("mergeSchema", "true").parquet(data: _*)
+    val base = baseSnapshotRead(spark, lines, data)
       .withColumn(FileCol, normFileExpr)
     val dvs = dvFilesOf(lines)
     widenToDeclared(applyMapping(if (dvs.isEmpty) base
