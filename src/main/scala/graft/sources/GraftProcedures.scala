@@ -40,7 +40,8 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
-    "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag")
+    "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
+    "restore")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -123,6 +124,14 @@ private[sources] object GraftProcedures {
         VersionedTable.tagVersion(spark, pathOf(str(r, 0)), str(r, 1),
           r.getLong(2).toInt)
         Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case "restore" => Some(proc("restore",
+        "roll the head back to an old version (as a NEW commit — " +
+          "history stays intact)",
+        Seq(in("table", StringType), in("version", LongType)),
+        versionOut) { r =>
+        versionRow(VersionedTable.restoreCommit(spark,
+          pathOf(str(r, 0)), r.getLong(1).toInt))
       })
       case "drop_tag" => Some(proc("drop_tag",
         "drop a named version pin (idempotent)",

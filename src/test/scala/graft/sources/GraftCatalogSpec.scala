@@ -478,6 +478,12 @@ class GraftCatalogSpec extends SparkSpec {
     // maintain on a healthy table: empty report
     assert(spark.sql("CALL gt.system.maintain('tproc', 1000)")
       .collect().isEmpty, "healthy table needs no maintenance")
+    // restore rolls the head back as a NEW commit
+    val vr = spark.sql("CALL gt.system.restore('tproc', 7)")
+      .as[Long].head()
+    assert(vr > 8, s"restore must land a fresh version, got $vr")
+    assert(spark.sql("SELECT count(*) FROM gt.tproc").as[Long].head() ==
+      6L, "restored head must show v7's content")
     // rows intact through the whole lifecycle
     assert(spark.sql("SELECT count(*) FROM gt.tproc").as[Long].head() == 6L)
     // unknown procedure fails loudly, listing what exists (our
