@@ -498,6 +498,24 @@ class GraftCatalogSpec extends SparkSpec {
       s"got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("row-level commit against a stale snapshot fails loudly") {
+    val t = s"$warehouse/tstale"
+    VersionedTable.commit(spark, t,
+      Seq((1L, 1L)).toDF("k", "x"), append = false)
+    VersionedTable.commit(spark, t,
+      Seq((2L, 2L)).toDF("k", "x"), append = true)
+    // a DML planned against v1 must not publish over v2 (it could
+    // silently drop the concurrent writer's rows)
+    val e = intercept[Exception] {
+      VersionedTable.replaceFilesCommit(spark, t,
+        removeNorm = Set.empty, newFiles = Nil, expectedHead = 1)
+    }
+    assert(e.getMessage.contains("conflict") &&
+      e.getMessage.contains("re-run"), s"got: ${e.getMessage}")
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2),
+      "the refused commit must leave no version behind")
+  }
+
   test("TRUNCATE TABLE: all rows go, history survives") {
     val t = seed("ttr")
     spark.sql("TRUNCATE TABLE gt.ttr")
