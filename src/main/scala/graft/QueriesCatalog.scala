@@ -575,7 +575,147 @@ object QueriesCatalog {
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // STREAMING SINK UPDATE MODE (keyed upsert per micro-batch): a CDC
+  // mirror in user code — table A's insert feed streamed into table B
+  // with outputMode("update") + mergeKeys, so B converges to A's
+  // last-writer-wins state without Complete mode's full snapshot
+  // rewrite per batch. Two AvailableNow pumps; between them A takes a
+  // keyed MERGE (updates + inserts), whose new images the second pump
+  // upserts. The in-query require pins that an empty pump commits
+  // nothing (exactly-once restart). Oracle recomputes A's final state
+  // from orders algebraically.
+  // ---------------------------------------------------------------------
+  def streamUpdate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val w = java.nio.file.Files.createTempDirectory("graft_supd")
+      .toAbsolutePath.toString
+    val a = s"$w/a"; val b = s"$w/b"; val ckpt = s"$w/ckpt"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, a, base.filter(col("o_orderkey") % 3 === 0),
+      append = false, statCols = Seq("o_orderkey"))
+    def pump(): Unit = {
+      val q = s.readStream.format("graft").option("mode", "inserts")
+        .load(a)
+        .writeStream.format("graft")
+        .outputMode("update")
+        .option("mergeKeys", "o_orderkey")
+        .option("statCols", "o_orderkey")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination()
+    }
+    pump()
+    val vAfterFirst = VersionedTable.versions(s, b)
+    pump() // nothing new: the restart must not commit
+    require(VersionedTable.versions(s, b) == vAfterFirst,
+      "an empty Update-mode pump must be a no-op")
+    // A takes a keyed merge: doubled prices for %30 keys (updates) and
+    // the %3==1 slice (inserts); the feed's new images upsert into B
+    VersionedTable.mergeCommit(s, a,
+      base.filter(col("o_orderkey") % 30 === 0)
+        .withColumn("price_cents", col("price_cents") * 2)
+        .unionByName(base.filter(col("o_orderkey") % 3 === 1)),
+      "o_orderkey")
+    pump()
+    VersionedTable.read(s, b)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("price_cents").cast("long").as("total_cents"))
+  }
+
+  val streamUpdateSql: String =
+    """WITH state AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 30 = 0
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+      |      AS price_cents
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+      |FROM state GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MERGE-ON-READ SQL DELETE (deletion-vector routing): the lifecycle —
+  //  1. ALTER TABLE SET TBLPROPERTIES forces write.delete.mode =
+  //     merge-on-read; a DELETE then publishes ONLY a positional
+  //     tombstone sidecar + manifest (the in-query require pins the
+  //     data-file set unchanged — zero parquet rewrites);
+  //  2. UNSET returns the table to cost-based routing: a point-range
+  //     DELETE (≈3% of one file's rows) still goes merge-on-read
+  //     (file set unchanged again), composing with the live sidecar;
+  //  3. CALL gt.system.purge_tombstones pays the read-side debt back
+  //     down to pure files (no dv lines);
+  //  4. a BULK delete (qty >= 40, ~20% of every file) routes
+  //     copy-on-write — rewrite, not sidecar.
+  // The gated output reads the head and the pre-delete snapshot; the
+  // oracle recomputes both from lineitem with the predicates negated.
+  // ---------------------------------------------------------------------
+  def catalogDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val li = s"$w/li"
+    val src = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+    VersionedTable.commit(s, li,
+      src.repartitionByRange(4, col("l_orderkey")),
+      append = false, statCols = Seq("l_orderkey", "qty"))
+    val maxKey = src.agg(max("l_orderkey")).head().getLong(0)
+    val lo = 1L; val hi = maxKey / 128L
+    def files(v: Int): Set[String] = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, li, v)).toSet
+    def dvs(v: Int): Seq[String] = VersionedTable.dvFilesOf(
+      VersionedTable.manifest(s, li, v))
+    // 1. property-forced merge-on-read
+    s.sql(s"ALTER TABLE $cat.li SET TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    s.sql(s"DELETE FROM $cat.li WHERE qty = 1")
+    require(files(1) == files(2) && dvs(2).nonEmpty,
+      "forced merge-on-read DELETE must publish only dv + manifest")
+    // 2. cost-based: a point-range delete picks merge-on-read itself
+    s.sql(s"ALTER TABLE $cat.li UNSET TBLPROPERTIES ('write.delete.mode')")
+    s.sql(s"DELETE FROM $cat.li WHERE l_orderkey BETWEEN $lo AND $hi")
+    require(files(2) == files(3) && dvs(3).nonEmpty,
+      "cost-based routing must keep a point DELETE merge-on-read")
+    // 3. purge the debt through SQL CALL
+    val pv = s.sql(s"CALL $cat.system.purge_tombstones('li', 100000000)")
+      .collect().head.getLong(0).toInt
+    require(dvs(pv).isEmpty, "purge must consolidate to pure files")
+    // 4. a bulk delete routes copy-on-write
+    s.sql(s"DELETE FROM $cat.li WHERE qty >= 40")
+    val head = VersionedTable.versions(s, li).last
+    require(dvs(head).isEmpty && files(head) != files(pv),
+      "a bulk DELETE must rewrite copy-on-write, not tombstone")
+    s.sql(
+      s"""SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+         |  CAST(sum(qty) AS BIGINT) AS qty_sum
+         |FROM $cat.li GROUP BY l_linestatus
+         |UNION ALL
+         |SELECT 'v1', l_linestatus, count(*), CAST(sum(qty) AS BIGINT)
+         |FROM $cat.li VERSION AS OF 1 GROUP BY l_linestatus""".stripMargin)
+  }
+
+  val catalogDeleteMorSql: String =
+    """WITH hi AS (SELECT CAST(max(l_orderkey) // 128 AS BIGINT) AS v
+      |            FROM lineitem)
+      |SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem
+      |WHERE CAST(l_quantity AS BIGINT) <> 1
+      |  AND NOT (l_orderkey BETWEEN 1 AND (SELECT v FROM hi))
+      |  AND CAST(l_quantity AS BIGINT) < 40
+      |GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT 'v1', l_linestatus, count(*),
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_update" -> (streamUpdate _),
+    "q_catalog_delete_mor" -> (catalogDeleteMor _),
     "q_catalog_call" -> (catalogCall _),
     "q_catalog_partitioned" -> (catalogPartitioned _),
     "q_stream_sink" -> (streamSink _),
@@ -590,6 +730,8 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_update" -> streamUpdateSql,
+    "q_catalog_delete_mor" -> catalogDeleteMorSql,
     "q_catalog_call" -> catalogCallSql,
     "q_catalog_partitioned" -> catalogPartitionedSql,
     "q_stream_sink" -> streamSinkSql,

@@ -248,6 +248,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         }
       case d: TableChange.DropConstraint =>
         VersionedTable.dropConstraint(spark, p, d.name())
+      case sp: TableChange.SetProperty =>
+        VersionedTable.setTableProperty(spark, p, sp.property(),
+          sp.value())
+      case rp: TableChange.RemoveProperty =>
+        VersionedTable.unsetTableProperty(spark, p, rp.property())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
@@ -317,6 +322,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         }
       case d: TableChange.DropConstraint =>
         constraints -= d.name()
+      case sp: TableChange.SetProperty =>
+        // mirror setTableProperty's SET-time rules so a doomed later
+        // property change rejects the whole statement upfront
+        require(sp.property().nonEmpty && sp.property().forall(c =>
+          c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+          s"ALTER would fail: property key '${sp.property()}' must " +
+            "be [A-Za-z0-9._-]+")
+        require(!sp.value().contains('\n'),
+          "ALTER would fail: property value must be one line")
+        if (sp.property() == VersionedTable.DeleteModeProp)
+          require(Set("copy-on-write", "merge-on-read", "auto")(
+            sp.value()),
+            s"ALTER would fail: ${VersionedTable.DeleteModeProp} " +
+              "must be copy-on-write | merge-on-read | auto")
+      case _: TableChange.RemoveProperty => () // idempotent
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
@@ -396,8 +416,9 @@ private[sources] class GraftTable(path: String, displayName: String,
       .getOrElse(VersionedTable.read(spark, path, Some(pinned)).schema)
 
   override def properties(): java.util.Map[String, String] =
-    Map(TableCatalog.PROP_PROVIDER -> "graft",
-      TableCatalog.PROP_LOCATION -> path).asJava
+    (VersionedTable.tablePropertiesOf(spark, path) ++
+      Map(TableCatalog.PROP_PROVIDER -> "graft",
+        TableCatalog.PROP_LOCATION -> path)).asJava
 
   /** DESCRIBE surface: the identity partition spec, when coherent
     * (derived bucket/transform tag columns stay internal). */
@@ -462,7 +483,11 @@ private[sources] class GraftTable(path: String, displayName: String,
     val preds = filters.toSeq
       .flatMap(f => GraftFilterTranslation.translate(f, schema, partCols)
         .getOrElse(Nil))
-    VersionedTable.deleteCommitWherePruned(spark, path, pred, preds)
+    // copy-on-write vs merge-on-read (deletion-vector sidecar) by the
+    // write.delete.mode table property, cost-based when unset — a
+    // point DELETE commits O(matched rows) of tombstones instead of
+    // rewriting every file that holds one doomed row
+    VersionedTable.deleteCommitRouted(spark, path, pred, preds)
   }
 }
 

@@ -74,9 +74,10 @@ private[sources] object GraftProcedures {
         StructType(Seq(
           StructField("retired_versions", IntegerType, nullable = false),
           StructField("deleted_files", IntegerType, nullable = false)))) { r =>
-        val p = pathOf(str(r, 0)); val keep = r.getInt(1)
-        val (retired, dead) = VersionedTable.vacuumDryRun(spark, p, keep)
-        VersionedTable.vacuum(spark, p, keep)
+        // ONE metadata walk: vacuum reports what it acted on itself —
+        // no pre-flight dryRun duplicating the retire/live arithmetic
+        val (retired, dead) = VersionedTable.vacuum(spark,
+          pathOf(str(r, 0)), r.getInt(1))
         Seq(new GenericInternalRow(Array[Any](retired.size, dead.size)))
       })
       case "analyze" => Some(proc("analyze",

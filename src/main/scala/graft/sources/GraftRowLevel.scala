@@ -243,6 +243,27 @@ private[sources] class GraftRowLevelScan(op: GraftRowLevelOperation,
   * state resolve exactly as they would for the plan's own job). */
 private[sources] class RddBackedBatch(rdd: RDD[InternalRow])
     extends Batch {
+  // ROW-LEVEL READ CONTRACT: the wrapped plan's RDD is computed inside
+  // FOREIGN DSv2 tasks, where only narrow lineage, broadcasts, and
+  // already-materialized shuffle stages resolve — an UN-materialized
+  // ShuffleDependency would make those tasks fetch map outputs from
+  // stages that never ran and fail confusingly deep in the scan.
+  // Today's snapshot read is shuffle-free by construction (the dv
+  // anti-join is a broadcast); this check makes the invariant
+  // self-enforcing against future read-path changes, while still
+  // admitting exchanges AQE materialized at toRdd time.
+  locally {
+    val bad = org.apache.spark.GraftShuffleGuard
+      .unmaterializedShuffles(rdd)
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"row-level operation read contract violated: the snapshot plan " +
+        s"carries un-materialized shuffle(s) ${bad.mkString(", ")} — " +
+        "RddBackedBatch computes the plan inside foreign DSv2 tasks, " +
+        "where that shuffle state cannot resolve. Keep the row-level " +
+        "snapshot read narrow (broadcast the dv anti-join) or " +
+        "materialize the exchange before wrapping.")
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     rdd.partitions.map(p => RddSlice(rdd, p)): Array[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =

@@ -49,6 +49,15 @@ object VersionedTable {
     * tombstones to the one data file the deleted row lives in. */
   private val FileCol = "__gf"
 
+  /** Reserved POSITIONAL tombstone key: the row's ordinal within its
+    * data file, materialized from the parquet reader's
+    * `_metadata.row_index` — stable forever because data files are
+    * immutable (only ever replaced whole). A sidecar keyed
+    * `(__gf, __gpos)` identifies rows with NO table key at all, which
+    * is what SQL merge-on-read DELETE writes (Delta's deletion
+    * vectors / Iceberg's positional deletes key the same way). */
+  private[sources] val PosCol = "__gpos"
+
   /** [[FileCol]] for the package's DSv2 surfaces (the tagged reads
     * keep the file identity under this internal name until the public
     * rename to [[MetaFileCol]]). */
@@ -1018,7 +1027,6 @@ object VersionedTable {
 
   private[sources] def readSnapshot(spark: SparkSession,
                                     lines: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
     val base = baseSnapshotRead(spark, lines, data)
@@ -1026,14 +1034,30 @@ object VersionedTable {
     // dv sidecars key on PHYSICAL names: the anti-join runs before
     // the cm translation, so tombstones survive any later rename
     widenToDeclared(applyMapping(if (dvs.isEmpty) base
-    else {
-      val tomb = spark.read.parquet(dvs: _*)
-      val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
-      base
-        .withColumn(FileCol, normFileExpr)
+    else applyTombstones(spark,
+      base.withColumn(FileCol, normFileExpr), dvs).drop(FileCol),
+      lines), lines)
+  }
+
+  /** Apply a snapshot's deletion-vector sidecars to `base` (which must
+    * already carry [[FileCol]]): one broadcast (file, key…) anti-join —
+    * O(deleted rows) broadcast, zero shuffle of the data side. A
+    * POSITIONAL sidecar (keyed [[PosCol]]) has no table key columns to
+    * join on; the row's file ordinal is materialized from the parquet
+    * reader's `_metadata.row_index` just for the join and dropped
+    * after — data files are immutable, so positions never shift. */
+  private def applyTombstones(spark: SparkSession, base: DataFrame,
+                              dvs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (dvs.isEmpty) return base
+    val tomb = spark.read.parquet(dvs: _*)
+    val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
+    val needPos = keyCols.contains(PosCol) && !base.columns.contains(PosCol)
+    val joined =
+      (if (needPos) base.withColumn(PosCol, col("_metadata.row_index"))
+       else base)
         .join(broadcast(tomb), FileCol +: keyCols, "left_anti")
-        .drop(FileCol)
-    }, lines), lines)
+    if (needPos) joined.drop(PosCol) else joined
   }
 
   /** Reconcile a snapshot read with the DECLARED schema (sc line):
@@ -1331,6 +1355,193 @@ object VersionedTable {
     catch { case c: VersionConflict => sys.error(c.getMessage) }
   }
 
+  /** MERGE-ON-READ DELETE by predicate — NO key columns needed: the
+    * matched rows' `(file, position)` identities land in a
+    * deletion-vector sidecar ([[PosCol]] = the row's parquet ordinal,
+    * stable because data files are immutable) and every data file
+    * carries verbatim. A point DELETE commits O(matched rows) of
+    * sidecar where [[deleteCommitWhere]] (copy-on-write) rewrites
+    * O(matched file BYTES) — the Delta-DV / Iceberg-positional-delete
+    * trade: reads pay a broadcast anti-join until `purge_tombstones` /
+    * OPTIMIZE consolidates the debt. `preds` prune the doomed scan by
+    * the full [[ScanPred]] language, same as the COW paths. Composes
+    * with earlier positional deletes (positions name original-file
+    * rows, and already-dead rows are filtered before the scan);
+    * refuses when live sidecars are keyed by table columns — the read
+    * applies ONE tombstone key schema per table. */
+  def deleteCommitPositional(spark: SparkSession, table: String,
+                             predicate: org.apache.spark.sql.Column,
+                             preds: Seq[ScanPred] = Nil): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val liveDvs = dvFilesOf(lines)
+    if (liveDvs.nonEmpty) {
+      val existing = spark.read.parquet(liveDvs: _*).columns
+        .filterNot(_ == FileCol).toSet
+      require(existing == Set(PosCol),
+        s"table's live tombstones are keyed by $existing; a positional " +
+          "delete would not compose — purge_tombstones (or " +
+          "compactCommit) first, or keep deleting by those keys")
+    }
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val scanLines =
+      if (preds.isEmpty) lines
+      else scanCandidates(lines, preds) ++ dvLinesOf(lines) ++
+        cmLinesOf(lines) ++ scLinesOf(lines)
+    deletePruneNotifier(dataFilesOf(scanLines).size, data.size)
+    val effPred =
+      if (preds.isEmpty) predicate else predicate && predExpr(preds)
+    val doomed =
+      if (dataFilesOf(scanLines).isEmpty) None
+      else Some(readSnapshotTaggedWithPos(spark, scanLines)
+        .filter(effPred).select(FileCol, PosCol))
+    publishTombstoneCommit(spark, table, lines, doomed, vs.last)
+  }
+
+  /** Shared positional/keyed tombstone publish tail: write the doomed
+    * identities as ONE sidecar file under the next version's data dir,
+    * re-publish every carried line plus the new dv line. An empty
+    * doomed set still commits (carry-all — one logical op, one
+    * version). */
+  private def publishTombstoneCommit(spark: SparkSession, table: String,
+                                     lines: Seq[String],
+                                     doomed: Option[DataFrame],
+                                     head: Int): Int = {
+    val next = head + 1
+    val dvDir = new Path(table,
+      s"data/$next-dv-${java.util.UUID.randomUUID().toString.take(8)}")
+    val dvLines = doomed match {
+      case None => Seq.empty[String]
+      case Some(df) =>
+        // tombstones are tiny — one file keeps the manifest and the
+        // read-side broadcast compact
+        df.coalesce(1).write.parquet(dvDir.toString)
+        val f = fs(spark, dvDir)
+        val files = f.listStatus(dvDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        if (spark.read.parquet(dvDir.toString).limit(1).count() > 0)
+          files.map(p => DvPrefix + p.toString)
+        else { f.delete(dvDir, true); Seq.empty }
+    }
+    try writeManifest(spark, table, next,
+      lines.filterNot(_.startsWith(MetaPrefix)) ++ dvLines)
+    catch { case e: RuntimeException
+        if e.getMessage != null &&
+          e.getMessage.contains("already committed") =>
+      sys.error(s"version conflict on $table: the delete planned " +
+        s"against v$head but a concurrent commit took v$next — " +
+        "re-run the delete")
+    }
+    next
+  }
+
+  /** Test seam: fired `(chosenMode, matchedRows, matchedFileRows)` by
+    * [[deleteCommitRouted]] after its routing decision — what specs
+    * pin to prove a point DELETE goes merge-on-read (zero parquet
+    * rewrites) while a bulk DELETE still rewrites copy-on-write.
+    * matchedRows/matchedFileRows are -1 when the mode was forced by
+    * the table property (no probe ran). */
+  private[sources] var deleteModeNotifier
+      : (String, Long, Long) => Unit = (_, _, _) => ()
+
+  /** The `write.delete.mode` table property key. */
+  val DeleteModeProp = "write.delete.mode"
+
+  /** SQL DELETE's routing seam — copy-on-write vs merge-on-read:
+    *
+    *  - table property `write.delete.mode = 'copy-on-write'` →
+    *    [[deleteCommitWherePruned]] (rewrite matched files);
+    *  - `= 'merge-on-read'` → [[deleteCommitPositional]] (sidecar
+    *    tombstones, zero data rewrites);
+    *  - unset / `'auto'` → COST-BASED: one pruned probe counts the
+    *    matched rows per file; when they are a small fraction
+    *    (≤ 10%) of the matched files' total rows (manifest st
+    *    nrows — zero extra I/O), a rewrite would copy ≥ 10× the
+    *    bytes it deletes, so the delete goes merge-on-read; bulk
+    *    deletes (or tables without st coverage, or tables whose live
+    *    sidecars are keyed by table columns) stay copy-on-write. The
+    *    probe is never paid twice: the COW branch reuses its matched
+    *    set (the rewrite skips its own probe), the MOR branch re-reads
+    *    only the matched files for their row positions.
+    *
+    * On a 100 TB table this is the difference between a compliance
+    * point-DELETE committing O(deleted rows) of sidecar and it
+    * rewriting every file that holds one doomed row. */
+  def deleteCommitRouted(spark: SparkSession, table: String,
+                         predicate: org.apache.spark.sql.Column,
+                         preds: Seq[ScanPred]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    def cow(preMatched: Option[(Set[String], Int)]): Int =
+      try rewriteCommitAttempt(spark, table, predicate, preds, _ => (),
+        preMatched) { (rows, rangePred) =>
+        rows.filter(not(coalesce(rangePred, lit(false))))
+      }
+      catch { case c: VersionConflict => sys.error(c.getMessage) }
+    tablePropertyOf(spark, table, DeleteModeProp) match {
+      case Some("copy-on-write") =>
+        deleteModeNotifier("copy-on-write", -1L, -1L)
+        cow(None)
+      case Some("merge-on-read") =>
+        deleteModeNotifier("merge-on-read", -1L, -1L)
+        deleteCommitPositional(spark, table, predicate, preds)
+      case Some(other) if other != "auto" =>
+        sys.error(s"unknown $DeleteModeProp '$other' on $table — " +
+          "use 'copy-on-write', 'merge-on-read' or 'auto'")
+      case _ =>
+        val vs = versions(spark, table)
+        require(vs.nonEmpty, s"no committed versions in $table")
+        val head = vs.last
+        val lines = readManifest(spark, table, head)
+        val rowCounts = manifestRowCounts(lines)
+        val liveDvs = dvFilesOf(lines)
+        val posCompatible = liveDvs.isEmpty ||
+          spark.read.parquet(liveDvs: _*).columns
+            .filterNot(_ == FileCol).toSet == Set(PosCol)
+        if (rowCounts.isEmpty || !posCompatible) {
+          // no O(files) row counts to decide from (or the sidecar key
+          // schema forbids positional) — today's behavior, one probe
+          deleteModeNotifier("copy-on-write", -1L, -1L)
+          cow(None)
+        } else {
+          val scanLines =
+            if (preds.isEmpty) lines
+            else scanCandidates(lines, preds) ++ dvLinesOf(lines) ++
+              cmLinesOf(lines) ++ scLinesOf(lines)
+          val effPred =
+            if (preds.isEmpty) predicate
+            else predicate && predExpr(preds)
+          val perFile: Map[String, Long] =
+            if (dataFilesOf(scanLines).isEmpty) Map.empty
+            else readSnapshotTagged(spark, scanLines).filter(effPred)
+              .groupBy(org.apache.spark.sql.functions.col(FileCol))
+              .count().collect()
+              .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+          val matchedRows = perFile.valuesIterator.sum
+          val matchedFileRows = perFile.keysIterator
+            .map(f => rowCounts.get.getOrElse(f, 0L)).sum
+          if (matchedRows > 0 && matchedRows * 10L <= matchedFileRows) {
+            deleteModeNotifier("merge-on-read", matchedRows,
+              matchedFileRows)
+            // re-read ONLY the matched files for their row positions —
+            // tiny by the decision just made
+            val lineOf = dataLineByPath(lines)
+            val matchedLines = perFile.keys.toSeq.map(lineOf) ++
+              dvLinesOf(lines) ++ cmLinesOf(lines) ++ scLinesOf(lines)
+            val doomed = readSnapshotTaggedWithPos(spark, matchedLines)
+              .filter(effPred).select(FileCol, PosCol)
+            publishTombstoneCommit(spark, table, lines, Some(doomed),
+              head)
+          } else {
+            deleteModeNotifier("copy-on-write", matchedRows,
+              matchedFileRows)
+            cow(Some((perFile.keySet, head)))
+          }
+        }
+    }
+  }
+
   /** The shared COW rewrite tail of UPDATE and predicate DELETE:
     * stats-pruned candidate probe, matched-file detection, transform
     * of exactly the matched files' logical rows, atomic publish with
@@ -1352,12 +1563,22 @@ object VersionedTable {
   private def rewriteCommitAttempt(spark: SparkSession, table: String,
                                    predicate: org.apache.spark.sql.Column,
                                    prunePreds: Seq[ScanPred],
-                                   onAttempt: Int => Unit)
+                                   onAttempt: Int => Unit,
+                                   preMatched: Option[(Set[String], Int)] =
+                                     None)
                                   (transform: (DataFrame,
                                     org.apache.spark.sql.Column) => DataFrame)
       : Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
+    // a caller-supplied matched set was probed against a specific head
+    // — publishing it over a NEWER head could lose that writer's rows
+    preMatched.foreach { case (_, probedHead) =>
+      if (vs.last != probedHead)
+        sys.error(s"version conflict on $table: the delete probed " +
+          s"against v$probedHead but the head is now v${vs.last} — " +
+          "re-run the statement")
+    }
     val lines = readManifest(spark, table, vs.last)
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
@@ -1373,11 +1594,12 @@ object VersionedTable {
     val rangePred =
       if (prunePreds.isEmpty) predicate
       else predicate && predExpr(prunePreds)
-    val matched =
+    val matched = preMatched.map(_._1).getOrElse {
       if (dataFilesOf(scanLines).isEmpty) Set.empty[String]
       else readSnapshotTagged(spark, scanLines).filter(rangePred)
         .select(FileCol).distinct().collect()
         .map(r => norm(r.getString(0))).toSet
+    }
     val (rewrite, carry) = data.partition(f => matched.contains(norm(f)))
     updatePruneNotifier(rewrite.size, data.size)
     val next = vs.last + 1
@@ -1599,18 +1821,28 @@ object VersionedTable {
     * row lives in. */
   private[sources] def readSnapshotTagged(spark: SparkSession,
                                  lines: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
     val base = baseSnapshotRead(spark, lines, data)
       .withColumn(FileCol, normFileExpr)
-    val dvs = dvFilesOf(lines)
-    widenToDeclared(applyMapping(if (dvs.isEmpty) base
-    else {
-      val tomb = spark.read.parquet(dvs: _*)
-      val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
-      base.join(broadcast(tomb), FileCol +: keyCols, "left_anti")
-    }, lines), lines)
+    widenToDeclared(applyMapping(
+      applyTombstones(spark, base, dvFilesOf(lines)), lines), lines)
+  }
+
+  /** [[readSnapshotTagged]] also carrying [[PosCol]], the row's
+    * ordinal in its PHYSICAL file (materialized before tombstone
+    * application, so positions name original-file rows) — what the
+    * positional-delete doomed scan reads. */
+  private def readSnapshotTaggedWithPos(spark: SparkSession,
+                                        lines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val data = dataFilesOf(lines)
+    require(data.nonEmpty, "manifest lists no data files")
+    val base = baseSnapshotRead(spark, lines, data)
+      .withColumn(FileCol, normFileExpr)
+      .withColumn(PosCol, col("_metadata.row_index"))
+    widenToDeclared(applyMapping(
+      applyTombstones(spark, base, dvFilesOf(lines)), lines), lines)
   }
 
   /** MERGE INTO with FILE-LEVEL copy-on-write — the composition the
@@ -1639,6 +1871,23 @@ object VersionedTable {
     try mergeCommitAttempt(spark, table, source, keyCol, deleteCol, _ => ())
     catch { case c: VersionConflict => sys.error(c.getMessage) }
 
+  /** [[mergeCommit]] under the txnAppId/txnVersion replay contract —
+    * what an Update-mode streaming sink
+    * ([[graft.streaming.GraftStreamSinkProvider]]) commits per
+    * micro-batch: a keyed upsert that is a metadata-checked NO-OP when
+    * the batch replays after a crash (the txn record is commit
+    * metadata, atomic with the manifest publish — same guard as
+    * [[commitIdempotent]]). */
+  def mergeCommitIdempotent(spark: SparkSession, table: String,
+                            source: DataFrame, keyCol: String,
+                            appId: String, txnVersion: Long,
+                            deleteCol: Option[String] = None): Int =
+    idempotentGuard(spark, table, appId, txnVersion) { txnMeta =>
+      try mergeCommitAttempt(spark, table, source, keyCol, deleteCol,
+        _ => (), txnMeta)
+      catch { case c: VersionConflict => sys.error(c.getMessage) }
+    }
+
   /** A concurrent writer published the version this read-modify-write
     * attempt computed against `baseV` was about to claim; `touched` is
     * the normalized file set the attempt rewrote/tombstoned — what
@@ -1652,7 +1901,9 @@ object VersionedTable {
   private def mergeCommitAttempt(spark: SparkSession, table: String,
                                  source: DataFrame, keyCol: String,
                                  deleteCol: Option[String],
-                                 onAttempt: Int => Unit): Int = {
+                                 onAttempt: Int => Unit,
+                                 meta: Map[String, String] =
+                                   Map.empty): Int = {
     import org.apache.spark.sql.functions._
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
@@ -1729,7 +1980,7 @@ object VersionedTable {
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
           statColsOf(currentLines), renameMapOf(currentLines)) ++
-        scLines ++ cmLinesOf(currentLines))
+        scLines ++ cmLinesOf(currentLines) ++ metaLinesOf(meta))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, touchedNorm, e.getMessage)
@@ -4522,6 +4773,18 @@ object VersionedTable {
 
   private def constraintsDir(table: String) = new Path(table, "_constraints")
 
+  private def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
+                            p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8").trim
+    } finally in.close()
+  }
+
   /** The table's active CHECK constraints (name -> SQL expression). */
   def constraintsOf(spark: SparkSession,
                     table: String): Map[String, String] = {
@@ -4529,17 +4792,65 @@ object VersionedTable {
     val f = fs(spark, dir)
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("."))
-      .map { s =>
-        val in = f.open(s.getPath)
-        val body = try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-          bytes.toString("UTF-8").trim
-        } finally in.close()
-        s.getPath.getName -> body
-      }.toMap
+      .map(s => s.getPath.getName -> readSmallFile(f, s.getPath)).toMap
+  }
+
+  private def propsDir(table: String) = new Path(table, "_props")
+
+  /** SET a table PROPERTY (`ALTER TABLE ... SET TBLPROPERTIES`):
+    * key→value sidecar files under `_props/` — the same registry
+    * discipline as CHECK constraints (O(1) sidecar reads, survives
+    * vacuum because it is not part of any one version's manifest);
+    * last-write-wins per key, published by temp-write + rename.
+    * Behavior-bearing key: [[DeleteModeProp]] (validated here so a
+    * typo fails at SET time, not silently at DELETE time). */
+  def setTableProperty(spark: SparkSession, table: String,
+                       key: String, value: String): Unit = {
+    require(key.nonEmpty && key.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"property key '$key' must be [A-Za-z0-9._-]+")
+    require(!value.contains('\n'), "property value must be one line")
+    if (key == DeleteModeProp)
+      require(Set("copy-on-write", "merge-on-read", "auto")(value),
+        s"$DeleteModeProp must be copy-on-write | merge-on-read | " +
+          s"auto, got '$value'")
+    val dir = propsDir(table)
+    val p = new Path(dir, key)
+    val f = fs(spark, p)
+    f.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write((value + "\n").getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p))
+      sys.error(s"could not publish property $key for $table")
+  }
+
+  /** UNSET TBLPROPERTIES (idempotent). */
+  def unsetTableProperty(spark: SparkSession, table: String,
+                         key: String): Unit = {
+    val p = new Path(propsDir(table), key)
+    fs(spark, p).delete(p, false)
+  }
+
+  /** One property's current value (None when unset). */
+  def tablePropertyOf(spark: SparkSession, table: String,
+                      key: String): Option[String] = {
+    val p = new Path(propsDir(table), key)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None else Some(readSmallFile(f, p))
+  }
+
+  /** All set properties — what DESCRIBE EXTENDED surfaces. */
+  def tablePropertiesOf(spark: SparkSession,
+                        table: String): Map[String, String] = {
+    val dir = propsDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> readSmallFile(f, s.getPath)).toMap
   }
 
   /** ADD CONSTRAINT `name` CHECK (`sqlExpr`) — SQL semantics: a row
@@ -4977,7 +5288,11 @@ object VersionedTable {
     (retire, dead)
   }
 
-  def vacuum(spark: SparkSession, table: String, keepLast: Int): Unit = {
+  /** Returns `(retiredVersions, deletedFiles)` — the counts it acted
+    * on, in ONE metadata walk (so a reporting caller like `CALL
+    * gt.system.vacuum` never pays a second [[vacuumDryRun]] pass). */
+  def vacuum(spark: SparkSession, table: String,
+             keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the latest version")
     val vs = versions(spark, table)
     // TAGGED versions are PINNED: a ref is a promise that this
@@ -4985,7 +5300,7 @@ object VersionedTable {
     val pinned = tagsOf(spark, table).values.toSet
     val suffix = vs.takeRight(keepLast).toSet
     val (keep, retire) = vs.partition(v => suffix(v) || pinned(v))
-    if (retire.isEmpty) return
+    if (retire.isEmpty) return (Seq.empty, Seq.empty)
     // a manifest line's path part (data file or dv sidecar) is what
     // lives on disk — liveness is per path, not per line spelling
     def pathsOf(v: Int): Seq[String] = {
@@ -5035,6 +5350,7 @@ object VersionedTable {
       if (d.isDirectory && !hasDescendantParquet(f, d.getPath))
         f.delete(d.getPath, true)
     }
+    (retire, dead)
   }
 
   /** Whether any `.parquet` file lives anywhere UNDER `dir` — the

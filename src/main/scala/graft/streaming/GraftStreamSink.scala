@@ -27,6 +27,16 @@ import graft.sources.VersionedTable
   *  - **Complete**: each batch REPLACES the snapshot (logical
   *    overwrite commit) — the natural shape for a streaming
   *    aggregation result table.
+  *  - **Update** (requires `.option("mergeKeys", "<keyCol>")`): each
+  *    batch UPSERTS by key — one idempotent
+  *    [[VersionedTable.mergeCommitIdempotent]] per batch, so a
+  *    streaming aggregation writes only its CHANGED keys instead of
+  *    Complete's full snapshot rewrite (Delta's sink rejects Update
+  *    outright; this is parity-plus). The batch must carry one row
+  *    per key (a streaming aggregation does by construction); the
+  *    first batch on an empty table bootstraps with a plain append.
+  *    Cost per batch: O(files whose key range admits a changed key)
+  *    rewritten, the rest carried — never a snapshot rewrite.
   *  - **Exactly-once** across restarts via the table's own
   *    txnAppId/txnVersion contract ([[VersionedTable.commitIdempotent]],
   *    Delta's DeltaSink discipline): the sink's identity derives from
@@ -50,29 +60,51 @@ class GraftStreamSinkProvider extends StreamSinkProvider {
     val table = parameters.getOrElse("path",
       sys.error("graft sink needs a path (the table dir)"))
     require(outputMode == OutputMode.Append() ||
-      outputMode == OutputMode.Complete(),
-      s"graft sink supports Append and Complete, got $outputMode")
+      outputMode == OutputMode.Complete() ||
+      outputMode == OutputMode.Update(),
+      s"graft sink supports Append, Complete and Update, got $outputMode")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    if (outputMode == OutputMode.Update()) {
+      require(mergeKeys.size == 1,
+        "Update mode upserts by key — pass .option(\"mergeKeys\", " +
+          "\"<keyColumn>\") (exactly one column)")
+      require(partitionColumns.isEmpty,
+        "Update mode and partitionBy do not compose — the upsert " +
+          "rewrite re-tags partitions itself on a partitioned table")
+    }
     // identity for replay detection: stable across restarts when a
     // checkpoint exists; a checkpoint-less (temp-checkpoint) query
-    // cannot restart, so a fresh identity loses nothing
+    // cannot restart, so a fresh identity loses nothing. The identity
+    // is a 128-bit hash of the FULL checkpoint path — two distinct
+    // queries appending to one table must never alias (a collision
+    // would make the replay guard silently drop one query's batches),
+    // so a 32-bit hash is not enough.
     val appId = parameters.get("txnAppId").getOrElse {
       parameters.get("checkpointLocation")
-        .map(c => "stream-" + java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(
-            new org.apache.hadoop.fs.Path(c).toUri.getPath)))
+        .map { c =>
+          val path = new org.apache.hadoop.fs.Path(c).toUri.getPath
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          "stream-" + sha.take(16).map("%02x".format(_)).mkString
+        }
         .getOrElse("stream-" +
           java.util.UUID.randomUUID().toString.take(12))
     }
     new GraftStreamSink(table, appId,
       append = outputMode == OutputMode.Append(),
-      partitionColumns, parameters)
+      partitionColumns, parameters,
+      mergeKey = if (outputMode == OutputMode.Update())
+        Some(mergeKeys.head) else None)
   }
 }
 
 private[streaming] class GraftStreamSink(table: String, appId: String,
                                          append: Boolean,
                                          partitionColumns: Seq[String],
-                                         parameters: Map[String, String])
+                                         parameters: Map[String, String],
+                                         mergeKey: Option[String] = None)
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -83,7 +115,18 @@ private[streaming] class GraftStreamSink(table: String, appId: String,
       spark, data.queryExecution.toRdd, data.schema)
     val statCols = parameters.get("statCols")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    if (partitionColumns.nonEmpty) {
+    if (mergeKey.nonEmpty) {
+      // Update mode: upsert the batch's changed keys. First batch on
+      // a table with no versions bootstraps as an append (every key
+      // is new); both paths sit behind the same replay guard.
+      if (VersionedTable.versions(spark, table).isEmpty)
+        VersionedTable.commitIdempotent(spark, table, batch,
+          append = false, appId = appId, txnVersion = batchId,
+          statCols = statCols)
+      else
+        VersionedTable.mergeCommitIdempotent(spark, table, batch,
+          mergeKey.get, appId = appId, txnVersion = batchId)
+    } else if (partitionColumns.nonEmpty) {
       // partitioned streaming writes: pt-tagged commits with the same
       // replay guard, via the partitioned idempotent path
       VersionedTable.commitPartitionedIdempotent(spark, table, batch,
@@ -98,5 +141,7 @@ private[streaming] class GraftStreamSink(table: String, appId: String,
   }
 
   override def toString: String =
-    s"GraftStreamSink[$table, ${if (append) "append" else "complete"}]"
+    s"GraftStreamSink[$table, ${
+      if (mergeKey.nonEmpty) s"update(${mergeKey.get})"
+      else if (append) "append" else "complete"}]"
 }

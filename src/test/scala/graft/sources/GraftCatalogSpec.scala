@@ -535,4 +535,24 @@ class GraftCatalogSpec extends SparkSpec {
     }
     val _ = e // either parse rejection or our guard — both fine
   }
+
+  test("RddBackedBatch refuses an un-materialized shuffle plan") {
+    // the row-level read contract: the wrapped RDD is computed inside
+    // foreign DSv2 tasks, so a shuffle whose map stage never ran must
+    // be rejected at wrap time with a pointed message — not fail
+    // confusingly at task runtime
+    val was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rdd = (1 to 10).toDF("x").repartition(2)
+        .queryExecution.toRdd
+      val e = intercept[IllegalStateException] { new RddBackedBatch(rdd) }
+      assert(e.getMessage.contains("row-level operation read contract"),
+        e.getMessage)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", was)
+    // and the sanctioned shape — a narrow plan — wraps fine
+    val ok = new RddBackedBatch(
+      (1 to 10).toDF("x").queryExecution.toRdd)
+    assert(ok.planInputPartitions().nonEmpty)
+  }
 }

@@ -116,4 +116,83 @@ class GraftStreamSinkSpec extends SparkSpec {
       Seq((100L, 7L), (102L, 9L))).filter(_._1 % 2 == 0).toSet
     assert(got == want, s"diff: ${got diff want} / ${want diff got}")
   }
+
+  test("Update mode: streaming aggregation upserts only changed keys") {
+    val w = fresh("gsku"); val src = s"$w/src"; val dest = s"$w/dest"
+    val ckpt = s"$w/ckpt"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 10L), (2L, 20L), (1L, 5L)).toDF("k", "v")
+      .write.parquet(s"$src/b0")
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k LONG, v LONG")
+        .parquet(s"$src/*")
+        .groupBy("k").agg(sum("v").as("total"))
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKeys", "k").option("statCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dest)
+      q.awaitTermination()
+    }
+    drain()
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 15L), (2L, 20L)))
+    val v1 = VersionedTable.versions(spark, dest)
+    // restart with nothing new: no extra commit
+    drain()
+    assert(VersionedTable.versions(spark, dest) == v1,
+      "an empty restart must not commit")
+    // new data touches k=2 and introduces k=3: Update emits ONLY those
+    // two keys and the sink upserts them — k=1's row survives untouched
+    Seq((2L, 1L), (3L, 30L)).toDF("k", "v").write.parquet(s"$src/b1")
+    drain()
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 15L), (2L, 21L), (3L, 30L)))
+  }
+
+  test("Update mode: a replayed micro-batch upserts exactly once") {
+    val w = fresh("gskur"); val dest = s"$w/dest"
+    val sink = new GraftStreamSink(dest, appId = "update-replay-spec",
+      append = false, Seq.empty, Map("statCols" -> "k"),
+      mergeKey = Some("k"))
+    sink.addBatch(0L, Seq((1L, 10L), (2L, 20L)).toDF("k", "total"))
+    sink.addBatch(1L, Seq((2L, 25L), (3L, 30L)).toDF("k", "total"))
+    assert(VersionedTable.versions(spark, dest) == Seq(1, 2))
+    // crash-replay of batch 1 (different content must be IGNORED —
+    // the txn guard decides by (appId, batchId), not by payload)
+    sink.addBatch(1L, Seq((2L, 999L)).toDF("k", "total"))
+    assert(VersionedTable.versions(spark, dest) == Seq(1, 2),
+      "a replayed batch must be a metadata-checked no-op")
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 25L), (3L, 30L)))
+  }
+
+  test("Update mode without mergeKeys fails loudly at sink creation") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val e = intercept[IllegalArgumentException] {
+      new GraftStreamSinkProvider().createSink(spark.sqlContext,
+        Map("path" -> s"${fresh("gskx")}/t"), Seq.empty,
+        OutputMode.Update())
+    }
+    assert(e.getMessage.contains("mergeKeys"), e.getMessage)
+  }
+
+  test("distinct checkpoint paths never alias to one txn identity") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // 128-bit path hash: two different checkpoints => two appIds, so
+    // two queries appending to the SAME table cannot swallow each
+    // other's batches through the replay guard
+    val w = fresh("gska"); val dest = s"$w/dest"
+    def sinkFor(ckpt: String): GraftStreamSink =
+      new GraftStreamSinkProvider().createSink(spark.sqlContext,
+        Map("path" -> dest, "checkpointLocation" -> ckpt),
+        Seq.empty, OutputMode.Append()).asInstanceOf[GraftStreamSink]
+    sinkFor(s"$w/ckpt1").addBatch(0L, Seq((1L, 1L)).toDF("k", "v"))
+    // the second QUERY starts at batchId 0 too — with a shared appId
+    // the guard would drop this batch as a replay
+    sinkFor(s"$w/ckpt2").addBatch(0L, Seq((2L, 2L)).toDF("k", "v"))
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 2L)),
+      "distinct queries' batches must both land")
+  }
 }
