@@ -576,6 +576,70 @@ object QueriesCatalog {
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SQL METADATA TABLES (gt.<table>.history / .files / .partitions /
+  // .tags / .properties — Iceberg's metadata-table shape, served from
+  // loadTable): a fresh SQL-only consumer introspects the whole table
+  // lifecycle with zero library calls and zero registerViews. The
+  // fixture commits deterministic file counts (coalesce(1) slices, a
+  // positional-delete sidecar, a tag, a property, a partitioned twin);
+  // the oracle recomputes every row algebraically from orders.
+  // ---------------------------------------------------------------------
+  def catalogMetadata(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val ord = s"$w/ord"; val ordp = s"$w/ordp"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, ord,
+      base.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+      append = false, statCols = Seq("o_orderkey"))
+    VersionedTable.commit(s, ord,
+      base.filter(col("o_orderkey") % 3 === 1).coalesce(1),
+      append = true)
+    // a positional-delete sidecar: history must show the dv debt
+    VersionedTable.deleteCommitPositional(s, ord,
+      col("o_orderkey") % 3000 === 0)
+    VersionedTable.tagVersion(s, ord, "audit", 2)
+    VersionedTable.setTableProperty(s, ord, "write.delete.mode",
+      "merge-on-read")
+    // partitioned twin: one coalesced insert => one file per status
+    VersionedTable.commitPartitionedMulti(s, ordp,
+      base.coalesce(1), Seq("o_orderstatus"), append = false)
+    s.sql(
+      s"""SELECT 'history' AS section, CAST(version AS STRING) AS k,
+         |  CAST(n_data_files AS BIGINT) AS a, CAST(n_dv_files AS BIGINT) AS b
+         |FROM $cat.ord.history
+         |UNION ALL
+         |SELECT 'files', 'all', count(*), CAST(sum(n_rows) AS BIGINT)
+         |FROM $cat.ord.files
+         |UNION ALL
+         |SELECT 'tags', name, CAST(version AS BIGINT), 0 FROM $cat.ord.tags
+         |UNION ALL
+         |SELECT 'properties', concat(key, '=', value), 0, 0
+         |FROM $cat.ord.properties
+         |UNION ALL
+         |SELECT 'partitions', concat(part_col, '=', partition),
+         |  CAST(n_files AS BIGINT), 0
+         |FROM $cat.ordp.partitions""".stripMargin)
+  }
+
+  val catalogMetadataSql: String =
+    """WITH ordslice AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |SELECT 'history' AS section, '1' AS k, CAST(1 AS BIGINT) AS a,
+      |  CAST(0 AS BIGINT) AS b
+      |UNION ALL SELECT 'history', '2', 2, 0
+      |UNION ALL SELECT 'history', '3', 2, 1
+      |UNION ALL SELECT 'files', 'all', 2,
+      |  (SELECT count(*) FROM ordslice)
+      |UNION ALL SELECT 'tags', 'audit', 2, 0
+      |UNION ALL SELECT 'properties', 'write.delete.mode=merge-on-read',
+      |  0, 0
+      |UNION ALL
+      |SELECT 'partitions', concat('o_orderstatus=', o_orderstatus), 1, 0
+      |FROM (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // STREAMING SINK UPDATE MODE (keyed upsert per micro-batch): a CDC
   // mirror in user code — table A's insert feed streamed into table B
   // with outputMode("update") + mergeKeys, so B converges to A's
@@ -714,6 +778,7 @@ object QueriesCatalog {
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_metadata" -> (catalogMetadata _),
     "q_stream_update" -> (streamUpdate _),
     "q_catalog_delete_mor" -> (catalogDeleteMor _),
     "q_catalog_call" -> (catalogCall _),
@@ -730,6 +795,7 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_metadata" -> catalogMetadataSql,
     "q_stream_update" -> streamUpdateSql,
     "q_catalog_delete_mor" -> catalogDeleteMorSql,
     "q_catalog_call" -> catalogCallSql,

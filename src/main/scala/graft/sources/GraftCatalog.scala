@@ -120,9 +120,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     (warehouse +: parts).mkString("/")
   }
 
+  /** Only a genuinely-absent path reads as "not a table": a protocol
+    * gate or filesystem error on an EXISTING table must propagate
+    * loudly, not dissolve into NoSuchTableException / empty schema. */
   private def isTable(path: String): Boolean =
-    scala.util.Try(VersionedTable.versions(spark, path).nonEmpty)
-      .getOrElse(false)
+    try VersionedTable.versions(spark, path).nonEmpty
+    catch { case _: java.io.FileNotFoundException => false }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
@@ -136,8 +139,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(p, ident.toString, None)
+    if (isTable(p)) new GraftTable(p, ident.toString, None)
+    else metadataTable(ident).getOrElse(
+      throw new NoSuchTableException(ident))
+  }
+
+  /** SQL-served METADATA TABLES (Iceberg's `db.table.history` shape):
+    * `SELECT * FROM gt.<table>.history` resolves here when
+    * `<table>.history` is not a real table path — a fresh SQL-only
+    * session introspects history / files / partitions / tags /
+    * constraints / properties without knowing any library call
+    * ([[VersionedTable.registerViews]] remains for view-name fans).
+    * Output is O(versions | files | partitions) rows — metadata-sized,
+    * never data-sized. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace().isEmpty ||
+      !GraftMetadataTable.Kinds.contains(kind)) return None
+    val ns = ident.namespace()
+    val parent = Identifier.of(ns.dropRight(1), ns.last)
+    val pp = pathOf(parent)
+    if (isTable(pp))
+      Some(new GraftMetadataTable(pp, ident.toString, kind))
+    else None
   }
 
   /** `VERSION AS OF <v>` — SQL time travel resolves right here. */
@@ -270,7 +294,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                             one: Array[String] => String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     var schema = VersionedTable.read(spark, p).schema
-    var constraints = VersionedTable.constraintsOf(spark, p).keySet
+    val existing = VersionedTable.constraintsOf(spark, p)
+    var constraints = existing.keySet
+    // column -> constraints referencing it, tracked THROUGH the
+    // sequence (a DROP CONSTRAINT earlier in the statement legalizes a
+    // later rename of its column; an ADD CONSTRAINT pins new columns)
+    // — the same rule renameColumnCommit/dropColumnCommit enforce
+    var refs: Map[String, Set[String]] = existing.toSeq
+      .flatMap { case (n, e) =>
+        scala.util.Try(spark.sessionState.sqlParser.parseExpression(e)
+          .references.map(_.name).toSeq).getOrElse(Seq.empty)
+          .map(_ -> n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def liveRef(c: String): Option[String] =
+      refs.getOrElse(c, Set.empty).intersect(constraints).headOption
+    // structural facts the DROP-COLUMN commit enforces, from the head
+    // manifest (partition specs / dv keys / bucket tags cannot change
+    // mid-ALTER); renames inside the sequence track original names so
+    // the physical identity stays resolvable
+    lazy val lines = VersionedTable.manifest(spark, p,
+      VersionedTable.versions(spark, p).last)
+    val (renameMap, _) = VersionedTable.columnMappingOf(spark, p)
+    var origOf: Map[String, String] = Map.empty
+    def physicalOf(c: String): String = {
+      val orig = origOf.getOrElse(c, c)
+      renameMap.getOrElse(orig, orig)
+    }
+    lazy val dvKeyCols: Set[String] = {
+      val dvs = VersionedTable.dvFilesOf(lines)
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs: _*).columns.toSet
+    }
     // snapshot reshaped through the sequence, built lazily (only ADD
     // CONSTRAINT forces a read; pure column DDL stays metadata-only)
     var reshape: DataFrame => DataFrame = identity
@@ -281,6 +335,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"ALTER would fail: no column '$c'")
         require(!schema.fieldNames.contains(n),
           s"ALTER would fail: column '$n' already exists")
+        liveRef(c).foreach(k => sys.error(
+          s"ALTER would fail: CHECK constraint '$k' references '$c' — " +
+            "drop it, rename, re-add under the new name"))
+        val physC = physicalOf(c)
+        require(!VersionedTable.partitionsOf(lines).exists(t =>
+          t._1.startsWith(s"__bucket_${physC}_") ||
+            t._1.startsWith(s"__part_div_${physC}_")),
+          s"ALTER would fail: '$c' keys a bucket/transform spec — " +
+            "rewrite under the new name instead")
+        origOf = (origOf - c) + (n -> origOf.getOrElse(c, c))
+        refs = refs.map { case (col, ks) =>
+          (if (col == c) n else col) -> ks }
         schema = StructType(schema.fields.map(f =>
           if (f.name == c) f.copy(name = n) else f))
         val prev = reshape
@@ -291,6 +357,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"ALTER would fail: no column '$c'")
         require(schema.fields.length > 1,
           "ALTER would fail: cannot drop the last column")
+        liveRef(c).foreach(k => sys.error(
+          s"ALTER would fail: CHECK constraint '$k' references '$c' — " +
+            "drop it first"))
+        val origC = origOf.getOrElse(c, c)
+        val physC = physicalOf(c)
+        require(!VersionedTable.fullSpecOf(lines).contains(origC) &&
+          !VersionedTable.partitionsOf(lines).exists(_._1 == origC),
+          s"ALTER would fail: '$c' is a partition column — " +
+            "repartition before dropping")
+        require(!VersionedTable.partitionsOf(lines).exists(t =>
+          t._1.startsWith(s"__bucket_${physC}_") ||
+            t._1.startsWith(s"__part_div_${physC}_")),
+          s"ALTER would fail: '$c' keys a bucket/transform spec — " +
+            "rewrite first")
+        require(!dvKeyCols.contains(physC),
+          s"ALTER would fail: '$c' keys the live deletion vectors — " +
+            "purge tombstones before dropping")
         schema = StructType(schema.fields.filterNot(_.name == c))
         val prev = reshape
         reshape = df => prev(df).drop(c)
@@ -312,6 +395,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             require(!constraints.contains(ck.name()),
               s"ALTER would fail: constraint '${ck.name()}' exists")
             constraints += ck.name()
+            scala.util.Try(spark.sessionState.sqlParser
+              .parseExpression(ck.predicateSql())
+              .references.map(_.name).toSeq).getOrElse(Seq.empty)
+              .foreach(col => refs = refs.updated(col,
+                refs.getOrElse(col, Set.empty) + ck.name()))
             val bad = reshape(VersionedTable.read(spark, p))
               .filter(not(coalesce(expr(ck.predicateSql()), lit(true))))
               .limit(1).count()
@@ -357,6 +445,68 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new NoSuchTableException(oldIdent)
     require(f.rename(from, to), s"rename $from -> $to failed")
   }
+}
+
+/** One SQL-served metadata table (`gt.<table>.<kind>`): the matching
+  * introspection DataFrame, driver-collected into a [[LocalScan]] —
+  * every kind is metadata-derived and O(versions | files | partitions)
+  * rows by construction, so the collect is bounded the same way the
+  * procedure outputs are. The frame is built lazily at first use and
+  * rebuilt per scan, so a statement always reads the current state. */
+private[sources] class GraftMetadataTable(path: String,
+                                          displayName: String,
+                                          kind: String)
+    extends Table with SupportsRead {
+  private def spark: SparkSession = SparkSession.active
+
+  private def frame(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    kind match {
+      case "history" => VersionedTable.history(spark, path)
+      case "files" =>
+        val lines = VersionedTable.manifest(spark, path,
+          VersionedTable.versions(spark, path).last)
+        VersionedTable.files(spark, path,
+          VersionedTable.statColsOf(lines))
+      case "partitions" => VersionedTable.partitions(spark, path)
+      case "tags" =>
+        VersionedTable.tagsOf(spark, path).toSeq.sortBy(_._1)
+          .toDF("name", "version")
+      case "constraints" =>
+        VersionedTable.constraintsOf(spark, path).toSeq.sortBy(_._1)
+          .toDF("name", "expression")
+      case "properties" =>
+        VersionedTable.tablePropertiesOf(spark, path).toSeq.sortBy(_._1)
+          .toDF("key", "value")
+    }
+  }
+
+  override def name(): String = displayName
+  override lazy val schema: StructType = frame().schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      val df = frame()
+      val collected = df.queryExecution.executedPlan.executeCollect()
+      val out = df.schema
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = collected
+        override def readSchema(): StructType = out
+        override def description(): String =
+          s"graft-metadata $displayName"
+      }
+    }
+  }
+}
+
+private[sources] object GraftMetadataTable {
+  val Kinds: Set[String] = Set("history", "files", "partitions",
+    "tags", "constraints", "properties")
 }
 
 /** One versioned table at one PINNED version (head resolved at load
@@ -880,10 +1030,13 @@ class GraftSource extends graft.streaming.GraftStreamSourceProvider
     // empty instead of failing so `writeStream.format("graft")
     // .start(newTable)` can resolve through to the V1 sink (which
     // creates the table on the first batch); a batch READ of a
-    // missing table still fails loudly at scan build
-    val exists = scala.util.Try(
-      VersionedTable.versions(SparkSession.active, p).nonEmpty)
-      .getOrElse(false)
+    // missing table still fails loudly at scan build. ONLY absence
+    // maps to "no schema": a protocol-gate or transient filesystem
+    // error on an existing table propagates instead of silently
+    // yielding an empty schema and a confusing downstream failure
+    val exists =
+      try VersionedTable.versions(SparkSession.active, p).nonEmpty
+      catch { case _: java.io.FileNotFoundException => false }
     if (!exists) new StructType()
     else new GraftTable(p, p, versionFrom(options)).schema
   }

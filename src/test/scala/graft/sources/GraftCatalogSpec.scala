@@ -376,7 +376,7 @@ class GraftCatalogSpec extends SparkSpec {
     val _ = t
   }
 
-  test("SQL MERGE with DELETE and NOT MATCHED BY SOURCE") {
+  test("SQL MERGE with conditional DELETE and INSERT") {
     seed("tmd")
     (96L to 105L).map(k => (k, k)).toDF("k", "amount")
       .createOrReplaceTempView("md_src")
@@ -391,6 +391,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Seq((95L, 950L), (96L, 96L), (97L, 97L), (98L, 98L),
       (100L, 100L), (101L, 101L), (102L, 102L), (103L, 103L),
       (104L, 104L), (105L, 105L)), s"got $got")
+  }
+
+  test("SQL MERGE with real NOT MATCHED BY SOURCE clauses") {
+    seed("tmds")
+    (96L to 105L).map(k => (k, k)).toDF("k", "amount")
+      .createOrReplaceTempView("mds_src")
+    // the clause kind the group-based path rewrites via a full outer
+    // join with NO group pruning: every target row is a candidate
+    spark.sql(
+      """MERGE INTO gt.tmds t USING mds_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount
+        |WHEN NOT MATCHED THEN INSERT (k, amount, tag)
+        |  VALUES (s.k, s.amount, 'new')
+        |WHEN NOT MATCHED BY SOURCE AND t.k <= 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k <= 10 THEN
+        |  UPDATE SET amount = -1""".stripMargin)
+    val got = spark.sql("SELECT k, amount FROM gt.tmds ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    val want = (4L to 10L).map(k => (k, -1L)) ++
+      (11L to 95L).map(k => (k, k * 10)) ++
+      (96L to 105L).map(k => (k, k))
+    assert(got == want,
+      s"only-in-spark: ${got.diff(want)}; missing: ${want.diff(got)}")
   }
 
   test("MERGE runtime group filter narrows the rewrite to matched files") {
@@ -534,6 +557,92 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO gt.ti VERSION AS OF 1 VALUES (1, 1, 'x')")
     }
     val _ = e // either parse rejection or our guard — both fine
+  }
+
+  test("validateAlter mirrors EVERY commit-time rule (no half-applied ALTER)") {
+    val t = seed("tav")
+    val cat = spark.sessionState.catalogManager.catalog("gt")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "tav")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    def check(name: String, sql: String) =
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(name).predicateSql(sql).build()
+    spark.sql("ALTER TABLE gt.tav ADD CONSTRAINT amt_pos CHECK (amount >= 0)")
+    // the ADVICE scenario: ADD COLUMN (valid) + RENAME of a
+    // constraint-referenced column — the old simulation passed this,
+    // committed the add, then died on the rename: half-applied
+    val e1 = intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"),
+          org.apache.spark.sql.types.LongType, true),
+        TableChange.renameColumn(Array("amount"), "amt"))
+    }
+    assert(e1.getMessage.contains("amt_pos"), e1.getMessage)
+    assert(!VersionedTable.read(spark, t).schema.fieldNames
+      .contains("extra"), "the ADD COLUMN must not have landed")
+    // DROP CONSTRAINT first in the SAME statement legalizes the rename
+    cat.alterTable(ident,
+      TableChange.dropConstraint("amt_pos", false, false),
+      TableChange.renameColumn(Array("amount"), "amt"))
+    assert(VersionedTable.read(spark, t).schema.fieldNames.toSeq
+      .contains("amt"))
+    // a constraint ADDED in-sequence pins its column against a LATER
+    // rename in the same statement
+    val e2 = intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addConstraint(check("k_pos", "k >= 0"), null),
+        TableChange.renameColumn(Array("k"), "kk"))
+    }
+    assert(e2.getMessage.contains("k_pos"), e2.getMessage)
+    assert(VersionedTable.constraintsOf(spark, t).isEmpty,
+      "the in-sequence ADD CONSTRAINT must not have landed either")
+    // dropping a deletion-vector key column rejects UPFRONT, before
+    // any earlier change in the statement commits
+    VersionedTable.deleteCommit(spark, t, col("k") === 5L, Seq("k"))
+    val e3 = intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra2"),
+          org.apache.spark.sql.types.LongType, true),
+        TableChange.deleteColumn(Array("k"), null))
+    }
+    assert(e3.getMessage.contains("deletion vectors"), e3.getMessage)
+    assert(!VersionedTable.read(spark, t).schema.fieldNames
+      .contains("extra2"), "no half-applied ALTER")
+  }
+
+  test("metadata tables: gt.<t>.history/files/tags/... serve via SQL") {
+    val t = seed("tmeta")
+    spark.sql("INSERT INTO gt.tmeta VALUES (101, 1010, 's1')")
+    VersionedTable.tagVersion(spark, t, "cut", 1)
+    VersionedTable.setTableProperty(spark, t, "team", "graft")
+    spark.sql("ALTER TABLE gt.tmeta ADD CONSTRAINT pos CHECK (amount >= 0)")
+    // a FRESH SQL-only consumer: no registerViews, no library call
+    val hist = spark.sql(
+      "SELECT version, n_data_files FROM gt.tmeta.history ORDER BY version")
+      .as[(Long, Int)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L), hist.toString)
+    assert(hist.head._2 == 4, "v1 committed 4 range files")
+    val files = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(n_rows) AS BIGINT) AS r " +
+        "FROM gt.tmeta.files").as[(Long, Long)].head()
+    assert(files == ((5L, 101L)), files.toString)
+    assert(spark.sql("SELECT name, version FROM gt.tmeta.tags")
+      .as[(String, Long)].collect().toSeq == Seq(("cut", 1L)))
+    assert(spark.sql("SELECT key, value FROM gt.tmeta.properties")
+      .as[(String, String)].collect().toSeq == Seq(("team", "graft")))
+    assert(spark.sql("SELECT name FROM gt.tmeta.constraints")
+      .as[String].collect().toSeq == Seq("pos"))
+    // the metadata table reads CURRENT state (rebuilt per scan)
+    spark.sql("INSERT INTO gt.tmeta VALUES (102, 1020, 's2')")
+    assert(spark.sql("SELECT count(*) FROM gt.tmeta.history")
+      .as[Long].head() == 3L)
+    // a kind under a non-table parent stays a loud no-such-table
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gt.nosuch.history").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
   test("RddBackedBatch refuses an un-materialized shuffle plan") {
