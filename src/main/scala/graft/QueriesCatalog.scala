@@ -576,6 +576,156 @@ object QueriesCatalog {
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // MERGE-ON-READ SQL UPDATE + MERGE (SupportsDelta / WriteDelta): with
+  // write.update.mode / write.merge.mode = 'merge-on-read', a range
+  // UPDATE and a keyed MERGE (delete + insert) publish positional
+  // tombstones + appended files — the in-query requires pin that EVERY
+  // pre-existing data file carries verbatim through both statements
+  // (zero rewrites, the write-amplification fix) — then CALL
+  // purge_tombstones consolidates back to pure files. Oracle
+  // recomputes the final state algebraically.
+  // ---------------------------------------------------------------------
+  def catalogUpdateMor(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val li = s"$w/li"
+    val src = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+    VersionedTable.commit(s, li,
+      src.repartitionByRange(4, col("l_orderkey")),
+      append = false, statCols = Seq("l_orderkey"))
+    val maxKey = src.agg(max("l_orderkey")).head().getLong(0)
+    def files(v: Int): Set[String] = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, li, v)).toSet
+    def dvs(v: Int): Seq[String] = VersionedTable.dvFilesOf(
+      VersionedTable.manifest(s, li, v))
+    s.sql(s"ALTER TABLE $cat.li SET TBLPROPERTIES " +
+      "('write.update.mode'='merge-on-read', " +
+      "'write.merge.mode'='merge-on-read')")
+    s.sql(s"UPDATE $cat.li SET qty = qty + 100 " +
+      s"WHERE l_orderkey BETWEEN 2000 AND ${maxKey / 2} " +
+      "AND l_linestatus = 'F'")
+    require(files(1).subsetOf(files(2)) && dvs(2).nonEmpty,
+      "merge-on-read UPDATE must carry every old file verbatim")
+    src.select(col("l_orderkey").as("k"))
+      .filter(col("k") % 3000 === 0).distinct()
+      .union(s.range(1).select(lit(maxKey + 1000000L).as("k")))
+      .createOrReplaceTempView("catalog_mor_src")
+    s.sql(
+      s"""MERGE INTO $cat.li t USING catalog_mor_src s
+         |ON t.l_orderkey = s.k
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linestatus, qty)
+         |  VALUES (s.k, 'N', 7)""".stripMargin)
+    require(files(2).subsetOf(files(3)),
+      "merge-on-read MERGE must carry every old file verbatim")
+    val pv = s.sql(s"CALL $cat.system.purge_tombstones('li', 100000000)")
+      .collect().head.getLong(0).toInt
+    require(dvs(pv).isEmpty, "purge must consolidate to pure files")
+    s.sql(
+      s"""SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+         |  CAST(sum(qty) AS BIGINT) AS qty_sum
+         |FROM $cat.li GROUP BY l_linestatus
+         |UNION ALL
+         |SELECT 'v1', l_linestatus, count(*), CAST(sum(qty) AS BIGINT)
+         |FROM $cat.li VERSION AS OF 1 GROUP BY l_linestatus""".stripMargin)
+  }
+
+  val catalogUpdateMorSql: String =
+    """WITH hi AS (SELECT CAST(max(l_orderkey) // 2 AS BIGINT) AS v
+      |            FROM lineitem),
+      |base AS (
+      |  SELECT l_orderkey, l_linestatus,
+      |    CASE WHEN l_orderkey BETWEEN 2000 AND (SELECT v FROM hi)
+      |        AND l_linestatus = 'F'
+      |      THEN CAST(l_quantity AS BIGINT) + 100
+      |      ELSE CAST(l_quantity AS BIGINT) END AS qty
+      |  FROM lineitem),
+      |final AS (
+      |  SELECT l_linestatus, qty FROM base WHERE l_orderkey % 3000 <> 0
+      |  UNION ALL SELECT 'N', CAST(7 AS BIGINT))
+      |SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(qty) AS BIGINT) AS qty_sum
+      |FROM final GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT 'v1', l_linestatus, count(*),
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SKEWED-ON-KEY MERGE (the runtime-group-filtering cost proof): half
+  // the target rows share ONE hot key, the source updates that key, a
+  // narrow key band, and one novel key — and the statement runs with
+  // broadcast joins DISABLED, so the engine's matching-rows subquery
+  // (the join that narrows the rewrite to matched files) takes the
+  // shuffle path with a genuinely skewed build: the shape where a
+  // naive narrowing could cost more than the rewrite it saves. AQE's
+  // skew-join split bounds the hot partition; the in-query require
+  // pins that untouched files still carried across the MERGE. The 10x
+  // replica of this exact query is a ScaleProofTail row (PERF.md).
+  // ---------------------------------------------------------------------
+  def catalogMergeSkew(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val tgt = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+    VersionedTable.commit(s, s"$w/li",
+      tgt.repartitionByRange(8, col("k")),
+      append = false, statCols = Seq("k"))
+    val maxK = tgt.agg(max("k")).head().getLong(0)
+    val lo = maxK / 2; val hi = lo + maxK / 64
+    tgt.select("k")
+      .filter(col("k") === 0L || (col("k") >= lo && col("k") <= hi))
+      .distinct()
+      .union(s.range(1).select(lit(maxK + 1000000L).as("k")))
+      .withColumn("delta", lit(1L))
+      .createOrReplaceTempView("merge_skew_src")
+    val was = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try s.sql(
+      s"""MERGE INTO $cat.li t USING merge_skew_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET qty = t.qty + s.delta
+         |WHEN NOT MATCHED THEN INSERT (k, l_linestatus, qty)
+         |  VALUES (s.k, 'N', 0)""".stripMargin)
+    finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+    val m1 = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/li", 1)).toSet
+    val m2 = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/li", 2)).toSet
+    require(m1.intersect(m2).nonEmpty,
+      "runtime group filtering must carry the files no source key " +
+        s"touches (v1=${m1.size}, v2=${m2.size})")
+    s.sql(
+      s"""SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+         |  CAST(sum(qty) AS BIGINT) AS qty_sum
+         |FROM $cat.li GROUP BY l_linestatus
+         |UNION ALL
+         |SELECT 'pre', l_linestatus, count(*), CAST(sum(qty) AS BIGINT)
+         |FROM $cat.li VERSION AS OF 1 GROUP BY l_linestatus""".stripMargin)
+  }
+
+  val catalogMergeSkewSql: String =
+    """WITH tgt AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END
+      |      AS k,
+      |    l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |mx AS (SELECT max(k) AS m FROM tgt),
+      |final AS (
+      |  SELECT l_linestatus,
+      |    CASE WHEN k = 0 OR (k >= (SELECT m // 2 FROM mx)
+      |        AND k <= (SELECT m // 2 + m // 64 FROM mx))
+      |      THEN qty + 1 ELSE qty END AS qty
+      |  FROM tgt
+      |  UNION ALL SELECT 'N', CAST(0 AS BIGINT))
+      |SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(qty) AS BIGINT) AS qty_sum
+      |FROM final GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT 'pre', l_linestatus, count(*), CAST(sum(qty) AS BIGINT)
+      |FROM tgt GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // SQL METADATA TABLES (gt.<table>.history / .files / .partitions /
   // .tags / .properties — Iceberg's metadata-table shape, served from
   // loadTable): a fresh SQL-only consumer introspects the whole table
@@ -778,6 +928,8 @@ object QueriesCatalog {
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_update_mor" -> (catalogUpdateMor _),
+    "q_catalog_merge_skew" -> (catalogMergeSkew _),
     "q_catalog_metadata" -> (catalogMetadata _),
     "q_stream_update" -> (streamUpdate _),
     "q_catalog_delete_mor" -> (catalogDeleteMor _),
@@ -795,6 +947,8 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_update_mor" -> catalogUpdateMorSql,
+    "q_catalog_merge_skew" -> catalogMergeSkewSql,
     "q_catalog_metadata" -> catalogMetadataSql,
     "q_stream_update" -> streamUpdateSql,
     "q_catalog_delete_mor" -> catalogDeleteMorSql,

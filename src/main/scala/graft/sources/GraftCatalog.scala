@@ -522,10 +522,13 @@ private[sources] class GraftTable(path: String, displayName: String,
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
 
-  /** `_file` — the data file each row lives in (normalized path):
-    * user-queryable (`SELECT _file FROM gt.t`, Delta/Iceberg parity)
-    * and the handle the group-based row-level operations' projecting
-    * write rides ([[GraftRowLevelOperation.requiredMetadataAttributes]]). */
+  /** `_file` / `_pos` — each row's stable identity: its data file
+    * (normalized path) and its ordinal within that file. User-
+    * queryable (`SELECT _file, _pos FROM gt.t`, Delta/Iceberg
+    * parity); `_file` is the handle the group-based row-level
+    * operations' projecting write rides, and `(_file, _pos)` is the
+    * rowId delta-based (merge-on-read) operations key their deletion
+    * vectors by ([[GraftDeltaOperation.rowId]]). */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = VersionedTable.MetaFileCol
@@ -533,6 +536,13 @@ private[sources] class GraftTable(path: String, displayName: String,
       override def isNullable: Boolean = false
       override def comment(): String =
         "normalized path of the data file holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = VersionedTable.MetaPosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row ordinal within the row's data file"
     })
   private def spark: SparkSession = SparkSession.active
 
@@ -604,6 +614,15 @@ private[sources] class GraftTable(path: String, displayName: String,
     new GraftWriteBuilder(path)
   }
 
+  /** COPY-ON-WRITE (group-based) vs MERGE-ON-READ (delta-based) per
+    * command, by table property — Iceberg's exact dial:
+    * `write.update.mode` / `write.merge.mode` / `write.delete.mode`
+    * = 'merge-on-read' routes the statement through
+    * [[GraftDeltaOperation]] (positional deletion vectors + appended
+    * files, nothing rewritten); default stays group-based COW.
+    * (Predicate DELETEs that translate never reach here —
+    * [[SupportsDelete.deleteWhere]] handles them with its own
+    * routing; this governs the fallback DELETE plus UPDATE/MERGE.) */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -833,9 +852,12 @@ private[sources] class GraftScan(path: String, version: Int,
       spark.createDataFrame(
         java.util.List.of(Row(values: _*)), aggSchema)
     case None =>
+      val needPos = required.fieldNames.contains(VersionedTable.MetaPosCol)
       val base =
-        if (required.fieldNames.contains(VersionedTable.MetaFileCol))
-          VersionedTable.readWhereTagged(spark, path, preds, Some(version))
+        if (needPos ||
+          required.fieldNames.contains(VersionedTable.MetaFileCol))
+          VersionedTable.readWhereTagged(spark, path, preds,
+            Some(version), withPos = needPos)
         else if (preds.isEmpty)
           VersionedTable.read(spark, path, Some(version))
         else VersionedTable.readWhere(spark, path, preds, Some(version))

@@ -66,13 +66,54 @@ import VersionedTable.ScanPred
 private[sources] class GraftRowLevelOperationBuilder(
     path: String, pinned: Int, info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(path, pinned, info.command())
+
+  /** COW vs MOR per command — Iceberg's dial: `write.update.mode` /
+    * `write.merge.mode` / `write.delete.mode` = 'merge-on-read'
+    * routes this statement through the delta-based operation
+    * (positional deletion vectors + appended files; NOTHING
+    * rewritten); anything else stays group-based copy-on-write. */
+  override def build(): RowLevelOperation = {
+    val spark = SparkSession.active
+    val key = info.command() match {
+      case RowLevelOperation.Command.DELETE => "write.delete.mode"
+      case RowLevelOperation.Command.UPDATE => "write.update.mode"
+      case RowLevelOperation.Command.MERGE => "write.merge.mode"
+    }
+    if (VersionedTable.tablePropertyOf(spark, path, key)
+        .contains("merge-on-read")) {
+      // the delta path's tombstones are positional — live sidecars
+      // keyed by table columns would not compose on the read side
+      val dvs = VersionedTable.dvFilesOf(
+        VersionedTable.manifest(spark, path, pinned))
+      if (dvs.nonEmpty) {
+        val keys = spark.read.parquet(dvs: _*).columns
+          .filterNot(_ == VersionedTable.FileColName).toSet
+        require(keys == Set(VersionedTable.PosCol),
+          s"table's live tombstones are keyed by $keys; merge-on-read " +
+            s"${info.command()} would not compose — purge_tombstones " +
+            "first, or unset the merge-on-read mode")
+      }
+      new GraftDeltaOperation(path, pinned, info.command())
+    } else new GraftRowLevelOperation(path, pinned, info.command())
+  }
+}
+
+/** What the operation scan needs from either operation flavor. */
+private[sources] trait GraftRowLevelLike {
+  def path: String
+  def pinned: Int
+  /** Carry the row ordinal through the scan (delta rowId). */
+  def withPos: Boolean
+  /** The scan's (possibly runtime-narrowed) candidate set — the
+    * group-based write replaces exactly this; the delta write ignores
+    * it (nothing is replaced). */
+  def onCandidates(files: Seq[String]): Unit
 }
 
 private[sources] class GraftRowLevelOperation(
     val path: String, val pinned: Int,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with GraftRowLevelLike {
 
   /** Normalized paths of the files the operation scan planned — what
     * the write REPLACES. None until the scan builds (then: the
@@ -81,6 +122,10 @@ private[sources] class GraftRowLevelOperation(
     * because the query then read everything too). */
   @volatile private[sources] var plannedCandidates
       : Option[Seq[String]] = None
+
+  override def withPos: Boolean = false
+  override def onCandidates(files: Seq[String]): Unit =
+    plannedCandidates = Some(files)
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -116,7 +161,7 @@ private[sources] class GraftRowLevelOperation(
   * claimed — every row of a surviving file is returned, tombstones
   * applied, columns mapped, declared schema widened). */
 private[sources] class GraftRowLevelScanBuilder(
-    op: GraftRowLevelOperation)
+    op: GraftRowLevelLike)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -149,7 +194,7 @@ private[sources] class GraftRowLevelScanBuilder(
 
   override def build(): Scan = {
     val cand = VersionedTable.scanCandidates(lines, preds)
-    op.plannedCandidates = Some(cand)
+    op.onCandidates(cand)
     new GraftRowLevelScan(op, cand, required.getOrElse(fullSchema))
   }
 }
@@ -179,7 +224,7 @@ private[sources] object GraftRowLevelScanBuilder {
   * candidate. The write's replace set narrows with it (the scan and
   * the commit must agree on the group set). Iceberg's COW scan rides
   * the identical contract. */
-private[sources] class GraftRowLevelScan(op: GraftRowLevelOperation,
+private[sources] class GraftRowLevelScan(op: GraftRowLevelLike,
                                          staticCandidates: Seq[String],
                                          required: StructType)
     extends Scan
@@ -209,24 +254,39 @@ private[sources] class GraftRowLevelScan(op: GraftRowLevelOperation,
         GraftRowLevelScanBuilder.runtimeFilterNotifier(
           narrowed.size, staticCandidates.size)
         candidates = narrowed
-        // the commit must replace exactly what the scan reads
-        op.plannedCandidates = Some(narrowed)
+        // the group-based commit must replace exactly what the scan
+        // reads (the delta commit replaces nothing — no-op there)
+        op.onCandidates(narrowed)
       case _ => () // pruning-only contract: unknown filters are hints
     }
 
   override def toBatch: Batch = {
+    import org.apache.spark.sql.functions.lit
     val lines = VersionedTable.manifest(spark, op.path, op.pinned)
     val base =
-      if (candidates.isEmpty)
-        VersionedTable.read(spark, op.path, Some(op.pinned)).limit(0)
+      if (candidates.isEmpty) {
+        val empty = VersionedTable.read(spark, op.path, Some(op.pinned))
+          .limit(0)
           .withColumn(VersionedTable.MetaFileCol,
-            org.apache.spark.sql.functions.lit(null).cast(StringType))
-      else VersionedTable.readSnapshotTagged(spark,
-        candidates ++ VersionedTable.dvLinesOf(lines) ++
+            lit(null).cast(StringType))
+        if (op.withPos)
+          empty.withColumn(VersionedTable.MetaPosCol,
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+        else empty
+      } else {
+        val sub = candidates ++ VersionedTable.dvLinesOf(lines) ++
           VersionedTable.cmLinesOf(lines) ++
-          VersionedTable.scLinesOf(lines))
-        .withColumnRenamed(VersionedTable.FileColName,
-          VersionedTable.MetaFileCol)
+          VersionedTable.scLinesOf(lines)
+        if (op.withPos)
+          VersionedTable.readSnapshotTaggedWithPos(spark, sub)
+            .withColumnRenamed(VersionedTable.FileColName,
+              VersionedTable.MetaFileCol)
+            .withColumnRenamed(VersionedTable.PosCol,
+              VersionedTable.MetaPosCol)
+        else VersionedTable.readSnapshotTagged(spark, sub)
+          .withColumnRenamed(VersionedTable.FileColName,
+            VersionedTable.MetaFileCol)
+      }
     val projected = base.select(required.fieldNames.toSeq.map(col): _*)
     new RddBackedBatch(projected.queryExecution.toRdd)
   }
@@ -330,23 +390,7 @@ private[sources] class GraftReplaceBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    ParquetWriteSupport.setSchema(physSchema, conf)
-    // every key ParquetWriteSupport / SparkToParquetSchemaConverter
-    // reads raw from the Configuration, pinned from the session (the
-    // same prep the built-in parquet writer's prepareWrite does)
-    Seq("spark.sql.parquet.writeLegacyFormat" -> "false",
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-      "spark.sql.parquet.fieldId.write.enabled" -> "true",
-      "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false",
-      "spark.sql.parquet.datetimeRebaseModeInWrite" -> "EXCEPTION",
-      "spark.sql.parquet.int96RebaseModeInWrite" -> "EXCEPTION",
-      "spark.sql.session.timeZone" ->
-        java.util.TimeZone.getDefault.getID)
-      .foreach { case (k, dflt) =>
-        conf.set(k, scala.util.Try(spark.conf.get(k)).toOption
-          .filter(v => v != null && v != "null").getOrElse(dflt))
-      }
+    val conf = GraftParquetWriteConf.prepared(spark, physSchema)
     val codec = spark.conf.get("spark.sql.parquet.compression.codec")
     new GraftReplaceWriterFactory(writeDir,
       new SerializableHadoopConf(conf), specIdx, codec)
@@ -370,6 +414,32 @@ private[sources] class GraftReplaceBatchWrite(
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(dir, true)
     ()
+  }
+}
+
+/** A Hadoop Configuration prepared for writing `physSchema` through
+  * Spark's own [[ParquetWriteSupport]]: every key the support /
+  * SparkToParquetSchemaConverter reads raw from the Configuration,
+  * pinned from the session (the same prep the built-in parquet
+  * writer's prepareWrite does). */
+private[sources] object GraftParquetWriteConf {
+  def prepared(spark: SparkSession,
+               physSchema: StructType): Configuration = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    ParquetWriteSupport.setSchema(physSchema, conf)
+    Seq("spark.sql.parquet.writeLegacyFormat" -> "false",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false",
+      "spark.sql.parquet.datetimeRebaseModeInWrite" -> "EXCEPTION",
+      "spark.sql.parquet.int96RebaseModeInWrite" -> "EXCEPTION",
+      "spark.sql.session.timeZone" ->
+        java.util.TimeZone.getDefault.getID)
+      .foreach { case (k, dflt) =>
+        conf.set(k, scala.util.Try(spark.conf.get(k)).toOption
+          .filter(v => v != null && v != "null").getOrElse(dflt))
+      }
+    conf
   }
 }
 
@@ -488,4 +558,257 @@ private[sources] class SerializableHadoopConf(
     value = new Configuration(false)
     value.readFields(in)
   }
+}
+
+// ---------------------------------------------------------------------
+// DELTA-BASED (merge-on-read) row-level operations — SupportsDelta
+// ---------------------------------------------------------------------
+
+/** SQL UPDATE / MERGE / fallback-DELETE as MERGE-ON-READ — the DSv2
+  * DELTA seam ([[org.apache.spark.sql.connector.write.SupportsDelta]],
+  * the architecture Iceberg's MOR mode rides; Spark's
+  * `RewriteUpdateTable`/`RewriteMergeIntoTable` plan a `WriteDelta`
+  * when the operation implements it):
+  *
+  *  - the scan carries each row's STABLE IDENTITY — `(_file, _pos)`,
+  *    the data file plus the row's parquet ordinal ([[rowId]]) — and
+  *    is still file-pruned by the command condition and runtime group
+  *    filtering exactly like the COW scan;
+  *  - the engine hands the writer per-row OPERATIONS: `delete(id)`
+  *    and the old-image side of `update` become POSITIONAL TOMBSTONES
+  *    (`(__gf, __gpos)` sidecar rows — the same deletion vectors the
+  *    gated [[VersionedTable.deleteCommitPositional]] writes);
+  *    `insert(row)` and the new-image side land in fresh parquet;
+  *  - ONE atomic [[VersionedTable.deltaFilesCommit]] publishes:
+  *    every existing file carries VERBATIM, the sidecars and new
+  *    files append. A point UPDATE touching 100 rows spread over 100
+  *    big files commits 100 tombstone keys + 100 new rows instead of
+  *    rewriting 100 files — the write-amplification fix;
+  *    `purge_tombstones` / OPTIMIZE pay the read-side debt down.
+  *
+  * Selected per command by `write.update.mode` / `write.merge.mode` /
+  * `write.delete.mode` = 'merge-on-read'
+  * ([[GraftRowLevelOperationBuilder.build]]). */
+private[sources] class GraftDeltaOperation(
+    val path: String, val pinned: Int,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta
+    with GraftRowLevelLike {
+
+  override def withPos: Boolean = true
+  override def onCandidates(files: Seq[String]): Unit = ()
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftRowLevelScanBuilder(this)
+
+  /** The stable row identity the delta plan projects and hands back
+    * to the writer with every delete/update. */
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(VersionedTable.MetaFileCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(VersionedTable.MetaPosCol))
+
+  /** The id already names the row completely — no extra metadata. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(GraftDeltaOperation.this,
+              info.schema(),
+              info.rowIdSchema().orElse(null))
+        }
+    }
+
+  override def description(): String = s"graft-delta-$cmd $path v$pinned"
+}
+
+/** One merge-on-read commit: executors write tombstone sidecars (old
+  * images) + fresh data files (new images / inserts); the driver
+  * publishes one [[VersionedTable.deltaFilesCommit]]. */
+private[sources] class GraftDeltaBatchWrite(
+    op: GraftDeltaOperation, rowSchema: StructType,
+    rowIdSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val lines = VersionedTable.manifest(spark, op.path, op.pinned)
+  private val renames = VersionedTable.renameMapOf(lines)
+  private val physSchema = StructType(rowSchema.fields.map(f =>
+    f.copy(name = renames.getOrElse(f.name, f.name))))
+  private val writeDir =
+    s"${op.path}/data/dlt-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** id-row accessor positions, from the engine's declared rowId
+    * schema (never assume order). */
+  private val (fileIdx, posIdx) = {
+    require(rowIdSchema != null,
+      "delta write without a rowId schema — engine contract violation")
+    (rowIdSchema.fieldIndex(VersionedTable.MetaFileCol),
+      rowIdSchema.fieldIndex(VersionedTable.MetaPosCol))
+  }
+
+  /** Same identity-spec splitting contract as the COW write: new rows
+    * land pt-tagged when the spec is renderable from the row schema. */
+  private val specIdx: Seq[(String, Int, DataType)] = {
+    val spec = VersionedTable.fullSpecOf(lines)
+    def renderable(dt: DataType): Boolean = dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType => true
+      case _ => false
+    }
+    if (spec.nonEmpty && spec.forall(c =>
+        rowSchema.fieldNames.contains(c) &&
+          renderable(rowSchema(c).dataType)))
+      spec.map(c => (renames.getOrElse(c, c),
+        rowSchema.fieldIndex(c), rowSchema(c).dataType))
+    else Seq.empty
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val dataConf = GraftParquetWriteConf.prepared(spark, physSchema)
+    val tombConf = GraftParquetWriteConf.prepared(spark,
+      GraftDeltaBatchWrite.TombSchema)
+    val codec = spark.conf.get("spark.sql.parquet.compression.codec")
+    new GraftDeltaWriterFactory(writeDir,
+      new SerializableHadoopConf(dataConf),
+      new SerializableHadoopConf(tombConf),
+      specIdx, codec, fileIdx, posIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (data, tombs) = messages.toSeq.map {
+      case GraftDeltaFilesWritten(d, t) => (d, t)
+      case other => sys.error(s"unexpected commit message: $other")
+    }.unzip
+    VersionedTable.deltaFilesCommit(spark, op.path, tombs.flatten,
+      data.flatten, op.pinned)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(writeDir)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(dir, true)
+    ()
+  }
+}
+
+private[sources] object GraftDeltaBatchWrite {
+  /** The positional tombstone sidecar shape — identical to what
+    * [[VersionedTable.deleteCommitPositional]] writes, so the read
+    * side and `purge_tombstones` treat both interchangeably. */
+  val TombSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      VersionedTable.FileColName, StringType, nullable = true),
+    org.apache.spark.sql.types.StructField(
+      VersionedTable.PosCol, org.apache.spark.sql.types.LongType,
+      nullable = true)))
+}
+
+/** `(data files with pt tags, tombstone sidecar paths)` per task. */
+private[sources] final case class GraftDeltaFilesWritten(
+    dataFiles: Seq[(String, Seq[(String, String)])],
+    tombFiles: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] class GraftDeltaWriterFactory(
+    dir: String, dataConf: SerializableHadoopConf,
+    tombConf: SerializableHadoopConf,
+    specIdx: Seq[(String, Int, DataType)], codec: String,
+    fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dir, dataConf.value, tombConf.value, specIdx,
+      codec, fileIdx, posIdx, partitionId, taskId)
+}
+
+/** Per-task delta writer: inserts/new images stream through the same
+  * [[GraftReplaceDataWriter]] the COW path uses (pt-splitting
+  * included); deletes/old images stream into ONE tombstone parquet
+  * per task, opened lazily (a task that deletes nothing writes no
+  * sidecar). Rows are consumed synchronously by the parquet encoder,
+  * so the engine's reused id buffers are safe without copies. */
+private[sources] class GraftDeltaWriter(
+    dir: String, dataConf: Configuration, tombConf: Configuration,
+    specIdx: Seq[(String, Int, DataType)], codec: String,
+    fileIdx: Int, posIdx: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val dataWriter = new GraftReplaceDataWriter(dir, dataConf,
+    specIdx, codec, partitionId, taskId)
+
+  private var tomb: ParquetWriter[InternalRow] = _
+  private var tombPath: String = _
+
+  private def codecName: CompressionCodecName = codec.toLowerCase match {
+    case "gzip" => CompressionCodecName.GZIP
+    case "zstd" => CompressionCodecName.ZSTD
+    case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+    case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+    case _ => CompressionCodecName.SNAPPY
+  }
+
+  private def tombWriter(): ParquetWriter[InternalRow] = {
+    if (tomb == null) {
+      tombPath = s"$dir/dv-$partitionId-$taskId.parquet"
+      tomb = new InternalRowParquetBuilder(
+        HadoopOutputFile.fromPath(new Path(tombPath), tombConf))
+        .withConf(tombConf)
+        .withCompressionCodec(codecName)
+        .build()
+    }
+    tomb
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    tombWriter().write(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id.getUTF8String(fileIdx), id.getLong(posIdx))))
+
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = dataWriter.commit() match {
+      case GraftFilesWritten(files) => files
+    }
+    val tombs =
+      if (tomb == null) Seq.empty[String]
+      else { tomb.close(); Seq(tombPath) }
+    GraftDeltaFilesWritten(dataMsg, tombs)
+  }
+
+  override def abort(): Unit = {
+    dataWriter.abort()
+    if (tomb != null) {
+      scala.util.Try(tomb.close())
+      val p = new Path(tombPath)
+      scala.util.Try(p.getFileSystem(tombConf).delete(p, false))
+    }
+  }
+
+  override def close(): Unit = ()
 }

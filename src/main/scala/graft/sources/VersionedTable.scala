@@ -68,29 +68,46 @@ object VersionedTable {
     * the normalized path of the data file each row lives in. */
   val MetaFileCol = "_file"
 
-  /** Snapshot read carrying [[MetaFileCol]] — tombstones applied,
-    * columns mapped, declared schema widened, plus the file identity
-    * per row. `preds` restrict to [[scanCandidates]] and are NOT
-    * re-applied (callers needing the filtered rows apply it
-    * themselves) — the row-level operation scan wants ALL rows of
-    * candidate files. */
+  /** The SQL-facing row-position metadata column (`SELECT _pos FROM
+    * gt.t`): the row's ordinal within its data file — with
+    * [[MetaFileCol]] the stable row identity delta-based (merge-on-
+    * read) row-level operations key their deletion vectors by
+    * (Iceberg's `_pos` parity). */
+  val MetaPosCol = "_pos"
+
+  /** Snapshot read carrying [[MetaFileCol]] (and, `withPos`,
+    * [[MetaPosCol]]) — tombstones applied, columns mapped, declared
+    * schema widened, plus the row identity per row. `preds` restrict
+    * to [[scanCandidates]] and are NOT re-applied (callers needing
+    * the filtered rows apply it themselves) — the row-level operation
+    * scan wants ALL rows of candidate files. */
   private[sources] def readCandidatesTagged(
       spark: SparkSession, table: String, preds: Seq[ScanPred],
-      version: Option[Int]): DataFrame = {
+      version: Option[Int], withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val cand = scanCandidates(lines, preds)
-    if (cand.isEmpty)
-      readSnapshot(spark, lines).limit(0)
-        .withColumn(MetaFileCol,
-          org.apache.spark.sql.functions.lit(null)
-            .cast(org.apache.spark.sql.types.StringType))
-    else readSnapshotTagged(spark,
-      cand ++ dvLinesOf(lines) ++ cmLinesOf(lines) ++ scLinesOf(lines))
-      .withColumnRenamed(FileCol, MetaFileCol)
+    if (cand.isEmpty) {
+      val empty = readSnapshot(spark, lines).limit(0)
+        .withColumn(MetaFileCol, lit(null)
+          .cast(org.apache.spark.sql.types.StringType))
+      if (withPos) empty.withColumn(MetaPosCol,
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+      else empty
+    } else {
+      val sub = cand ++ dvLinesOf(lines) ++ cmLinesOf(lines) ++
+        scLinesOf(lines)
+      if (withPos)
+        readSnapshotTaggedWithPos(spark, sub)
+          .withColumnRenamed(FileCol, MetaFileCol)
+          .withColumnRenamed(PosCol, MetaPosCol)
+      else readSnapshotTagged(spark, sub)
+        .withColumnRenamed(FileCol, MetaFileCol)
+    }
   }
 
   /** Commit-metadata manifest-line prefix (`meta<TAB>key=value`) —
@@ -1687,6 +1704,52 @@ object VersionedTable {
     next
   }
 
+  /** DELTA COMMIT — the publish seam MERGE-ON-READ SQL DML lands on
+    * ([[GraftDeltaOperation]], Spark's `SupportsDelta`/`WriteDelta`
+    * plan): executors have written the statement's row-level effects
+    * as (a) positional tombstone sidecars — the DELETEd rows' and
+    * UPDATEd rows' OLD images, keyed `(__gf, __gpos)` — and (b) fresh
+    * data files holding the INSERTed rows and UPDATEd rows' new
+    * images. This publishes them in ONE manifest write: every
+    * existing data line, dv line, tag, stat, and mapping carries
+    * VERBATIM (nothing is rewritten — that is the point), the new
+    * sidecars and files append. Cost: O(changed rows) of sidecar +
+    * O(new rows) of data + one footer stats pass over the new files —
+    * a point UPDATE on a 100 TB table commits kilobytes. Conflicts
+    * with a concurrent writer fail loudly against the statement's
+    * pinned snapshot, exactly as [[replaceFilesCommit]]. */
+  private[sources] def deltaFilesCommit(
+      spark: SparkSession, table: String, tombFiles: Seq[String],
+      newFiles: Seq[(String, Seq[(String, String)])],
+      expectedHead: Int): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    if (vs.last != expectedHead)
+      sys.error(s"version conflict on $table: the statement planned " +
+        s"against v$expectedHead but the head is now v${vs.last} — " +
+        "re-run the statement")
+    val lines = readManifest(spark, table, expectedHead)
+    val newPaths = newFiles.map(_._1)
+    validateNewFiles(spark, table, newPaths)
+    val next = expectedHead + 1
+    val newDataLines = newFiles.map {
+      case (p, Nil) => p
+      case (p, tags) => ptLineMulti(tags, p)
+    }
+    try writeManifest(spark, table, next,
+      lines.filterNot(_.startsWith(MetaPrefix)) ++
+        tombFiles.map(p => DvPrefix + p) ++ newDataLines ++
+        computeStatLines(spark, newPaths, statColsOf(lines),
+          renameMapOf(lines)))
+    catch { case e: RuntimeException
+        if e.getMessage != null &&
+          e.getMessage.contains("already committed") =>
+      sys.error(s"version conflict on $table: a concurrent commit " +
+        s"took v$next — re-run the statement")
+    }
+    next
+  }
+
   /** CHANGE DATA FEED: the logical row changes between two committed
     * versions, computed from O(changed files) of I/O. Output schema is
     * the (merged) table schema plus `change` ('insert' | 'delete') and
@@ -1833,8 +1896,8 @@ object VersionedTable {
     * ordinal in its PHYSICAL file (materialized before tombstone
     * application, so positions name original-file rows) — what the
     * positional-delete doomed scan reads. */
-  private def readSnapshotTaggedWithPos(spark: SparkSession,
-                                        lines: Seq[String]): DataFrame = {
+  private[sources] def readSnapshotTaggedWithPos(
+      spark: SparkSession, lines: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
@@ -3145,8 +3208,9 @@ object VersionedTable {
     * predicates re-applied, each row tagged with its file identity. */
   def readWhereTagged(spark: SparkSession, table: String,
                       preds: Seq[ScanPred],
-                      version: Option[Int] = None): DataFrame =
-    readCandidatesTagged(spark, table, preds, version)
+                      version: Option[Int] = None,
+                      withPos: Boolean = false): DataFrame =
+    readCandidatesTagged(spark, table, preds, version, withPos)
       .filter(predExpr(preds))
 
   /** [[scanCandidates]] for a DISJUNCTION of conjunctions (DNF —

@@ -122,7 +122,12 @@ object OracleFuzz {
     // splits, the partitioned-DDL counts, and the CALL lifecycle's
     // preserved content all shift with the input subset
     "q_catalog_update", "q_catalog_merge", "q_catalog_delete",
-    "q_catalog_partitioned", "q_catalog_call")
+    "q_catalog_partitioned", "q_catalog_call",
+    // round-10: the MOR routing's matched-row ratios, the skewed
+    // MERGE's hot-key row set, and the Update-mode sink's changed-key
+    // stream all shift with the perturbed input subset
+    "q_catalog_delete_mor", "q_catalog_merge_skew", "q_stream_update",
+    "q_catalog_update_mor")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

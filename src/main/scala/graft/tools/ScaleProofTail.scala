@@ -172,7 +172,13 @@ object ScaleProofTail {
       // runtime group filtering), SQL DELETE, partitioned DDL, and
       // the streaming sink loop at 10x
       "q_catalog_update", "q_catalog_merge", "q_catalog_delete",
-      "q_catalog_partitioned", "q_stream_sink", "q_catalog_call")
+      "q_catalog_partitioned", "q_stream_sink", "q_catalog_call",
+      // round-10: skewed-ON-key MERGE (runtime group filtering's
+      // matching-rows subquery under a hot key, broadcast disabled),
+      // merge-on-read SQL DELETE routing, Update-mode streaming sink,
+      // SQL metadata tables at 10x
+      "q_catalog_merge_skew", "q_catalog_delete_mor", "q_stream_update",
+      "q_catalog_metadata", "q_catalog_update_mor")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)
