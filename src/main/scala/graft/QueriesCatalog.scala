@@ -877,8 +877,6 @@ object QueriesCatalog {
     VersionedTable.commit(s, li,
       src.repartitionByRange(4, col("l_orderkey")),
       append = false, statCols = Seq("l_orderkey", "qty"))
-    val maxKey = src.agg(max("l_orderkey")).head().getLong(0)
-    val lo = 1L; val hi = maxKey / 128L
     def files(v: Int): Set[String] = VersionedTable.dataFilesOf(
       VersionedTable.manifest(s, li, v)).toSet
     def dvs(v: Int): Seq[String] = VersionedTable.dvFilesOf(
@@ -889,9 +887,11 @@ object QueriesCatalog {
     s.sql(s"DELETE FROM $cat.li WHERE qty = 1")
     require(files(1) == files(2) && dvs(2).nonEmpty,
       "forced merge-on-read DELETE must publish only dv + manifest")
-    // 2. cost-based: a point-range delete picks merge-on-read itself
+    // 2. cost-based: a ~2%-selectivity delete (qty is uniform 1..50,
+    // scale-invariant — a key RANGE would cover whole replicas under
+    // the 10x proof's shifted-key corpus) picks merge-on-read itself
     s.sql(s"ALTER TABLE $cat.li UNSET TBLPROPERTIES ('write.delete.mode')")
-    s.sql(s"DELETE FROM $cat.li WHERE l_orderkey BETWEEN $lo AND $hi")
+    s.sql(s"DELETE FROM $cat.li WHERE qty = 2")
     require(files(2) == files(3) && dvs(3).nonEmpty,
       "cost-based routing must keep a point DELETE merge-on-read")
     // 3. purge the debt through SQL CALL
@@ -913,13 +913,10 @@ object QueriesCatalog {
   }
 
   val catalogDeleteMorSql: String =
-    """WITH hi AS (SELECT CAST(max(l_orderkey) // 128 AS BIGINT) AS v
-      |            FROM lineitem)
-      |SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
+    """SELECT 'head' AS snap, l_linestatus, count(*) AS cnt,
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
       |FROM lineitem
-      |WHERE CAST(l_quantity AS BIGINT) <> 1
-      |  AND NOT (l_orderkey BETWEEN 1 AND (SELECT v FROM hi))
+      |WHERE CAST(l_quantity AS BIGINT) NOT IN (1, 2)
       |  AND CAST(l_quantity AS BIGINT) < 40
       |GROUP BY l_linestatus
       |UNION ALL
