@@ -601,8 +601,10 @@ object QueriesCatalog {
     s.sql(s"ALTER TABLE $cat.li SET TBLPROPERTIES " +
       "('write.update.mode'='merge-on-read', " +
       "'write.merge.mode'='merge-on-read')")
+    // scale-relative bounds: a fixed lower bound would make the range
+    // empty at small SFs (sf0.001's max key is ~1.5k)
     s.sql(s"UPDATE $cat.li SET qty = qty + 100 " +
-      s"WHERE l_orderkey BETWEEN 2000 AND ${maxKey / 2} " +
+      s"WHERE l_orderkey BETWEEN ${maxKey / 4} AND ${maxKey / 2} " +
       "AND l_linestatus = 'F'")
     require(files(1).subsetOf(files(2)) && dvs(2).nonEmpty,
       "merge-on-read UPDATE must carry every old file verbatim")
@@ -631,11 +633,11 @@ object QueriesCatalog {
   }
 
   val catalogUpdateMorSql: String =
-    """WITH hi AS (SELECT CAST(max(l_orderkey) // 2 AS BIGINT) AS v
-      |            FROM lineitem),
+    """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
       |base AS (
       |  SELECT l_orderkey, l_linestatus,
-      |    CASE WHEN l_orderkey BETWEEN 2000 AND (SELECT v FROM hi)
+      |    CASE WHEN l_orderkey BETWEEN (SELECT m // 4 FROM mx)
+      |        AND (SELECT m // 2 FROM mx)
       |        AND l_linestatus = 'F'
       |      THEN CAST(l_quantity AS BIGINT) + 100
       |      ELSE CAST(l_quantity AS BIGINT) END AS qty

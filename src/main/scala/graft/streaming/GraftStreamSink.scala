@@ -35,6 +35,14 @@ import graft.sources.VersionedTable
   *    outright; this is parity-plus). The batch must carry one row
   *    per key (a streaming aggregation does by construction); the
   *    first batch on an empty table bootstraps with a plain append.
+  *    `statCols` DEFAULTS to the merge key in this mode: the upsert's
+  *    touched-file probe decides from manifest st ranges, and without
+  *    key stats every batch would pay a table-proportional stats scan
+  *    — the difference between O(changed files) and O(table) per
+  *    batch at 100 TB. An optional `.option("deleteColumn", c)` marks
+  *    a boolean source column as a CDC delete flag: flagged keys are
+  *    REMOVED from the table (the flag column itself is not stored),
+  *    so an upstream change feed with deletes mirrors completely.
   *    Cost per batch: O(files whose key range admits a changed key)
   *    rewritten, the rest carried — never a snapshot rewrite.
   *  - **Exactly-once** across restarts via the table's own
@@ -118,14 +126,22 @@ private[streaming] class GraftStreamSink(table: String, appId: String,
     if (mergeKey.nonEmpty) {
       // Update mode: upsert the batch's changed keys. First batch on
       // a table with no versions bootstraps as an append (every key
-      // is new); both paths sit behind the same replay guard.
+      // is new); both paths sit behind the same replay guard. Key
+      // stats default ON so every later batch's touched-file probe is
+      // metadata-only (no per-batch stats scan).
+      val deleteCol = parameters.get("deleteColumn")
+      val keyStats = (statCols ++ mergeKey).distinct
       if (VersionedTable.versions(spark, table).isEmpty)
-        VersionedTable.commitIdempotent(spark, table, batch,
+        VersionedTable.commitIdempotent(spark, table,
+          deleteCol.fold(batch)(d =>
+            batch.filter(!org.apache.spark.sql.functions.col(d))
+              .drop(d)),
           append = false, appId = appId, txnVersion = batchId,
-          statCols = statCols)
+          statCols = keyStats)
       else
         VersionedTable.mergeCommitIdempotent(spark, table, batch,
-          mergeKey.get, appId = appId, txnVersion = batchId)
+          mergeKey.get, appId = appId, txnVersion = batchId,
+          deleteCol = deleteCol)
     } else if (partitionColumns.nonEmpty) {
       // partitioned streaming writes: pt-tagged commits with the same
       // replay guard, via the partitioned idempotent path

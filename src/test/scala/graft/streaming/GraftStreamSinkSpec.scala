@@ -167,6 +167,41 @@ class GraftStreamSinkSpec extends SparkSpec {
       .collect().toSet == Set((1L, 10L), (2L, 25L), (3L, 30L)))
   }
 
+  test("Update mode: key stats default on (bootstrap stamps them)") {
+    val w = fresh("gskus"); val dest = s"$w/dest"
+    val sink = new GraftStreamSink(dest, appId = "update-stats-spec",
+      append = false, Seq.empty, Map.empty, mergeKey = Some("k"))
+    sink.addBatch(0L, (1L to 100L).map(k => (k, k)).toDF("k", "total"))
+    // bootstrap stamped key stats without the caller asking — the
+    // no-per-batch-scan pin lives in UpdateSinkScaleSpec (notifier
+    // access is package-private to graft.sources)
+    assert(VersionedTable.statsCovered(
+      VersionedTable.manifest(spark, dest, 1), Seq("k")),
+      "Update mode must default statCols to the merge key")
+    sink.addBatch(1L, Seq((5L, 55L)).toDF("k", "total"))
+    assert(VersionedTable.read(spark, dest)
+      .filter(col("k") === 5L).select("total").as[Long].head() == 55L)
+  }
+
+  test("Update mode deleteColumn: flagged keys mirror CDC deletes") {
+    val w = fresh("gskud"); val dest = s"$w/dest"
+    val sink = new GraftStreamSink(dest, appId = "update-del-spec",
+      append = false, Seq.empty, Map("deleteColumn" -> "del"),
+      mergeKey = Some("k"))
+    sink.addBatch(0L,
+      Seq((1L, 10L, false), (2L, 20L, false), (3L, 30L, false))
+        .toDF("k", "total", "del"))
+    sink.addBatch(1L,
+      Seq((2L, 25L, false), (3L, 0L, true), (4L, 40L, false))
+        .toDF("k", "total", "del"))
+    assert(VersionedTable.read(spark, dest).select("k", "total")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 25L), (4L, 40L)),
+      "flagged key 3 must be deleted, 2 updated, 4 inserted")
+    assert(!VersionedTable.read(spark, dest).columns.contains("del"),
+      "the flag column itself is not stored")
+  }
+
   test("Update mode without mergeKeys fails loudly at sink creation") {
     import org.apache.spark.sql.streaming.OutputMode
     val e = intercept[IllegalArgumentException] {
