@@ -41,7 +41,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
-    "restore")
+    "restore", "clean_orphans", "vacuum_retention")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -141,6 +141,31 @@ private[sources] object GraftProcedures {
           nullable = false)))) { r =>
         VersionedTable.dropTag(spark, pathOf(str(r, 0)), str(r, 1))
         Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case "vacuum_retention" => Some(proc("vacuum_retention",
+        "retire history older than a TIME window (keeps every version" +
+          " committed inside it, plus the head and tag pins) — the " +
+          "policy operators actually state, commit-rate independent",
+        Seq(in("table", StringType),
+          in("retention_hours", LongType, Some("168"))),
+        StructType(Seq(
+          StructField("retired_versions", IntegerType, nullable = false),
+          StructField("deleted_files", IntegerType, nullable = false)))) { r =>
+        val (retired, dead) = VersionedTable.vacuumRetention(spark,
+          pathOf(str(r, 0)), r.getLong(1) * 3600L * 1000L)
+        Seq(new GenericInternalRow(Array[Any](retired.size, dead.size)))
+      })
+      case "clean_orphans" => Some(proc("clean_orphans",
+        "delete data/sidecar files no manifest references (crash " +
+          "residue; only files older than retention_hours are touched" +
+          " — younger ones may belong to a commit in flight)",
+        Seq(in("table", StringType),
+          in("retention_hours", LongType, Some("168"))),
+        StructType(Seq(StructField("deleted_files", IntegerType,
+          nullable = false)))) { r =>
+        val dead = VersionedTable.cleanOrphans(spark, pathOf(str(r, 0)),
+          r.getLong(1) * 3600L * 1000L)
+        Seq(new GenericInternalRow(Array[Any](dead.size)))
       })
       case _ => None
     }

@@ -5312,10 +5312,10 @@ object VersionedTable {
     * [[graft.streaming.TableChangeStream.safeVacuum]] when change
     * streams follow the table. */
   def vacuumRetention(spark: SparkSession, table: String,
-                      retentionMs: Long): Unit = {
+                      retentionMs: Long): (Seq[Int], Seq[String]) = {
     require(retentionMs >= 0, "retentionMs must be non-negative")
     val vs = versions(spark, table)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return (Seq.empty, Seq.empty)
     val cutoff = System.currentTimeMillis() - retentionMs
     // keep from the OLDEST in-window version onward, not a count of
     // in-window versions: with mixed in-commit timestamps and mtime

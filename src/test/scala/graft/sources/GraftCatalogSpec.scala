@@ -509,6 +509,30 @@ class GraftCatalogSpec extends SparkSpec {
       6L, "restored head must show v7's content")
     // rows intact through the whole lifecycle
     assert(spark.sql("SELECT count(*) FROM gt.tproc").as[Long].head() == 6L)
+    // vacuum_retention: everything committed seconds ago is inside a
+    // 168h window — a no-op that still reports its (0, 0) counts
+    assert(spark.sql(
+      "CALL gt.system.vacuum_retention('tproc', retention_hours => 168)")
+      .as[(Int, Int)].head() == ((0, 0)),
+      "in-window history must survive a retention vacuum")
+    // clean_orphans reclaims unreferenced crash residue (and ONLY
+    // that): plant a stray parquet next to the real commit dirs
+    locally {
+      val orphan = new org.apache.hadoop.fs.Path(
+        s"$warehouse/tproc/data/orphan-dir/stray.parquet")
+      val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(orphan.getParent)
+      val out = f.create(orphan, true)
+      out.write("not a real parquet".getBytes("UTF-8")); out.close()
+      f.setTimes(orphan, 1000L, 1000L) // ancient mtime: past retention
+      val deleted = spark.sql(
+        "CALL gt.system.clean_orphans('tproc', retention_hours => 1)")
+        .as[Int].head()
+      assert(deleted >= 1, "the stray file must be reclaimed")
+      assert(!f.exists(orphan))
+      assert(spark.sql("SELECT count(*) FROM gt.tproc")
+        .as[Long].head() == 6L, "live data untouched")
+    }
     // unknown procedure fails loudly, listing what exists (our
     // message rides the cause under Spark's FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception] {
