@@ -152,7 +152,9 @@ class TableIntrospectionSpec extends SparkSpec {
       Future(VersionedTable.commitWithRetry(spark, t,
         Seq((i.toLong, s"w$i")).toDF("k", "v"), append = true))
     }
-    val got = Await.result(Future.sequence(fs), 120.seconds)
+    // generous: under a fully loaded suite box four concurrent Spark
+    // jobs + retry losers can exceed 2 min without anything being wrong
+    val got = Await.result(Future.sequence(fs), 300.seconds)
     assert(got.toSet.size == 4, s"each writer needs its own version: $got")
     assert(VersionedTable.read(spark, t).select("k").as[Long]
       .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
