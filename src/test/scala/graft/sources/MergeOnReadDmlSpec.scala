@@ -127,6 +127,23 @@ class MergeOnReadDmlSpec extends SparkSpec {
     val _ = t
   }
 
+  test("a DELETE the filter language cannot express goes MOR too") {
+    // `k % 97 = 0` is not a translatable filter, so SupportsDelete
+    // never sees it — the statement falls to the row-level path,
+    // where write.delete.mode = merge-on-read must select the DELTA
+    // operation: tombstones only, zero parquet rewrites
+    val t = seed("d1")
+    VersionedTable.setTableProperty(spark, t,
+      VersionedTable.DeleteModeProp, "merge-on-read")
+    spark.sql("DELETE FROM gmor.d1 WHERE k % 97 = 0")
+    assert(dataFiles(t, 1) == dataFiles(t, 2),
+      "the fallback DELETE must publish only dv + manifest")
+    assert(dvFiles(t, 2).nonEmpty)
+    val got = VersionedTable.read(spark, t)
+      .select("k").as[Long].collect().toSet
+    assert(got == (1L to 800L).filterNot(_ % 97 == 0).toSet)
+  }
+
   test("change feed across a MOR update is the delete/insert pair") {
     val t = seed("f1")
     VersionedTable.setTableProperty(spark, t, "write.update.mode",
