@@ -926,7 +926,169 @@ object QueriesCatalog {
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Atomic SQL DDL lifecycle (StagingTableCatalog + TruncatableTable):
+  //  1. partitioned CTAS with TBLPROPERTIES — ONE version publishes
+  //     table + data + properties together (in-query requires pin one
+  //     version, every file pt-tagged, the property set);
+  //  2. REPLACE TABLE AS SELECT — logical overwrite at v2, v1 still
+  //     time-travels;
+  //  3. TRUNCATE TABLE on a second CTAS table — a METADATA-ONLY
+  //     overwrite commit (zero data files pinned in-query), schema
+  //     kept, then an INSERT proves the table stays writable.
+  // The oracle recomputes every snapshot algebraically from orders.
+  // ---------------------------------------------------------------------
+  def catalogCtas(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+      .createOrReplaceTempView("ctas_orders_src")
+    // 1. atomic partitioned CTAS (write.stats.columns: st stats are
+    // stamped by the creating commit itself — file skipping works on
+    // a SQL-only table with zero ANALYZE calls)
+    s.sql(s"CREATE TABLE $cat.ct PARTITIONED BY (o_orderstatus) " +
+      "TBLPROPERTIES ('team.tier' = 'gold', " +
+      "'write.stats.columns' = 'o_orderkey') AS " +
+      "SELECT * FROM ctas_orders_src WHERE o_orderkey % 3 = 0")
+    val ct = s"$w/ct"
+    require(VersionedTable.versions(s, ct) == Seq(1),
+      "CTAS must publish exactly one version")
+    val l1 = VersionedTable.manifest(s, ct, 1)
+    require(VersionedTable.partitionsOf(l1).map(_._3).toSet ==
+      VersionedTable.dataFilesOf(l1).toSet &&
+      VersionedTable.dataFilesOf(l1).nonEmpty,
+      "every CTAS data file must be pt-tagged at birth")
+    require(l1.exists(_.startsWith("st\t")),
+      "CTAS must stamp the declared write.stats.columns stats")
+    require(VersionedTable.tablePropertiesOf(s, ct)
+      .get("team.tier").contains("gold"),
+      "CTAS TBLPROPERTIES must land with the table")
+    // 2. atomic RTAS
+    s.sql(s"REPLACE TABLE $cat.ct AS " +
+      "SELECT * FROM ctas_orders_src WHERE o_orderkey % 3 = 1")
+    require(VersionedTable.versions(s, ct) == Seq(1, 2),
+      "RTAS must be one overwrite commit on the same history")
+    // 3. TRUNCATE + reinsert on a second table
+    s.sql(s"CREATE TABLE $cat.tr AS " +
+      "SELECT * FROM ctas_orders_src WHERE o_orderkey <= 10000")
+    s.sql(s"TRUNCATE TABLE $cat.tr")
+    require(VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, s"$w/tr", 2)).isEmpty,
+      "TRUNCATE must be a metadata-only commit")
+    s.sql(s"INSERT INTO $cat.tr SELECT * FROM ctas_orders_src " +
+      "WHERE o_orderkey BETWEEN 20000 AND 40000")
+    s.sql(
+      s"""SELECT 'ctas_v1' AS step, count(*) AS cnt,
+         |  CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS cents
+         |FROM $cat.ct VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'rtas_head', count(*),
+         |  CAST(coalesce(sum(price_cents), 0) AS BIGINT)
+         |FROM $cat.ct
+         |UNION ALL
+         |SELECT 'trunc_empty', count(*),
+         |  CAST(coalesce(sum(price_cents), 0) AS BIGINT)
+         |FROM $cat.tr VERSION AS OF 2
+         |UNION ALL
+         |SELECT 'reinsert', count(*),
+         |  CAST(coalesce(sum(price_cents), 0) AS BIGINT)
+         |FROM $cat.tr""".stripMargin)
+  }
+
+  val catalogCtasSql: String =
+    """SELECT 'ctas_v1' AS step, count(*) AS cnt,
+      |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+      |    AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 'rtas_head', count(*),
+      |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+      |    AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 = 1
+      |UNION ALL
+      |SELECT 'trunc_empty', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'reinsert', count(*),
+      |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+      |    AS BIGINT)
+      |FROM orders WHERE o_orderkey BETWEEN 20000 AND 40000""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MERGE WITH SCHEMA EVOLUTION (Spark 4 syntax): the source carries a
+  // column the target lacks; the engine's ResolveMergeIntoSchemaEvolution
+  // drives this catalog's alterTable, then the merge lands through the
+  // row-level seam — once copy-on-write, once merge-on-read (the MOR
+  // in-query require pins every pre-merge file carried verbatim). Old
+  // rows surface the evolved column as NULL (counted by the oracle).
+  // ---------------------------------------------------------------------
+  def catalogMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+      .createOrReplaceTempView("evolve_orders_src")
+    s.sql(
+      """SELECT o_orderkey, price_cents * 2 AS price_cents,
+        |  o_orderstatus AS status
+        |FROM evolve_orders_src WHERE o_orderkey % 4 <= 1""".stripMargin)
+      .createOrReplaceTempView("evolve_updates")
+    def run(name: String, tblProps: String): Unit = {
+      s.sql(s"CREATE TABLE $cat.$name $tblProps AS " +
+        "SELECT o_orderkey, price_cents FROM evolve_orders_src " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.$name t
+           |USING evolve_updates u ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    run("mc", "")
+    run("mm", "TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')")
+    // the MOR merge must carry every pre-merge file verbatim: only
+    // tombstones + fresh files publish
+    val mm = s"$w/mm"
+    val vs = VersionedTable.versions(s, mm)
+    val preFiles = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, mm, vs.init.last)).toSet
+    val headFiles = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, mm, vs.last)).toSet
+    require(preFiles.subsetOf(headFiles) && headFiles != preFiles,
+      "merge-on-read MERGE must append, never rewrite")
+    s.sql(
+      s"""SELECT 'cow' AS mode, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS cents,
+         |  count(status) AS with_status
+         |FROM $cat.mc
+         |UNION ALL
+         |SELECT 'mor', count(*), CAST(sum(price_cents) AS BIGINT),
+         |  count(status)
+         |FROM $cat.mm""".stripMargin)
+  }
+
+  val catalogMergeEvolveSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS st
+      |  FROM orders
+      |), merged AS (
+      |  SELECT k, cents, NULL AS status FROM base
+      |  WHERE k % 2 = 0 AND k % 4 <> 0
+      |  UNION ALL
+      |  SELECT k, cents * 2, st FROM base WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k, cents * 2, st FROM base WHERE k % 4 = 1
+      |)
+      |SELECT 'cow' AS mode, count(*) AS cnt,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  count(status) AS with_status
+      |FROM merged
+      |UNION ALL
+      |SELECT 'mor', count(*), CAST(sum(cents) AS BIGINT), count(status)
+      |FROM merged""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_ctas" -> (catalogCtas _),
+    "q_catalog_merge_evolve" -> (catalogMergeEvolve _),
     "q_catalog_update_mor" -> (catalogUpdateMor _),
     "q_catalog_merge_skew" -> (catalogMergeSkew _),
     "q_catalog_metadata" -> (catalogMetadata _),
@@ -946,6 +1108,8 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_ctas" -> catalogCtasSql,
+    "q_catalog_merge_evolve" -> catalogMergeEvolveSql,
     "q_catalog_update_mor" -> catalogUpdateMorSql,
     "q_catalog_merge_skew" -> catalogMergeSkewSql,
     "q_catalog_metadata" -> catalogMetadataSql,

@@ -76,7 +76,8 @@ import VersionedTable.ScanPred
   * a warehouse — here the warehouse is the manifest-log directory
   * tree and table names resolve inside it.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -181,16 +182,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Some(VersionedTable.versionAsOf(spark, p, timestamp / 1000L)))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String])
-      : Table = {
-    // PARTITIONED BY (col, ...) — identity transforms map straight
-    // onto the layer's multi-column pt tags: the spec is stamped in
-    // the creating commit's meta and every INSERT routes through
-    // commitPartitionedMulti, so partition-value predicates prune by
-    // manifest tags from the first row written
-    val partCols = partitions.toSeq.map {
+  /** PARTITIONED BY (col, ...) — identity transforms map straight
+    * onto the layer's multi-column pt tags: the spec is stamped in
+    * the creating commit's meta and every INSERT routes through
+    * commitPartitionedMulti, so partition-value predicates prune by
+    * manifest tags from the first row written. */
+  private def identityPartCols(schema: StructType,
+                               partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
       case t if t.name() == "identity" &&
           t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
@@ -203,11 +202,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"$other (bucket/transform specs: library API " +
           "commitBucketed / commitTransformPartitioned)")
     }
+
+  /** The USER-set TBLPROPERTIES of a CREATE/REPLACE statement — the
+    * engine-injected bookkeeping keys (provider, location, owner,
+    * comment, external, `option.`-prefixed write options) are not
+    * table properties and never reach the `_props` registry. */
+  private def userProps(properties: java.util.Map[String, String])
+      : Map[String, String] = {
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, "transient_lastDdlTime")
+    properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        reserved(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = {
+    val partCols = identityPartCols(schema, partitions)
     val p = pathOf(ident)
     if (isTable(p))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace().toSeq :+ ident.name()).toSeq)
+    // TBLPROPERTIES first: the `_props` sidecars of a manifest-less
+    // path are invisible (isTable = false), so the table appears with
+    // its properties already set once the creating commit publishes
+    userProps(properties).foreach { case (k, v) =>
+      VersionedTable.setTableProperty(spark, p, k, v) }
     // v1 = the empty snapshot carrying the declared schema (and the
     // partition spec in its meta — a partitioned write of zero rows
     // would produce zero files, so the spec rides the commit metadata
@@ -219,6 +244,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       meta = if (partCols.isEmpty) Map.empty
         else Map("partitioned_by" -> partCols.mkString(",")))
     new GraftTable(p, ident.toString, None)
+  }
+
+  /** ATOMIC `CREATE TABLE ... AS SELECT` — the DSv2 staging seam
+    * ([[StagingTableCatalog]]): the SELECT's whole data write lands
+    * while the table path stays manifest-less (invisible — `isTable`
+    * is false until the manifest exists), then ONE atomic manifest
+    * rename publishes table + data together. A failed or aborted CTAS
+    * leaves NO half-created table, only orphaned staged files that
+    * `clean_orphans` reclaims. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : StagedTable = {
+    val p = pathOf(ident)
+    if (isTable(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace().toSeq :+ ident.name()).toSeq)
+    new GraftStagedTable(p, ident.toString, schema,
+      identityPartCols(schema, partitions), GraftStagedTable.Create,
+      userProps(properties))
+  }
+
+  /** ATOMIC `REPLACE TABLE ... AS SELECT`: readers keep the old
+    * snapshot until the staged manifest publishes (a logical
+    * overwrite commit — history stays time-travelable, the lineage
+    * restarts exactly like INSERT OVERWRITE). */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String])
+      : StagedTable = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(p, ident.toString, schema,
+      identityPartCols(schema, partitions), GraftStagedTable.Replace,
+      userProps(properties))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String])
+      : StagedTable = {
+    val p = pathOf(ident)
+    new GraftStagedTable(p, ident.toString, schema,
+      identityPartCols(schema, partitions),
+      if (isTable(p)) GraftStagedTable.Replace else GraftStagedTable.Create,
+      userProps(properties))
   }
 
   override def capabilities()
@@ -509,6 +581,128 @@ private[sources] object GraftMetadataTable {
     "tags", "constraints", "properties")
 }
 
+private[sources] object GraftStagedTable {
+  sealed trait Mode
+  /** Target must not exist; publish = manifest v1. */
+  case object Create extends Mode
+  /** Target exists; publish = overwrite commit at head+1. */
+  case object Replace extends Mode
+}
+
+/** One staged CTAS / RTAS target ([[StagedTable]]). The SELECT's data
+  * write runs through the SAME staged-commit tail as every library
+  * commit ([[VersionedTable.stageCommitData]] /
+  * [[VersionedTable.stageCommitPartitionedData]]: physical-name
+  * mapping, pt tags, st/fz stats, CHECK-constraint validation) — only
+  * the atomic manifest rename is deferred to [[commitStagedChanges]].
+  * Until that rename the table is invisible (Create) or readers keep
+  * the pre-REPLACE snapshot (Replace); abort deletes the staged files
+  * and publishes nothing. A concurrent commit that takes the staged
+  * version number first makes the publish fail loudly — never a
+  * silent overwrite of someone else's rows. */
+private[sources] class GraftStagedTable(path: String, displayName: String,
+                                        declaredSchema: StructType,
+                                        partCols: Seq[String],
+                                        mode: GraftStagedTable.Mode,
+                                        props: Map[String, String])
+    extends StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  @volatile private var staged: Option[VersionedTable.StagedCommit] = None
+
+  override def name(): String = displayName
+  override def schema(): StructType = declaredSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+  override def properties(): java.util.Map[String, String] =
+    (props ++ Map(TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> path)).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** The CTAS/RTAS data write: stage everything, publish nothing.
+    * [[SupportsTruncate]] because Spark plans RTAS as
+    * OverwriteByExpression(true) — a staged write is a fresh lineage
+    * by construction, so truncate is the identity here. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) => {
+            // write.stats.columns from the statement's own
+            // TBLPROPERTIES (create: registry not published yet), or
+            // the live table's registry (replace without a new value)
+            val statCols = props.get(VersionedTable.StatsColsProp)
+              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+                .filter(data.columns.contains))
+              .getOrElse(VersionedTable.declaredStatCols(spark, path,
+                data.columns.toSeq))
+            staged = Some(
+              if (partCols.nonEmpty)
+                VersionedTable.stageCommitPartitionedData(spark, path,
+                  data, partCols, append = false, statCols = statCols)
+              else
+                VersionedTable.stageCommitData(spark, path, data,
+                  append = false, statCols = statCols))
+            ()
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val s = staged.getOrElse {
+      // a zero-row CTAS still creates the table: stage the declared
+      // schema's empty snapshot (same shape createTable publishes)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], declaredSchema)
+      if (partCols.nonEmpty)
+        VersionedTable.stageCommitPartitionedData(spark, path, empty,
+          partCols, append = false)
+      else VersionedTable.stageCommitData(spark, path, empty,
+        append = false)
+    }
+    if (mode == GraftStagedTable.Create && s.version != 1) {
+      s.discard(spark)
+      sys.error(s"CREATE TABLE $displayName AS SELECT lost a race: " +
+        "the table was created concurrently while the SELECT was " +
+        "staging — nothing was published; re-run (or use CREATE OR " +
+        "REPLACE)")
+    }
+    // Create: properties land on the still-invisible path, so the
+    // manifest rename publishes table, data, AND properties together.
+    // Replace: properties apply after the publish (the registry is
+    // shared across versions; setting them early would mutate the
+    // LIVE pre-replace table if the publish then failed)
+    if (mode == GraftStagedTable.Create)
+      props.foreach { case (k, v) =>
+        VersionedTable.setTableProperty(spark, path, k, v) }
+    try VersionedTable.writeManifest(spark, path, s.version, s.lines)
+    catch { case e: RuntimeException
+        if e.getMessage != null &&
+          e.getMessage.contains("already committed") =>
+      s.discard(spark)
+      if (mode == GraftStagedTable.Create)
+        props.keys.foreach( // the path belongs to the race winner now
+          k => VersionedTable.unsetTableProperty(spark, path, k))
+      sys.error(s"version conflict publishing $displayName: the " +
+        s"staged ${if (mode == GraftStagedTable.Create) "CTAS"
+          else "REPLACE"} planned v${s.version} but a concurrent " +
+        "commit took it — nothing was published; re-run the statement")
+    }
+    if (mode == GraftStagedTable.Replace)
+      props.foreach { case (k, v) =>
+        VersionedTable.setTableProperty(spark, path, k, v) }
+  }
+
+  override def abortStagedChanges(): Unit =
+    staged.foreach(_.discard(spark))
+}
+
 /** One versioned table at one PINNED version (head resolved at load
   * time — snapshot isolation for the whole query). SQL `DELETE FROM
   * ... WHERE` lands on [[SupportsDelete]] → one copy-on-write
@@ -520,7 +714,7 @@ private[sources] class GraftTable(path: String, displayName: String,
                                   versionOpt: Option[Int])
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with TruncatableTable {
 
   /** `_file` / `_pos` — each row's stable identity: its data file
     * (normalized path) and its ordinal within that file. User-
@@ -595,10 +789,15 @@ private[sources] class GraftTable(path: String, displayName: String,
         .identity(c)).toArray
   }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION opts into `MERGE WITH SCHEMA
+    * EVOLUTION` (the analyzer's ResolveMergeIntoSchemaEvolution
+    * gates on it, then drives this catalog's alterTable with the
+    * source-only columns); plain MERGE stays schema-strict. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -629,6 +828,26 @@ private[sources] class GraftTable(path: String, displayName: String,
     require(versionOpt.isEmpty,
       "cannot run DML against a time-travelled snapshot")
     new GraftRowLevelOperationBuilder(path, pinned, info)
+  }
+
+  /** SQL `TRUNCATE TABLE` ([[TruncatableTable]]): one metadata-only
+    * overwrite commit carrying the current LOGICAL schema and the
+    * identity partition spec — zero data I/O (the empty snapshot
+    * writes no files), history stays time-travelable, the schema and
+    * spec survive so the next INSERT behaves exactly as before the
+    * truncate. Old data files vacuum away with their versions. */
+  override def truncateTable(): Boolean = {
+    require(versionOpt.isEmpty,
+      "cannot truncate a time-travelled snapshot")
+    val lines = VersionedTable.manifest(spark, path, pinned)
+    val spec = {
+      val full = VersionedTable.fullSpecOf(lines)
+      if (full.nonEmpty) full
+      else VersionedTable.metaOf(lines).get("partitioned_by")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    }.filterNot(_.startsWith("__")) // derived tag specs die with the data
+    VersionedTable.truncateCommit(spark, path, schema, spec)
+    true
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -698,6 +917,11 @@ private[sources] class GraftWriteBuilder(path: String)
         val spark = data.sparkSession
         val spec = specFor(data)
         val append = !(overwrite || ovr)
+        // write.stats.columns: SQL inserts stamp declared st stats so
+        // file skipping works without a separate ANALYZE (one O(1)
+        // sidecar read per statement)
+        val statCols = VersionedTable.declaredStatCols(spark, path,
+          data.columns.toSeq)
         if (spec.nonEmpty) {
           // commutative appends: retry past concurrent-version races
           // (recomputes the head each attempt); overwrite stays
@@ -708,7 +932,7 @@ private[sources] class GraftWriteBuilder(path: String)
             attempts -= 1
             try {
               VersionedTable.commitPartitionedMulti(spark, path, data,
-                spec, append = append)
+                spec, append = append, statCols = statCols)
               done = true
             } catch {
               case e: RuntimeException if attempts > 0 &&
@@ -717,9 +941,11 @@ private[sources] class GraftWriteBuilder(path: String)
             }
           }
         } else if (append)
-          VersionedTable.commitWithRetry(spark, path, data, append = true)
+          VersionedTable.commitWithRetry(spark, path, data, append = true,
+            statCols = statCols)
         else
-          VersionedTable.commit(spark, path, data, append = false)
+          VersionedTable.commit(spark, path, data, append = false,
+            statCols = statCols)
         ()
       }
   }

@@ -830,6 +830,60 @@ object VersionedTable {
              append: Boolean,
              meta: Map[String, String] = Map.empty,
              statCols: Seq[String] = Nil): Int = {
+    val staged = stageCommitData(spark, table, df, append, meta, statCols)
+    writeManifest(spark, table, staged.version, staged.lines)
+    staged.version
+  }
+
+  /** A fully-prepared but UNPUBLISHED commit: the data files are on
+    * disk and every manifest line is computed; only the atomic
+    * [[writeManifest]] rename remains. The seam atomic CTAS / RTAS
+    * ([[GraftStagedTable]]) rides: stage the whole data write while
+    * the table stays invisible (or the old snapshot stays live), then
+    * publish — or [[discard]] — in one step. */
+  private[sources] final case class StagedCommit(table: String,
+                                                 version: Int,
+                                                 lines: Seq[String],
+                                                 dataDir: String) {
+    /** Abort: remove the staged data files (nothing was published). */
+    def discard(spark: SparkSession): Unit = {
+      val p = new Path(dataDir)
+      fs(spark, p).delete(p, true)
+      ()
+    }
+  }
+
+  /** SQL TRUNCATE TABLE's commit: an overwrite to the EMPTY snapshot
+    * as pure metadata — one manifest carrying only the logical schema
+    * (`sc`) and, when the table is partitioned, the spec meta so the
+    * next INSERT stays partition-tagged. ZERO data I/O at any table
+    * size (writing an empty DataFrame would still pay a Spark job and
+    * leave an empty part file); history time-travels as usual and the
+    * truncated versions vacuum away on retention. */
+  def truncateCommit(spark: SparkSession, table: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     partCols: Seq[String] = Nil): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val metaLines = metaLinesOf(
+      if (partCols.isEmpty) Map.empty
+      else Map("partitioned_by" -> partCols.mkString(",")))
+    val next = vs.last + 1
+    writeManifest(spark, table, next, metaLines ++ schemaLineOf(schema))
+    next
+  }
+
+  /** [[commit]] minus the publish — identical data write, stats,
+    * validation, and schema lines; returns the staged frame instead of
+    * renaming the manifest. The version is resolved NOW: a concurrent
+    * commit taking it first makes the later publish fail loudly (the
+    * staged data is then orphaned and [[StagedCommit.discard]] or
+    * `clean_orphans` reclaims it). */
+  private[sources] def stageCommitData(spark: SparkSession, table: String,
+                                       df: DataFrame, append: Boolean,
+                                       meta: Map[String, String] = Map.empty,
+                                       statCols: Seq[String] = Nil)
+      : StagedCommit = {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val carried =
@@ -852,9 +906,9 @@ object VersionedTable {
     validateNewFiles(spark, table, newFiles, checkSchema = append)
     val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
       else schemaLineOf(df.schema)
-    writeManifest(spark, table, next,
-      carried ++ newFiles ++ stLines ++ metaLines ++ schemaMeta)
-    next
+    StagedCommit(table, next,
+      carried ++ newFiles ++ stLines ++ metaLines ++ schemaMeta,
+      dataDir.toString)
   }
 
   /** IDEMPOTENT WRITES (Delta's txnAppId/txnVersion contract): an
@@ -1045,7 +1099,18 @@ object VersionedTable {
   private[sources] def readSnapshot(spark: SparkSession,
                                     lines: Seq[String]): DataFrame = {
     val data = dataFilesOf(lines)
-    require(data.nonEmpty, "manifest lists no data files")
+    if (data.isEmpty) {
+      // a legitimately EMPTY snapshot (TRUNCATE TABLE / a freshly
+      // created table): the sc line names the schema, zero files to
+      // scan — serve the typed empty frame. File-less manifests
+      // WITHOUT a schema line stay loud (malformed).
+      val sc = schemaOfLines(lines).getOrElse(sys.error(
+        "manifest lists no data files and no schema line"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          sc.fields.map(_.copy(nullable = true))))
+    }
     val base = baseSnapshotRead(spark, lines, data)
     val dvs = dvFilesOf(lines)
     // dv sidecars key on PHYSICAL names: the anti-join runs before
@@ -1465,6 +1530,27 @@ object VersionedTable {
 
   /** The `write.delete.mode` table property key. */
   val DeleteModeProp = "write.delete.mode"
+
+  /** The `write.stats.columns` table property key: a comma-separated
+    * column list every SQL write (INSERT / CTAS / streaming sink
+    * batch) stamps per-file min/max/null st stats for — so a table
+    * created and operated purely through SQL gets manifest file
+    * skipping from its first commit, without knowing to `CALL
+    * gt.system.analyze`. Columns absent from a given write are
+    * skipped (schema evolution safe); the library API's explicit
+    * `statCols` parameters are unaffected. */
+  val StatsColsProp = "write.stats.columns"
+
+  /** The table's declared stats columns ([[StatsColsProp]]) restricted
+    * to `available` — what a SQL write path passes as statCols. */
+  private[graft] def declaredStatCols(spark: SparkSession,
+                                      table: String,
+                                      available: Seq[String])
+      : Seq[String] =
+    tablePropertyOf(spark, table, StatsColsProp)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+      .filter(available.contains)
 
   /** SQL DELETE's routing seam — copy-on-write vs merge-on-read:
     *
@@ -3595,6 +3681,20 @@ object VersionedTable {
                              append: Boolean,
                              meta: Map[String, String] = Map.empty,
                              statCols: Seq[String] = Nil): Int = {
+    val staged = stageCommitPartitionedData(spark, table, df, partCols,
+      append, meta, statCols)
+    writeManifest(spark, table, staged.version, staged.lines)
+    staged.version
+  }
+
+  /** [[commitPartitionedMulti]] minus the publish — the partitioned
+    * twin of [[stageCommitData]] (per-value co-located files, pt tags,
+    * stats, validation all staged; one atomic rename left). */
+  private[sources] def stageCommitPartitionedData(
+      spark: SparkSession, table: String, df: DataFrame,
+      partCols: Seq[String], append: Boolean,
+      meta: Map[String, String] = Map.empty,
+      statCols: Seq[String] = Nil): StagedCommit = {
     partCols.foreach(pc => require(!pc.contains('=') &&
       !pc.contains('\t') && !pc.contains('\n') && !pc.contains('/'),
       "partition column names must be =/tab/newline/slash-free"))
@@ -3615,10 +3715,18 @@ object VersionedTable {
     validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
     val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
       else schemaLineOf(df.schema)
-    writeManifest(spark, table, next,
+    // the staged root is data/<next>-<uuid>; files sit one __pt=
+    // directory level per spec column below it
+    val dataDir = tagged.headOption.map { t =>
+      var p = new Path(t._2).getParent
+      while (p.getParent != null && p.getParent.getName != "data")
+        p = p.getParent
+      p.toString
+    }.getOrElse(new Path(table, s"data/$next-empty").toString)
+    StagedCommit(table, next,
       carried ++ tagged.map { case (ps, p) => ptLineMulti(ps, p) } ++
-        stLines ++ metaLines ++ schemaMeta)
-    next
+        stLines ++ metaLines ++ schemaMeta,
+      dataDir)
   }
 
   /** The files a read restricted to a CONJUNCTION of per-column value

@@ -121,8 +121,13 @@ private[streaming] class GraftStreamSink(table: String, appId: String,
     val spark = data.sparkSession
     val batch = org.apache.spark.sql.GraftStreamingBridge.batchFrame(
       spark, data.queryExecution.toRdd, data.schema)
+    // explicit .option("statCols", ...) wins; otherwise the table's
+    // write.stats.columns property (one O(1) sidecar read per batch)
+    // keeps streamed commits st-covered like every other SQL write
     val statCols = parameters.get("statCols")
-      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(VersionedTable.declaredStatCols(spark, table,
+        data.schema.fieldNames.toSeq))
     if (mergeKey.nonEmpty) {
       // Update mode: upsert the batch's changed keys. First batch on
       // a table with no versions bootstraps as an append (every key

@@ -127,7 +127,11 @@ object OracleFuzz {
     // MERGE's hot-key row set, and the Update-mode sink's changed-key
     // stream all shift with the perturbed input subset
     "q_catalog_delete_mor", "q_catalog_merge_skew", "q_stream_update",
-    "q_catalog_update_mor")
+    "q_catalog_update_mor",
+    // round-10 second batch: the CTAS/RTAS/TRUNCATE snapshots and the
+    // schema-evolving merge's matched/inserted splits all shift with
+    // the perturbed orders subset
+    "q_catalog_ctas", "q_catalog_merge_evolve")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -178,7 +178,11 @@ object ScaleProofTail {
       // merge-on-read SQL DELETE routing, Update-mode streaming sink,
       // SQL metadata tables at 10x
       "q_catalog_merge_skew", "q_catalog_delete_mor", "q_stream_update",
-      "q_catalog_metadata", "q_catalog_update_mor")
+      "q_catalog_metadata", "q_catalog_update_mor",
+      // round-10 second batch: atomic CTAS/RTAS/TRUNCATE through the
+      // staging catalog, and MERGE WITH SCHEMA EVOLUTION (COW + MOR)
+      // at 10x
+      "q_catalog_ctas", "q_catalog_merge_evolve")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)
