@@ -228,11 +228,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace().toSeq :+ ident.name()).toSeq)
-    // TBLPROPERTIES first: the `_props` sidecars of a manifest-less
-    // path are invisible (isTable = false), so the table appears with
-    // its properties already set once the creating commit publishes
-    userProps(properties).foreach { case (k, v) =>
-      VersionedTable.setTableProperty(spark, p, k, v) }
+    // TBLPROPERTIES validate BEFORE the commit (a typo'd behavior key
+    // must fail the statement, not silently half-apply) and publish
+    // right AFTER it: writing sidecars to the not-yet-committed path
+    // first would leak ghost properties onto a later CREATE of this
+    // name if the commit failed — and a creation-race loser would
+    // have to claw them back off the winner's live table
+    val props = userProps(properties)
+    props.foreach { case (k, v) =>
+      VersionedTable.validateTableProperty(k, v) }
     // v1 = the empty snapshot carrying the declared schema (and the
     // partition spec in its meta — a partitioned write of zero rows
     // would produce zero files, so the spec rides the commit metadata
@@ -243,6 +247,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     VersionedTable.commit(spark, p, empty, append = false,
       meta = if (partCols.isEmpty) Map.empty
         else Map("partitioned_by" -> partCols.mkString(",")))
+    props.foreach { case (k, v) =>
+      VersionedTable.setTableProperty(spark, p, k, v) }
     new GraftTable(p, ident.toString, None)
   }
 
@@ -289,8 +295,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val p = pathOf(ident)
     new GraftStagedTable(p, ident.toString, schema,
       identityPartCols(schema, partitions),
-      if (isTable(p)) GraftStagedTable.Replace else GraftStagedTable.Create,
-      userProps(properties))
+      GraftStagedTable.CreateOrReplace, userProps(properties))
   }
 
   override def capabilities()
@@ -483,19 +488,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case d: TableChange.DropConstraint =>
         constraints -= d.name()
       case sp: TableChange.SetProperty =>
-        // mirror setTableProperty's SET-time rules so a doomed later
-        // property change rejects the whole statement upfront
-        require(sp.property().nonEmpty && sp.property().forall(c =>
-          c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-          s"ALTER would fail: property key '${sp.property()}' must " +
-            "be [A-Za-z0-9._-]+")
-        require(!sp.value().contains('\n'),
-          "ALTER would fail: property value must be one line")
-        if (sp.property() == VersionedTable.DeleteModeProp)
-          require(Set("copy-on-write", "merge-on-read", "auto")(
-            sp.value()),
-            s"ALTER would fail: ${VersionedTable.DeleteModeProp} " +
-              "must be copy-on-write | merge-on-read | auto")
+        // the same SET-time rules setTableProperty enforces (shared
+        // validator — covers every behavior-bearing mode key), so a
+        // doomed later property change rejects the statement upfront
+        try VersionedTable.validateTableProperty(sp.property(),
+          sp.value())
+        catch { case e: IllegalArgumentException =>
+          sys.error(s"ALTER would fail: ${e.getMessage}") }
       case _: TableChange.RemoveProperty => () // idempotent
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
@@ -554,15 +553,22 @@ private[sources] class GraftMetadataTable(path: String,
     }
   }
 
+  /** Built ONCE per table handle (= once per statement — loadTable
+    * returns a fresh instance per resolution): schema resolution and
+    * the scan share it, so a metadata query pays its manifest walk /
+    * stats read a single time, and a new statement still sees current
+    * state through its new handle. */
+  private lazy val frame0: DataFrame = frame()
+
   override def name(): String = displayName
-  override lazy val schema: StructType = frame().schema
+  override lazy val schema: StructType = frame0.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
     override def build(): Scan = {
-      val df = frame()
+      val df = frame0
       val collected = df.queryExecution.executedPlan.executeCollect()
       val out = df.schema
       new org.apache.spark.sql.connector.read.LocalScan {
@@ -583,10 +589,16 @@ private[sources] object GraftMetadataTable {
 
 private[sources] object GraftStagedTable {
   sealed trait Mode
-  /** Target must not exist; publish = manifest v1. */
+  /** Target must not exist; publish = manifest v1. A creation race
+    * fails the statement loudly. */
   case object Create extends Mode
-  /** Target exists; publish = overwrite commit at head+1. */
+  /** Target exists; publish = overwrite commit at head+1, pinned to
+    * the staged snapshot (a concurrent commit fails the statement). */
   case object Replace extends Mode
+  /** Either way: the publish retries past version races (overwrite
+    * semantics are last-writer-wins — CREATE OR REPLACE must succeed
+    * whether or not someone created/committed concurrently). */
+  case object CreateOrReplace extends Mode
 }
 
 /** One staged CTAS / RTAS target ([[StagedTable]]). The SELECT's data
@@ -608,6 +620,11 @@ private[sources] class GraftStagedTable(path: String, displayName: String,
     extends StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
+
+  // a typo'd behavior-bearing key (write.delete.mode etc.) fails at
+  // STAGE time — before the SELECT runs, never after the publish
+  props.foreach { case (k, v) =>
+    VersionedTable.validateTableProperty(k, v) }
 
   @volatile private var staged: Option[VersionedTable.StagedCommit] = None
 
@@ -673,30 +690,45 @@ private[sources] class GraftStagedTable(path: String, displayName: String,
         "staging — nothing was published; re-run (or use CREATE OR " +
         "REPLACE)")
     }
-    // Create: properties land on the still-invisible path, so the
-    // manifest rename publishes table, data, AND properties together.
-    // Replace: properties apply after the publish (the registry is
-    // shared across versions; setting them early would mutate the
-    // LIVE pre-replace table if the publish then failed)
-    if (mode == GraftStagedTable.Create)
-      props.foreach { case (k, v) =>
-        VersionedTable.setTableProperty(spark, path, k, v) }
-    try VersionedTable.writeManifest(spark, path, s.version, s.lines)
-    catch { case e: RuntimeException
-        if e.getMessage != null &&
-          e.getMessage.contains("already committed") =>
-      s.discard(spark)
-      if (mode == GraftStagedTable.Create)
-        props.keys.foreach( // the path belongs to the race winner now
-          k => VersionedTable.unsetTableProperty(spark, path, k))
-      sys.error(s"version conflict publishing $displayName: the " +
-        s"staged ${if (mode == GraftStagedTable.Create) "CTAS"
-          else "REPLACE"} planned v${s.version} but a concurrent " +
-        "commit took it — nothing was published; re-run the statement")
+    // the staged lines are version-independent for an overwrite
+    // (fresh lineage, nothing carried), so CREATE OR REPLACE may
+    // retry the publish at the refreshed head — last-writer-wins,
+    // exactly INSERT OVERWRITE's contract. Strict CREATE / REPLACE
+    // fail loudly instead (CREATE must not clobber the race winner;
+    // REPLACE pinned a snapshot).
+    var v = s.version
+    var attempts =
+      if (mode == GraftStagedTable.CreateOrReplace) 5 else 1
+    var published = false
+    while (!published) {
+      attempts -= 1
+      try { VersionedTable.writeManifest(spark, path, v, s.lines)
+        published = true }
+      catch { case e: RuntimeException
+          if e.getMessage != null &&
+            e.getMessage.contains("already committed") =>
+        if (attempts > 0)
+          v = VersionedTable.versions(spark, path).last + 1
+        else {
+          s.discard(spark)
+          sys.error(s"version conflict publishing $displayName: the " +
+            s"staged ${mode match {
+              case GraftStagedTable.Create => "CTAS"
+              case GraftStagedTable.Replace => "REPLACE"
+              case _ => "CREATE OR REPLACE" }} planned v$v but a " +
+            "concurrent commit took it — nothing was published; " +
+            "re-run the statement")
+        }
+      }
     }
-    if (mode == GraftStagedTable.Replace)
-      props.foreach { case (k, v) =>
-        VersionedTable.setTableProperty(spark, path, k, v) }
+    // properties apply after the publish: the registry is shared
+    // across versions, so writing them first would leak ghost keys
+    // onto a not-yet-existing path (inherited by a later CREATE of
+    // this name if the publish failed) or mutate the LIVE pre-replace
+    // table; the keys were validated at stage time, so this cannot
+    // fail on value errors
+    props.foreach { case (k, v2) =>
+      VersionedTable.setTableProperty(spark, path, k, v2) }
   }
 
   override def abortStagedChanges(): Unit =
@@ -769,22 +801,23 @@ private[sources] class GraftTable(path: String, displayName: String,
     VersionedTable.tableSchemaAt(spark, path, pinned)
       .getOrElse(VersionedTable.read(spark, path, Some(pinned)).schema)
 
-  override def properties(): java.util.Map[String, String] =
+  /** Read once per table handle: Spark calls properties() repeatedly
+    * during resolution/DESCRIBE/write planning of one statement, and
+    * each registry read is an FS list + one open per key — a lazy val
+    * makes that one round-trip set per statement (the handle is
+    * version-pinned anyway, so per-call re-reads bought nothing). */
+  private lazy val properties0: java.util.Map[String, String] =
     (VersionedTable.tablePropertiesOf(spark, path) ++
       Map(TableCatalog.PROP_PROVIDER -> "graft",
         TableCatalog.PROP_LOCATION -> path)).asJava
+
+  override def properties(): java.util.Map[String, String] = properties0
 
   /** DESCRIBE surface: the identity partition spec, when coherent
     * (derived bucket/transform tag columns stay internal). */
   override def partitioning(): Array[Transform] = {
     val lines = VersionedTable.manifest(spark, path, pinned)
-    val spec = {
-      val full = VersionedTable.fullSpecOf(lines)
-      if (full.nonEmpty) full
-      else VersionedTable.metaOf(lines).get("partitioned_by")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    }
-    spec.filterNot(_.startsWith("__"))
+    VersionedTable.identitySpecOf(lines).filterNot(_.startsWith("__"))
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
         .identity(c)).toArray
   }
@@ -840,12 +873,8 @@ private[sources] class GraftTable(path: String, displayName: String,
     require(versionOpt.isEmpty,
       "cannot truncate a time-travelled snapshot")
     val lines = VersionedTable.manifest(spark, path, pinned)
-    val spec = {
-      val full = VersionedTable.fullSpecOf(lines)
-      if (full.nonEmpty) full
-      else VersionedTable.metaOf(lines).get("partitioned_by")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    }.filterNot(_.startsWith("__")) // derived tag specs die with the data
+    val spec = VersionedTable.identitySpecOf(lines)
+      .filterNot(_.startsWith("__")) // derived tag specs die with the data
     VersionedTable.truncateCommit(spark, path, schema, spec)
     true
   }
@@ -901,12 +930,7 @@ private[sources] class GraftWriteBuilder(path: String)
     val vs = VersionedTable.versions(spark, path)
     if (vs.isEmpty) return Nil
     val lines = VersionedTable.manifest(spark, path, vs.last)
-    val spec = {
-      val full = VersionedTable.fullSpecOf(lines)
-      if (full.nonEmpty) full
-      else VersionedTable.metaOf(lines).get("partitioned_by")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    }
+    val spec = VersionedTable.identitySpecOf(lines)
     if (spec.nonEmpty && spec.forall(data.columns.contains)) spec
     else Nil
   }

@@ -41,7 +41,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
-    "restore", "clean_orphans", "vacuum_retention")
+    "restore", "clean_orphans", "vacuum_retention", "clone")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -154,6 +154,18 @@ private[sources] object GraftProcedures {
         val (retired, dead) = VersionedTable.vacuumRetention(spark,
           pathOf(str(r, 0)), r.getLong(1) * 3600L * 1000L)
         Seq(new GenericInternalRow(Array[Any](retired.size, dead.size)))
+      })
+      case "clone" => Some(proc("clone",
+        "shallow-clone a table snapshot into a NEW table: one manifest " +
+          "write referencing the source's files verbatim, zero data " +
+          "copy at any size — the fork-a-100TB-table-and-experiment " +
+          "primitive (version <= 0 means the source head)",
+        Seq(in("source", StringType), in("target", StringType),
+          in("version", LongType, Some("0"))),
+        versionOut) { r =>
+        versionRow(VersionedTable.cloneCommit(spark, pathOf(str(r, 1)),
+          pathOf(str(r, 0)),
+          Some(r.getLong(2).toInt).filter(_ > 0)))
       })
       case "clean_orphans" => Some(proc("clean_orphans",
         "delete data/sidecar files no manifest references (crash " +

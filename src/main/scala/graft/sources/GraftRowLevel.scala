@@ -371,22 +371,8 @@ private[sources] class GraftReplaceBatchWrite(
     * cast [[VersionedTable.commitPartitioned]] itself applies);
     * otherwise the rewrite emits untagged files — reads stay correct
     * (untagged = never prunable), OPTIMIZE re-tags later. */
-  private val specIdx: Seq[(String, Int, DataType)] = {
-    val spec = VersionedTable.fullSpecOf(lines)
-    def renderable(dt: DataType): Boolean = dt match {
-      case StringType | ByteType | ShortType | IntegerType | LongType |
-           BooleanType => true
-      case _ => false
-    }
-    // derived tag columns (__bucket_*, __part_div_*) are not row
-    // columns — their specs cannot split here
-    if (spec.nonEmpty && spec.forall(c =>
-        rowSchema.fieldNames.contains(c) &&
-          renderable(rowSchema(c).dataType)))
-      spec.map(c => (renames.getOrElse(c, c),
-        rowSchema.fieldIndex(c), rowSchema(c).dataType))
-    else Seq.empty
-  }
+  private val specIdx: Seq[(String, Int, DataType)] =
+    GraftRowLevelSpec.specIdx(lines, rowSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
@@ -544,6 +530,36 @@ private[sources] class InternalRowParquetBuilder(file: HadoopOutputFile)
       : WriteSupport[InternalRow] = new ParquetWriteSupport
 }
 
+/** Shared identity-partition-spec resolution for the row-level
+  * writers. The spec comes from the manifest's per-file pt tags
+  * ([[VersionedTable.fullSpecOf]]) or — when the snapshot holds no
+  * tagged files, e.g. a truncated partitioned table — the
+  * `partitioned_by` declaration meta; split-able only when every spec
+  * column is in the row schema with an exactly-renderable type (the
+  * string cast [[VersionedTable.commitPartitioned]] itself applies).
+  * Otherwise the rewrite emits untagged files — reads stay correct
+  * (untagged = never prunable), OPTIMIZE re-tags later. Derived tag
+  * columns (`__bucket_*`, `__part_div_*`) are not row columns — their
+  * specs cannot split here. */
+private[sources] object GraftRowLevelSpec {
+  def specIdx(lines: Seq[String],
+              rowSchema: StructType): Seq[(String, Int, DataType)] = {
+    val renames = VersionedTable.renameMapOf(lines)
+    val spec = VersionedTable.identitySpecOf(lines)
+    def renderable(dt: DataType): Boolean = dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType => true
+      case _ => false
+    }
+    if (spec.nonEmpty && spec.forall(c =>
+        rowSchema.fieldNames.contains(c) &&
+          renderable(rowSchema(c).dataType)))
+      spec.map(c => (renames.getOrElse(c, c),
+        rowSchema.fieldIndex(c), rowSchema(c).dataType))
+    else Seq.empty
+  }
+}
+
 /** Hadoop Configuration with Java serialization — the writer factory
   * ships the prepared parquet conf (schema + session parquet settings)
   * to executors. */
@@ -665,20 +681,8 @@ private[sources] class GraftDeltaBatchWrite(
 
   /** Same identity-spec splitting contract as the COW write: new rows
     * land pt-tagged when the spec is renderable from the row schema. */
-  private val specIdx: Seq[(String, Int, DataType)] = {
-    val spec = VersionedTable.fullSpecOf(lines)
-    def renderable(dt: DataType): Boolean = dt match {
-      case StringType | ByteType | ShortType | IntegerType | LongType |
-           BooleanType => true
-      case _ => false
-    }
-    if (spec.nonEmpty && spec.forall(c =>
-        rowSchema.fieldNames.contains(c) &&
-          renderable(rowSchema(c).dataType)))
-      spec.map(c => (renames.getOrElse(c, c),
-        rowSchema.fieldIndex(c), rowSchema(c).dataType))
-    else Seq.empty
-  }
+  private val specIdx: Seq[(String, Int, DataType)] =
+    GraftRowLevelSpec.specIdx(lines, rowSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {

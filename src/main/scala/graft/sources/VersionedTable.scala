@@ -781,12 +781,38 @@ object VersionedTable {
     val out = f.create(tmp, false)
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // the COMMIT: atomic publish; fails if the version already exists
-    if (!f.rename(tmp, target)) {
+    // the COMMIT: atomic CREATE-EXCLUSIVE publish; fails if the
+    // version already exists
+    if (!publishNoReplace(f, tmp, target)) {
       f.delete(tmp, false)
       sys.error(s"version $v already committed (concurrent writer) — retry")
     }
   }
+
+  /** Atomic no-replace publish of `tmp` as `target` — false when the
+    * target already exists (the losing writer of a version race).
+    *
+    * On POSIX local filesystems Hadoop's `rename` maps to rename(2),
+    * which silently REPLACES an existing target: two truly concurrent
+    * writers could both "win" the same version and one commit would
+    * vanish (its files written but never referenced). link(2) fails
+    * EEXIST atomically, so the local path hard-links the target into
+    * place instead. HDFS-like filesystems keep the plain rename —
+    * their rename contract already refuses an existing destination
+    * atomically. */
+  private def publishNoReplace(f: org.apache.hadoop.fs.FileSystem,
+                               tmp: Path, target: Path): Boolean =
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, target)
 
   /** Commit `df` as the next version. `append = true` carries the
     * previous version's files forward (delta commit: only new rows are
@@ -993,6 +1019,55 @@ object VersionedTable {
       "txn_version" -> txnVersion.toString))
     writeCache(txnVersion)
     v
+  }
+
+  /** Carry an idempotent writer's replay watermark from one appId to
+    * another — the UPGRADE seam for identity-derivation changes (e.g.
+    * the streaming sink's checkpoint-hash formula): if `toApp` has no
+    * record yet and `fromApp` does, the old watermark is copied into
+    * `toApp`'s `_txn` cache, so a batch committed under the OLD
+    * identity and replayed under the NEW one is still a no-op.
+    * Idempotent; no-op when `toApp` already has any record or
+    * `fromApp` has none. O(versions) manifest metadata, once. */
+  def migrateTxnAppId(spark: SparkSession, table: String,
+                      fromApp: String, toApp: String): Unit = {
+    require(toApp.matches("[A-Za-z0-9_.-]+"),
+      s"appId must be [A-Za-z0-9_.-]+, got '$toApp'")
+    if (versions(spark, table).isEmpty) return
+    def cached(app: String): Option[Long] = {
+      val cache = new Path(table, s"_txn/$app")
+      val f = fs(spark, cache)
+      if (!f.exists(cache)) None
+      else scala.util.Try {
+        val in = f.open(cache)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }.toOption
+    }
+    if (cached(toApp).isDefined) return
+    // ONE newest-first history pass finds whichever identity recorded
+    // last; hitting toApp first means it's already live — no-op
+    var fromRecorded: Option[Long] = None
+    val it = versions(spark, table).reverse.iterator
+      .map(v => metaOf(readManifest(spark, table, v)))
+    while (it.hasNext && fromRecorded.isEmpty) {
+      val m = it.next()
+      if (m.get("txn_app").contains(toApp)) return
+      if (m.get("txn_app").contains(fromApp))
+        fromRecorded = Some(m("txn_version").toLong)
+    }
+    (cached(fromApp) orElse fromRecorded).foreach { wm =>
+      val f = fs(spark, new Path(table, "_txn"))
+      val tmp = new Path(table, s"_txn/.$toApp.tmp")
+      f.mkdirs(new Path(table, "_txn"))
+      val out = f.create(tmp, true)
+      out.write(wm.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      f.rename(tmp, new Path(table, s"_txn/$toApp"))
+      ()
+    }
   }
 
   /** Validated manifest lines for commit metadata — a '=' in a key or
@@ -1302,7 +1377,8 @@ object VersionedTable {
     // metadata describes its own commit — never carried (same rule as
     // commit's carry path)
     try writeManifest(spark, table, next,
-      lines.filterNot(_.startsWith(MetaPrefix)) ++ dvLines)
+      lines.filterNot(_.startsWith(MetaPrefix)) ++ specDeclLines(lines) ++
+        dvLines)
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       // the conflict's touched set = the files these tombstones target
@@ -1467,7 +1543,9 @@ object VersionedTable {
           "compactCommit) first, or keep deleting by those keys")
     }
     val data = dataFilesOf(lines)
-    require(data.nonEmpty, "manifest lists no data files")
+    // a file-less snapshot (TRUNCATE / freshly created): nothing can
+    // match — the DELETE is a no-op, no version published
+    if (data.isEmpty) return vs.last
     val scanLines =
       if (preds.isEmpty) lines
       else scanCandidates(lines, preds) ++ dvLinesOf(lines) ++
@@ -1508,7 +1586,8 @@ object VersionedTable {
         else { f.delete(dvDir, true); Seq.empty }
     }
     try writeManifest(spark, table, next,
-      lines.filterNot(_.startsWith(MetaPrefix)) ++ dvLines)
+      lines.filterNot(_.startsWith(MetaPrefix)) ++ specDeclLines(lines) ++
+        dvLines)
     catch { case e: RuntimeException
         if e.getMessage != null &&
           e.getMessage.contains("already committed") =>
@@ -1531,6 +1610,11 @@ object VersionedTable {
   /** The `write.delete.mode` table property key. */
   val DeleteModeProp = "write.delete.mode"
 
+  /** The `write.update.mode` / `write.merge.mode` table property keys
+    * (COW vs merge-on-read per row-level command — Iceberg's dial). */
+  val UpdateModeProp = "write.update.mode"
+  val MergeModeProp = "write.merge.mode"
+
   /** The `write.stats.columns` table property key: a comma-separated
     * column list every SQL write (INSERT / CTAS / streaming sink
     * batch) stamps per-file min/max/null st stats for — so a table
@@ -1540,6 +1624,19 @@ object VersionedTable {
     * skipped (schema evolution safe); the library API's explicit
     * `statCols` parameters are unaffected. */
   val StatsColsProp = "write.stats.columns"
+
+  /** The table's IDENTITY partition spec from a manifest: the
+    * coherent per-file pt tags ([[fullSpecOf]]) or — when the snapshot
+    * holds no tagged files (freshly created, truncated) — the
+    * `partitioned_by` declaration meta. The single resolution rule
+    * every SQL surface shares (INSERT routing, row-level re-tagging,
+    * TRUNCATE spec carry, DESCRIBE partitioning). */
+  private[sources] def identitySpecOf(lines: Seq[String]): Seq[String] = {
+    val full = fullSpecOf(lines)
+    if (full.nonEmpty) full
+    else metaOf(lines).get("partitioned_by")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+  }
 
   /** The table's declared stats columns ([[StatsColsProp]]) restricted
     * to `available` — what a SQL write path passes as statCols. */
@@ -1684,7 +1781,9 @@ object VersionedTable {
     }
     val lines = readManifest(spark, table, vs.last)
     val data = dataFilesOf(lines)
-    require(data.nonEmpty, "manifest lists no data files")
+    // a file-less snapshot (TRUNCATE / freshly created): nothing can
+    // match — the statement is a no-op, no version published
+    if (data.isEmpty) return vs.last
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     // candidate files by manifest metadata, then ONLY files with a
     // real match get rewritten: the match probe reads candidates once
@@ -1782,13 +1881,23 @@ object VersionedTable {
         keptDv ++ newDataLines ++
         computeStatLines(spark, newPaths, statColsOf(lines),
           renameMapOf(lines)) ++
-        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines))
+        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines) ++
+        specDeclLines(lines))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(expectedHead, removeNorm, e.getMessage)
     }
     next
   }
+
+  /** The partition-spec DECLARATION meta line (`partitioned_by`), when
+    * the source manifest carries one. Row-level / tombstone commits
+    * drop per-commit meta (txn stamps etc.) by design, but the spec
+    * declaration is table SHAPE: dropping it from a commit that left
+    * zero tagged files (e.g. a full rewrite of a truncated partitioned
+    * table) would silently un-partition later INSERTs. */
+  private def specDeclLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(MetaPrefix + "partitioned_by="))
 
   /** DELTA COMMIT — the publish seam MERGE-ON-READ SQL DML lands on
     * ([[GraftDeltaOperation]], Spark's `SupportsDelta`/`WriteDelta`
@@ -1823,7 +1932,7 @@ object VersionedTable {
       case (p, tags) => ptLineMulti(tags, p)
     }
     try writeManifest(spark, table, next,
-      lines.filterNot(_.startsWith(MetaPrefix)) ++
+      lines.filterNot(_.startsWith(MetaPrefix)) ++ specDeclLines(lines) ++
         tombFiles.map(p => DvPrefix + p) ++ newDataLines ++
         computeStatLines(spark, newPaths, statColsOf(lines),
           renameMapOf(lines)))
@@ -4182,6 +4291,26 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val data = dataFilesOf(lines)
+    if (data.isEmpty) {
+      // a file-less snapshot (TRUNCATE / freshly created): zero rows,
+      // typed from the sc schema where the stat columns resolve
+      val sc = schemaOfLines(lines)
+      def typeOf(c: String): org.apache.spark.sql.types.DataType =
+        sc.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+      val shape = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType)) ++
+          statCols.flatMap(c => Seq(
+            org.apache.spark.sql.types.StructField(s"${c}_min", typeOf(c)),
+            org.apache.spark.sql.types.StructField(s"${c}_max", typeOf(c)),
+            org.apache.spark.sql.types.StructField(s"${c}_nulls",
+              org.apache.spark.sql.types.LongType))))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    }
     lazy val schema = spark.read.option("mergeSchema", "true")
       .parquet(data: _*).schema // footers only — never row data
     manifestStats(spark, lines, statCols,
@@ -4976,8 +5105,11 @@ object VersionedTable {
     * last-write-wins per key, published by temp-write + rename.
     * Behavior-bearing key: [[DeleteModeProp]] (validated here so a
     * typo fails at SET time, not silently at DELETE time). */
-  def setTableProperty(spark: SparkSession, table: String,
-                       key: String, value: String): Unit = {
+  /** SET-time validation for a table property — shared by
+    * [[setTableProperty]], ALTER's upfront simulation, and the
+    * CREATE/CTAS paths (so a typo'd behavior-bearing key fails BEFORE
+    * any data writes, never silently routing DML the wrong way). */
+  def validateTableProperty(key: String, value: String): Unit = {
     require(key.nonEmpty && key.forall(c =>
       c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"property key '$key' must be [A-Za-z0-9._-]+")
@@ -4986,6 +5118,14 @@ object VersionedTable {
       require(Set("copy-on-write", "merge-on-read", "auto")(value),
         s"$DeleteModeProp must be copy-on-write | merge-on-read | " +
           s"auto, got '$value'")
+    if (key == UpdateModeProp || key == MergeModeProp)
+      require(Set("copy-on-write", "merge-on-read")(value),
+        s"$key must be copy-on-write | merge-on-read, got '$value'")
+  }
+
+  def setTableProperty(spark: SparkSession, table: String,
+                       key: String, value: String): Unit = {
+    validateTableProperty(key, value)
     val dir = propsDir(table)
     val p = new Path(dir, key)
     val f = fs(spark, p)

@@ -89,10 +89,11 @@ class GraftStreamSinkProvider extends StreamSinkProvider {
     // queries appending to one table must never alias (a collision
     // would make the replay guard silently drop one query's batches),
     // so a 32-bit hash is not enough.
+    val ckptPath = parameters.get("checkpointLocation")
+      .map(c => new org.apache.hadoop.fs.Path(c).toUri.getPath)
     val appId = parameters.get("txnAppId").getOrElse {
-      parameters.get("checkpointLocation")
-        .map { c =>
-          val path = new org.apache.hadoop.fs.Path(c).toUri.getPath
+      ckptPath
+        .map { path =>
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           "stream-" + sha.take(16).map("%02x".format(_)).mkString
@@ -100,11 +101,21 @@ class GraftStreamSinkProvider extends StreamSinkProvider {
         .getOrElse("stream-" +
           java.util.UUID.randomUUID().toString.take(12))
     }
+    // the PRE-SHA identity this checkpoint would have derived (32-bit
+    // murmur): a stream whose last batch committed under the old
+    // formula must not replay it as new after an upgrade — the first
+    // addBatch migrates the old watermark forward (once, idempotent)
+    val legacyAppId =
+      if (parameters.contains("txnAppId")) None
+      else ckptPath.map(path => "stream-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(path)))
     new GraftStreamSink(table, appId,
       append = outputMode == OutputMode.Append(),
       partitionColumns, parameters,
       mergeKey = if (outputMode == OutputMode.Update())
-        Some(mergeKeys.head) else None)
+        Some(mergeKeys.head) else None,
+      legacyAppId = legacyAppId)
   }
 }
 
@@ -112,10 +123,22 @@ private[streaming] class GraftStreamSink(table: String, appId: String,
                                          append: Boolean,
                                          partitionColumns: Seq[String],
                                          parameters: Map[String, String],
-                                         mergeKey: Option[String] = None)
+                                         mergeKey: Option[String] = None,
+                                         legacyAppId: Option[String] = None)
     extends Sink {
 
+  private var migrated = false
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (!migrated) {
+      // one-time identity upgrade: carry the legacy-formula replay
+      // watermark into the current appId so a crash-replayed batch
+      // committed under the old identity stays a no-op
+      legacyAppId.foreach(old =>
+        graft.sources.VersionedTable.migrateTxnAppId(
+          data.sparkSession, table, old, appId))
+      migrated = true
+    }
     // re-anchor the incremental frame as a plain batch (the addBatch
     // frame must not be re-planned — DeltaSink's own discipline)
     val spark = data.sparkSession

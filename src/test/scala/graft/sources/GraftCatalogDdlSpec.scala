@@ -148,11 +148,74 @@ class GraftCatalogDdlSpec extends SparkSpec {
       stagedT.asInstanceOf[GraftStagedTable].commitStagedChanges() }
     assert(e.getMessage.contains("race") ||
       e.getMessage.contains("conflict"), e.getMessage)
-    // winner's table intact, loser's props rolled back
+    // winner's table intact; the loser never touched the registry
+    // (properties apply only after a successful publish)
     assert(spark.sql("SELECT k FROM gd.race1").as[Long].collect().toSeq
       == Seq(100L))
     assert(!VersionedTable.tablePropertiesOf(spark, s"$warehouse/race1")
-      .contains("p.k"), "the losing CTAS must roll its properties back")
+      .contains("p.k"),
+      "a losing CTAS must never leave its properties on the winner")
+  }
+
+  test("CREATE OR REPLACE wins races: create-race and commit-race") {
+    warehouse; srcView("ddl_srcy", 20L)
+    val cat = spark.sessionState.catalogManager.catalog("gd")
+      .asInstanceOf[GraftCatalog]
+    def stage(name: String): GraftStagedTable = {
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, name)
+      val st = cat.stageCreateOrReplace(ident,
+        spark.table("ddl_srcy").schema,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        java.util.Map.of()).asInstanceOf[GraftStagedTable]
+      st.newWriteBuilder(null).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+        .toInsertableRelation
+        .insert(spark.table("ddl_srcy").filter(col("k") <= 5), false)
+      st
+    }
+    // create-race: someone creates the table while we stage — CREATE
+    // OR REPLACE must still land (last writer wins)
+    val st1 = stage("cor1")
+    VersionedTable.commit(spark, s"$warehouse/cor1",
+      Seq((100L, 0L, "w")).toDF("k", "amount", "tag"), append = false)
+    st1.commitStagedChanges()
+    assert(spark.sql("SELECT count(*) FROM gd.cor1").as[Long].head() == 5L)
+    // commit-race on an existing table: concurrent append between
+    // stage and publish must not fail a CREATE OR REPLACE either
+    val st2 = stage("cor1")
+    spark.sql("INSERT INTO gd.cor1 SELECT * FROM ddl_srcy WHERE k = 9")
+    st2.commitStagedChanges()
+    assert(spark.sql("SELECT count(*) FROM gd.cor1").as[Long].head() == 5L)
+  }
+
+  test("file-less metadata tables and typo'd mode keys fail fast") {
+    warehouse; srcView("ddl_srcz", 10L)
+    spark.sql("CREATE TABLE gd.z1 AS SELECT * FROM ddl_srcz")
+    spark.sql("TRUNCATE TABLE gd.z1")
+    // .files on a truncated table: zero rows, not a crash
+    assert(spark.sql("SELECT count(*) FROM gd.z1.files")
+      .as[Long].head() == 0L)
+    assert(spark.sql("SELECT count(*) FROM gd.z1.partitions")
+      .as[Long].head() == 0L)
+    // behavior-bearing mode keys validate on every entry path
+    intercept[Exception] { spark.sql("ALTER TABLE gd.z1 SET " +
+      "TBLPROPERTIES ('write.update.mode' = 'Merge-On-Read')") }
+    intercept[Exception] { spark.sql("ALTER TABLE gd.z1 SET " +
+      "TBLPROPERTIES ('write.merge.mode' = 'merge_on_read')") }
+    intercept[Exception] { spark.sql("CREATE TABLE gd.z2 " +
+      "TBLPROPERTIES ('write.merge.mode' = 'mor') AS " +
+      "SELECT * FROM ddl_srcz") }
+    assert(!new java.io.File(s"$warehouse/z2/_manifests").exists(),
+      "a CTAS rejected on properties must not create the table")
+    intercept[Exception] { spark.sql("CREATE TABLE gd.z3 (k BIGINT) " +
+      "TBLPROPERTIES ('write.update.mode' = 'cow')") }
+    assert(!new java.io.File(s"$warehouse/z3/_manifests").exists())
+    // the valid spellings still land
+    spark.sql("ALTER TABLE gd.z1 SET TBLPROPERTIES " +
+      "('write.update.mode' = 'merge-on-read')")
+    assert(VersionedTable.tablePropertiesOf(spark, s"$warehouse/z1")
+      .get("write.update.mode").contains("merge-on-read"))
   }
 
   test("TRUNCATE: zero rows, schema + partition spec survive, history travels") {
@@ -179,6 +242,80 @@ class GraftCatalogDdlSpec extends SparkSpec {
       "post-TRUNCATE inserts must stay partition-tagged")
     assert(spark.sql("SELECT count(*) FROM gd.t1 WHERE tag = 's1'")
       .as[Long].head() == 2L)
+  }
+
+  test("DML against a truncated table: DELETE/UPDATE no-op, MERGE inserts") {
+    warehouse; srcView("ddl_srce")
+    spark.sql("CREATE TABLE gd.e1 PARTITIONED BY (tag) AS " +
+      "SELECT * FROM ddl_srce")
+    spark.sql("TRUNCATE TABLE gd.e1")
+    val t = s"$warehouse/e1"
+    val headAfterTrunc = VersionedTable.versions(spark, t).last
+    // DELETE on a file-less snapshot: no-op, no version published —
+    // through both routing modes
+    spark.sql("DELETE FROM gd.e1 WHERE k <= 10")
+    spark.sql("ALTER TABLE gd.e1 SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM gd.e1 WHERE k <= 10")
+    spark.sql("ALTER TABLE gd.e1 UNSET TBLPROPERTIES ('write.delete.mode')")
+    assert(VersionedTable.versions(spark, t).last == headAfterTrunc,
+      "DELETE on an empty snapshot must publish nothing")
+    // UPDATE matches nothing — must not crash; row count stays 0
+    spark.sql("UPDATE gd.e1 SET amount = 0 WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM gd.e1").as[Long].head() == 0L)
+    // MERGE NOT MATCHED inserts INTO the empty table — and the new
+    // files carry pt tags (the spec declaration survives truncate and
+    // the row-level write falls back to it when no tagged files exist)
+    spark.sql(
+      """MERGE INTO gd.e1 t USING ddl_srce u ON t.k = u.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gd.e1").as[Long].head() == 100L)
+    val head = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    val data = VersionedTable.dataFilesOf(head)
+    assert(data.nonEmpty && VersionedTable.partitionsOf(head).map(_._3)
+      .toSet == data.toSet,
+      "a MERGE into a truncated partitioned table must re-tag its files")
+    assert(spark.sql("SELECT count(*) FROM gd.e1 WHERE tag = 's1'")
+      .as[Long].head() == 25L)
+  }
+
+  test("change feed across TRUNCATE: every row surfaces as a delete") {
+    warehouse; srcView("ddl_srcw", 10L)
+    spark.sql("CREATE TABLE gd.w1 AS SELECT * FROM ddl_srcw")
+    spark.sql("TRUNCATE TABLE gd.w1")
+    val feed = VersionedTable.readChanges(spark, s"$warehouse/w1", 1, 2)
+    assert(feed.filter(col("change") === "insert").count() == 0L)
+    assert(feed.filter(col("change") === "delete")
+      .agg(sum(col("n"))).as[Long].head() == 10L,
+      "a truncate must stream as a full delete set")
+  }
+
+  test("CALL gd.system.clone: zero-copy fork through SQL, lives apart") {
+    warehouse; srcView("ddl_srcc", 50L)
+    spark.sql("CREATE TABLE gd.cl_src AS SELECT * FROM ddl_srcc")
+    spark.sql("INSERT INTO gd.cl_src SELECT k + 100, amount, tag " +
+      "FROM ddl_srcc WHERE k <= 10")
+    // clone v1 (pre-insert) by explicit version; head by default
+    spark.sql("CALL gd.system.clone('cl_src', 'cl_v1', 1)")
+    spark.sql("CALL gd.system.clone('cl_src', 'cl_head')")
+    assert(spark.sql("SELECT count(*) FROM gd.cl_v1").as[Long].head()
+      == 50L)
+    assert(spark.sql("SELECT count(*) FROM gd.cl_head").as[Long].head()
+      == 60L)
+    // the clone's v1 references the source files verbatim (zero copy)
+    val srcFiles = VersionedTable.dataFilesOf(VersionedTable.manifest(
+      spark, s"$warehouse/cl_src", 2)).toSet
+    val cloneFiles = VersionedTable.dataFilesOf(VersionedTable.manifest(
+      spark, s"$warehouse/cl_head", 1)).toSet
+    assert(cloneFiles == srcFiles, "shallow clone must not copy data")
+    // the fork lives its own life: writes touch only the clone
+    spark.sql("DELETE FROM gd.cl_head WHERE k <= 25")
+    assert(spark.sql("SELECT count(*) FROM gd.cl_src").as[Long].head()
+      == 60L, "clone writes must never touch the source")
+    // cloning onto an existing table fails loudly
+    intercept[Exception] {
+      spark.sql("CALL gd.system.clone('cl_src', 'cl_head')") }
   }
 
   test("write.stats.columns: SQL writes stamp st stats from birth") {

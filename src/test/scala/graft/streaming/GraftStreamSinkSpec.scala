@@ -49,6 +49,41 @@ class GraftStreamSinkSpec extends SparkSpec {
       .collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
+  test("identity upgrade: a batch committed under the legacy murmur " +
+    "appId stays a no-op after the SHA identity change") {
+    val w = fresh("gskm"); val dest = s"$w/dest"; val ckpt = s"$w/ckpt"
+    // a pre-upgrade sink committed batch 5 under the 32-bit murmur
+    // identity this checkpoint path derives
+    val ckptPath = new org.apache.hadoop.fs.Path(ckpt).toUri.getPath
+    val legacy = "stream-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(ckptPath))
+    VersionedTable.commitIdempotent(spark, dest,
+      Seq((1L, 10L)).toDF("k", "v"), append = true,
+      appId = legacy, txnVersion = 5L)
+    val v1 = VersionedTable.versions(spark, dest)
+    // post-upgrade sink for the SAME checkpoint: crash-replay of
+    // batch 5 must be a metadata no-op, not a duplicate commit
+    val sink = new GraftStreamSinkProvider().createSink(
+      spark.sqlContext, Map("path" -> dest,
+        "checkpointLocation" -> ckpt), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(5L, Seq((1L, 10L)).toDF("k", "v"))
+    assert(VersionedTable.versions(spark, dest) == v1,
+      "the replayed pre-upgrade batch must not re-commit")
+    // and a genuinely NEW batch still lands under the new identity
+    sink.addBatch(6L, Seq((2L, 20L)).toDF("k", "v"))
+    assert(VersionedTable.read(spark, dest).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L)))
+    // an explicit txnAppId option opts out of the migration entirely
+    val explicit = new GraftStreamSinkProvider().createSink(
+      spark.sqlContext, Map("path" -> dest,
+        "checkpointLocation" -> ckpt, "txnAppId" -> "my-app"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    explicit.addBatch(5L, Seq((3L, 30L)).toDF("k", "v"))
+    assert(VersionedTable.read(spark, dest).count() == 3L,
+      "an explicit appId is its own replay domain")
+  }
+
   test("replayed batch is a no-op: same txnVersion commits once") {
     val w = fresh("gskr"); val dest = s"$w/dest"
     val sink = new GraftStreamSink(dest, appId = "replay-spec",
