@@ -133,8 +133,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(dir)) throw new NoSuchNamespaceException(
       namespace.toSeq)
+    // LISTING must not inherit loadTable's loud per-table failures:
+    // one protocol-gated or IO-erroring table directory would
+    // otherwise fail SHOW TABLES for the WHOLE namespace. A gated
+    // table still IS a table — list it (the loud error belongs to the
+    // statement that actually reads it), and skip only entries that
+    // are genuinely not tables.
     f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => isTable(p.toString))
+      .filter(p => try isTable(p.toString)
+        catch { case _: Exception => true })
       .map(p => Identifier.of(namespace, p.getName)).toArray
   }
 

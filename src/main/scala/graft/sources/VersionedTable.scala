@@ -811,6 +811,12 @@ object VersionedTable {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: Exception =>
+          // 'file' mounts WITHOUT hard-link support (CIFS/VFAT/some
+          // FUSE): degrade to the rename publish rather than failing
+          // every commit — the no-replace guarantee then rests on the
+          // version-listing check, as it always did on such mounts
+          !f.exists(target) && f.rename(tmp, target)
       }
     } else f.rename(tmp, target)
 
@@ -1057,7 +1063,13 @@ object VersionedTable {
       if (m.get("txn_app").contains(fromApp))
         fromRecorded = Some(m("txn_version").toLong)
     }
-    (cached(fromApp) orElse fromRecorded).foreach { wm =>
+    // the MANIFEST record is authoritative and may be AHEAD of the
+    // cache (crash after publish, before the cache write — exactly
+    // the replay window this migration protects): carry the MAX of
+    // both, never the possibly-stale cache alone
+    val watermark = (cached(fromApp).toSeq ++ fromRecorded.toSeq)
+      .maxOption
+    watermark.foreach { wm =>
       val f = fs(spark, new Path(table, "_txn"))
       val tmp = new Path(table, s"_txn/.$toApp.tmp")
       f.mkdirs(new Path(table, "_txn"))
@@ -1322,6 +1334,9 @@ object VersionedTable {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val lines = readManifest(spark, table, vs.last)
+    // a file-less snapshot (TRUNCATE / freshly created): nothing can
+    // match — the delete is a no-op, no version published
+    if (dataFilesOf(lines).isEmpty) return vs.last
     val liveDvs = dvFilesOf(lines)
     if (liveDvs.nonEmpty) {
       val existing = spark.read.parquet(liveDvs: _*).columns
@@ -1811,7 +1826,7 @@ object VersionedTable {
         val rows = readSnapshot(spark,
           rewrite ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
         writeRewrite(spark, table, next, transform(rows, rangePred),
-          fullSpecOf(lines), cmLinesOf(lines))
+          identitySpecOf(lines), cmLinesOf(lines))
       }
     // CHECK constraints + schema enforcement over the rewrite only
     validateNewFiles(spark, table, dataFilesOf(newLines))
@@ -1823,7 +1838,8 @@ object VersionedTable {
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines), statColsOf(lines),
           renameMapOf(lines)) ++
-        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines))
+        lines.filter(_.startsWith(ScPrefix)) ++ cmLinesOf(lines) ++
+        specDeclLines(lines))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, matched, e.getMessage)
@@ -2139,10 +2155,11 @@ object VersionedTable {
   def mergeCommitIdempotent(spark: SparkSession, table: String,
                             source: DataFrame, keyCol: String,
                             appId: String, txnVersion: Long,
-                            deleteCol: Option[String] = None): Int =
+                            deleteCol: Option[String] = None,
+                            statCols: Seq[String] = Nil): Int =
     idempotentGuard(spark, table, appId, txnVersion) { txnMeta =>
       try mergeCommitAttempt(spark, table, source, keyCol, deleteCol,
-        _ => (), txnMeta)
+        _ => (), txnMeta, statCols)
       catch { case c: VersionConflict => sys.error(c.getMessage) }
     }
 
@@ -2156,12 +2173,17 @@ object VersionedTable {
                                            msg: String)
     extends RuntimeException(msg)
 
+  /** `statCols` DECLARES extra stat columns for the rewrite's new
+    * files (unioned with the table's existing stat schema) — how an
+    * Update-mode streaming sink keeps its merge-key st coverage on a
+    * table that pre-existed without stats, so every later batch's
+    * touched-file probe stays metadata-only. */
   private def mergeCommitAttempt(spark: SparkSession, table: String,
                                  source: DataFrame, keyCol: String,
                                  deleteCol: Option[String],
                                  onAttempt: Int => Unit,
-                                 meta: Map[String, String] =
-                                   Map.empty): Int = {
+                                 meta: Map[String, String] = Map.empty,
+                                 statCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions._
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
@@ -2170,23 +2192,29 @@ object VersionedTable {
     val dvLines = currentLines.filter(_.startsWith(DvPrefix))
     // the touched-file decision reads the MANIFEST's per-file stats
     // when the table carries them (st lines — zero data I/O, the 100 TB
-    // path); only an uncovered table pays the column-pruned stats scan
-    val stats = manifestStats(spark, currentLines, Seq(keyCol),
-      _ => source.schema(keyCol).dataType).getOrElse {
-      statsScanNotifier("mergeCommit", current.size)
-      collectStatsLogical(spark, current, Seq(keyCol), currentLines)
-    }
-    // source keys x BROADCAST stats: each source partition probes the
-    // O(files) stats list locally — distributed in the big dimension
-    // (keys), never a driver-side key set. (At very large file counts
-    // swap in RangeJoin.pointInInterval for a bucketed equi-join.)
-    val touched = source.select(col(keyCol).as("__mk"))
-      .join(broadcast(stats),
-        col(s"${keyCol}_min") <= col("__mk") &&
-          col(s"${keyCol}_max") >= col("__mk"))
-      .select("file").distinct().collect().map(_.getString(0)).toSet
-    // normalize: manifest paths vs input_file_name URIs
-    val touchedNorm = touched.map(norm)
+    // path); only an uncovered table pays the column-pruned stats scan.
+    // A FILE-LESS snapshot (TRUNCATE / freshly created) touches
+    // nothing: every source row is an insert.
+    val touchedNorm: Set[String] =
+      if (current.isEmpty) Set.empty
+      else {
+        val stats = manifestStats(spark, currentLines, Seq(keyCol),
+          _ => source.schema(keyCol).dataType).getOrElse {
+          statsScanNotifier("mergeCommit", current.size)
+          collectStatsLogical(spark, current, Seq(keyCol), currentLines)
+        }
+        // source keys x BROADCAST stats: each source partition probes
+        // the O(files) stats list locally — distributed in the big
+        // dimension (keys), never a driver-side key set. (At very
+        // large file counts swap in RangeJoin.pointInInterval for a
+        // bucketed equi-join.)
+        source.select(col(keyCol).as("__mk"))
+          .join(broadcast(stats),
+            col(s"${keyCol}_min") <= col("__mk") &&
+              col(s"${keyCol}_max") >= col("__mk"))
+          .select("file").distinct().collect().map(_.getString(0))
+          .toSet.map(norm) // manifest paths vs input_file_name URIs
+      }
     val (rewrite, carry) = current.partition(f => touchedNorm.contains(norm(f)))
     val upserts = deleteCol.fold(source)(d =>
       source.filter(!col(d)).drop(d))
@@ -2198,11 +2226,14 @@ object VersionedTable {
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
-    // on a coherently partitioned table the rewrite RE-TAGS its output
+    // on a partitioned table the rewrite RE-TAGS its output
     // (partitioned write + pt lines), so one merge never strips the
-    // table of the tags dynamicOverwrite and partition pruning need
+    // table of the tags dynamicOverwrite and partition pruning need;
+    // identitySpecOf also covers a TRUNCATED partitioned table (spec
+    // declared in meta, zero tagged files) so a merge that re-populates
+    // it re-tags from the first row
     val newLines = writeRewrite(spark, table, next, survivors,
-      fullSpecOf(currentLines), cmLinesOf(currentLines))
+      identitySpecOf(currentLines), cmLinesOf(currentLines))
     // CHECK constraints over the rewrite's output only (upserts land
     // there; carried files were validated by their own commits) —
     // BEFORE tombstone consolidation, so a rejected merge stages
@@ -2237,8 +2268,10 @@ object VersionedTable {
       carry.map(p => lineOf(norm(p))) ++ stLinesFor(currentLines, carry) ++
         keptDv ++ newLines ++
         computeStatLines(spark, dataFilesOf(newLines),
-          statColsOf(currentLines), renameMapOf(currentLines)) ++
-        scLines ++ cmLinesOf(currentLines) ++ metaLinesOf(meta))
+          (statCols ++ statColsOf(currentLines)).distinct,
+          renameMapOf(currentLines)) ++
+        scLines ++ cmLinesOf(currentLines) ++ specDeclLines(currentLines) ++
+        metaLinesOf(meta))
     catch { case e: RuntimeException
         if e.getMessage != null && e.getMessage.contains("already committed") =>
       throw VersionConflict(vs.last, touchedNorm, e.getMessage)
@@ -5134,9 +5167,17 @@ object VersionedTable {
       s".$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write((value + "\n").getBytes("UTF-8")) finally out.close()
-    f.delete(p, false)
-    if (!f.rename(tmp, p))
-      sys.error(s"could not publish property $key for $table")
+    // rename FIRST: on POSIX it atomically replaces, so a concurrent
+    // reader never observes the key UNSET mid-update (a live
+    // write.delete.mode flickering to None would silently re-route a
+    // concurrent DELETE against the operator's pinned policy); only
+    // filesystems whose rename refuses existing targets fall back to
+    // delete-then-rename, with its inherent (documented) window
+    if (!f.rename(tmp, p)) {
+      f.delete(p, false)
+      if (!f.rename(tmp, p))
+        sys.error(s"could not publish property $key for $table")
+    }
   }
 
   /** UNSET TBLPROPERTIES (idempotent). */

@@ -167,9 +167,12 @@ private[streaming] class GraftStreamSink(table: String, appId: String,
           append = false, appId = appId, txnVersion = batchId,
           statCols = keyStats)
       else
+        // keyStats here too: a table that PRE-EXISTED without stats
+        // still gains merge-key st coverage from this batch's rewrite,
+        // so later batches' touched-file probes go metadata-only
         VersionedTable.mergeCommitIdempotent(spark, table, batch,
           mergeKey.get, appId = appId, txnVersion = batchId,
-          deleteCol = deleteCol)
+          deleteCol = deleteCol, statCols = keyStats)
     } else if (partitionColumns.nonEmpty) {
       // partitioned streaming writes: pt-tagged commits with the same
       // replay guard, via the partitioned idempotent path

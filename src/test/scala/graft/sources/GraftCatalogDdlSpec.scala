@@ -280,6 +280,64 @@ class GraftCatalogDdlSpec extends SparkSpec {
       .as[Long].head() == 25L)
   }
 
+  test("merge/keyed-delete against a file-less snapshot; COW delete-all " +
+    "keeps the partition declaration") {
+    warehouse; srcView("ddl_srcv", 20L)
+    spark.sql("CREATE TABLE gd.v1 PARTITIONED BY (tag) AS " +
+      "SELECT * FROM ddl_srcv")
+    spark.sql("TRUNCATE TABLE gd.v1")
+    val t = s"$warehouse/v1"
+    // keyed delete on zero files: no-op, no crash, no version
+    val head0 = VersionedTable.versions(spark, t).last
+    VersionedTable.deleteCommit(spark, t, col("k") === 1L, Seq("k"))
+    assert(VersionedTable.versions(spark, t).last == head0)
+    // library mergeCommit into the file-less snapshot: all inserts,
+    // and the rewrite re-tags from the declared spec
+    VersionedTable.mergeCommit(spark, t,
+      (1L to 8L).map(k => (k, k, s"s${k % 4}"))
+        .toDF("k", "amount", "tag"), "k")
+    assert(spark.sql("SELECT count(*) FROM gd.v1").as[Long].head() == 8L)
+    val m = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    assert(VersionedTable.partitionsOf(m).map(_._3).toSet ==
+      VersionedTable.dataFilesOf(m).toSet && VersionedTable
+      .dataFilesOf(m).nonEmpty,
+      "a merge into a truncated partitioned table must re-tag")
+    // COW delete-all: zero surviving files, but the spec DECLARATION
+    // carries — the next insert stays partition-tagged
+    spark.sql("DELETE FROM gd.v1 WHERE amount >= 0")
+    assert(spark.sql("SELECT count(*) FROM gd.v1").as[Long].head() == 0L)
+    spark.sql("INSERT INTO gd.v1 SELECT * FROM ddl_srcv WHERE k <= 4")
+    val m2 = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    assert(VersionedTable.dataFilesOf(m2).nonEmpty &&
+      VersionedTable.partitionsOf(m2).map(_._3).toSet ==
+      VersionedTable.dataFilesOf(m2).toSet,
+      "a COW delete-all must not strip the partitioned_by declaration")
+  }
+
+  test("SHOW TABLES survives one unreadable table directory") {
+    warehouse; srcView("ddl_srcl", 5L)
+    spark.sql("CREATE TABLE gd.l_ok AS SELECT * FROM ddl_srcl")
+    // plant a manifest directory whose listing throws on read: a
+    // protocol-gated table (requires a feature this build lacks)
+    val gated = s"$warehouse/l_gated"
+    VersionedTable.commit(spark, gated,
+      Seq((1L, 1L)).toDF("k", "v"), append = false)
+    // a protocol gate from a future build (planted raw — the API
+    // correctly refuses to require a feature this build lacks)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(gated, "_protocol"),
+      "r\tfrom-the-future\n".getBytes("UTF-8"))
+    intercept[Exception] { spark.sql("SELECT * FROM gd.l_gated").collect() }
+    val listed = spark.sql("SHOW TABLES IN gd").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("l_ok"),
+      s"one gated table must not hide the namespace: $listed")
+    assert(listed.contains("l_gated"),
+      "the gated table still IS a table — listing it is correct")
+  }
+
   test("change feed across TRUNCATE: every row surfaces as a delete") {
     warehouse; srcView("ddl_srcw", 10L)
     spark.sql("CREATE TABLE gd.w1 AS SELECT * FROM ddl_srcw")

@@ -60,6 +60,12 @@ class GraftStreamSinkSpec extends SparkSpec {
     VersionedTable.commitIdempotent(spark, dest,
       Seq((1L, 10L)).toDF("k", "v"), append = true,
       appId = legacy, txnVersion = 5L)
+    // the canonical replay window: crash AFTER the manifest publish,
+    // BEFORE the cache write — the cache lags the authoritative
+    // manifest record; migration must carry the MANIFEST's watermark
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dest, "_txn", legacy),
+      "4\n".getBytes("UTF-8"))
     val v1 = VersionedTable.versions(spark, dest)
     // post-upgrade sink for the SAME checkpoint: crash-replay of
     // batch 5 must be a metadata no-op, not a duplicate commit
