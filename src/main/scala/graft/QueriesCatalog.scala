@@ -765,6 +765,12 @@ object QueriesCatalog {
          |SELECT 'files', 'all', count(*), CAST(sum(n_rows) AS BIGINT)
          |FROM $cat.ord.files
          |UNION ALL
+         |SELECT 'files_dv', 'all',
+         |  CAST(count(CASE WHEN live_tombstones > 0 THEN 1 END)
+         |    AS BIGINT),
+         |  CAST(sum(live_tombstones) AS BIGINT)
+         |FROM $cat.ord.files
+         |UNION ALL
          |SELECT 'tags', name, CAST(version AS BIGINT), 0 FROM $cat.ord.tags
          |UNION ALL
          |SELECT 'properties', concat(key, '=', value), 0, 0
@@ -784,6 +790,8 @@ object QueriesCatalog {
       |UNION ALL SELECT 'history', '3', 2, 1
       |UNION ALL SELECT 'files', 'all', 2,
       |  (SELECT count(*) FROM ordslice)
+      |UNION ALL SELECT 'files_dv', 'all', 1,
+      |  (SELECT count(*) FROM ordslice WHERE o_orderkey % 3000 = 0)
       |UNION ALL SELECT 'tags', 'audit', 2, 0
       |UNION ALL SELECT 'properties', 'write.delete.mode=merge-on-read',
       |  0, 0
@@ -925,6 +933,287 @@ object QueriesCatalog {
       |SELECT 'v1', l_linestatus, count(*),
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SQL ONBOARDING (CALL gt.system.adopt = Delta's CONVERT + the WAP
+  // adopt publish): a pre-existing PLAIN parquet directory is
+  // converted in place (manifest synthesized, zero data I/O) and its
+  // files MOVE into a live table under one atomic commit — a SQL-only
+  // user migrates a parquet estate without a single library call or
+  // row rewrite. In-query requires pin the move (source left empty),
+  // the version arithmetic, and post-adopt liveness (an INSERT after)
+  // — the oracle recomputes every snapshot from orders.
+  // ---------------------------------------------------------------------
+  def catalogAdopt(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val ad = s"$w/adt"; val plain = s"$w/plain_estate"
+    val src = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    // the pre-existing plain-parquet estate
+    src.filter(col("o_orderkey") % 3 === 0).write.parquet(plain)
+    // a live table already holding era-1 rows
+    VersionedTable.commit(s, ad, src.filter(col("o_orderkey") % 3 === 1),
+      append = false, statCols = Seq("o_orderkey"))
+    val v2 = s.sql(s"CALL $cat.system.adopt('adt', '$plain')")
+      .collect().head.getLong(0)
+    require(v2 == 2L, s"adopt must publish v2, got $v2")
+    // the publish MOVED the files — nothing left to double-read
+    val pp = new org.apache.hadoop.fs.Path(plain)
+    val fsys = pp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val leftover = fsys.listStatus(pp).count(
+      _.getPath.getName.endsWith(".parquet"))
+    require(leftover == 0, "adopt must MOVE the files, not copy them")
+    // the adopted estate is now versioned: time travel shows era 1
+    src.filter(col("o_orderkey") % 3 === 2)
+      .createOrReplaceTempView("adt_src_late")
+    s.sql(s"INSERT INTO $cat.adt SELECT * FROM adt_src_late")
+    s.sql(
+      s"""SELECT 'head' AS snap, o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS cents
+         |FROM $cat.adt GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'v2', o_orderstatus, count(*),
+         |  CAST(sum(price_cents) AS BIGINT)
+         |FROM $cat.adt VERSION AS OF 2 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'v1', o_orderstatus, count(*),
+         |  CAST(sum(price_cents) AS BIGINT)
+         |FROM $cat.adt VERSION AS OF 1 GROUP BY o_orderstatus"""
+        .stripMargin)
+  }
+
+  val catalogAdoptSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT 'head' AS snap, o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS cents
+      |FROM base GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'v2', o_orderstatus, count(*),
+      |  CAST(sum(price_cents) AS BIGINT)
+      |FROM base WHERE k % 3 IN (0, 1) GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'v1', o_orderstatus, count(*),
+      |  CAST(sum(price_cents) AS BIGINT)
+      |FROM base WHERE k % 3 = 1 GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // NAMED BRANCHES (Iceberg branches as CALL procedures + writable
+  // `gt.<t>.branch_<name>` identifiers): fork the table zero-copy,
+  // INSERT + bulk-DELETE on the branch while main stays blind, read
+  // the fork through `VERSION AS OF 'dev'`, then CALL fast_forward
+  // publishes the branch head as main's next version (branch-era
+  // files move in atomically). In-query requires pin main's
+  // blindness, the zero-copy fork, and the post-publish file
+  // placement; the oracle recomputes both snapshots from orders.
+  // ---------------------------------------------------------------------
+  def catalogBranch(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val br = s"$w/brt"
+    val src = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, br,
+      src.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey"))
+    val base = s.sql(s"CALL $cat.system.branch('brt', 'dev')")
+      .collect().head.getLong(0)
+    require(base == 1L, s"branch base must be the head, got $base")
+    val bp = s"$br/_branch/dev"
+    require(VersionedTable.dataFilesOf(VersionedTable.manifest(s, bp, 1))
+      .toSet == VersionedTable.dataFilesOf(
+        VersionedTable.manifest(s, br, 1)).toSet,
+      "the fork must be zero-copy (v1 references main's files verbatim)")
+    // work lands on the branch only
+    src.filter(col("o_orderkey") % 2 === 1)
+      .createOrReplaceTempView("brt_src_odd")
+    s.sql(s"INSERT INTO $cat.brt.branch_dev SELECT * FROM brt_src_odd")
+    s.sql(s"DELETE FROM $cat.brt.branch_dev WHERE o_orderkey <= 30000")
+    require(VersionedTable.versions(s, br) == Seq(1),
+      "main must not see branch commits")
+    val branchCnt = s.sql(
+      s"SELECT count(*) FROM $cat.brt VERSION AS OF 'dev'")
+      .collect().head.getLong(0)
+    require(branchCnt == s.sql(
+      s"SELECT count(*) FROM $cat.brt.branch_dev")
+      .collect().head.getLong(0),
+      "VERSION AS OF 'dev' must read the branch head")
+    // publish: ONE atomic commit at base+1
+    val v2 = s.sql(s"CALL $cat.system.fast_forward('brt', 'dev')")
+      .collect().head.getLong(0)
+    require(v2 == 2L)
+    require(VersionedTable.dataFilesOf(VersionedTable.manifest(s, br, 2))
+      .forall(_.contains("/brt/data/")),
+      "published branch-era files must move into the main data dir")
+    s.sql(s"CALL $cat.system.drop_branch('brt', 'dev')")
+    s.sql(
+      s"""SELECT 'final' AS snap, o_orderstatus, count(*) AS cnt,
+         |  CAST(sum(price_cents) AS BIGINT) AS cents
+         |FROM $cat.brt GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'v1', o_orderstatus, count(*),
+         |  CAST(sum(price_cents) AS BIGINT)
+         |FROM $cat.brt VERSION AS OF 1 GROUP BY o_orderstatus"""
+        .stripMargin)
+  }
+
+  val catalogBranchSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT 'final' AS snap, o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS cents
+      |FROM base WHERE k > 30000 GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'v1', o_orderstatus, count(*),
+      |  CAST(sum(price_cents) AS BIGINT)
+      |FROM base WHERE k % 2 = 0 GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PARTITION-SPEC EVOLUTION (Iceberg's REPLACE PARTITION FIELD as
+  // CALL gt.system.set_spec): era A written under PARTITIONED BY
+  // o_orderstatus, one metadata-only evolution commit, era B inserted
+  // through plain SQL INSERT and routed by the NEW spec. In-query
+  // requires pin: the evolution touched no files; era-A files keep
+  // their old tags while era-B files tag by o_orderpriority; and ONE
+  // candidate set prunes era B by the new tag AND era A by st stats.
+  // The oracle recomputes every slice from orders.
+  // ---------------------------------------------------------------------
+  def catalogSpecEvolve(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val sp = s"$w/spe"
+    val src = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    // scale-invariant era boundary (both eras non-empty at any sf);
+    // the oracle recomputes the same floor(max/2)
+    val cut = src.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 2
+    VersionedTable.commitPartitionedMulti(s, sp,
+      src.filter(col("o_orderkey") <= cut).coalesce(1),
+      Seq("o_orderstatus"), append = false,
+      statCols = Seq("o_orderkey"))
+    val eraA = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, sp, 1)).toSet
+    // evolve through SQL: pure metadata, no file touched
+    val v2 = s.sql(
+      s"CALL $cat.system.set_spec('spe', 'o_orderpriority')")
+      .collect().head.getLong(0).toInt
+    require(v2 == 2 && VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, sp, 2)).toSet == eraA,
+      "spec evolution must be a metadata-only commit")
+    src.filter(col("o_orderkey") > cut)
+      .createOrReplaceTempView("spe_src_b")
+    s.sql(s"INSERT INTO $cat.spe SELECT * FROM spe_src_b")
+    val lines = VersionedTable.manifest(s, sp, 3)
+    val eraB = VersionedTable.dataFilesOf(lines).toSet -- eraA
+    val tagsBy = VersionedTable.partitionsOf(lines).groupBy(_._3)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    require(eraB.nonEmpty &&
+      eraA.forall(f => tagsBy(f) == Set("o_orderstatus")) &&
+      eraB.forall(f => tagsBy(f) == Set("o_orderpriority")),
+      "old era keeps old-era tags; the INSERT routes by the new spec")
+    import VersionedTable.ScanPred._
+    val cand = VersionedTable.scanCandidates(lines,
+      Seq(PartIn("o_orderpriority", Seq("1-URGENT")),
+        NumBetween("o_orderkey", cut + 1L, Long.MaxValue))).toSet
+    require(cand.intersect(eraA).isEmpty,
+      "era-A files must prune by their st stats")
+    require(cand.nonEmpty && cand.subsetOf(eraB) && cand != eraB,
+      "era-B files must prune to the new-spec tag")
+    s.sql(
+      s"""SELECT 'urgent_new' AS section, o_orderstatus AS k,
+         |  count(*) AS cnt FROM $cat.spe
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderkey > $cut
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'status_old', o_orderpriority, count(*) FROM $cat.spe
+         |WHERE o_orderstatus = 'F' AND o_orderkey <= $cut
+         |GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'all', 'ALL', count(*) FROM $cat.spe""".stripMargin)
+  }
+
+  val catalogSpecEvolveSql: String =
+    """WITH c AS (SELECT max(o_orderkey) // 2 AS cut FROM orders)
+      |SELECT 'urgent_new' AS section, o_orderstatus AS k,
+      |  count(*) AS cnt FROM orders, c
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey > cut
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'status_old', o_orderpriority, count(*) FROM orders, c
+      |WHERE o_orderstatus = 'F' AND o_orderkey <= cut
+      |GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'all', 'ALL', count(*) FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // METADATA-ONLY DELETE (Iceberg's metadata delete / Delta's
+  // partition delete, generalized to stats): a retention DELETE whose
+  // range provably CONTAINS whole files drops them from the manifest
+  // without a single data-reading job — the 100 TB `ts < cutoff` path.
+  // Era A (one file, keys <= 3000) and era B (four files, all beyond)
+  // seed deterministic boundaries; in-query requires pin that the
+  // retention DELETE removed exactly the era-A file with zero new
+  // files and zero tombstones, and that an unconditional DELETE then
+  // empties the table as pure metadata too. The oracle recomputes
+  // every snapshot algebraically from orders.
+  // ---------------------------------------------------------------------
+  def catalogDeleteMeta(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val ord = s"$w/ordm"
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // scale-invariant era boundary (both eras non-empty at any sf);
+    // the oracle recomputes the same floor(max/2)
+    val cut = src.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 2
+    VersionedTable.commit(s, ord,
+      src.filter(col("o_orderkey") <= cut).coalesce(1),
+      append = false, statCols = Seq("o_orderkey"))
+    VersionedTable.commit(s, ord,
+      src.filter(col("o_orderkey") > cut)
+        .repartitionByRange(4, col("o_orderkey")),
+      append = true)
+    def files(v: Int): Set[String] = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(s, ord, v)).toSet
+    def dvs(v: Int): Seq[String] = VersionedTable.dvFilesOf(
+      VersionedTable.manifest(s, ord, v))
+    // the retention delete: the era-A file is PROVED fully matched by
+    // its st range — dropped as metadata, nothing probed or rewritten
+    s.sql(s"DELETE FROM $cat.ordm WHERE o_orderkey <= $cut")
+    require(files(3).subsetOf(files(2)) &&
+      files(2).size - files(3).size == 1,
+      "a stats-contained DELETE must drop exactly the era file as " +
+        "metadata — no rewrite, no new files")
+    require(dvs(3).isEmpty,
+      "metadata routing must leave no tombstone debt")
+    // unconditional (provably all-matching) delete: the whole table
+    // empties as one metadata commit
+    s.sql(s"DELETE FROM $cat.ordm WHERE o_orderkey > 0")
+    require(files(4).isEmpty,
+      "an all-contained DELETE must drop every file as metadata")
+    s.sql(
+      s"""SELECT 'after_retention' AS snap, o_orderstatus,
+         |  count(*) AS cnt
+         |FROM $cat.ordm VERSION AS OF 3 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'final', 'ALL', count(*) FROM $cat.ordm
+         |UNION ALL
+         |SELECT 'v2', o_orderstatus, count(*)
+         |FROM $cat.ordm VERSION AS OF 2 GROUP BY o_orderstatus"""
+        .stripMargin)
+  }
+
+  val catalogDeleteMetaSql: String =
+    """SELECT 'after_retention' AS snap, o_orderstatus, count(*) AS cnt
+      |FROM orders
+      |WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
+      |GROUP BY o_orderstatus
+      |UNION ALL SELECT 'final', 'ALL', CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v2', o_orderstatus, count(*)
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
   // Atomic SQL DDL lifecycle (StagingTableCatalog + TruncatableTable):
@@ -1094,6 +1383,10 @@ object QueriesCatalog {
     "q_catalog_metadata" -> (catalogMetadata _),
     "q_stream_update" -> (streamUpdate _),
     "q_catalog_delete_mor" -> (catalogDeleteMor _),
+    "q_catalog_delete_meta" -> (catalogDeleteMeta _),
+    "q_catalog_spec_evolve" -> (catalogSpecEvolve _),
+    "q_table_branch" -> (catalogBranch _),
+    "q_catalog_adopt" -> (catalogAdopt _),
     "q_catalog_call" -> (catalogCall _),
     "q_catalog_partitioned" -> (catalogPartitioned _),
     "q_stream_sink" -> (streamSink _),
@@ -1115,6 +1408,10 @@ object QueriesCatalog {
     "q_catalog_metadata" -> catalogMetadataSql,
     "q_stream_update" -> streamUpdateSql,
     "q_catalog_delete_mor" -> catalogDeleteMorSql,
+    "q_catalog_delete_meta" -> catalogDeleteMetaSql,
+    "q_catalog_spec_evolve" -> catalogSpecEvolveSql,
+    "q_table_branch" -> catalogBranchSql,
+    "q_catalog_adopt" -> catalogAdoptSql,
     "q_catalog_call" -> catalogCallSql,
     "q_catalog_partitioned" -> catalogPartitionedSql,
     "q_stream_sink" -> streamSinkSql,

@@ -103,6 +103,52 @@ object QueriesPipeline {
        |GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // EXACT-SUBSTRING decontamination: the benchmark set is derived
+  // deterministically from the corpus itself (an 80-char snippet of
+  // every doc_id % 7 = 0 document long enough to carry one, plus one
+  // literal that appears nowhere), so both engines construct the SAME
+  // eval suite and the verbatim-inclusion answer is fully checkable.
+  // Spark runs the two-stage screen (plan-carried Bloom of anchor
+  // rolling hashes -> exact contains on survivors); the oracle is the
+  // brute-force position() join — row-identical by the zero-false-
+  // negative contract.
+  // ---------------------------------------------------------------------
+  val ExactBenchMod = 7
+  val ExactSnipLen = 80
+
+  def decontaminateExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val noise = {
+      val s2 = s
+      import s2.implicits._
+      Seq((-1L,
+        "this exact sentence appears in no corpus document at all"))
+        .toDF("bench_id", "snippet")
+    }
+    val bench = docs
+      .filter(col("doc_id") % ExactBenchMod === 0 &&
+        length(col("text")) >= ExactSnipLen + 20)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 10, ExactSnipLen).as("snippet"))
+      .union(noise)
+    Curation.decontaminateExact(docs, bench,
+      "doc_id", "text", "bench_id", "snippet")
+  }
+
+  val decontaminateExactSql: String =
+    s"""WITH bench AS (
+       |    SELECT doc_id AS bench_id, substr(text, 10, $ExactSnipLen) AS snippet
+       |    FROM documents
+       |    WHERE doc_id % $ExactBenchMod = 0
+       |      AND length(text) >= ${ExactSnipLen + 20}
+       |    UNION ALL
+       |    SELECT -1, 'this exact sentence appears in no corpus document at all')
+       |SELECT d.doc_id,
+       |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+       |FROM documents d JOIN bench b ON position(b.snippet IN d.text) > 0
+       |GROUP BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PII redaction: deterministic synthetic PII injected on both engines
   // (the corpus has none), then the same RE2-safe patterns redact it
   // ---------------------------------------------------------------------
@@ -1331,6 +1377,7 @@ object QueriesPipeline {
     "q_quality_rules" -> (qualityRules _),
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_exact" -> (decontaminateExact _),
     "q_pii_redact" -> (piiRedact _),
     "q_editdist_neardup" -> (editdistNearDup _),
     "q_cdc_merge" -> (cdcMerge _),
@@ -1375,6 +1422,7 @@ object QueriesPipeline {
     "q_quality_rules" -> qualityRulesSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_exact" -> decontaminateExactSql,
     "q_pii_redact" -> piiRedactSql,
     "q_editdist_neardup" -> editdistNearDupSql,
     "q_cdc_merge" -> cdcMergeSql,

@@ -121,6 +121,66 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // EXACT-SUBSTRING decontamination: flag training documents containing
+  // any benchmark string VERBATIM — the complement of the n-gram
+  // collision protocol above (that one catches fuzzy overlap; this one
+  // proves verbatim inclusion with zero false negatives, the standard
+  // published-eval hygiene check).
+  //
+  // Scale shape: the benchmark side is driver-resident by definition
+  // (eval suites are ~1e3-1e6 strings); each string's first-W-chars
+  // anchor hash lands in ONE Bloom filter (~16 bits/anchor) that rides
+  // the plan to every executor. The corpus side pays one compiled
+  // O(chars) rolling-hash pass per document (plans.Kernels
+  // .rollingBloomHit, O(1) slide, early exit) — a pure narrow filter,
+  // no shuffle, no explode. Only the Bloom SURVIVORS (true hits +
+  // the bounded false-positive rate) re-check exactly against the
+  // broadcast benchmark list, so the expensive contains() scan runs on
+  // a sliver of the corpus. A benchmark string shorter than `window`
+  // lowers the effective window to the set minimum — correctness never
+  // depends on the window choice.
+  // -------------------------------------------------------------------
+
+  /** Training docs containing ≥1 `bench` string verbatim. Returns
+    * (idCol, n_bench_hits = distinct benchmark entries contained).
+    * Row-identical to the brute-force
+    * `train JOIN bench ON contains(text, snip)` for any inputs:
+    * stage 1 (Bloom of anchor rolling hashes) has no false negatives,
+    * stage 2 re-checks containment exactly. */
+  def decontaminateExact(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         benchIdCol: String, benchTextCol: String,
+                         window: Int = 64): DataFrame = {
+    val snips = bench
+      .select(col(benchIdCol).cast("string").as("__bid"),
+        col(benchTextCol).as("__btext"))
+      .collect()
+      .flatMap(r => Option(r.getString(1)).filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    require(snips.nonEmpty, "decontaminateExact: empty benchmark set")
+    val w = math.min(window, snips.iterator.map(_._2.length).min)
+    val anchors = snips.map(s => graft.plans.Kernels.windowHash(s._2, w))
+      .distinct
+    // ~16 bits per anchor, power-of-two, >= 1024 bits
+    val bitsLog2 = math.max(10,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        anchors.length.toLong * 16L - 1L))
+    val words = graft.plans.Kernels.bloomBuild(anchors, bitsLog2.toInt)
+    val hit = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.RollingBloomHit(
+        org.apache.spark.sql.GraftSqlShims.expression(col(textCol)),
+        w, words))
+    val s = train.sparkSession
+    import s.implicits._
+    val benchDf = snips.toSeq.toDF("__bid", "__btext")
+    train.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull && hit)
+      .join(broadcast(benchDf), col(textCol).contains(col("__btext")))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__bid")).as("n_bench_hits"))
+  }
+
+  // -------------------------------------------------------------------
   // PII redaction: fold regexp_replace over a pattern table. Patterns
   // are RE2-compatible (no backrefs/lookarounds) so the oracle engine
   // applies literally the same regexes.

@@ -375,6 +375,127 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  // -------------------------------------------------------------------
+  // EXACT-SUBSTRING screen: polynomial rolling hash over every w-char
+  // window, probed against a Bloom filter of benchmark-anchor hashes.
+  // The published-eval decontamination hygiene step: n-gram collision
+  // (the [[graft.operators.Curation.decontaminate]] protocol) finds
+  // paraphrase-level overlap; THIS finds verbatim inclusions with zero
+  // false negatives — if a benchmark string occurs in the document,
+  // its first-w-chars window occurs too, so its anchor hash is probed.
+  // O(chars) per document with an O(1) hash slide; false positives are
+  // re-checked exactly by the caller.
+  // -------------------------------------------------------------------
+
+  /** The polynomial hash (base 31, Long wraparound — identical
+    * arithmetic driver- and executor-side) of `s`'s FIRST `w` chars.
+    * Driver-side anchor builder; `s.length >= w` required. */
+  def windowHash(s: String, w: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * 31 + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — the k Bloom probe positions of one hash. */
+  private def mix(h0: Long, salt: Long): Long = {
+    var z = h0 + salt
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val BloomProbes = 3
+
+  /** Set the probe bits of every hash into a fresh word array of
+    * `1 << bitsLog2` bits (bitsLog2 >= 6). */
+  def bloomBuild(hashes: Array[Long], bitsLog2: Int): Array[Long] = {
+    val words = new Array[Long](1 << (bitsLog2 - 6))
+    val bits = words.length.toLong * 64L
+    hashes.foreach { h =>
+      var k = 0
+      while (k < BloomProbes) {
+        val bit = java.lang.Long.remainderUnsigned(
+          mix(h, k * 0x9e3779b97f4a7c15L), bits)
+        words((bit >>> 6).toInt) |= 1L << (bit & 63L)
+        k += 1
+      }
+    }
+    words
+  }
+
+  /** Whether the Bloom filter may contain `h` (no false negatives). */
+  def bloomMaybe(h: Long, words: Array[Long]): Boolean = {
+    val bits = words.length.toLong * 64L
+    var k = 0
+    while (k < BloomProbes) {
+      val bit = java.lang.Long.remainderUnsigned(
+        mix(h, k * 0x9e3779b97f4a7c15L), bits)
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L)
+        return false
+      k += 1
+    }
+    true
+  }
+
+  /** True iff ANY w-char window of `text` Bloom-hits — one compiled
+    * pass, O(1) per slide, early exit on the first hit. */
+  def rollingBloomHit(text: UTF8String, w: Int,
+                      words: Array[Long]): Boolean = {
+    val s = text.toString
+    val n = s.length
+    if (n < w) return false
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * 31 + s.charAt(i); i += 1 }
+    var powW = 1L
+    i = 1
+    while (i < w) { powW *= 31; i += 1 } // 31^(w-1)
+    var pos = 0
+    while (pos <= n - w) {
+      if (pos > 0)
+        h = (h - s.charAt(pos - 1) * powW) * 31 + s.charAt(pos + w - 1)
+      if (bloomMaybe(h, words)) return true
+      pos += 1
+    }
+    false
+  }
+}
+
+/** `graft_rolling_bloom_hit(text)`: whether any `w`-char window of the
+  * document rolling-hash-hits the (plan-carried) Bloom filter of
+  * benchmark anchors — the compiled screen of exact-substring
+  * decontamination ([[graft.operators.Curation.decontaminateExact]]).
+  * Boolean, null-safe, whole-stage-codegen'd; the filter rides the
+  * plan as a broadcast-style reference object (bits sized by the
+  * builder to ~16 per anchor). */
+case class RollingBloomHit(child: Expression, w: Int,
+                           words: Array[Long]) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_rolling_bloom_hit"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w > 0 && words.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string), w > 0 and a non-empty filter")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.rollingBloomHit(input.asInstanceOf[UTF8String], w, words)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.rollingBloomHit($c, $w, $ref);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingBloomHit = copy(child = newChild)
 }
 
 /** `graft_shingle_hash32(text, n)`: array of stable32 hashes of the

@@ -133,23 +133,42 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(dir)) throw new NoSuchNamespaceException(
       namespace.toSeq)
-    // LISTING must not inherit loadTable's loud per-table failures:
-    // one protocol-gated or IO-erroring table directory would
-    // otherwise fail SHOW TABLES for the WHOLE namespace. A gated
-    // table still IS a table — list it (the loud error belongs to the
-    // statement that actually reads it), and skip only entries that
-    // are genuinely not tables.
+    // LISTING must not inherit loadTable's loud per-table failure for
+    // a PROTOCOL-gated directory: a gated table still IS a table —
+    // list it (the loud error belongs to the statement that actually
+    // reads it). ONLY that typed gate is caught: any other exception
+    // (a transient IO error, a corrupt manifest) propagates rather
+    // than silently classifying a non-table as a table.
     f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter(p => try isTable(p.toString)
-        catch { case _: Exception => true })
+        catch { case _: GraftProtocolException => true })
       .map(p => Identifier.of(namespace, p.getName)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
     if (isTable(p)) new GraftTable(p, ident.toString, None)
-    else metadataTable(ident).getOrElse(
+    else branchTable(ident).orElse(metadataTable(ident)).getOrElse(
       throw new NoSuchTableException(ident))
+  }
+
+  /** `gt.<table>.branch_<name>` — a branch resolved as a fully
+    * WRITABLE table (Iceberg's branch identifiers): SELECT, INSERT,
+    * DELETE, UPDATE, MERGE all land on the branch's own versioned
+    * history under `_branch/<name>/`, invisible to main readers until
+    * `CALL gt.system.fast_forward` publishes it. */
+  private def branchTable(ident: Identifier): Option[Table] = {
+    val n = ident.name()
+    if (ident.namespace().isEmpty || !n.startsWith("branch_") ||
+      n.length <= "branch_".length) return None
+    val ns = ident.namespace()
+    val parent = Identifier.of(ns.dropRight(1), ns.last)
+    val pp = pathOf(parent)
+    val bname = n.substring("branch_".length)
+    if (!isTable(pp)) return None
+    val bp = scala.util.Try(
+      VersionedTable.branchPath(pp, bname)).toOption
+    bp.filter(isTable).map(new GraftTable(_, ident.toString, None))
   }
 
   /** SQL-served METADATA TABLES (Iceberg's `db.table.history` shape):
@@ -173,12 +192,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   }
 
   /** `VERSION AS OF <v>` — SQL time travel resolves right here. */
+  /** `VERSION AS OF` — an integer pins the version; a NAME resolves
+    * as a tag first (pinned snapshot), then a branch (that branch's
+    * current head): `SELECT ... VERSION AS OF 'audit-close'` /
+    * `VERSION AS OF 'dev'`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val v = scala.util.Try(version.toInt).getOrElse(
-      sys.error(s"graft versions are integers, got: $version"))
-    new GraftTable(p, ident.toString, Some(v))
+    scala.util.Try(version.toInt).toOption match {
+      case Some(v) => new GraftTable(p, ident.toString, Some(v))
+      case None =>
+        VersionedTable.tagsOf(spark, p).get(version) match {
+          case Some(tv) => new GraftTable(p, ident.toString, Some(tv))
+          case None =>
+            val bp = scala.util.Try(
+              VersionedTable.branchPath(p, version)).toOption
+            bp.filter(isTable)
+              .map(b => new GraftTable(b,
+                s"${ident.toString}@$version", None))
+              .getOrElse(sys.error(
+                s"'$version' is neither a version, a tag, nor a " +
+                  s"branch of ${ident.toString}"))
+        }
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
@@ -706,10 +742,17 @@ private[sources] class GraftStagedTable(path: String, displayName: String,
     var v = s.version
     var attempts =
       if (mode == GraftStagedTable.CreateOrReplace) 5 else 1
+    // the statement's TBLPROPERTIES ride INSIDE the staged manifest as
+    // meta lines: the atomic publish then durably records them with
+    // the table itself, so a crash between the publish and the
+    // registry materialization below can never lose what the
+    // statement declared (the recovery path reads them back from the
+    // v1 manifest — see the error message below)
+    val lines = s.lines ++ VersionedTable.propMetaLines(props)
     var published = false
     while (!published) {
       attempts -= 1
-      try { VersionedTable.writeManifest(spark, path, v, s.lines)
+      try { VersionedTable.writeManifest(spark, path, v, lines)
         published = true }
       catch { case e: RuntimeException
           if e.getMessage != null &&
@@ -728,14 +771,30 @@ private[sources] class GraftStagedTable(path: String, displayName: String,
         }
       }
     }
-    // properties apply after the publish: the registry is shared
-    // across versions, so writing them first would leak ghost keys
-    // onto a not-yet-existing path (inherited by a later CREATE of
-    // this name if the publish failed) or mutate the LIVE pre-replace
-    // table; the keys were validated at stage time, so this cannot
-    // fail on value errors
-    props.foreach { case (k, v2) =>
-      VersionedTable.setTableProperty(spark, path, k, v2) }
+    // the registry materialization applies after the publish: the
+    // `_props/` registry is shared across versions, so writing it
+    // first would leak ghost keys onto a not-yet-existing path
+    // (inherited by a later CREATE of this name if the publish
+    // failed) or mutate the LIVE pre-replace table. The keys were
+    // validated at stage time, so only FS errors can fail here —
+    // retried, and on exhaustion reported with the recovery path
+    // (the values survive in the published manifest's meta), never
+    // as a bare failure that reads like the CREATE itself failed.
+    val failedProps = props.toSeq.flatMap { case (k, v2) =>
+      val ok = (1 to 3).exists { _ =>
+        try { VersionedTable.setTableProperty(spark, path, k, v2); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      if (ok) None else Some(k)
+    }
+    if (failedProps.nonEmpty) sys.error(
+      s"$displayName WAS published at v$v, but materializing table " +
+        s"propert${if (failedProps.size == 1) "y" else "ies"} " +
+        s"${failedProps.mkString(", ")} into the registry failed " +
+        "after retries. The declared values are durably recorded in " +
+        s"the v$v manifest metadata (prop.* keys of the history " +
+        "metadata table); finish with ALTER TABLE ... SET " +
+        "TBLPROPERTIES — do NOT re-run the CREATE, the table exists")
   }
 
   override def abortStagedChanges(): Unit =
@@ -904,14 +963,20 @@ private[sources] class GraftTable(path: String, displayName: String,
     val partCols = VersionedTable
       .partitionsOf(VersionedTable.manifest(spark, path, pinned))
       .map(_._1).toSet
-    val preds = filters.toSeq
-      .flatMap(f => GraftFilterTranslation.translate(f, schema, partCols)
-        .getOrElse(Nil))
+    val translated = filters.toSeq
+      .map(f => GraftFilterTranslation.translate(f, schema, partCols))
+    val preds = translated.flatMap(_.getOrElse(Nil))
+    // when EVERY filter translated, the claimed conjunction IS the
+    // whole predicate — the router may then prove full-file matches
+    // from manifest stats alone and delete them as pure metadata
+    // (zero probe jobs for a contained-range DELETE)
+    val predsExact = translated.forall(_.isDefined)
     // copy-on-write vs merge-on-read (deletion-vector sidecar) by the
     // write.delete.mode table property, cost-based when unset — a
     // point DELETE commits O(matched rows) of tombstones instead of
     // rewriting every file that holds one doomed row
-    VersionedTable.deleteCommitRouted(spark, path, pred, preds)
+    VersionedTable.deleteCommitRouted(spark, path, pred, preds,
+      predsExact)
   }
 }
 
@@ -1256,6 +1321,10 @@ private[sources] object GraftFilterTranslation {
         // PartIn's re-applied predicate is cast-to-string isin —
         // exact for string columns only
         Some(Seq(PartIn(c, vs.toSeq.map(_.asInstanceOf[String]))))
+      // TRUE claims as the empty conjunction — an unconditional
+      // DELETE is then provably all-contained and goes metadata-only
+      // (AlwaysFalse stays unclaimed: Nil would claim TRUE)
+      case sources.AlwaysTrue() => Some(Nil)
       case _ => None
     }
   }

@@ -41,7 +41,8 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
-    "restore", "clean_orphans", "vacuum_retention", "clone")
+    "restore", "clean_orphans", "vacuum_retention", "clone",
+    "set_spec", "branch", "fast_forward", "drop_branch", "adopt")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -50,7 +51,14 @@ private[sources] object GraftProcedures {
         p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
           p != ".." && !p.startsWith("."),
         s"illegal table identifier segment: $p"))
-      (warehouse +: parts).mkString("/")
+      // 't.branch_dev' addresses the branch — every maintenance
+      // procedure (optimize, analyze, purge_tombstones, ...) then
+      // works on a branch exactly as on a table
+      val mapped = parts.map(p =>
+        if (p.startsWith("branch_") && p.length > "branch_".length)
+          "_branch/" + p.substring("branch_".length)
+        else p)
+      (warehouse +: mapped).mkString("/")
     }
     def spark = SparkSession.active
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
@@ -166,6 +174,59 @@ private[sources] object GraftProcedures {
         versionRow(VersionedTable.cloneCommit(spark, pathOf(str(r, 1)),
           pathOf(str(r, 0)),
           Some(r.getLong(2).toInt).filter(_ > 0)))
+      })
+      case "adopt" => Some(proc("adopt",
+        "onboard parquet into the table: source (a filesystem path) " +
+          "may be a plain parquet directory — converted in place " +
+          "first, zero data I/O — or a versioned table; its snapshot " +
+          "files MOVE into the table under one atomic publish, " +
+          "validated against the table's schema and constraints",
+        Seq(in("table", StringType), in("source", StringType),
+          in("append", BooleanType, Some("true"))),
+        versionOut) { r =>
+        val src = str(r, 1)
+        if (VersionedTable.versions(spark, src).isEmpty)
+          VersionedTable.convertCommit(spark, src)
+        versionRow(VersionedTable.adoptCommit(spark, pathOf(str(r, 0)),
+          src, append = r.getBoolean(2)))
+      })
+      case "branch" => Some(proc("branch",
+        "fork a writable branch from the head (or version <= 0 = " +
+          "head): one manifest write, zero data copy; read/write it " +
+          "as gt.<table>.branch_<name> or VERSION AS OF '<name>'",
+        Seq(in("table", StringType), in("name", StringType),
+          in("version", LongType, Some("0"))),
+        StructType(Seq(StructField("base_version", LongType,
+          nullable = false)))) { r =>
+        val base = VersionedTable.branchCommit(spark, pathOf(str(r, 0)),
+          str(r, 1), Some(r.getLong(2).toInt).filter(_ > 0))
+        Seq(new GenericInternalRow(Array[Any](base.toLong)))
+      })
+      case "fast_forward" => Some(proc("fast_forward",
+        "publish a branch: its head becomes the table's next version " +
+          "(branch-era files move in atomically; refused when the " +
+          "table advanced past the branch base)",
+        Seq(in("table", StringType), in("name", StringType)),
+        versionOut) { r =>
+        versionRow(VersionedTable.fastForwardCommit(spark,
+          pathOf(str(r, 0)), str(r, 1)))
+      })
+      case "drop_branch" => Some(proc("drop_branch",
+        "drop a branch and its unpublished commits (idempotent)",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType,
+          nullable = false)))) { r =>
+        VersionedTable.dropBranch(spark, pathOf(str(r, 0)), str(r, 1))
+        Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case "set_spec" => Some(proc("set_spec",
+        "evolve the table's identity partition spec (metadata-only: " +
+          "old files keep their old-era tags and stay prunable by " +
+          "stats; new writes tag by the new spec; '' = unpartition)",
+        Seq(in("table", StringType), in("columns", StringType)),
+        versionOut) { r =>
+        versionRow(VersionedTable.setSpecCommit(spark, pathOf(str(r, 0)),
+          str(r, 1).split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
       })
       case "clean_orphans" => Some(proc("clean_orphans",
         "delete data/sidecar files no manifest references (crash " +

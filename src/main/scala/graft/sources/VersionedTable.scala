@@ -3,6 +3,14 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+/** The table carries a `_protocol` feature requirement this build does
+  * not implement (Delta's protocol-version error). A dedicated type so
+  * namespace LISTING can classify "real table, gated for THIS build"
+  * without also swallowing transient IO errors — every other caller
+  * still sees it as the loud RuntimeException it is. */
+final class GraftProtocolException(message: String)
+    extends RuntimeException(message)
+
 /** A minimal versioned-table layer over parquet — manifest-based
   * commits with time travel, the core mechanism of the table formats
   * (Delta/Iceberg txn logs) expressed in ~100 lines so the engine's
@@ -41,6 +49,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * everything else is unchanged.
   */
 object VersionedTable {
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.VersionedTable")
 
   /** Tombstone-file manifest-line prefix (`dv<TAB>`). */
   private val DvPrefix = "dv\t"
@@ -789,6 +800,48 @@ object VersionedTable {
     }
   }
 
+  /** Filesystem schemes whose Hadoop `rename` contract REFUSES an
+    * existing destination atomically (the HDFS NameNode family) —
+    * plain rename IS a no-replace publish there. */
+  private val NoReplaceRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Opt-in escape hatch for single-writer deployments on filesystems
+    * with no atomic no-replace primitive: `graft.commit.force-rename`
+    * (Hadoop conf, so `spark.hadoop.graft.commit.force-rename=true`)
+    * accepts the documented exists+rename race instead of refusing. */
+  private[sources] val ForceRenameKey = "graft.commit.force-rename"
+
+  /** Registered per-scheme commit publishers — the OBJECT-STORE seam.
+    * A publisher must implement putIfAbsent semantics: atomically
+    * publish `tmp`'s content at `target` iff `target` does not exist,
+    * returning false (without publishing) when it does. Real
+    * deployments back this with the store's conditional put
+    * (S3 If-None-Match, GCS if-generation-match=0, Azure lease) or an
+    * external commit coordinator — the same contract Delta's LogStore
+    * and Iceberg's catalog swap provide. */
+  private val commitPublishers = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.hadoop.fs.FileSystem, Path, Path) => Boolean]()
+
+  /** Register the atomic putIfAbsent publisher commits on `scheme`
+    * will use. The publisher sees (filesystem, staged tmp file, final
+    * target); it must publish iff the target is absent, return false
+    * when a concurrent writer already won, and delete `tmp` on
+    * success (or leave it for `clean_orphans`). */
+  def registerCommitPublisher(scheme: String)(
+      publish: (org.apache.hadoop.fs.FileSystem, Path, Path) => Boolean)
+      : Unit = {
+    commitPublishers.put(
+      scheme.toLowerCase(java.util.Locale.ROOT), publish)
+    ()
+  }
+
+  /** Drop a registered publisher (tests; idempotent). */
+  def unregisterCommitPublisher(scheme: String): Unit = {
+    commitPublishers.remove(scheme.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
+
   /** Atomic no-replace publish of `tmp` as `target` — false when the
     * target already exists (the losing writer of a version race).
     *
@@ -797,12 +850,21 @@ object VersionedTable {
     * writers could both "win" the same version and one commit would
     * vanish (its files written but never referenced). link(2) fails
     * EEXIST atomically, so the local path hard-links the target into
-    * place instead. HDFS-like filesystems keep the plain rename —
-    * their rename contract already refuses an existing destination
-    * atomically. */
+    * place instead. The HDFS family keeps the plain rename — its
+    * rename contract already refuses an existing destination
+    * atomically. Every OTHER scheme (s3a, gs, abfs, wasb, ...) has no
+    * no-replace primitive behind Hadoop rename (object-store "rename"
+    * is copy+delete, last-writer-wins): such schemes REFUSE loudly
+    * unless a [[registerCommitPublisher]] publisher provides real
+    * putIfAbsent semantics or [[ForceRenameKey]] explicitly accepts
+    * the race — atomicity must be a seam, never an assumption. */
   private def publishNoReplace(f: org.apache.hadoop.fs.FileSystem,
-                               tmp: Path, target: Path): Boolean =
-    if (f.getUri.getScheme == "file") {
+                               tmp: Path, target: Path): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+      .toLowerCase(java.util.Locale.ROOT)
+    val custom = commitPublishers.get(scheme)
+    if (custom != null) custom(f, tmp, target)
+    else if (scheme == "file") {
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(target.toUri.getPath),
@@ -811,14 +873,42 @@ object VersionedTable {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: Exception =>
+        case e: Exception if linkUnsupported(e) =>
           // 'file' mounts WITHOUT hard-link support (CIFS/VFAT/some
           // FUSE): degrade to the rename publish rather than failing
           // every commit — the no-replace guarantee then rests on the
-          // version-listing check, as it always did on such mounts
+          // version-listing check, as it always did on such mounts.
+          // ONLY link-unsupported errors degrade: a transient IO error
+          // rethrows, so it can never silently weaken the guarantee.
           !f.exists(target) && f.rename(tmp, target)
       }
-    } else f.rename(tmp, target)
+    }
+    else if (NoReplaceRenameSchemes(scheme)) f.rename(tmp, target)
+    else if (f.getConf.getBoolean(ForceRenameKey, false))
+      !f.exists(target) && f.rename(tmp, target)
+    else sys.error(
+      s"cannot publish a commit on '$scheme://': its rename has no " +
+        "no-replace guarantee, so two concurrent writers could both " +
+        "win a version and one commit would silently vanish. Register " +
+        "an atomic putIfAbsent publisher for the scheme " +
+        s"""(VersionedTable.registerCommitPublisher("$scheme")(...)) """ +
+        "backed by the store's conditional put or a commit " +
+        s"coordinator, or set $ForceRenameKey=true (Hadoop conf) to " +
+        "accept the race on a single-writer deployment")
+  }
+
+  /** True for the errno family meaning "this mount cannot hard-link"
+    * (ENOTSUP/EPERM/EACCES renderings and Java's capability error) —
+    * the ONLY failures [[publishNoReplace]] may degrade on. */
+  private def linkUnsupported(e: Exception): Boolean = e match {
+    case _: UnsupportedOperationException => true
+    case fse: java.nio.file.FileSystemException =>
+      val why = (Option(fse.getReason) ++ Option(fse.getMessage))
+        .mkString(" ").toLowerCase(java.util.Locale.ROOT)
+      why.contains("not supported") || why.contains("not permitted") ||
+        why.contains("permission denied")
+    case _ => false
+  }
 
   /** Commit `df` as the next version. `append = true` carries the
     * previous version's files forward (delta commit: only new rows are
@@ -905,6 +995,40 @@ object VersionedTable {
     next
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `REPLACE PARTITION FIELD`):
+    * re-declare the table's identity partition spec as PURE METADATA
+    * — one manifest commit, zero data I/O at any table size. Existing
+    * files keep their old-era pt tags: reads already treat files
+    * tagged by another column as never-prunable ([[ScanPred.PartIn]]'s
+    * evolution discipline), so old-era files stay correct candidates
+    * and prune by st stats where covered, while files written AFTER
+    * the evolution tag by the new spec and prune by it. No rewrite
+    * ever happens on this path — re-laying old data is [[OPTIMIZE]]'s
+    * job ([[clusterCommit]]), explicitly and separately. `newSpec`
+    * empty = explicitly unpartitioned (later INSERTs stop tagging).
+    * Returns the committed version. */
+  def setSpecCommit(spark: SparkSession, table: String,
+                    newSpec: Seq[String]): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    newSpec.foreach(pc => require(!pc.contains('=') &&
+      !pc.contains('\t') && !pc.contains('\n') && !pc.contains('/'),
+      "partition column names must be =/tab/newline/slash-free"))
+    require(newSpec.distinct.size == newSpec.size,
+      s"duplicate partition column in ${newSpec.mkString(",")}")
+    // spec columns must exist in the current logical schema (derived
+    // transform tags '__*' excepted — they name transforms, not columns)
+    val sc = tableSchemaAt(spark, table, vs.last)
+    newSpec.filterNot(_.startsWith("__")).foreach(c =>
+      require(sc.forall(_.fieldNames.contains(c)),
+        s"partition column '$c' is not in the table schema"))
+    val lines = readManifest(spark, table, vs.last)
+    writeManifest(spark, table, vs.last + 1,
+      lines.filterNot(_.startsWith(MetaPrefix + "partitioned_by=")) ++
+        metaLinesOf(Map("partitioned_by" -> newSpec.mkString(","))))
+    vs.last + 1
+  }
+
   /** [[commit]] minus the publish — identical data write, stats,
     * validation, and schema lines; returns the staged frame instead of
     * renaming the manifest. The version is resolved NOW: a concurrent
@@ -919,10 +1043,17 @@ object VersionedTable {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     val carried =
-      if (append && next > 1)
-        readManifest(spark, table, next - 1)
-          .filterNot(l => l.startsWith(MetaPrefix) ||
-            l.startsWith(ScPrefix)) // fresh sc written below
+      if (append && next > 1) {
+        val prev = readManifest(spark, table, next - 1)
+        // per-commit meta (txn stamps etc.) drops, but the partition
+        // SPEC declaration is table SHAPE: a plain append must not
+        // silently un-declare it (the appended files are untagged —
+        // never-prunable — but later INSERTs keep partition-routing)
+        prev.filterNot(l => l.startsWith(MetaPrefix) ||
+            l.startsWith(ScPrefix)) ++ // fresh sc written below
+          (if (meta.contains("partitioned_by")) Seq.empty
+           else specDeclLines(prev))
+      }
       else Seq.empty // overwrite: fresh lineage, column mapping resets
     val dataDir = new Path(table,
       s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1034,7 +1165,20 @@ object VersionedTable {
     * `toApp`'s `_txn` cache, so a batch committed under the OLD
     * identity and replayed under the NEW one is still a no-op.
     * Idempotent; no-op when `toApp` already has any record or
-    * `fromApp` has none. O(versions) manifest metadata, once. */
+    * `fromApp` has none.
+    *
+    * The migration TRIGGER is `fromApp`'s `_txn` cache file — written
+    * by every commit under that identity. Without that gate, the
+    * O(versions) manifest walk would run on the FIRST batch of every
+    * brand-new query, and a 32-bit murmur legacy id colliding with
+    * ANOTHER query's would silently inherit that query's watermark
+    * (no-op'ing this query's first batches). The one case the gate
+    * misses — a legacy writer that crashed after its very first
+    * publish and before its first cache write — replays that single
+    * batch once, exactly the pre-upgrade behavior. When the cache
+    * EXISTS, the manifest record stays authoritative and may be ahead
+    * of it (crash between publish and cache write): the carried
+    * watermark is the MAX of both. */
   def migrateTxnAppId(spark: SparkSession, table: String,
                       fromApp: String, toApp: String): Unit = {
     require(toApp.matches("[A-Za-z0-9_.-]+"),
@@ -1052,6 +1196,8 @@ object VersionedTable {
       }.toOption
     }
     if (cached(toApp).isDefined) return
+    val legacyCache = new Path(table, s"_txn/$fromApp")
+    if (!fs(spark, legacyCache).exists(legacyCache)) return
     // ONE newest-first history pass finds whichever identity recorded
     // last; hitting toApp first means it's already live — no-op
     var fromRecorded: Option[Long] = None
@@ -1070,6 +1216,8 @@ object VersionedTable {
     val watermark = (cached(fromApp).toSeq ++ fromRecorded.toSeq)
       .maxOption
     watermark.foreach { wm =>
+      log.info(s"migrating idempotent-writer watermark on $table: " +
+        s"$fromApp -> $toApp (txnVersion $wm)")
       val f = fs(spark, new Path(table, "_txn"))
       val tmp = new Path(table, s"_txn/.$toApp.tmp")
       f.mkdirs(new Path(table, "_txn"))
@@ -1081,6 +1229,17 @@ object VersionedTable {
       ()
     }
   }
+
+  /** Meta lines durably recording a CREATE/REPLACE statement's
+    * TBLPROPERTIES inside the commit manifest itself (`m:prop.<key>`)
+    * — the atomic publish then carries them with the table, so a
+    * crash between the publish and the `_props/` registry
+    * materialization can never lose what the statement declared.
+    * Property keys are already `[A-Za-z0-9._-]+` and values one-line
+    * ([[validateTableProperty]]), so the lines are always valid. */
+  private[sources] def propMetaLines(props: Map[String, String])
+      : Seq[String] =
+    metaLinesOf(props.map { case (k, v) => (s"prop.$k", v) })
 
   /** Validated manifest lines for commit metadata — a '=' in a key or
     * a newline anywhere would corrupt the line-oriented manifest. */
@@ -1189,14 +1348,15 @@ object VersionedTable {
     if (data.isEmpty) {
       // a legitimately EMPTY snapshot (TRUNCATE TABLE / a freshly
       // created table): the sc line names the schema, zero files to
-      // scan — serve the typed empty frame. File-less manifests
-      // WITHOUT a schema line stay loud (malformed).
+      // scan — serve the typed empty frame with the sc schema AS-IS
+      // (declared nullability included: an empty frame cannot violate
+      // a non-null field, and forcing nullable here would make the
+      // scan schema disagree with the catalog schema). File-less
+      // manifests WITHOUT a schema line stay loud (malformed).
       val sc = schemaOfLines(lines).getOrElse(sys.error(
         "manifest lists no data files and no schema line"))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(
-          sc.fields.map(_.copy(nullable = true))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     }
     val base = baseSnapshotRead(spark, lines, data)
     val dvs = dvFilesOf(lines)
@@ -1641,17 +1801,20 @@ object VersionedTable {
   val StatsColsProp = "write.stats.columns"
 
   /** The table's IDENTITY partition spec from a manifest: the
-    * coherent per-file pt tags ([[fullSpecOf]]) or — when the snapshot
-    * holds no tagged files (freshly created, truncated) — the
-    * `partitioned_by` declaration meta. The single resolution rule
-    * every SQL surface shares (INSERT routing, row-level re-tagging,
-    * TRUNCATE spec carry, DESCRIBE partitioning). */
-  private[sources] def identitySpecOf(lines: Seq[String]): Seq[String] = {
-    val full = fullSpecOf(lines)
-    if (full.nonEmpty) full
-    else metaOf(lines).get("partitioned_by")
-      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-  }
+    * `partitioned_by` DECLARATION meta when present (the current
+    * spec — what [[setSpecCommit]] evolves; present-but-empty means
+    * explicitly unpartitioned), else the coherent per-file pt tags
+    * ([[fullSpecOf]] — legacy and adopted manifests that predate the
+    * declaration). The single resolution rule every SQL surface
+    * shares (INSERT routing, row-level re-tagging, TRUNCATE spec
+    * carry, DESCRIBE partitioning). Declaration-first matters after
+    * an evolution: a snapshot still holding only old-era files keeps
+    * coherent OLD tags, and tag-first resolution would silently
+    * re-route the next INSERT to the retired spec. */
+  private[sources] def identitySpecOf(lines: Seq[String]): Seq[String] =
+    metaOf(lines).get("partitioned_by")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(fullSpecOf(lines))
 
   /** The table's declared stats columns ([[StatsColsProp]]) restricted
     * to `available` — what a SQL write path passes as statCols. */
@@ -1686,11 +1849,13 @@ object VersionedTable {
     * rewriting every file that holds one doomed row. */
   def deleteCommitRouted(spark: SparkSession, table: String,
                          predicate: org.apache.spark.sql.Column,
-                         preds: Seq[ScanPred]): Int = {
+                         preds: Seq[ScanPred],
+                         predsExact: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    def cow(preMatched: Option[(Set[String], Int)]): Int =
+    def cow(preMatched: Option[(Set[String], Int)],
+            dropNorm: Set[String] = Set.empty): Int =
       try rewriteCommitAttempt(spark, table, predicate, preds, _ => (),
-        preMatched) { (rows, rangePred) =>
+        preMatched, dropNorm) { (rows, rangePred) =>
         rows.filter(not(coalesce(rangePred, lit(false))))
       }
       catch { case c: VersionConflict => sys.error(c.getMessage) }
@@ -1720,38 +1885,81 @@ object VersionedTable {
           deleteModeNotifier("copy-on-write", -1L, -1L)
           cow(None)
         } else {
-          val scanLines =
-            if (preds.isEmpty) lines
-            else scanCandidates(lines, preds) ++ dvLinesOf(lines) ++
-              cmLinesOf(lines) ++ scLinesOf(lines)
-          val effPred =
-            if (preds.isEmpty) predicate
-            else predicate && predExpr(preds)
-          val perFile: Map[String, Long] =
-            if (dataFilesOf(scanLines).isEmpty) Map.empty
-            else readSnapshotTagged(spark, scanLines).filter(effPred)
-              .groupBy(org.apache.spark.sql.functions.col(FileCol))
-              .count().collect()
-              .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
-          val matchedRows = perFile.valuesIterator.sum
-          val matchedFileRows = perFile.keysIterator
-            .map(f => rowCounts.get.getOrElse(f, 0L)).sum
-          if (matchedRows > 0 && matchedRows * 10L <= matchedFileRows) {
-            deleteModeNotifier("merge-on-read", matchedRows,
-              matchedFileRows)
-            // re-read ONLY the matched files for their row positions —
-            // tiny by the decision just made
-            val lineOf = dataLineByPath(lines)
-            val matchedLines = perFile.keys.toSeq.map(lineOf) ++
-              dvLinesOf(lines) ++ cmLinesOf(lines) ++ scLinesOf(lines)
-            val doomed = readSnapshotTaggedWithPos(spark, matchedLines)
-              .filter(effPred).select(FileCol, PosCol)
-            publishTombstoneCommit(spark, table, lines, Some(doomed),
-              head)
+          val candidates = scanCandidates(lines, preds)
+          // STATS-ONLY FAST PATH: when the claimed conjuncts ARE the
+          // whole predicate (`predsExact` — every SQL filter
+          // translated), a candidate file whose st/pt evidence proves
+          // EVERY row matches needs no probing: it is dropped whole,
+          // as pure metadata. A retention DELETE on a time-clustered
+          // 100 TB table (`ts < cutoff`) then commits without a
+          // single data-reading job — only the files straddling the
+          // cutoff (boundary) are probed, and only they are rewritten
+          // or tombstoned. Tombstoned files are never trusted as
+          // contained (their manifest nrows over-counts).
+          val tombstoned: Set[String] =
+            if (liveDvs.isEmpty) Set.empty
+            else spark.read.parquet(liveDvs: _*)
+              .select(org.apache.spark.sql.functions.col(FileCol))
+              .distinct().collect()
+              .map(r => norm(r.getString(0))).toSet
+          val containedBy = containmentOf(lines)
+          val contained: Seq[String] =
+            if (!predsExact) Seq.empty
+            else candidates.filter(f => !tombstoned(norm(f)) &&
+              rowCounts.get.contains(norm(f)) &&
+              preds.forall(containedBy(f, _)))
+          val containedNorm = contained.map(norm).toSet
+          val containedRows =
+            contained.map(f => rowCounts.get(norm(f))).sum
+          val boundary = candidates.filterNot(f => containedNorm(norm(f)))
+          if (predsExact && boundary.isEmpty) {
+            // every candidate proved fully matched (or none exists):
+            // one metadata-only commit, zero probe jobs
+            deleteModeNotifier("metadata-only", containedRows,
+              containedRows)
+            try replaceFilesCommit(spark, table, containedNorm,
+              Seq.empty, head)
+            catch { case c: VersionConflict => sys.error(c.getMessage) }
           } else {
-            deleteModeNotifier("copy-on-write", matchedRows,
-              matchedFileRows)
-            cow(Some((perFile.keySet, head)))
+            val probeLines =
+              boundary ++ dvLinesOf(lines) ++ cmLinesOf(lines) ++
+                scLinesOf(lines)
+            val effPred =
+              if (preds.isEmpty) predicate
+              else predicate && predExpr(preds)
+            val perFile: Map[String, Long] =
+              if (boundary.isEmpty) Map.empty
+              else readSnapshotTagged(spark, probeLines).filter(effPred)
+                .groupBy(org.apache.spark.sql.functions.col(FileCol))
+                .count().collect()
+                .map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+            val matchedRows = containedRows + perFile.valuesIterator.sum
+            val matchedFileRows = containedRows + perFile.keysIterator
+              .map(f => rowCounts.get.getOrElse(f, 0L)).sum
+            if (matchedRows > 0 &&
+                matchedRows * 10L <= matchedFileRows) {
+              deleteModeNotifier("merge-on-read", matchedRows,
+                matchedFileRows)
+              // re-read ONLY the matched files for their row
+              // positions — tiny by the decision just made (contained
+              // files contribute O(their rows), inside the
+              // O(matched rows) merge-on-read contract)
+              val lineOf = dataLineByPath(lines)
+              val matchedLines =
+                (containedNorm ++ perFile.keys).toSeq.map(lineOf) ++
+                  dvLinesOf(lines) ++ cmLinesOf(lines) ++
+                  scLinesOf(lines)
+              val doomed = readSnapshotTaggedWithPos(spark, matchedLines)
+                .filter(effPred).select(FileCol, PosCol)
+              publishTombstoneCommit(spark, table, lines, Some(doomed),
+                head)
+            } else {
+              deleteModeNotifier("copy-on-write", matchedRows,
+                matchedFileRows)
+              // contained files DROP as metadata; only the boundary
+              // files with real matches pay the rewrite
+              cow(Some((perFile.keySet, head)), containedNorm)
+            }
           }
         }
     }
@@ -1780,7 +1988,8 @@ object VersionedTable {
                                    prunePreds: Seq[ScanPred],
                                    onAttempt: Int => Unit,
                                    preMatched: Option[(Set[String], Int)] =
-                                     None)
+                                     None,
+                                   dropNorm: Set[String] = Set.empty)
                                   (transform: (DataFrame,
                                     org.apache.spark.sql.Column) => DataFrame)
       : Int = {
@@ -1817,7 +2026,12 @@ object VersionedTable {
         .select(FileCol).distinct().collect()
         .map(r => norm(r.getString(0))).toSet
     }
-    val (rewrite, carry) = data.partition(f => matched.contains(norm(f)))
+    // `dropNorm` files are PROVED fully matched by manifest stats
+    // (deleteCommitRouted's containment fast path): they leave the
+    // manifest as pure metadata — neither carried nor read for a
+    // rewrite that would produce zero rows
+    val kept = data.filterNot(f => dropNorm.contains(norm(f)))
+    val (rewrite, carry) = kept.partition(f => matched.contains(norm(f)))
     updatePruneNotifier(rewrite.size, data.size)
     val next = vs.last + 1
     val newLines =
@@ -2765,6 +2979,208 @@ object VersionedTable {
     fs(spark, p).delete(p, false)
   }
 
+  // -------------------------------------------------------------------
+  // NAMED BRANCHES (Iceberg branches / git-style WRITABLE refs). A
+  // branch is a zero-copy fork of one snapshot living under
+  // `_branch/<name>/` — itself a full versioned table (its v1 is a
+  // [[cloneCommit]] of the base snapshot, one manifest write, no data
+  // copied), so EVERY operation works on a branch unchanged: commits,
+  // DML, constraints, maintenance, time travel within the branch. The
+  // WAP staging-table flow (q_table_wap) generalized to a ref with a
+  // name and a recorded base:
+  //  - experiment: write to the branch; main readers never see it;
+  //  - audit: read the branch (SQL: `gt.t.branch_<name>` or
+  //    `VERSION AS OF '<name>'`);
+  //  - publish: [[fastForwardCommit]] — branch-era files MOVE into
+  //    the main data dir and the branch head publishes as main's next
+  //    version, one atomic manifest rename (refused when main
+  //    advanced past the base: re-branch and replay — true
+  //    fast-forward only, never a silent merge).
+  // Main's vacuum/dry-run treat branch-head-referenced files as LIVE
+  // ([[branchLivePaths]]), so forking is safe under retention; the
+  // branch's own history vacuums independently.
+  // -------------------------------------------------------------------
+
+  private def branchesDir(table: String) = new Path(table, "_branch")
+
+  /** The on-disk table path of branch `name` (validated). */
+  private[sources] def branchPath(table: String, name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"branch name '$name' must be [A-Za-z0-9._-]+")
+    new Path(branchesDir(table), name).toString
+  }
+
+  /** Create branch `name` from the head (or `version`): one manifest
+    * write, zero data copy at any size. Fails if the name exists. */
+  def branchCommit(spark: SparkSession, table: String, name: String,
+                   version: Option[Int] = None): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val base = version.getOrElse(vs.last)
+    require(vs.contains(base), s"version $base not in $vs")
+    val dir = branchPath(table, name)
+    require(versions(spark, dir).isEmpty,
+      s"branch '$name' already exists on $table — drop_branch first")
+    cloneCommit(spark, dir, table, Some(base))
+    // the base marker fast_forward checks divergence against (a
+    // dedicated sidecar: the clone's v1 meta could vacuum away)
+    val marker = new Path(dir, "_base")
+    val f = fs(spark, marker)
+    val out = f.create(marker, false)
+    try out.write(s"$base\n".getBytes("UTF-8")) finally out.close()
+    base
+  }
+
+  /** The table's branches: name -> (baseVersion, branchHeadVersion). */
+  def branchesOf(spark: SparkSession,
+                 table: String): Map[String, (Int, Int)] = {
+    val dir = branchesDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      val bvs = scala.util.Try(
+        versions(spark, st.getPath.toString)).getOrElse(Seq.empty)
+      if (bvs.isEmpty) None
+      else Some(name -> (branchBaseOf(spark, table, name), bvs.last))
+    }.toMap
+  }
+
+  private def branchBaseOf(spark: SparkSession, table: String,
+                           name: String): Int = {
+    val marker = new Path(branchPath(table, name), "_base")
+    val f = fs(spark, marker)
+    require(f.exists(marker), s"branch '$name' has no base marker")
+    readSmallFile(f, marker).trim.toInt
+  }
+
+  /** Drop a branch — its un-published commits and data are deleted
+    * (idempotent). Published (fast-forwarded) state is unaffected:
+    * the publish MOVED those files out of the branch dir. */
+  def dropBranch(spark: SparkSession, table: String,
+                 name: String): Unit = {
+    val dir = new Path(branchPath(table, name))
+    fs(spark, dir).delete(dir, true)
+    ()
+  }
+
+  /** Every data/dv path a branch HEAD references — files main's
+    * vacuum must treat as live while the fork exists. O(branches)
+    * manifest reads, zero data I/O. */
+  private def branchLivePaths(spark: SparkSession,
+                              table: String): Set[String] = {
+    val dir = branchesDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+      val bvs = scala.util.Try(
+        versions(spark, st.getPath.toString)).getOrElse(Seq.empty)
+      bvs.lastOption.toSeq.flatMap { h =>
+        val lines = readManifest(spark, st.getPath.toString, h)
+        dataFilesOf(lines) ++ dvFilesOf(lines)
+      }
+    }.map(norm).toSet
+  }
+
+  /** PUBLISH a branch: its head becomes main's next version. True
+    * fast-forward only — main's head must still be the branch's base
+    * (else the branch replays onto a fresh fork). Branch-era files
+    * (everything under the branch dir: new appends AND copy-on-write
+    * rewrites of base-era files) MOVE into main's data dir with
+    * rollback on any failure; base-era files the branch still
+    * references carry verbatim; base-era files the branch's DML
+    * dropped simply aren't referenced. Main's CHECK constraints and
+    * schema rules validate the moved files before the publish — the
+    * same discipline as [[adoptCommit]], which this generalizes.
+    * Consumes the branch (drop it after); requires a tombstone-free
+    * branch head (sidecar contents name data-file paths, which the
+    * move would break — `purge_tombstones` the branch first). */
+  def fastForwardCommit(spark: SparkSession, table: String,
+                        name: String): Int = {
+    val dir = branchPath(table, name)
+    val bvs = versions(spark, dir)
+    require(bvs.nonEmpty, s"no branch '$name' on $table")
+    val base = branchBaseOf(spark, table, name)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    require(vs.last == base,
+      s"cannot fast-forward '$name': $table advanced past the branch " +
+        s"base (v$base -> v${vs.last}) — re-branch from the head and " +
+        "replay the work")
+    if (bvs.last == 1) return base // nothing committed on the branch
+    val bLines = readManifest(spark, dir, bvs.last)
+    require(dvFilesOf(bLines).isEmpty,
+      s"fast_forward needs a tombstone-free branch head — CALL " +
+        "purge_tombstones on the branch first")
+    val branchRoot = norm(new Path(dir).toString)
+      .stripSuffix("/") + "/"
+    val next = base + 1
+    val bData = dataFilesOf(bLines)
+    val toMove = bData.filter(p => norm(p).startsWith(branchRoot))
+    val destDir = new Path(table,
+      s"data/$next-ff-${java.util.UUID.randomUUID().toString.take(8)}")
+    val f = fs(spark, destDir)
+    if (toMove.nonEmpty) f.mkdirs(destDir)
+    val moves: Seq[(Path, Path)] = toMove.map { p =>
+      (new Path(p), new Path(destDir, new Path(p).getName))
+    }
+    require(moves.map(_._2.getName).distinct.size == moves.size,
+      "branch snapshot has colliding file basenames — " +
+        "OPTIMIZE the branch first")
+    def moveBack(done: Seq[(Path, Path)]): Unit = {
+      done.foreach { case (src, dst) => f.rename(dst, src) }
+      if (toMove.nonEmpty) f.delete(destDir, true)
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    moves.foreach { case (src, dst) =>
+      if (!f.rename(src, dst)) {
+        moveBack(done.toSeq)
+        sys.error(s"cannot move $src into $table")
+      }
+      done += ((src, dst))
+    }
+    val movedByNorm: Map[String, String] =
+      moves.map { case (s, d) => norm(s.toString) -> d.toString }.toMap
+    // rewrite every line naming a moved path (data, pt, st); meta
+    // drops except the spec declaration; sc/cm carry verbatim
+    def rewritten(l: String): Option[String] =
+      if (l.startsWith(MetaPrefix)) None
+      else if (l.startsWith(ScPrefix) || l.startsWith(CmPrefix))
+        Some(l)
+      else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix)) {
+        val cut = l.lastIndexOf('\t')
+        Some(movedByNorm.get(norm(l.substring(cut + 1)))
+          .fold(l)(np => l.substring(0, cut + 1) + np))
+      } else Some(movedByNorm.getOrElse(norm(l), l))
+    val published = bLines.flatMap(rewritten(_)) ++ specDeclLines(bLines)
+    try {
+      // main's rules judge the INCOMING files before anything publishes
+      val movedPaths = moves.map(_._2.toString)
+      schemaConflictsWithTable(spark, table, movedPaths).foreach { cs =>
+        moveBack(moves)
+        throw new IllegalStateException(
+          s"fast_forward rejected: schema conflict(s) with $table — " +
+            cs.mkString("; "))
+      }
+      val violated = constraintViolations(spark, table, movedPaths)
+      if (violated.nonEmpty) {
+        moveBack(moves)
+        throw new IllegalStateException(
+          s"fast_forward rejected: CHECK constraint(s) violated — " +
+            violated.mkString("; "))
+      }
+      writeManifest(spark, table, next, published)
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Exception =>
+        moveBack(moves)
+        sys.error(s"fast_forward of '$name' onto $table failed — " +
+          s"every file moved back, nothing published: ${e.getMessage}")
+    }
+    next
+  }
+
   /** One report line of [[maintain]]. */
   final case class MaintenanceAction(kind: String, detail: String,
                                      version: Int)
@@ -3350,6 +3766,54 @@ object VersionedTable {
     x.length - y.length
   }
 
+  /** Manifest-evidence CONTAINMENT test, built once per manifest:
+    * `(file, pred) => true` only when the file's st stats / pt tag
+    * PROVE every row satisfies the predicate (range covers [min,max]
+    * with zero nulls; IS NULL with all-null; partition tag inside the
+    * value set). The exact complement of [[scanCandidates]]'
+    * cannot-rule-out test — what [[countWhereDetailed]] /
+    * [[minMaxWhere]] serve metadata answers from and
+    * [[deleteCommitRouted]] routes metadata-only deletes by. Numeric
+    * comparison is BigDecimal-exact: a Double round-trip could prove
+    * containment falsely near 2^63 and that must never gate a
+    * data-dropping decision. */
+  private def containmentOf(lines: Seq[String])
+      : (String, ScanPred) => Boolean = {
+    import ScanPred._
+    val statByColFile = statsOf(lines)
+      .map { case (c, st, p) => (c, norm(p)) -> st }.toMap
+    val ptByFile = partitionsOf(lines).groupBy(t => norm(t._3))
+      .view.mapValues(_.map(t => (t._1, t._2))).toMap
+    def dec(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s)).toOption
+    (f: String, pred: ScanPred) => pred match {
+      case NumBetween(c, lo, hi) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (mn, mx, nulls, _) =>
+            nulls == 0 &&
+              mn.flatMap(dec).exists(_ >= BigDecimal(lo)) &&
+              mx.flatMap(dec).exists(_ <= BigDecimal(hi))
+        }
+      case StrBetween(c, lo, hi) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (mn, mx, nulls, _) =>
+            nulls == 0 && mn.exists(utf8Cmp(_, lo) >= 0) &&
+              mx.exists(utf8Cmp(_, hi) <= 0)
+        }
+      case IsNull(c) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (_, _, nulls, nrows) => nulls == nrows
+        }
+      case NotNull(c) =>
+        statByColFile.get((c, norm(f))).exists {
+          case (_, _, nulls, _) => nulls == 0
+        }
+      case PartIn(c, values) =>
+        ptByFile.get(norm(f)).exists(_.exists { case (cc, vv) =>
+          cc == c && vv != NullPartitionTag && values.contains(vv) })
+    }
+  }
+
   /** The data files a conjunction of [[ScanPred]]s can possibly
     * match: per predicate, covered files keep only those whose
     * manifest evidence (st range / null count / pt tag) intersects
@@ -3523,41 +3987,12 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val cand = scanCandidates(lines, preds).map(norm).toSet
-    val statByColFile = statsOf(lines)
-      .map { case (c, st, p) => (c, norm(p)) -> st }.toMap
-    val ptByFile = partitionsOf(lines).groupBy(t => norm(t._3))
-      .view.mapValues(_.map(t => (t._1, t._2))).toMap
     val dvs = dvFilesOf(lines)
     val tombstoned: Set[String] =
       if (dvs.isEmpty) Set.empty
       else spark.read.parquet(dvs: _*).select(col(FileCol)).distinct()
         .collect().map(r => norm(r.getString(0))).toSet
-    def containedBy(f: String, pred: ScanPred): Boolean = pred match {
-      case NumBetween(c, lo, hi) =>
-        statByColFile.get((c, norm(f))).exists {
-          case (mn, mx, nulls, _) =>
-            nulls == 0 && scala.util.Try(
-              mn.exists(_.toDouble >= lo) && mx.exists(_.toDouble <= hi))
-              .getOrElse(false)
-        }
-      case StrBetween(c, lo, hi) =>
-        statByColFile.get((c, norm(f))).exists {
-          case (mn, mx, nulls, _) =>
-            nulls == 0 && mn.exists(utf8Cmp(_, lo) >= 0) &&
-              mx.exists(utf8Cmp(_, hi) <= 0)
-        }
-      case IsNull(c) =>
-        statByColFile.get((c, norm(f))).exists {
-          case (_, _, nulls, nrows) => nulls == nrows
-        }
-      case NotNull(c) =>
-        statByColFile.get((c, norm(f))).exists {
-          case (_, _, nulls, _) => nulls == 0
-        }
-      case PartIn(c, values) =>
-        ptByFile.get(norm(f)).exists(_.exists { case (cc, vv) =>
-          cc == c && vv != NullPartitionTag && values.contains(vv) })
-    }
+    val containedBy = containmentOf(lines)
     val nrowsOf: Map[String, Long] = statsOf(lines)
       .groupBy(st => norm(st._3)).view.mapValues(_.head._2._4).toMap
     val (contained, boundary) = dataFilesOf(lines)
@@ -3605,39 +4040,12 @@ object VersionedTable {
     val cand = scanCandidates(lines, preds).map(norm).toSet
     val statByColFile = statsOf(lines)
       .map { case (cc, st, p) => (cc, norm(p)) -> st }.toMap
-    val ptByFile = partitionsOf(lines).groupBy(t => norm(t._3))
-      .view.mapValues(_.map(t => (t._1, t._2))).toMap
     val dvs = dvFilesOf(lines)
     val tombstoned: Set[String] =
       if (dvs.isEmpty) Set.empty
       else spark.read.parquet(dvs: _*).select(col(FileCol)).distinct()
         .collect().map(r => norm(r.getString(0))).toSet
-    def containedBy(f: String, pred: ScanPred): Boolean = pred match {
-      case NumBetween(cc, lo, hi) =>
-        statByColFile.get((cc, norm(f))).exists {
-          case (mn, mx, nulls, _) =>
-            nulls == 0 && scala.util.Try(
-              mn.exists(_.toDouble >= lo) && mx.exists(_.toDouble <= hi))
-              .getOrElse(false)
-        }
-      case StrBetween(cc, lo, hi) =>
-        statByColFile.get((cc, norm(f))).exists {
-          case (mn, mx, nulls, _) =>
-            nulls == 0 && mn.exists(utf8Cmp(_, lo) >= 0) &&
-              mx.exists(utf8Cmp(_, hi) <= 0)
-        }
-      case IsNull(cc) =>
-        statByColFile.get((cc, norm(f))).exists {
-          case (_, _, nulls, nrows) => nulls == nrows
-        }
-      case NotNull(cc) =>
-        statByColFile.get((cc, norm(f))).exists {
-          case (_, _, nulls, _) => nulls == 0
-        }
-      case PartIn(cc, values) =>
-        ptByFile.get(norm(f)).exists(_.exists { case (pc, pv) =>
-          pc == cc && pv != NullPartitionTag && values.contains(pv) })
-    }
+    val containedBy = containmentOf(lines)
     // contained AND c-stat-covered files answer from metadata; the
     // rest (boundary, uncovered on c, tombstoned) are read exactly
     val (meta, scan) = dataFilesOf(lines)
@@ -4340,17 +4748,42 @@ object VersionedTable {
             org.apache.spark.sql.types.StructField(s"${c}_min", typeOf(c)),
             org.apache.spark.sql.types.StructField(s"${c}_max", typeOf(c)),
             org.apache.spark.sql.types.StructField(s"${c}_nulls",
-              org.apache.spark.sql.types.LongType))))
+              org.apache.spark.sql.types.LongType))) :+
+          org.apache.spark.sql.types.StructField("live_tombstones",
+            org.apache.spark.sql.types.LongType, nullable = false))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
     }
     lazy val schema = spark.read.option("mergeSchema", "true")
       .parquet(data: _*).schema // footers only — never row data
-    manifestStats(spark, lines, statCols,
+    val base = manifestStats(spark, lines, statCols,
       c => schema.fields.find(_.name == c).map(_.dataType)
         .getOrElse(org.apache.spark.sql.types.StringType)).getOrElse {
       statsScanNotifier("files", data.size)
       collectStatsLogical(spark, data, statCols, lines)
+    }
+    // MERGE-ON-READ DEBT, surfaced per file: how many live tombstone
+    // rows each file carries (0 = pure) — what lets maintenance aim
+    // `purge_tombstones` at exactly the files paying the read-side
+    // anti-join. One O(deleted rows) sidecar fold; zero data I/O.
+    val dvs = dvFilesOf(lines)
+    val debt: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
+      else spark.read.parquet(dvs: _*)
+        .groupBy(org.apache.spark.sql.functions.col(FileCol)).count()
+        .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    if (debt.isEmpty)
+      base.withColumn("live_tombstones",
+        org.apache.spark.sql.functions.lit(0L))
+    else {
+      val s2 = spark
+      import s2.implicits._
+      val spellings = base.select("file").collect()
+        .map(_.getString(0)).toSeq
+      base.join(
+        spellings.map(f => (f, debt.getOrElse(norm(f), 0L)))
+          .toDF("file", "live_tombstones"),
+        Seq("file"), "left")
     }
   }
 
@@ -5087,11 +5520,15 @@ object VersionedTable {
     if (!f.rename(tmp, p)) sys.error(s"could not publish protocol for $table")
   }
 
-  /** Loud unsupported-feature errors — named features, named remedy. */
+  /** Loud unsupported-feature errors — named features, named remedy.
+    * A DEDICATED type (not a bare RuntimeException) so callers that
+    * must treat "gated but real table" differently from transient IO
+    * errors — SHOW TABLES listing, most prominently — can match it
+    * exactly instead of swallowing every failure. */
   private def checkReaderProtocol(spark: SparkSession,
                                   table: String): Unit = {
     val unknown = protocolOf(spark, table)._1 diff SupportedReaderFeatures
-    if (unknown.nonEmpty) sys.error(
+    if (unknown.nonEmpty) throw new GraftProtocolException(
       s"$table requires reader feature(s) ${unknown.toSeq.sorted
         .mkString(", ")} this build does not support — reading would " +
         "misinterpret the table; upgrade the library")
@@ -5099,7 +5536,7 @@ object VersionedTable {
   private def checkWriterProtocol(spark: SparkSession,
                                   table: String): Unit = {
     val unknown = protocolOf(spark, table)._2 diff SupportedWriterFeatures
-    if (unknown.nonEmpty) sys.error(
+    if (unknown.nonEmpty) throw new GraftProtocolException(
       s"$table requires writer feature(s) ${unknown.toSeq.sorted
         .mkString(", ")} this build does not support — committing " +
         "would break the table's contract; upgrade the library")
@@ -5442,6 +5879,33 @@ object VersionedTable {
                   sourceVersion: Option[Int] = None): Int =
     adoptCommitHook(spark, table, sourceTable, append, sourceVersion)
 
+  /** CONVERT an existing plain-parquet directory IN PLACE (Delta's
+    * `CONVERT TO DELTA`): synthesize manifest v1 naming the
+    * directory's files verbatim — no file is moved, rewritten, or
+    * even opened beyond one footer-merged schema read. The directory
+    * becomes a versioned table at any size for the cost of one
+    * metadata write; history, DML, and maintenance all work from
+    * there. Declare `write.stats.columns` and `CALL analyze`
+    * afterwards to backfill skipping stats. Non-recursive by design:
+    * hive-partitioned trees adopt per leaf (the tags belong to a
+    * partitioned commit, not a guess). */
+  def convertCommit(spark: SparkSession, dir: String): Int = {
+    require(versions(spark, dir).isEmpty,
+      s"$dir is already a versioned table")
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    require(f.exists(p), s"$dir does not exist")
+    val data = f.listStatus(p).toSeq.map(_.getPath)
+      .filter(q => q.getName.endsWith(".parquet") &&
+        !q.getName.startsWith("."))
+      .map(_.toString)
+    require(data.nonEmpty, s"no parquet files directly under $dir")
+    val sc = spark.read.option("mergeSchema", "true")
+      .parquet(data: _*).schema // footers only — never row data
+    writeManifest(spark, dir, 1, data ++ schemaLineOf(sc))
+    1
+  }
+
   /** [[adoptCommit]] with the pre-publish hook seam (same contract as
     * [[commitWithRetryHook]]) — how specs inject a deterministic
     * interloper between the move and the manifest publish. */
@@ -5551,11 +6015,14 @@ object VersionedTable {
 
   def cleanOrphans(spark: SparkSession, table: String,
                    olderThanMs: Long): Seq[String] = {
+    // branch heads count as references: after main's history vacuums
+    // past a fork point, the fork's files survive ONLY through the
+    // branch's manifest — the orphan sweep must see them as live
     val referenced = versions(spark, table)
       .flatMap { v =>
         val lines = readManifest(spark, table, v)
         dataFilesOf(lines) ++ dvFilesOf(lines)
-      }.map(norm).toSet
+      }.map(norm).toSet ++ branchLivePaths(spark, table)
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) return Seq.empty
@@ -5635,8 +6102,11 @@ object VersionedTable {
       dataFilesOf(lines) ++ dvFilesOf(lines)
     }
     val live = keep.flatMap(pathsOf).toSet
+    val branchLive = branchLivePaths(spark, table)
     val root = norm(new Path(table).toString).stripSuffix("/") + "/"
-    val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
+    val dead = retire.flatMap(pathsOf)
+      .filterNot(p => live.contains(p) || branchLive.contains(norm(p)))
+      .distinct
       .filter(p => norm(p).startsWith(root))
     (retire, dead)
   }
@@ -5660,13 +6130,18 @@ object VersionedTable {
       val lines = readManifest(spark, table, v)
       dataFilesOf(lines) ++ dvFilesOf(lines)
     }
+    // files a live BRANCH head references are pinned too: a fork must
+    // survive main's retention for as long as the branch exists
     val live = keep.flatMap(pathsOf).toSet
+    val branchLive = branchLivePaths(spark, table)
     // OWNERSHIP RULE: vacuum deletes only paths under THIS table's
     // root. A shallow clone's manifests reference the source table's
     // files verbatim ([[cloneCommit]]); retiring a clone version must
     // never reach into the source — foreign references simply lapse.
     val root = norm(new Path(table).toString).stripSuffix("/") + "/"
-    val dead = retire.flatMap(pathsOf).filterNot(live.contains).distinct
+    val dead = retire.flatMap(pathsOf)
+      .filterNot(p => live.contains(p) || branchLive.contains(norm(p)))
+      .distinct
       .filter(p => norm(p).startsWith(root))
     // a SURVIVING version may be a delta frame whose chain resolves
     // through retired versions — keep those manifests (renamed to

@@ -182,7 +182,12 @@ object ScaleProofTail {
       // round-10 second batch: atomic CTAS/RTAS/TRUNCATE through the
       // staging catalog, and MERGE WITH SCHEMA EVOLUTION (COW + MOR)
       // at 10x
-      "q_catalog_ctas", "q_catalog_merge_evolve")
+      "q_catalog_ctas", "q_catalog_merge_evolve",
+      // round-11: metadata-only DELETE routing, partition-spec
+      // evolution, named branches, SQL onboarding, exact-substring
+      // decontamination at 10x
+      "q_catalog_delete_meta", "q_catalog_spec_evolve",
+      "q_table_branch", "q_catalog_adopt", "q_decontaminate_exact")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

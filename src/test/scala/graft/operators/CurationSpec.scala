@@ -51,6 +51,53 @@ class CurationSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head._1 == 1L && rows.head._3 == 1L)
   }
 
+  test("decontaminateExact: planted contamination found, zero false " +
+    "negatives vs the brute-force contains join") {
+    // synthetic corpus: every doc distinct; three PLANTED inclusions
+    val mk = (i: Long) => s"document $i body " +
+      (1 to 20).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")
+    val planted = Map(
+      5L -> "the quick brown fox jumps over the lazy dog tonight",
+      17L -> "to be or not to be that is the question at hand here",
+      23L -> "the quick brown fox jumps over the lazy dog tonight")
+    val train = (1L to 40L).map(i =>
+      (i, mk(i) + planted.get(i).map(" " + _).getOrElse("")))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "to be or not to be that is the question at hand here"),
+      (102L, "this string appears in no training document anywhere"),
+      (103L, "short snip")) // shorter than the window: lowers it
+      .toDF("bench_id", "snippet")
+    val got = Curation.decontaminateExact(train, bench,
+      "doc_id", "text", "bench_id", "snippet")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 1L, 17L -> 1L, 23L -> 1L), got.toString)
+    // ZERO FALSE NEGATIVES against brute force on a randomized corpus
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 300L).map { i =>
+      val body = (1 to 30)
+        .map(_ => s"t${rnd.nextInt(50)}").mkString(" ")
+      // ~1 in 5 docs get a random bench snippet spliced mid-text
+      val contaminated =
+        if (rnd.nextInt(5) == 0)
+          body.take(40) + " to be or not to be that is the question " +
+            "at hand here " + body.drop(40)
+        else body
+      (i, contaminated)
+    }.toDF("doc_id", "text")
+    val fast = Curation.decontaminateExact(corpus, bench,
+      "doc_id", "text", "bench_id", "snippet")
+      .as[(Long, Long)].collect().toMap
+    val brute = corpus.join(
+        broadcast(bench.withColumnRenamed("snippet", "s")),
+        col("text").contains(col("s")))
+      .groupBy("doc_id").agg(countDistinct("bench_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == brute,
+      s"fast=${fast.size} brute=${brute.size} — must be row-identical")
+  }
+
   test("pii redaction: counts and replacements on a known string") {
     val df = Seq((1L,
       "mail me at jane.doe+x@corp.example.org or +1-555-0099, ssn 987-65-4321 ok"))

@@ -122,6 +122,74 @@ class MergeOnReadDeleteSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 400)
   }
 
+  test("stats-contained DELETE routes METADATA-ONLY: the file drops " +
+    "with zero probe jobs, nothing rewritten, no sidecar") {
+    val t = freshTable()
+    // deterministic era boundaries: one file holding exactly k 1..100,
+    // then seven more files all with k >= 101
+    VersionedTable.commit(spark, t,
+      (1L to 100L).map(i => (i, i * 10)).toDF("k", "x").coalesce(1),
+      append = false, statCols = Seq("k"))
+    VersionedTable.commit(spark, t,
+      (101L to 800L).map(i => (i, i * 10)).toDF("k", "x")
+        .repartitionByRange(7, col("k")),
+      append = true)
+    var mode: (String, Long, Long) = ("", -2L, -2L)
+    VersionedTable.deleteModeNotifier = (m, a, b) => mode = (m, a, b)
+    val sc = spark.sparkContext
+    sc.setJobGroup("md-only-delete", "contained-range delete", false)
+    try VersionedTable.deleteCommitRouted(spark, t, col("k") <= 100L,
+      Seq(VersionedTable.ScanPred.NumBetween("k", Long.MinValue, 100L)),
+      predsExact = true)
+    finally {
+      sc.clearJobGroup()
+      VersionedTable.deleteModeNotifier = (_, _, _) => ()
+    }
+    assert(mode._1 == "metadata-only", mode.toString)
+    assert(mode._2 == 100L, s"contained rows: $mode")
+    Thread.sleep(1000) // status store fills from the async listener bus
+    assert(sc.statusTracker.getJobIdsForGroup("md-only-delete").isEmpty,
+      "a contained-range DELETE must launch ZERO Spark jobs")
+    assert(dataFiles(t, 3).subsetOf(dataFiles(t, 2)) &&
+      dataFiles(t, 2).size - dataFiles(t, 3).size == 1,
+      "exactly the contained file drops; nothing is rewritten")
+    assert(dvFiles(t, 3).isEmpty, "no tombstone debt")
+    assert(VersionedTable.read(spark, t).as[(Long, Long)]
+      .collect().map(_._1).toSet == (101L to 800L).toSet)
+    // time travel: the pre-delete snapshot is intact
+    assert(VersionedTable.read(spark, t, Some(2)).count() == 800L)
+  }
+
+  test("mixed contained+boundary DELETE: contained files drop as " +
+    "metadata, only the straddling file pays the rewrite") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 100L).map(i => (i, i * 10)).toDF("k", "x").coalesce(1),
+      append = false, statCols = Seq("k"))
+    VersionedTable.commit(spark, t,
+      (101L to 200L).map(i => (i, i * 10)).toDF("k", "x").coalesce(1),
+      append = true)
+    VersionedTable.commit(spark, t,
+      (201L to 800L).map(i => (i, i * 10)).toDF("k", "x")
+        .repartitionByRange(6, col("k")),
+      append = true)
+    var mode: (String, Long, Long) = ("", -2L, -2L)
+    VersionedTable.deleteModeNotifier = (m, a, b) => mode = (m, a, b)
+    try VersionedTable.deleteCommitRouted(spark, t, col("k") <= 150L,
+      Seq(VersionedTable.ScanPred.NumBetween("k", Long.MinValue, 150L)),
+      predsExact = true)
+    finally VersionedTable.deleteModeNotifier = (_, _, _) => ()
+    assert(mode._1 == "copy-on-write", mode.toString)
+    assert(mode._2 == 150L, s"matched rows: $mode")
+    val before = dataFiles(t, 3); val after = dataFiles(t, 4)
+    // the k<=100 file dropped AND the k 101..200 file was rewritten:
+    // two files gone, one new, the other six carried verbatim
+    assert(before.diff(after).size == 2, s"$before vs $after")
+    assert(after.diff(before).size == 1)
+    assert(VersionedTable.read(spark, t).as[(Long, Long)]
+      .collect().map(_._1).toSet == (151L to 800L).toSet)
+  }
+
   test("routed auto without st coverage falls back to copy-on-write") {
     val t = freshTable()
     seed(t, stats = false)

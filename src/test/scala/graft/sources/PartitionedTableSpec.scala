@@ -40,6 +40,66 @@ class PartitionedTableSpec extends SparkSpec {
       VersionedTable.dataFilesOf(m).size)
   }
 
+  test("partition-spec evolution: metadata-only re-declare; era-B " +
+    "prunes by new tag, era-A by stats; old reads intact") {
+    import VersionedTable.ScanPred._
+    val t = freshTable()
+    // era A: partitioned by day, k 1..100, stats on k
+    VersionedTable.commitPartitionedMulti(spark, t,
+      (1L to 100L).map(i => (i, s"2024-0${1 + (i % 2)}", s"r${i % 3}"))
+        .toDF("k", "day", "region"),
+      Seq("day"), append = false, statCols = Seq("k"))
+    val eraA = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 1)).toSet
+    // EVOLVE: one metadata commit, zero data I/O, no files touched
+    val v2 = VersionedTable.setSpecCommit(spark, t, Seq("region"))
+    assert(v2 == 2)
+    assert(VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, t, 2)).toSet == eraA,
+      "spec evolution must be pure metadata")
+    // era B: routed by the NEW spec
+    VersionedTable.commitPartitionedMulti(spark, t,
+      (101L to 200L).map(i => (i, s"2024-0${1 + (i % 2)}", s"r${i % 3}"))
+        .toDF("k", "day", "region"),
+      Seq("region"), append = true)
+    val lines = VersionedTable.manifest(spark, t, 3)
+    val eraB = VersionedTable.dataFilesOf(lines).toSet -- eraA
+    val tagsBy = VersionedTable.partitionsOf(lines)
+      .groupBy(x => x._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(eraA.forall(f => tagsBy(f) == Set("day")),
+      "era-A files keep their old-era tags")
+    assert(eraB.forall(f => tagsBy(f) == Set("region")),
+      "era-B files tag by the evolved spec")
+    // one candidate set, both pruning dimensions: region tag prunes
+    // era B; the k range (all era-B keys are >100) prunes era A by st
+    // stats — NEITHER era scans what its own evidence rules out
+    val cand = VersionedTable.scanCandidates(lines,
+      Seq(PartIn("region", Seq("r1")),
+        NumBetween("k", 101L, Long.MaxValue))).map(_.toString).toSet
+    assert(cand.intersect(eraA).isEmpty,
+      "era-A files must prune by st stats")
+    assert(cand.nonEmpty && cand.subsetOf(eraB) && cand != eraB,
+      s"era-B must prune to the r1-tagged files: $cand")
+    // reads stay row-identical across the evolution
+    assert(VersionedTable.read(spark, t).count() == 200L)
+    assert(VersionedTable.readWhere(spark, t,
+      Seq(PartIn("region", Seq("r1")))).count() ==
+      (1L to 200L).count(_ % 3 == 1))
+    // un-partition explicitly: later writes stop tagging
+    VersionedTable.setSpecCommit(spark, t, Nil)
+    VersionedTable.commit(spark, t,
+      Seq((201L, "2024-09", "r9")).toDF("k", "day", "region"),
+      append = true)
+    val after = VersionedTable.manifest(spark, t,
+      VersionedTable.versions(spark, t).last)
+    assert(VersionedTable.identitySpecOf(after).isEmpty,
+      "empty spec = explicitly unpartitioned")
+    // a column outside the schema is refused
+    intercept[IllegalArgumentException] {
+      VersionedTable.setSpecCommit(spark, t, Seq("nope"))
+    }
+  }
+
   test("readPartitions == read.filter on every value subset, and prunes") {
     val t = freshTable()
     VersionedTable.commitPartitioned(spark, t,

@@ -25,6 +25,34 @@ class TableAdoptSpec extends SparkSpec {
     }
   }
 
+  test("convertCommit: a plain parquet dir becomes a versioned table " +
+    "IN PLACE — no file moved or rewritten") {
+    val dir = scratch(); val plain = dir + "/plain"
+    (1L to 30L).map(i => (i, s"v$i")).toDF("k", "s")
+      .write.parquet(plain)
+    val p = new org.apache.hadoop.fs.Path(plain)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val originals = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(VersionedTable.convertCommit(spark, plain) == 1)
+    // files untouched, now manifest-referenced
+    assert(f.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet == originals)
+    assert(VersionedTable.read(spark, plain).count() == 30L)
+    // a versioned table from here on: DML, history, maintenance
+    VersionedTable.commit(spark, plain,
+      Seq((31L, "v31")).toDF("k", "s"), append = true)
+    assert(VersionedTable.read(spark, plain).count() == 31L)
+    assert(VersionedTable.read(spark, plain, Some(1)).count() == 30L)
+    // refuses a double convert and an empty dir
+    intercept[IllegalArgumentException] {
+      VersionedTable.convertCommit(spark, plain)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.convertCommit(spark, dir + "/empty_nothing")
+    }
+  }
+
   test("adopt moves files: content unions, staging dir drains") {
     val dir = scratch(); val t = dir + "/t"; val stg = dir + "/stg"
     VersionedTable.commit(spark, t,

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Named branches ([[VersionedTable.branchCommit]] /
+  * [[VersionedTable.fastForwardCommit]]): zero-copy writable forks,
+  * SQL addressing (`gb.<t>.branch_<name>`, `VERSION AS OF '<name>'`),
+  * fast-forward publish with constraint enforcement and rollback,
+  * divergence refusal, and vacuum safety while a fork exists. */
+class TableBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_branch").toString
+    spark.conf.set("spark.sql.catalog.gb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gb.warehouse", w)
+    w
+  }
+
+  private def freshTable(): String =
+    Files.createTempDirectory("vbranch").toString + "/t"
+
+  private def files(t: String, v: Int): Set[String] =
+    VersionedTable.dataFilesOf(VersionedTable.manifest(spark, t, v)).toSet
+
+  test("branch / write / fast_forward: zero-copy fork, main blind " +
+    "until publish, branch-era files move in atomically") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 100L).map(i => (i, i * 10)).toDF("k", "x"),
+      append = false, statCols = Seq("k"))
+    val base = VersionedTable.branchCommit(spark, t, "dev")
+    assert(base == 1)
+    val bp = VersionedTable.branchPath(t, "dev")
+    // the fork is zero-copy: its v1 references main's files verbatim
+    assert(files(bp, 1) == files(t, 1))
+    // work lands on the branch only
+    VersionedTable.commit(spark, bp,
+      (101L to 150L).map(i => (i, i * 10)).toDF("k", "x"), append = true)
+    VersionedTable.deleteCommitWhere(spark, bp, col("k") <= 10)
+    assert(VersionedTable.versions(spark, t) == Seq(1),
+      "main must not see branch commits")
+    assert(VersionedTable.read(spark, t).count() == 100L)
+    assert(VersionedTable.read(spark, bp).as[(Long, Long)]
+      .collect().map(_._1).toSet == (11L to 150L).toSet)
+    assert(VersionedTable.branchesOf(spark, t)("dev")._1 == 1)
+    // publish
+    val v2 = VersionedTable.fastForwardCommit(spark, t, "dev")
+    assert(v2 == 2)
+    assert(VersionedTable.read(spark, t).as[(Long, Long)]
+      .collect().map(_._1).toSet == (11L to 150L).toSet)
+    // every published file lives under MAIN's data dir now
+    assert(files(t, 2).forall(_.contains("/t/data/")),
+      s"published files must move into the main table: ${files(t, 2)}")
+    // and time travel still shows the pre-publish state
+    assert(VersionedTable.read(spark, t, Some(1)).count() == 100L)
+    VersionedTable.dropBranch(spark, t, "dev")
+    assert(VersionedTable.branchesOf(spark, t).isEmpty)
+  }
+
+  test("fast_forward refuses a diverged main and a duplicate branch") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      Seq((1L, 1L)).toDF("k", "x"), append = false)
+    VersionedTable.branchCommit(spark, t, "dev")
+    intercept[IllegalArgumentException] {
+      VersionedTable.branchCommit(spark, t, "dev")
+    }
+    VersionedTable.commit(spark, t,
+      Seq((2L, 2L)).toDF("k", "x"), append = true) // main moves on
+    VersionedTable.commit(spark, VersionedTable.branchPath(t, "dev"),
+      Seq((3L, 3L)).toDF("k", "x"), append = true)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.fastForwardCommit(spark, t, "dev")
+    }
+    assert(e.getMessage.contains("advanced past"), e.getMessage)
+    // an empty branch fast-forwards as a no-op
+    VersionedTable.branchCommit(spark, t, "idle")
+    assert(VersionedTable.fastForwardCommit(spark, t, "idle") == 2)
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2))
+  }
+
+  test("fast_forward enforces MAIN's CHECK constraints with rollback") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      Seq((1L, 10L)).toDF("k", "x"), append = false)
+    VersionedTable.addConstraint(spark, t, "x_pos", "x > 0")
+    VersionedTable.branchCommit(spark, t, "bad")
+    val bp = VersionedTable.branchPath(t, "bad")
+    VersionedTable.commit(spark, bp,
+      Seq((2L, -5L)).toDF("k", "x"), append = true)
+    val bFiles = files(bp, 2)
+    intercept[IllegalStateException] {
+      VersionedTable.fastForwardCommit(spark, t, "bad")
+    }
+    assert(VersionedTable.versions(spark, t) == Seq(1),
+      "nothing may publish on a constraint violation")
+    assert(files(bp, 2) == bFiles &&
+      VersionedTable.read(spark, bp).count() == 2L,
+      "the branch must be intact after the rollback (files moved back)")
+  }
+
+  test("vacuum keeps fork-referenced files alive; clean_orphans too") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, i)).toDF("k", "x"), append = false)
+    val forkFiles = files(t, 1)
+    VersionedTable.branchCommit(spark, t, "keep")
+    // main rewrites itself past the fork point
+    VersionedTable.commit(spark, t,
+      Seq((999L, 999L)).toDF("k", "x"), append = false)
+    VersionedTable.commit(spark, t,
+      Seq((998L, 998L)).toDF("k", "x"), append = false)
+    val (retired, dead) = VersionedTable.vacuum(spark, t, 1)
+    assert(retired.nonEmpty && dead.nonEmpty,
+      "the unreferenced v2 overwrite must still be reclaimed")
+    assert(dead.toSet.intersect(forkFiles).isEmpty,
+      "v1's files are branch-referenced — vacuum must spare them all")
+    assert(VersionedTable.cleanOrphans(spark, t, 0L).isEmpty,
+      "the orphan sweep must treat branch references as live")
+    val bp = VersionedTable.branchPath(t, "keep")
+    assert(VersionedTable.read(spark, bp).count() == 50L,
+      "the fork stays fully readable after main's vacuum")
+    // dropping the branch releases the pin
+    VersionedTable.dropBranch(spark, t, "keep")
+    assert(VersionedTable.cleanOrphans(spark, t, 0L).nonEmpty,
+      "after the drop the fork's files are reclaimable")
+  }
+
+  test("SQL lifecycle: CALL branch, write via gt.<t>.branch_<n>, " +
+    "read via VERSION AS OF name, CALL fast_forward") {
+    warehouse
+    (1L to 80L).map(i => (i, i * 2)).toDF("k", "v")
+      .createOrReplaceTempView("br_src")
+    spark.sql("CREATE TABLE gb.bt AS SELECT * FROM br_src")
+    val base = spark.sql("CALL gb.system.branch('bt', 'dev')")
+      .as[Long].head()
+    assert(base == 1L)
+    spark.sql("INSERT INTO gb.bt.branch_dev " +
+      "SELECT k + 1000, v FROM br_src WHERE k <= 5")
+    spark.sql("DELETE FROM gb.bt.branch_dev WHERE k <= 40 AND k < 1000")
+    // main is blind; the branch reads both ways
+    assert(spark.sql("SELECT count(*) FROM gb.bt").as[Long].head() == 80L)
+    assert(spark.sql("SELECT count(*) FROM gb.bt.branch_dev")
+      .as[Long].head() == 45L)
+    assert(spark.sql("SELECT count(*) FROM gb.bt VERSION AS OF 'dev'")
+      .as[Long].head() == 45L)
+    // a tag resolves by name too (tags win over branches)
+    spark.sql("CALL gb.system.tag('bt', 'pre', 1)")
+    assert(spark.sql("SELECT count(*) FROM gb.bt VERSION AS OF 'pre'")
+      .as[Long].head() == 80L)
+    val v2 = spark.sql("CALL gb.system.fast_forward('bt', 'dev')")
+      .as[Long].head()
+    assert(v2 == 2L)
+    assert(spark.sql("SELECT count(*) FROM gb.bt").as[Long].head() == 45L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gb.bt WHERE k > 1000").as[Long].head() == 5L)
+    spark.sql("CALL gb.system.drop_branch('bt', 'dev')")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gb.bt VERSION AS OF 'dev'")
+        .collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(chain.contains("neither a version, a tag, nor a branch"),
+      chain)
+  }
+}

@@ -12,6 +12,22 @@ class VersionedTableSpec extends SparkSpec {
   private def freshTable(): String =
     Files.createTempDirectory("vtable").toString + "/t"
 
+  test("an empty (truncated) snapshot keeps the DECLARED schema — " +
+    "nullability included — so scan and catalog schemas agree") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val declared = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    VersionedTable.commit(spark, t,
+      Seq((1L, "a")).toDF("k", "v"), append = false)
+    VersionedTable.truncateCommit(spark, t, declared)
+    val got = VersionedTable.read(spark, t).schema
+    assert(got == declared,
+      s"empty-snapshot schema must be the sc line as-is, got $got")
+    assert(VersionedTable.read(spark, t).count() == 0L)
+  }
+
   test("append commits accumulate; every snapshot stays readable") {
     val t = freshTable()
     val v1 = VersionedTable.commit(spark, t,

@@ -90,6 +90,28 @@ class GraftStreamSinkSpec extends SparkSpec {
       "an explicit appId is its own replay domain")
   }
 
+  test("migration fires only off the legacy _txn cache file: a " +
+    "manifest record alone cannot be inherited by a colliding new query") {
+    val w = fresh("gskg"); val dest = s"$w/dest"
+    // ANOTHER query's legacy identity committed batch 5 here, and its
+    // cache file is gone (or never belonged to this checkpoint at all
+    // — the murmur-collision scenario)
+    val legacy = "stream-deadbeef"
+    VersionedTable.commitIdempotent(spark, dest,
+      Seq((1L, 10L)).toDF("k", "v"), append = true,
+      appId = legacy, txnVersion = 5L)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dest, "_txn", legacy))
+    VersionedTable.migrateTxnAppId(spark, dest, legacy, "new-app")
+    // no watermark must have been carried: the new identity's batch 0
+    // COMMITS instead of silently no-op'ing against v5's record
+    VersionedTable.commitIdempotent(spark, dest,
+      Seq((2L, 20L)).toDF("k", "v"), append = true,
+      appId = "new-app", txnVersion = 0L)
+    assert(VersionedTable.read(spark, dest).count() == 2L,
+      "a cache-less legacy record must not no-op a new query's batches")
+  }
+
   test("replayed batch is a no-op: same txnVersion commits once") {
     val w = fresh("gskr"); val dest = s"$w/dest"
     val sink = new GraftStreamSink(dest, appId = "replay-spec",
