@@ -1015,6 +1015,10 @@ object QueriesCatalog {
     val src = t(s, dir, "orders").select(col("o_orderkey"),
       col("o_orderstatus"),
       graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    // scale-invariant branch-side delete boundary (floor(max/2), the
+    // oracle recomputes it) — a fixed literal would turn bulk into a
+    // point delete under the 10x shifted-key corpus and flip routing
+    val cut = src.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 2
     VersionedTable.commit(s, br,
       src.filter(col("o_orderkey") % 2 === 0)
         .repartitionByRange(4, col("o_orderkey")),
@@ -1031,7 +1035,13 @@ object QueriesCatalog {
     src.filter(col("o_orderkey") % 2 === 1)
       .createOrReplaceTempView("brt_src_odd")
     s.sql(s"INSERT INTO $cat.brt.branch_dev SELECT * FROM brt_src_odd")
-    s.sql(s"DELETE FROM $cat.brt.branch_dev WHERE o_orderkey <= 30000")
+    s.sql(s"DELETE FROM $cat.brt.branch_dev WHERE o_orderkey <= $cut")
+    // routing on the branch is the router's own business (bulk = COW
+    // here, but a skewed corpus may tombstone): pay any
+    // merge-on-read debt down through the branch-addressed CALL so
+    // the publish below is always legal — a no-op on a pure branch
+    s.sql(
+      s"CALL $cat.system.purge_tombstones('brt.branch_dev', 100000000)")
     require(VersionedTable.versions(s, br) == Seq(1),
       "main must not see branch commits")
     val branchCnt = s.sql(
@@ -1061,12 +1071,13 @@ object QueriesCatalog {
   }
 
   val catalogBranchSql: String =
-    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus,
+    """WITH c AS (SELECT max(o_orderkey) // 2 AS cut FROM orders),
+      |  base AS (SELECT o_orderkey AS k, o_orderstatus,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
       |  FROM orders)
       |SELECT 'final' AS snap, o_orderstatus, count(*) AS cnt,
       |  CAST(sum(price_cents) AS BIGINT) AS cents
-      |FROM base WHERE k > 30000 GROUP BY o_orderstatus
+      |FROM base, c WHERE k > cut GROUP BY o_orderstatus
       |UNION ALL
       |SELECT 'v1', o_orderstatus, count(*),
       |  CAST(sum(price_cents) AS BIGINT)

@@ -587,6 +587,10 @@ private[sources] class GraftMetadataTable(path: String,
       case "tags" =>
         VersionedTable.tagsOf(spark, path).toSeq.sortBy(_._1)
           .toDF("name", "version")
+      case "branches" =>
+        VersionedTable.branchesOf(spark, path).toSeq.sortBy(_._1)
+          .map { case (n, (base, head)) => (n, base, head) }
+          .toDF("name", "base_version", "head_version")
       case "constraints" =>
         VersionedTable.constraintsOf(spark, path).toSeq.sortBy(_._1)
           .toDF("name", "expression")
@@ -627,7 +631,7 @@ private[sources] class GraftMetadataTable(path: String,
 
 private[sources] object GraftMetadataTable {
   val Kinds: Set[String] = Set("history", "files", "partitions",
-    "tags", "constraints", "properties")
+    "tags", "branches", "constraints", "properties")
 }
 
 private[sources] object GraftStagedTable {

@@ -153,6 +153,18 @@ class TableBranchSpec extends SparkSpec {
     spark.sql("CALL gb.system.tag('bt', 'pre', 1)")
     assert(spark.sql("SELECT count(*) FROM gb.bt VERSION AS OF 'pre'")
       .as[Long].head() == 80L)
+    // the branches metadata table and branch-addressed maintenance
+    val br = spark.sql(
+      "SELECT name, base_version, head_version FROM gb.bt.branches")
+      .as[(String, Long, Long)].collect()
+    assert(br.length == 1 && br.head._1 == "dev" && br.head._2 == 1L &&
+      br.head._3 >= 3L, br.mkString(","))
+    spark.sql("CALL gb.system.analyze('bt.branch_dev', 'k')")
+    assert(VersionedTable.statColsOf(VersionedTable.manifest(spark,
+      s"$warehouse/bt/_branch/dev",
+      VersionedTable.versions(spark,
+        s"$warehouse/bt/_branch/dev").last)).contains("k"),
+      "CALL must address the branch through 'bt.branch_dev'")
     val v2 = spark.sql("CALL gb.system.fast_forward('bt', 'dev')")
       .as[Long].head()
     assert(v2 == 2L)
