@@ -157,7 +157,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * DELETE, UPDATE, MERGE all land on the branch's own versioned
     * history under `_branch/<name>/`, invisible to main readers until
     * `CALL gt.system.fast_forward` publishes it. */
-  private def branchTable(ident: Identifier): Option[Table] = {
+  private def branchTable(ident: Identifier): Option[Table] =
+    branchPathOf(ident).map(new GraftTable(_, ident.toString, None))
+
+  /** The on-disk path a `...<table>.branch_<name>` identifier names,
+    * when the parent is a table and the branch exists. */
+  private def branchPathOf(ident: Identifier): Option[String] = {
     val n = ident.name()
     if (ident.namespace().isEmpty || !n.startsWith("branch_") ||
       n.length <= "branch_".length) return None
@@ -166,9 +171,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val pp = pathOf(parent)
     val bname = n.substring("branch_".length)
     if (!isTable(pp)) return None
-    val bp = scala.util.Try(
-      VersionedTable.branchPath(pp, bname)).toOption
-    bp.filter(isTable).map(new GraftTable(_, ident.toString, None))
+    scala.util.Try(VersionedTable.branchPath(pp, bname)).toOption
+      .filter(isTable)
   }
 
   /** SQL-served METADATA TABLES (Iceberg's `db.table.history` shape):
@@ -188,7 +192,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val pp = pathOf(parent)
     if (isTable(pp))
       Some(new GraftMetadataTable(pp, ident.toString, kind))
-    else None
+    else // a branch's own metadata: gt.t.branch_dev.history etc.
+      branchPathOf(parent)
+        .map(bp => new GraftMetadataTable(bp, ident.toString, kind))
   }
 
   /** `VERSION AS OF <v>` — SQL time travel resolves right here. */
@@ -197,8 +203,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * current head): `SELECT ... VERSION AS OF 'audit-close'` /
     * `VERSION AS OF 'dev'`. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val p = pathOf(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p0 = pathOf(ident)
+    // a branch identifier time-travels within the BRANCH's history:
+    // `gt.t.branch_dev VERSION AS OF 2`
+    val p = if (isTable(p0)) p0
+      else branchPathOf(ident).getOrElse(
+        throw new NoSuchTableException(ident))
     scala.util.Try(version.toInt).toOption match {
       case Some(v) => new GraftTable(p, ident.toString, Some(v))
       case None =>
@@ -217,10 +227,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
   }
 
-  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds.
+    * Branch identifiers travel within the branch's own history. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val p = pathOf(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p0 = pathOf(ident)
+    val p = if (isTable(p0)) p0
+      else branchPathOf(ident).getOrElse(
+        throw new NoSuchTableException(ident))
     new GraftTable(p, ident.toString,
       Some(VersionedTable.versionAsOf(spark, p, timestamp / 1000L)))
   }

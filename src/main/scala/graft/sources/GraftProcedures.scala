@@ -53,11 +53,15 @@ private[sources] object GraftProcedures {
         s"illegal table identifier segment: $p"))
       // 't.branch_dev' addresses the branch — every maintenance
       // procedure (optimize, analyze, purge_tombstones, ...) then
-      // works on a branch exactly as on a table
-      val mapped = parts.map(p =>
-        if (p.startsWith("branch_") && p.length > "branch_".length)
+      // works on a branch exactly as on a table. Only NON-FIRST
+      // segments map (a branch needs a parent table; a top-level
+      // table legitimately named 'branch_x' stays itself).
+      val mapped = parts.zipWithIndex.map { case (p, i) =>
+        if (i > 0 && p.startsWith("branch_") &&
+            p.length > "branch_".length)
           "_branch/" + p.substring("branch_".length)
-        else p)
+        else p
+      }
       (warehouse +: mapped).mkString("/")
     }
     def spark = SparkSession.active

@@ -3155,6 +3155,18 @@ object VersionedTable {
       } else Some(movedByNorm.getOrElse(norm(l), l))
     val published = bLines.flatMap(rewritten(_)) ++ specDeclLines(bLines)
     try {
+      // the branch may have started requiring protocol features main
+      // does not yet declare (e.g. column mapping introduced ON the
+      // branch): publishing its lines without propagating the gates
+      // would let an old build misread main — same inheritance rule
+      // as cloneCommit, in the opposite direction. Inside the
+      // rollback scope: a build that cannot honor the feature moves
+      // every file back and publishes nothing (the propagated gate
+      // itself is conservative and harmless if it landed).
+      val (rf, wf) = protocolOf(spark, dir)
+      rf.foreach(f0 => requireFeature(spark, table, f0))
+      (wf diff rf).foreach(f0 =>
+        requireFeature(spark, table, f0, writerOnly = true))
       // main's rules judge the INCOMING files before anything publishes
       val movedPaths = moves.map(_._2.toString)
       schemaConflictsWithTable(spark, table, movedPaths).foreach { cs =>

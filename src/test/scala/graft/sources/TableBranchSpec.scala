@@ -104,6 +104,22 @@ class TableBranchSpec extends SparkSpec {
       "the branch must be intact after the rollback (files moved back)")
   }
 
+  test("fast_forward propagates the branch's protocol requirements " +
+    "(a rename on the branch gates main at publish)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      Seq((1L, 2L)).toDF("k", "x"), append = false)
+    VersionedTable.branchCommit(spark, t, "cm")
+    val bp = VersionedTable.branchPath(t, "cm")
+    VersionedTable.renameColumnCommit(spark, bp, "x", "y")
+    VersionedTable.fastForwardCommit(spark, t, "cm")
+    assert(VersionedTable.read(spark, t).columns.toSet == Set("k", "y"),
+      "the branch's metadata-only rename publishes onto main")
+    assert(VersionedTable.protocolOf(spark, t)._1
+      .contains("column-mapping"),
+      "main must now gate readers exactly as the branch did")
+  }
+
   test("vacuum keeps fork-referenced files alive; clean_orphans too") {
     val t = freshTable()
     VersionedTable.commit(spark, t,
@@ -153,6 +169,13 @@ class TableBranchSpec extends SparkSpec {
     spark.sql("CALL gb.system.tag('bt', 'pre', 1)")
     assert(spark.sql("SELECT count(*) FROM gb.bt VERSION AS OF 'pre'")
       .as[Long].head() == 80L)
+    // branch identifiers time-travel within the BRANCH's history
+    assert(spark.sql(
+      "SELECT count(*) FROM gb.bt.branch_dev VERSION AS OF 1")
+      .as[Long].head() == 80L, "branch v1 = the fork snapshot")
+    // and the branch's own metadata tables resolve
+    assert(spark.sql("SELECT count(*) FROM gb.bt.branch_dev.history")
+      .as[Long].head() >= 3L)
     // the branches metadata table and branch-addressed maintenance
     val br = spark.sql(
       "SELECT name, base_version, head_version FROM gb.bt.branches")
