@@ -3095,7 +3095,14 @@ object VersionedTable {
     * same discipline as [[adoptCommit]], which this generalizes.
     * Consumes the branch (drop it after); requires a tombstone-free
     * branch head (sidecar contents name data-file paths, which the
-    * move would break — `purge_tombstones` the branch first). */
+    * move would break — `purge_tombstones` the branch first).
+    *
+    * Crash window (same as [[adoptCommit]]'s): a crash between the
+    * file moves and the manifest publish leaves the branch's own
+    * manifests dangling (its files moved away, referenced by
+    * nothing) — the moved files are `clean_orphans`-reclaimable under
+    * main and the recovery is drop_branch + re-branch + replay. Every
+    * non-crash failure moves the files back. */
   def fastForwardCommit(spark: SparkSession, table: String,
                         name: String): Int = {
     val dir = branchPath(table, name)
