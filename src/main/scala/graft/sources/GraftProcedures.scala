@@ -42,7 +42,8 @@ private[sources] object GraftProcedures {
   def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
     "restore", "clean_orphans", "vacuum_retention", "clone",
-    "set_spec", "branch", "fast_forward", "drop_branch", "adopt")
+    "set_spec", "branch", "fast_forward", "drop_branch", "adopt",
+    "convert")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -178,6 +179,16 @@ private[sources] object GraftProcedures {
         versionRow(VersionedTable.cloneCommit(spark, pathOf(str(r, 1)),
           pathOf(str(r, 0)),
           Some(r.getLong(2).toInt).filter(_ > 0)))
+      })
+      case "convert" => Some(proc("convert",
+        "convert a plain parquet directory into a versioned table IN " +
+          "PLACE: manifest v1 over the existing files, zero data I/O " +
+          "(a warehouse-relative name or a filesystem path); the dir " +
+          "is then readable as a table immediately",
+        Seq(in("source", StringType)), versionOut) { r =>
+        val src = str(r, 0)
+        val p = if (src.contains("/")) src else pathOf(src)
+        versionRow(VersionedTable.convertCommit(spark, p))
       })
       case "adopt" => Some(proc("adopt",
         "onboard parquet into the table: source (a filesystem path) " +

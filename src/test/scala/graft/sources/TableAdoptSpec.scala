@@ -51,6 +51,19 @@ class TableAdoptSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.convertCommit(spark, dir + "/empty_nothing")
     }
+    // the SQL spelling: CALL convert on a second estate, then the
+    // catalog serves it as a table with zero further ceremony
+    val w2 = Files.createTempDirectory("graft_cvt").toString
+    spark.conf.set("spark.sql.catalog.gcv",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcv.warehouse", w2)
+    import spark.implicits._
+    (1L to 12L).map(i => (i, i * 3)).toDF("k", "v")
+      .write.parquet(s"$w2/estate")
+    assert(spark.sql("CALL gcv.system.convert('estate')")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT sum(v) FROM gcv.estate")
+      .as[Long].head() == (1L to 12L).map(_ * 3).sum)
   }
 
   test("adopt moves files: content unions, staging dir drains") {
