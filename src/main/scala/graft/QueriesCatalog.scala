@@ -1386,7 +1386,100 @@ object QueriesCatalog {
       |SELECT 'mor', count(*), CAST(sum(cents) AS BIGINT), count(status)
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SQL VIEWS over the versioned catalog ([[graft.sources.GraftViews]]
+  // + [[graft.sources.GraftViewRule]]): a filtered view over a
+  // versioned orders table, an aggregating view (with a declared
+  // column list) over THAT view, and rows INSERTed after both views
+  // exist — so the gate pins the whole surface: CREATE VIEW DDL,
+  // persisted definitions, view-over-view expansion, declared-column
+  // renames, and look-through semantics (views read the CURRENT table
+  // state, not a frozen snapshot). Oracle recomputes from raw orders.
+  // ---------------------------------------------------------------------
+  def catalogView(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val src = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, s"$w/orders",
+      src.filter(col("o_orderkey") % 2 === 0), append = false)
+    s.sql(s"CREATE VIEW $cat.open_orders AS " +
+      s"SELECT o_custkey, price_cents FROM $cat.orders " +
+      "WHERE o_orderstatus = 'O'")
+    s.sql(s"CREATE VIEW $cat.cust_totals (custkey, total_cents, n) AS " +
+      "SELECT o_custkey, CAST(sum(price_cents) AS BIGINT), count(*) " +
+      s"FROM $cat.open_orders GROUP BY o_custkey")
+    // committed AFTER both views: look-through must see these rows
+    src.filter(col("o_orderkey") % 2 === 1)
+      .createOrReplaceTempView("vq_orders_rest")
+    s.sql(s"INSERT INTO $cat.orders SELECT * FROM vq_orders_rest")
+    s.sql(s"SELECT custkey, total_cents, n FROM $cat.cust_totals " +
+      "WHERE n >= 2")
+  }
+
+  val catalogViewSql: String =
+    """WITH open AS (
+      |    SELECT o_custkey,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |    FROM orders WHERE o_orderstatus = 'O')
+      |SELECT o_custkey AS custkey,
+      |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+      |  count(*) AS n
+      |FROM open GROUP BY o_custkey HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // BRANCH CHERRY-PICK ([[VersionedTable.cherryPickCommit]]): fork,
+  // advance BOTH sides disjointly — main INSERTs one residue class,
+  // the branch INSERTs another and MOR-deletes a subset of the base
+  // era — then `CALL cherry_pick` replays the branch delta onto the
+  // diverged head (fast_forward provably refuses first). The oracle
+  // reconstructs the merged state from raw orders, so the gate pins
+  // the whole merge arithmetic: base kept minus branch deletes, plus
+  // both sides' appends.
+  // ---------------------------------------------------------------------
+  def catalogCherryPick(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val src = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, s"$w/cpt",
+      src.filter(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey"))
+    s.sql(s"CALL $cat.system.branch('cpt', 'dev')")
+    // branch work: append the %3=2 class, MOR-delete %30=0 base rows
+    src.filter(col("o_orderkey") % 3 === 2)
+      .createOrReplaceTempView("cpt_src_two")
+    s.sql(s"INSERT INTO $cat.cpt.branch_dev SELECT * FROM cpt_src_two")
+    VersionedTable.deleteCommit(s, s"$w/cpt/_branch/dev",
+      col("o_orderkey") % 30 === 0, Seq("o_orderkey"))
+    // main diverges disjointly: appends the %3=1 class
+    src.filter(col("o_orderkey") % 3 === 1)
+      .createOrReplaceTempView("cpt_src_one")
+    s.sql(s"INSERT INTO $cat.cpt SELECT * FROM cpt_src_one")
+    val ffRefused =
+      try { s.sql(s"CALL $cat.system.fast_forward('cpt', 'dev')")
+              .collect(); false }
+      catch { case _: Exception => true }
+    require(ffRefused, "fast_forward must refuse the diverged main")
+    s.sql(s"CALL $cat.system.cherry_pick('cpt', 'dev')")
+    s.sql(s"CALL $cat.system.drop_branch('cpt', 'dev')")
+    s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+      CAST(sum(price_cents) AS BIGINT) AS total_cents
+      FROM $cat.cpt GROUP BY o_orderstatus""")
+  }
+
+  val catalogCherryPickSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |WHERE o_orderkey % 30 <> 0
+      |GROUP BY o_orderstatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_cherry_pick" -> (catalogCherryPick _),
+    "q_catalog_view" -> (catalogView _),
     "q_catalog_ctas" -> (catalogCtas _),
     "q_catalog_merge_evolve" -> (catalogMergeEvolve _),
     "q_catalog_update_mor" -> (catalogUpdateMor _),
@@ -1412,6 +1505,8 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_cherry_pick" -> catalogCherryPickSql,
+    "q_catalog_view" -> catalogViewSql,
     "q_catalog_ctas" -> catalogCtasSql,
     "q_catalog_merge_evolve" -> catalogMergeEvolveSql,
     "q_catalog_update_mor" -> catalogUpdateMorSql,

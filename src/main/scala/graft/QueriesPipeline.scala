@@ -149,6 +149,62 @@ object QueriesPipeline {
        |GROUP BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // EXACT-SUBSTRING decontamination over LONG documents: groups of
+  // `LongGroup` docs concatenate (doc_id order) into multi-KB
+  // documents and the benchmark snippets are cut from MID-document —
+  // the corpus shape where an undersized screen would pass everything
+  // (a 3,000-char doc probes ~3,000 windows) and a nested-loop
+  // re-check would scan survivors × benchmark. The two-stage screen
+  // (per-document-FP-sized Bloom → anchor-hash equi-join → exact
+  // contains) must stay row-identical to the brute-force oracle.
+  // ---------------------------------------------------------------------
+  val LongGroup = 10
+  val LongBenchMod = 4
+  val LongSnipFrom = 500
+  val LongSnipLen = 90
+
+  def decontaminateLong(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val longDocs = docs
+      .groupBy(floor(col("doc_id") / LongGroup).as("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        x => x.getField("text")), " ").as("text"))
+    val noise = {
+      val s2 = s
+      import s2.implicits._
+      Seq((-1L, "this exact sentence appears in no corpus document at all"))
+        .toDF("bench_id", "snippet")
+    }
+    val bench = longDocs
+      .filter(col("doc_id") % LongBenchMod === 0 &&
+        length(col("text")) >= LongSnipFrom + LongSnipLen + 20)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), LongSnipFrom, LongSnipLen).as("snippet"))
+      .union(noise)
+    Curation.decontaminateExact(longDocs, bench,
+      "doc_id", "text", "bench_id", "snippet")
+  }
+
+  val decontaminateLongSql: String =
+    s"""WITH ld AS (
+       |    SELECT CAST(floor(doc_id / $LongGroup.0) AS BIGINT) AS doc_id,
+       |      string_agg(text, ' ' ORDER BY doc_id) AS text
+       |    FROM documents GROUP BY 1),
+       |  bench AS (
+       |    SELECT doc_id AS bench_id,
+       |      substr(text, $LongSnipFrom, $LongSnipLen) AS snippet
+       |    FROM ld
+       |    WHERE doc_id % $LongBenchMod = 0
+       |      AND length(text) >= ${LongSnipFrom + LongSnipLen + 20}
+       |    UNION ALL
+       |    SELECT -1, 'this exact sentence appears in no corpus document at all')
+       |SELECT d.doc_id,
+       |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+       |FROM ld d JOIN bench b ON position(b.snippet IN d.text) > 0
+       |GROUP BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PII redaction: deterministic synthetic PII injected on both engines
   // (the corpus has none), then the same RE2-safe patterns redact it
   // ---------------------------------------------------------------------
@@ -1378,6 +1434,7 @@ object QueriesPipeline {
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_exact" -> (decontaminateExact _),
+    "q_decontaminate_long" -> (decontaminateLong _),
     "q_pii_redact" -> (piiRedact _),
     "q_editdist_neardup" -> (editdistNearDup _),
     "q_cdc_merge" -> (cdcMerge _),
@@ -1423,6 +1480,7 @@ object QueriesPipeline {
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_exact" -> decontaminateExactSql,
+    "q_decontaminate_long" -> decontaminateLongSql,
     "q_pii_redact" -> piiRedactSql,
     "q_editdist_neardup" -> editdistNearDupSql,
     "q_cdc_merge" -> cdcMergeSql,

@@ -129,15 +129,23 @@ object Curation {
   //
   // Scale shape: the benchmark side is driver-resident by definition
   // (eval suites are ~1e3-1e6 strings); each string's first-W-chars
-  // anchor hash lands in ONE Bloom filter (~16 bits/anchor) that rides
-  // the plan to every executor. The corpus side pays one compiled
-  // O(chars) rolling-hash pass per document (plans.Kernels
-  // .rollingBloomHit, O(1) slide, early exit) — a pure narrow filter,
-  // no shuffle, no explode. Only the Bloom SURVIVORS (true hits +
-  // the bounded false-positive rate) re-check exactly against the
-  // broadcast benchmark list, so the expensive contains() scan runs on
-  // a sliver of the corpus. A benchmark string shorter than `window`
-  // lowers the effective window to the set minimum — correctness never
+  // anchor hash lands in ONE Bloom filter — sized at ~64 bits/anchor
+  // with k=6 probes so the per-WINDOW false-positive rate is ~5e-7,
+  // i.e. a per-DOCUMENT FP budget: even megabyte-long documents
+  // survive the screen spuriously with probability well under 1 (the
+  // property that keeps long-document corpora from all surviving) —
+  // that rides the plan to every executor (8 MB per 1M anchors). The
+  // corpus side pays one compiled O(chars) rolling-hash pass per
+  // document (plans.Kernels.rollingBloomAnchors, O(1) slide) — a pure
+  // narrow map, no shuffle — returning WHICH anchor hashes matched.
+  // The exact re-check is then an anchor-hash EQUI-join: each matched
+  // anchor joins to only the benchmark snippets sharing that anchor
+  // (a BroadcastHashJoin), and contains() confirms the full snippet
+  // per candidate pair. Bloom false positives match no true anchor
+  // and fall out of the join for free, so stage 2 costs O(true hits),
+  // never O(survivors × |bench|) — the nested-loop shape a boolean
+  // screen forces. A benchmark string shorter than `window` lowers
+  // the effective window to the set minimum — correctness never
   // depends on the window choice.
   // -------------------------------------------------------------------
 
@@ -145,8 +153,10 @@ object Curation {
     * (idCol, n_bench_hits = distinct benchmark entries contained).
     * Row-identical to the brute-force
     * `train JOIN bench ON contains(text, snip)` for any inputs:
-    * stage 1 (Bloom of anchor rolling hashes) has no false negatives,
-    * stage 2 re-checks containment exactly. */
+    * stage 1 (Bloom of anchor rolling hashes) has no false negatives
+    * — a contained snippet's first-w window IS a document window, so
+    * its anchor hash is returned and equi-joins to the snippet —
+    * and stage 2 re-checks containment exactly. */
   def decontaminateExact(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          benchIdCol: String, benchTextCol: String,
@@ -161,21 +171,30 @@ object Curation {
     val w = math.min(window, snips.iterator.map(_._2.length).min)
     val anchors = snips.map(s => graft.plans.Kernels.windowHash(s._2, w))
       .distinct
-    // ~16 bits per anchor, power-of-two, >= 1024 bits
+    // ~64 bits per anchor (k=6 probes), power-of-two, >= 1024 bits:
+    // the per-document FP budget for long-document corpora
     val bitsLog2 = math.max(10,
       64 - java.lang.Long.numberOfLeadingZeros(
-        anchors.length.toLong * 16L - 1L))
+        anchors.length.toLong * 64L - 1L))
     val words = graft.plans.Kernels.bloomBuild(anchors, bitsLog2.toInt)
-    val hit = org.apache.spark.sql.GraftSqlShims.column(
-      graft.plans.RollingBloomHit(
+    val matched = org.apache.spark.sql.GraftSqlShims.column(
+      graft.plans.RollingBloomAnchors(
         org.apache.spark.sql.GraftSqlShims.expression(col(textCol)),
         w, words))
     val s = train.sparkSession
     import s.implicits._
-    val benchDf = snips.toSeq.toDF("__bid", "__btext")
+    val benchDf = snips.toSeq
+      .map { case (bid, t) =>
+        (graft.plans.Kernels.windowHash(t, w), bid, t) }
+      .toDF("__anchor", "__bid", "__btext")
     train.select(col(idCol), col(textCol))
-      .filter(col(textCol).isNotNull && hit)
-      .join(broadcast(benchDf), col(textCol).contains(col("__btext")))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), matched.as("__anchors"))
+      .filter(size(col("__anchors")) > 0)
+      .select(col(idCol), col(textCol),
+        explode(col("__anchors")).as("__anchor"))
+      .join(broadcast(benchDf), "__anchor")
+      .filter(col(textCol).contains(col("__btext")))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__bid")).as("n_bench_hits"))
   }

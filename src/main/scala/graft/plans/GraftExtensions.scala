@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RangeJoinRule)
     // plans AsofJoinPlan nodes (built by AsOf.asofJoinNative)
     ext.injectPlannerStrategy(_ => AsofStrategy)
+    // SQL views over GraftCatalog tables (CREATE/ALTER/DROP/SHOW VIEW
+    // + read substitution) — no-op on plans that touch no graft view.
+    // HINT batch, not Resolution: ResolveSessionCatalog hard-refuses
+    // view DDL on non-session catalogs before resolution rules run
+    ext.injectHintResolutionRule(_ => graft.sources.GraftViewRule)
   }
 }

@@ -406,7 +406,13 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
-  private val BloomProbes = 3
+  // k=6 probes against the 64-bits-per-anchor filters the callers
+  // build: per-WINDOW false-positive rate (1-e^(-6/64))^6 ~= 5e-7, so
+  // even a megabyte-long document survives the screen spuriously with
+  // probability ~0.5 — the per-DOCUMENT budget that keeps the exact
+  // re-check stage O(true hits) on long-document corpora (a 16-bit/k=3
+  // filter's ~0.5%/window rate made every multi-KB document survive).
+  private val BloomProbes = 6
 
   /** Set the probe bits of every hash into a fresh word array of
     * `1 << bitsLog2` bits (bitsLog2 >= 6). */
@@ -461,6 +467,43 @@ object Kernels {
     }
     false
   }
+
+  /** The DISTINCT matched window hashes of `text` against the Bloom
+    * filter — the anchor-returning variant of [[rollingBloomHit]]:
+    * instead of a boolean, the caller gets WHICH anchors (possibly)
+    * occur, so the exact re-check can equi-join document→snippet on
+    * the anchor hash (Bloom false positives match no true anchor and
+    * fall out of the join for free) rather than nested-loop every
+    * survivor against every benchmark string. Same O(chars) pass,
+    * O(1) slide; the result is tiny (true inclusions + ~per-document
+    * Bloom FP budget). */
+  def rollingBloomAnchors(text: UTF8String, w: Int,
+                          words: Array[Long])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](4)
+    if (n >= w) {
+      var seen: java.util.HashSet[java.lang.Long] = null
+      var h = 0L
+      var i = 0
+      while (i < w) { h = h * 31 + s.charAt(i); i += 1 }
+      var powW = 1L
+      i = 1
+      while (i < w) { powW *= 31; i += 1 } // 31^(w-1)
+      var pos = 0
+      while (pos <= n - w) {
+        if (pos > 0)
+          h = (h - s.charAt(pos - 1) * powW) * 31 + s.charAt(pos + w - 1)
+        if (bloomMaybe(h, words)) {
+          if (seen == null) seen = new java.util.HashSet[java.lang.Long]()
+          if (seen.add(h)) out += h
+        }
+        pos += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_rolling_bloom_hit(text)`: whether any `w`-char window of the
@@ -469,7 +512,7 @@ object Kernels {
   * decontamination ([[graft.operators.Curation.decontaminateExact]]).
   * Boolean, null-safe, whole-stage-codegen'd; the filter rides the
   * plan as a broadcast-style reference object (bits sized by the
-  * builder to ~16 per anchor). */
+  * builder — ~64 per anchor for the per-document FP budget). */
 case class RollingBloomHit(child: Expression, w: Int,
                            words: Array[Long]) extends UnaryExpression {
 
@@ -496,6 +539,41 @@ case class RollingBloomHit(child: Expression, w: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): RollingBloomHit = copy(child = newChild)
+}
+
+/** `graft_rolling_bloom_anchors(text)`: the DISTINCT `w`-char window
+  * rolling hashes of the document that hit the (plan-carried) Bloom
+  * filter of benchmark anchors — the screen stage of exact-substring
+  * decontamination ([[graft.operators.Curation.decontaminateExact]]).
+  * Returning the matched anchors (not a boolean) lets the exact
+  * re-check run as an anchor-hash EQUI-join to only the snippets
+  * sharing that anchor — O(true hits), never survivors × benchmark.
+  * array<long>, null-safe, whole-stage-codegen'd. */
+case class RollingBloomAnchors(child: Expression, w: Int,
+                               words: Array[Long]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_bloom_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w > 0 && words.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string), w > 0 and a non-empty filter")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.rollingBloomAnchors(input.asInstanceOf[UTF8String], w, words)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.rollingBloomAnchors($c, $w, $ref);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingBloomAnchors = copy(child = newChild)
 }
 
 /** `graft_shingle_hash32(text, n)`: array of stable32 hashes of the

@@ -77,7 +77,7 @@ import VersionedTable.ScanPred
   * tree and table names resolve inside it.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with ViewCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -118,6 +118,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       p.nonEmpty && !p.contains("/") && !p.contains("\\") && p != ".." &&
         !p.startsWith("."),
       s"illegal table identifier segment: $p"))
+    require(parts.head != "_views",
+      "'_views' is the view-metadata directory, not a table namespace")
     (warehouse +: parts).mkString("/")
   }
 
@@ -284,6 +286,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace().toSeq :+ ident.name()).toSeq)
+    if (viewExists(ident))
+      sys.error(s"$ident is a VIEW — DROP VIEW it first (a name is " +
+        "a table xor a view)")
     // TBLPROPERTIES validate BEFORE the commit (a typo'd behavior key
     // must fail the statement, not silently half-apply) and publish
     // right AFTER it: writing sidecars to the not-yet-committed path
@@ -324,6 +329,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace().toSeq :+ ident.name()).toSeq)
+    if (viewExists(ident))
+      sys.error(s"$ident is a VIEW — DROP VIEW it first (a name is " +
+        "a table xor a view)")
     new GraftStagedTable(p, ident.toString, schema,
       identityPartCols(schema, partitions), GraftStagedTable.Create,
       userProps(properties))
@@ -349,6 +357,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                                     properties: java.util.Map[String, String])
       : StagedTable = {
     val p = pathOf(ident)
+    if (viewExists(ident))
+      sys.error(s"$ident is a VIEW — DROP VIEW it first (a name is " +
+        "a table xor a view)")
     new GraftStagedTable(p, ident.toString, schema,
       identityPartCols(schema, partitions),
       GraftStagedTable.CreateOrReplace, userProps(properties))
@@ -571,6 +582,137 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (!f.exists(from) || !isTable(from.toString))
       throw new NoSuchTableException(oldIdent)
     require(f.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // -------------------------------------------------------------------
+  // ViewCatalog — SQL views persisted in the warehouse ([[GraftViews]]
+  // files under `_views/`). Spark 4.1's analyzer never consults a
+  // ViewCatalog on its own (the interface ships without resolution
+  // rules); [[graft.plans.GraftExtensions]] injects
+  // [[GraftViewRule]], which routes CREATE/ALTER/DROP/SHOW VIEW
+  // statements here and substitutes view reads with their defining
+  // SQL (resolved in the view's creation context).
+  // -------------------------------------------------------------------
+
+  /** The stored definition, for the resolution rule (None = no view). */
+  private[graft] def viewData(ident: Identifier)
+      : Option[GraftViews.ViewData] =
+    GraftViews.load(spark, warehouse, ident)
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(spark, warehouse, ident)
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(spark, warehouse, namespace).toArray
+
+  override def loadView(ident: Identifier): View =
+    viewData(ident).map(new GraftView(ident, _)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  private def dataOf(info: ViewInfo): GraftViews.ViewData =
+    GraftViews.ViewData(
+      sql = info.sql,
+      currentCatalog = info.currentCatalog,
+      currentNamespace = info.currentNamespace.toSeq,
+      schemaJson = info.schema.json,
+      queryColumnNames = info.queryColumnNames.toSeq,
+      columnAliases = info.columnAliases.toSeq,
+      columnComments = info.columnComments.toSeq.map(Option(_)),
+      properties = info.properties.asScala.toMap
+        .filterNot { case (k, _) =>
+          ViewCatalog.RESERVED_PROPERTIES.contains(k) },
+      comment = Option(
+        info.properties.get(ViewCatalog.PROP_COMMENT)))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    // a name is a TABLE xor a VIEW — an identifier resolving to both
+    // would make every later SELECT ambiguous
+    if (isTable(pathOf(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace().toSeq :+ ident.name()).toSeq)
+    if (!GraftViews.store(spark, warehouse, ident, dataOf(info),
+        replace = false))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    new GraftView(ident, viewData(ident).get)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (isTable(pathOf(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace().toSeq :+ ident.name()).toSeq)
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    GraftViews.store(spark, warehouse, ident, dataOf(info),
+      replace = true)
+    new GraftView(ident, viewData(ident).get)
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: ViewChange*): View = {
+    val vd = viewData(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(vd.properties) { (m, c) => c match {
+      case s: ViewChange.SetProperty =>
+        VersionedTable.validateTableProperty(s.property(), s.value())
+        m + (s.property() -> s.value())
+      case r: ViewChange.RemoveProperty => m - r.property()
+      case other => sys.error(s"unsupported view change: $other")
+    }}
+    GraftViews.store(spark, warehouse, ident, vd.copy(properties = props),
+      replace = true)
+    new GraftView(ident, viewData(ident).get)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(spark, warehouse, ident)
+
+  override def renameView(oldIdent: Identifier,
+                          newIdent: Identifier): Unit = {
+    val vd = viewData(oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent))
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    if (isTable(pathOf(newIdent)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (newIdent.namespace().toSeq :+ newIdent.name()).toSeq)
+    require(GraftViews.store(spark, warehouse, newIdent, vd,
+      replace = false), s"concurrent creation of $newIdent")
+    GraftViews.drop(spark, warehouse, oldIdent)
+    ()
+  }
+}
+
+/** A stored view surfaced through the DSv2 [[View]] interface. */
+private[sources] class GraftView(ident: Identifier,
+                                 vd: GraftViews.ViewData) extends View {
+  override def name(): String =
+    (ident.namespace().toSeq :+ ident.name()).mkString(".")
+  override def query(): String = vd.sql
+  override def currentCatalog(): String = vd.currentCatalog
+  override def currentNamespace(): Array[String] =
+    vd.currentNamespace.toArray
+  override def schema(): StructType = vd.schema
+  override def queryColumnNames(): Array[String] =
+    vd.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = vd.columnAliases.toArray
+  override def columnComments(): Array[String] =
+    vd.columnComments.map(_.orNull).toArray
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    vd.properties.foreach { case (k, v) => m.put(k, v) }
+    vd.comment.foreach(c => m.put(ViewCatalog.PROP_COMMENT, c))
+    m
   }
 }
 

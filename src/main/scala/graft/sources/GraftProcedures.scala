@@ -42,8 +42,8 @@ private[sources] object GraftProcedures {
   def names: Seq[String] = Seq("optimize", "vacuum", "analyze",
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
     "restore", "clean_orphans", "vacuum_retention", "clone",
-    "set_spec", "branch", "fast_forward", "drop_branch", "adopt",
-    "convert")
+    "set_spec", "branch", "fast_forward", "cherry_pick",
+    "drop_branch", "adopt", "convert")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -56,14 +56,32 @@ private[sources] object GraftProcedures {
       // procedure (optimize, analyze, purge_tombstones, ...) then
       // works on a branch exactly as on a table. Only NON-FIRST
       // segments map (a branch needs a parent table; a top-level
-      // table legitimately named 'branch_x' stays itself).
+      // table legitimately named 'branch_x' stays itself), and the
+      // mapping applies only when the literal path is NOT itself a
+      // table and the branch interpretation is grounded (the mapped
+      // path or its parent table exists) — a nested table or
+      // namespace legitimately named 'branch_metrics' stays
+      // addressable, mirroring GraftCatalog.branchPathOf's guards.
+      val unmapped = (warehouse +: parts).mkString("/")
       val mapped = parts.zipWithIndex.map { case (p, i) =>
         if (i > 0 && p.startsWith("branch_") &&
             p.length > "branch_".length)
           "_branch/" + p.substring("branch_".length)
         else p
       }
-      (warehouse +: mapped).mkString("/")
+      val mappedPath = (warehouse +: mapped).mkString("/")
+      def isTbl(p: String): Boolean =
+        try VersionedTable.versions(SparkSession.active, p).nonEmpty
+        catch { case _: java.io.FileNotFoundException => false }
+      if (mappedPath == unmapped || isTbl(unmapped)) unmapped
+      else {
+        val firstMapped = parts.indices
+          .find(i => mapped(i) != parts(i)).get
+        val parentPath =
+          (warehouse +: parts.take(firstMapped)).mkString("/")
+        if (isTbl(mappedPath) || isTbl(parentPath)) mappedPath
+        else unmapped
+      }
     }
     def spark = SparkSession.active
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
@@ -224,6 +242,16 @@ private[sources] object GraftProcedures {
         Seq(in("table", StringType), in("name", StringType)),
         versionOut) { r =>
         versionRow(VersionedTable.fastForwardCommit(spark,
+          pathOf(str(r, 0)), str(r, 1)))
+      })
+      case "cherry_pick" => Some(proc("cherry_pick",
+        "replay a branch's delta (appends, removals, tombstones " +
+          "since the fork) onto the table's CURRENT head — the " +
+          "diverged-main complement of fast_forward; refused loudly " +
+          "when the two sides touched the same files",
+        Seq(in("table", StringType), in("name", StringType)),
+        versionOut) { r =>
+        versionRow(VersionedTable.cherryPickCommit(spark,
           pathOf(str(r, 0)), str(r, 1)))
       })
       case "drop_branch" => Some(proc("drop_branch",

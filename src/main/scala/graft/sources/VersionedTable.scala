@@ -858,8 +858,8 @@ object VersionedTable {
     * unless a [[registerCommitPublisher]] publisher provides real
     * putIfAbsent semantics or [[ForceRenameKey]] explicitly accepts
     * the race — atomicity must be a seam, never an assumption. */
-  private def publishNoReplace(f: org.apache.hadoop.fs.FileSystem,
-                               tmp: Path, target: Path): Boolean = {
+  private[sources] def publishNoReplace(f: org.apache.hadoop.fs.FileSystem,
+                                        tmp: Path, target: Path): Boolean = {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
       .toLowerCase(java.util.Locale.ROOT)
     val custom = commitPublishers.get(scheme)
@@ -1023,8 +1023,12 @@ object VersionedTable {
       require(sc.forall(_.fieldNames.contains(c)),
         s"partition column '$c' is not in the table schema"))
     val lines = readManifest(spark, table, vs.last)
+    // per-commit meta (txn stamps, restored_from, prop.* records)
+    // drops — only the spec declaration carries, the same discipline
+    // as every other commit path (stageCommitData etc.); writeManifest
+    // re-stamps commit_ts
     writeManifest(spark, table, vs.last + 1,
-      lines.filterNot(_.startsWith(MetaPrefix + "partitioned_by=")) ++
+      lines.filterNot(_.startsWith(MetaPrefix)) ++
         metaLinesOf(Map("partitioned_by" -> newSpec.mkString(","))))
     vs.last + 1
   }
@@ -3022,13 +3026,17 @@ object VersionedTable {
     val dir = branchPath(table, name)
     require(versions(spark, dir).isEmpty,
       s"branch '$name' already exists on $table — drop_branch first")
-    cloneCommit(spark, dir, table, Some(base))
     // the base marker fast_forward checks divergence against (a
-    // dedicated sidecar: the clone's v1 meta could vacuum away)
+    // dedicated sidecar: the clone's v1 meta could vacuum away).
+    // Written BEFORE the clone publishes so no observable branch ever
+    // lacks it: a crash in between leaves a marker-only dir (no
+    // manifests → invisible to branchesOf/branchLivePaths, reclaimed
+    // by drop_branch or simply overwritten by a retried branch()).
     val marker = new Path(dir, "_base")
     val f = fs(spark, marker)
-    val out = f.create(marker, false)
+    val out = f.create(marker, true) // true: stale crash leftover
     try out.write(s"$base\n".getBytes("UTF-8")) finally out.close()
+    cloneCommit(spark, dir, table, Some(base))
     base
   }
 
@@ -3040,8 +3048,11 @@ object VersionedTable {
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
       val name = st.getPath.getName
-      val bvs = scala.util.Try(
-        versions(spark, st.getPath.toString)).getOrElse(Seq.empty)
+      // versions() errors PROPAGATE (a protocol-gated or IO-failing
+      // branch must not silently vanish from the listing); only a
+      // manifest-less dir — a crashed create's marker-only leftover —
+      // is skipped, it is not a branch yet
+      val bvs = versions(spark, st.getPath.toString)
       if (bvs.isEmpty) None
       else Some(name -> (branchBaseOf(spark, table, name), bvs.last))
     }.toMap
@@ -3051,7 +3062,10 @@ object VersionedTable {
                            name: String): Int = {
     val marker = new Path(branchPath(table, name), "_base")
     val f = fs(spark, marker)
-    require(f.exists(marker), s"branch '$name' has no base marker")
+    require(f.exists(marker),
+      s"branch '$name' on $table has no base marker — the branch dir " +
+        "is from an older layout or a partial create; CALL " +
+        s"gt.system.drop_branch('<table>','$name') and re-branch")
     readSmallFile(f, marker).trim.toInt
   }
 
@@ -3067,15 +3081,23 @@ object VersionedTable {
 
   /** Every data/dv path a branch HEAD references — files main's
     * vacuum must treat as live while the fork exists. O(branches)
-    * manifest reads, zero data I/O. */
+    * manifest reads, zero data I/O.
+    *
+    * NO error is swallowed here: the caller is a DESTRUCTIVE sweep
+    * (vacuum / clean_orphans), and a branch this build cannot read —
+    * protocol-gated because the fork used a newer feature, or a
+    * transient IO failure mid-listing — must abort the sweep loudly
+    * rather than silently unpin the branch's files and delete data
+    * its head still references. ([[versions]] already answers empty
+    * for a genuinely manifest-less dir, e.g. a crashed [[branchCommit]]
+    * that wrote only the `_base` marker.) */
   private def branchLivePaths(spark: SparkSession,
                               table: String): Set[String] = {
     val dir = branchesDir(table)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Set.empty
     else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
-      val bvs = scala.util.Try(
-        versions(spark, st.getPath.toString)).getOrElse(Seq.empty)
+      val bvs = versions(spark, st.getPath.toString)
       bvs.lastOption.toSeq.flatMap { h =>
         val lines = readManifest(spark, st.getPath.toString, h)
         dataFilesOf(lines) ++ dvFilesOf(lines)
@@ -3195,6 +3217,191 @@ object VersionedTable {
       case e: Exception =>
         moveBack(moves)
         sys.error(s"fast_forward of '$name' onto $table failed — " +
+          s"every file moved back, nothing published: ${e.getMessage}")
+    }
+    next
+  }
+
+  /** The distinct data files a set of deletion-vector sidecars
+    * tombstone rows IN — an O(deleted rows) metadata-scale read. */
+  private def dvTargets(spark: SparkSession,
+                        dvs: Seq[String]): Set[String] =
+    if (dvs.isEmpty) Set.empty
+    else spark.read.parquet(dvs: _*)
+      .select(org.apache.spark.sql.functions.col(FileCol)).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+
+  /** CHERRY-PICK a branch whose base main has moved PAST: replay the
+    * branch's delta — files added, files removed, tombstones added
+    * since the fork — onto main's current head (Iceberg's
+    * `cherrypick_snapshot`, generalized to the fork's whole delta).
+    * The complement of [[fastForwardCommit]]: fast-forward requires
+    * main unmoved and publishes the branch head VERBATIM; cherry-pick
+    * requires the two sides' work DISJOINT and merges. Refusals are
+    * loud and name the conflict:
+    *
+    *  - a file the branch removed (COW rewrite/DELETE) that main no
+    *    longer carries — or that main's own post-fork tombstones
+    *    touch — is a CONFLICTING REWRITE: both sides changed the same
+    *    rows and replaying either side would silently drop the other;
+    *  - a branch tombstone targeting a file main no longer carries is
+    *    the same conflict from the MOR side;
+    *  - a branch tombstone targeting a BRANCH-ERA file cannot replay
+    *    (the sidecar names the file's path, which the move changes) —
+    *    `purge_tombstones` the branch first;
+    *  - column-mapping changes made on the branch are metadata
+    *    evolution, not a file delta — fast-forward or redo them.
+    *
+    * Branch-era data files and sidecars MOVE into main's data dir
+    * with rollback on any failure; main's protocol gains the branch's
+    * requirements and main's schema rules + CHECK constraints judge
+    * the incoming files before anything publishes — the same
+    * discipline as fast-forward. Consumes the branch (drop it after).
+    * Returns the committed version. */
+  def cherryPickCommit(spark: SparkSession, table: String,
+                       name: String): Int = {
+    val dir = branchPath(table, name)
+    val bvs = versions(spark, dir)
+    require(bvs.nonEmpty, s"no branch '$name' on $table")
+    val base = branchBaseOf(spark, table, name)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    if (vs.last == base) return fastForwardCommit(spark, table, name)
+    if (bvs.last == 1) return vs.last // nothing committed on the branch
+    val baseLines = readManifest(spark, table, base)
+    val headLines = readManifest(spark, table, vs.last)
+    val bLines = readManifest(spark, dir, bvs.last)
+    require(cmLinesOf(bLines).toSet == cmLinesOf(baseLines).toSet,
+      s"cherry_pick cannot replay column-mapping changes made on " +
+        s"'$name' — rename/drop evolution is not a file delta; " +
+        "fast-forward from an unmoved base, or redo it on main")
+    val baseData = dataFilesOf(baseLines).map(norm).toSet
+    val headData = dataFilesOf(headLines).map(norm).toSet
+    val bData = dataFilesOf(bLines)
+    val branchRoot = norm(new Path(dir).toString)
+      .stripSuffix("/") + "/"
+    val bDataNorm = bData.map(norm).toSet
+    val added = bData.filter(p => !baseData.contains(norm(p)))
+    val removed = baseData -- bDataNorm
+    val goneFromMain = removed -- headData
+    require(goneFromMain.isEmpty,
+      s"cherry_pick rejected: '$name' rewrote/removed file(s) main " +
+        s"also rewrote since the fork — conflicting rewrites: " +
+        goneFromMain.toSeq.sorted.take(3).mkString(", ") +
+        (if (goneFromMain.size > 3) ", ..." else ""))
+    val baseDv = dvFilesOf(baseLines).map(norm).toSet
+    if (removed.nonEmpty) {
+      val mainNewDvs = dvFilesOf(headLines)
+        .filterNot(d => baseDv.contains(norm(d)))
+      val clash = dvTargets(spark, mainNewDvs).intersect(removed)
+      require(clash.isEmpty,
+        s"cherry_pick rejected: main's post-fork tombstones touch " +
+          s"file(s) '$name' rewrote — conflicting rewrites: " +
+          clash.toSeq.sorted.take(3).mkString(", "))
+    }
+    val addedDvs = dvFilesOf(bLines)
+      .filterNot(d => baseDv.contains(norm(d)))
+    val survivingHead = headData -- removed
+    if (addedDvs.nonEmpty) {
+      val targets = dvTargets(spark, addedDvs)
+      val moving = targets.filter(_.startsWith(branchRoot))
+      require(moving.isEmpty,
+        s"cherry_pick: '$name' tombstones rows in its own branch-era " +
+          "file(s) — CALL purge_tombstones on the branch first " +
+          "(sidecars name file paths, which the move would change)")
+      val dangling = targets -- survivingHead
+      require(dangling.isEmpty,
+        s"cherry_pick rejected: '$name' tombstones rows in file(s) " +
+          "main no longer carries — conflicting rewrites: " +
+          dangling.toSeq.sorted.take(3).mkString(", "))
+    }
+    // move branch-era additions (data + sidecars) under main
+    val next = vs.last + 1
+    val toMove = (added ++ addedDvs)
+      .filter(p => norm(p).startsWith(branchRoot))
+    val destDir = new Path(table,
+      s"data/$next-cp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val f = fs(spark, destDir)
+    if (toMove.nonEmpty) f.mkdirs(destDir)
+    val moves: Seq[(Path, Path)] = toMove.map { p =>
+      (new Path(p), new Path(destDir, new Path(p).getName))
+    }
+    require(moves.map(_._2.getName).distinct.size == moves.size,
+      "branch delta has colliding file basenames — " +
+        "OPTIMIZE the branch first")
+    def moveBack(done: Seq[(Path, Path)]): Unit = {
+      done.foreach { case (src, dst) => f.rename(dst, src) }
+      if (toMove.nonEmpty) f.delete(destDir, true)
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    moves.foreach { case (src, dst) =>
+      if (!f.rename(src, dst)) {
+        moveBack(done.toSeq)
+        sys.error(s"cannot move $src into $table")
+      }
+      done += ((src, dst))
+    }
+    val movedByNorm: Map[String, String] =
+      moves.map { case (s, d) => norm(s.toString) -> d.toString }.toMap
+    val addedNorm = added.map(norm).toSet
+    val addedDvNorm = addedDvs.map(norm).toSet
+    // main's head minus the replayed removals...
+    val kept = headLines.filter { l =>
+      if (l.startsWith(MetaPrefix)) false
+      else if (l.startsWith(ScPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(DvPrefix)) true
+      else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix))
+        !removed.contains(norm(l.substring(l.lastIndexOf('\t') + 1)))
+      else !removed.contains(norm(l))
+    }
+    // ...plus the branch's additions, rewritten to their moved paths
+    def moved(p: String): String = movedByNorm.getOrElse(norm(p), p)
+    val incoming = bLines.flatMap { l =>
+      if (l.startsWith(MetaPrefix) || l.startsWith(ScPrefix) ||
+        l.startsWith(CmPrefix)) None
+      else if (l.startsWith(DvPrefix)) {
+        val p = l.substring(DvPrefix.length)
+        if (addedDvNorm.contains(norm(p))) Some(DvPrefix + moved(p))
+        else None
+      }
+      else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix)) {
+        val cut = l.lastIndexOf('\t')
+        val p = l.substring(cut + 1)
+        if (addedNorm.contains(norm(p)))
+          Some(l.substring(0, cut + 1) + moved(p))
+        else None
+      }
+      else if (addedNorm.contains(norm(l))) Some(moved(l))
+      else None
+    }
+    val published = kept ++ incoming ++ specDeclLines(headLines)
+    try {
+      val (rf, wf) = protocolOf(spark, dir)
+      rf.foreach(f0 => requireFeature(spark, table, f0))
+      (wf diff rf).foreach(f0 =>
+        requireFeature(spark, table, f0, writerOnly = true))
+      val movedData = moves.collect {
+        case (s, d) if addedNorm.contains(norm(s.toString)) =>
+          d.toString }
+      schemaConflictsWithTable(spark, table, movedData).foreach { cs =>
+        moveBack(moves)
+        throw new IllegalStateException(
+          s"cherry_pick rejected: schema conflict(s) with $table — " +
+            cs.mkString("; "))
+      }
+      val violated = constraintViolations(spark, table, movedData)
+      if (violated.nonEmpty) {
+        moveBack(moves)
+        throw new IllegalStateException(
+          s"cherry_pick rejected: CHECK constraint(s) violated — " +
+            violated.mkString("; "))
+      }
+      writeManifest(spark, table, next, published)
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Exception =>
+        moveBack(moves)
+        sys.error(s"cherry_pick of '$name' onto $table failed — " +
           s"every file moved back, nothing published: ${e.getMessage}")
     }
     next

@@ -187,7 +187,12 @@ object ScaleProofTail {
       // evolution, named branches, SQL onboarding, exact-substring
       // decontamination at 10x
       "q_catalog_delete_meta", "q_catalog_spec_evolve",
-      "q_table_branch", "q_catalog_adopt", "q_decontaminate_exact")
+      "q_table_branch", "q_catalog_adopt", "q_decontaminate_exact",
+      // round-12: exact-substring decontamination re-proved after the
+      // per-document-FP Bloom + anchor-equi-join fix, and its
+      // long-document variant (the corpus shape that broke the old
+      // screen)
+      "q_decontaminate_long")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

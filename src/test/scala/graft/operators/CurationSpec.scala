@@ -98,6 +98,59 @@ class CurationSpec extends SparkSpec {
       s"fast=${fast.size} brute=${brute.size} — must be row-identical")
   }
 
+  test("decontaminateExact on LONG documents: the Bloom screen passes " +
+    "~only true hits, the re-check is an equi-join, answers exact") {
+    // 400 documents of ~4,000 chars each (~1.5M windows total): the
+    // round-11 16-bit/k=3 screen (0.5%/window FP) passed essentially
+    // every such document; the 64-bit/k=6 screen must pass ~only the
+    // planted ones
+    val rnd = new scala.util.Random(7)
+    def longDoc(): String =
+      (1 to 800).map(_ => s"tok${rnd.nextInt(5000)}").mkString(" ")
+    val snippets = (1 to 50).map(i =>
+      (100L + i, s"unique benchmark passage number $i with some " +
+        s"distinctive tail content ${i * 7919}"))
+    val bench = snippets.toDF("bench_id", "snippet")
+    val contaminatedIds = (1L to 400L).filter(_ % 40 == 0) // 10 docs
+    val corpus = (1L to 400L).map { i =>
+      val body = longDoc()
+      val text = if (contaminatedIds.contains(i))
+        body.take(2000) + " " + snippets((i % 50).toInt)._2 + " " +
+          body.drop(2000)
+      else body
+      (i, text)
+    }.toDF("doc_id", "text")
+    val res = Curation.decontaminateExact(corpus, bench,
+      "doc_id", "text", "bench_id", "snippet")
+    // plan shape: the re-check must be a broadcast EQUI join on the
+    // anchor hash, never a nested loop over survivors × benchmark
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the exact re-check must be an anchor equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val got = res.as[(Long, Long)].collect().toMap
+    assert(got.keySet == contaminatedIds.toSet &&
+      got.values.forall(_ == 1L), got.toString)
+    // the SCREEN itself passes ~only true hits: count docs with a
+    // non-empty matched-anchor set at the production sizing
+    val w = math.min(64, snippets.map(_._2.length).min)
+    val anchors = snippets
+      .map(s => graft.plans.Kernels.windowHash(s._2, w)).distinct.toArray
+    val bitsLog2 = math.max(10,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        anchors.length.toLong * 64L - 1L))
+    val words = graft.plans.Kernels.bloomBuild(anchors, bitsLog2.toInt)
+    val survivors = corpus.as[(Long, String)].collect().count { case (_, t) =>
+      graft.plans.Kernels.rollingBloomAnchors(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), w, words)
+        .numElements() > 0
+    }
+    assert(survivors >= contaminatedIds.size &&
+      survivors <= contaminatedIds.size + 2,
+      s"screen must pass ~only the ${contaminatedIds.size} true hits " +
+        s"on a long-document corpus; passed $survivors")
+  }
+
   test("pii redaction: counts and replacements on a known string") {
     val df = Seq((1L,
       "mail me at jane.doe+x@corp.example.org or +1-555-0099, ssn 987-65-4321 ok"))

@@ -100,6 +100,20 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("set_spec drops per-commit meta — only the spec declaration " +
+    "carries into the evolution commit") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 10L).map(i => (i, s"r${i % 2}")).toDF("k", "region"),
+      append = false, meta = Map("note" -> "seed-provenance"))
+    val v = VersionedTable.setSpecCommit(spark, t, Seq("region"))
+    val meta = VersionedTable.metaOf(VersionedTable.manifest(spark, t, v))
+    assert(!meta.contains("note"),
+      "stale per-commit meta must not re-stamp into the set_spec commit")
+    assert(meta("partitioned_by") == "region")
+    assert(VersionedTable.read(spark, t).count() == 10L)
+  }
+
   test("readPartitions == read.filter on every value subset, and prunes") {
     val t = freshTable()
     VersionedTable.commitPartitioned(spark, t,

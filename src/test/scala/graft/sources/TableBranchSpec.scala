@@ -147,6 +147,165 @@ class TableBranchSpec extends SparkSpec {
       "after the drop the fork's files are reclaimable")
   }
 
+  test("cherry_pick replays a disjoint branch delta onto a DIVERGED " +
+    "main: appends move in, COW removals apply, MOR tombstones carry") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, i)).toDF("k", "x"),
+      append = false, statCols = Seq("k")) // file A
+    VersionedTable.commit(spark, t,
+      (51L to 100L).map(i => (i, i)).toDF("k", "x"),
+      append = true, statCols = Seq("k")) // file B
+    VersionedTable.branchCommit(spark, t, "dev")
+    val bp = VersionedTable.branchPath(t, "dev")
+    // branch: COW-delete file A wholesale, append file D, and
+    // MOR-delete one row of base-era file B
+    VersionedTable.deleteCommitWhere(spark, bp, col("k") <= 50)
+    VersionedTable.commit(spark, bp,
+      (201L to 220L).map(i => (i, i)).toDF("k", "x"), append = true)
+    VersionedTable.deleteCommit(spark, bp, col("k") === 60, Seq("k"))
+    // main diverges DISJOINTLY: appends file C
+    VersionedTable.commit(spark, t,
+      (101L to 150L).map(i => (i, i)).toDF("k", "x"), append = true)
+    intercept[IllegalArgumentException] {
+      VersionedTable.fastForwardCommit(spark, t, "dev")
+    } // diverged: ff refuses, cherry_pick is the path
+    val v = VersionedTable.cherryPickCommit(spark, t, "dev")
+    assert(v == VersionedTable.versions(spark, t).last)
+    val got = VersionedTable.read(spark, t).as[(Long, Long)]
+      .collect().map(_._1).toSet
+    val want = ((51L to 100L).toSet - 60L) ++ (101L to 150L) ++
+      (201L to 220L)
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    // every published file lives under MAIN now
+    val lines = VersionedTable.manifest(spark, t, v)
+    assert((VersionedTable.dataFilesOf(lines) ++
+      lines.filter(_.startsWith("dv\t")).map(_.substring(3)))
+      .forall(!_.contains("_branch/")),
+      "cherry-picked files and sidecars must move out of the branch dir")
+    VersionedTable.dropBranch(spark, t, "dev")
+    assert(VersionedTable.read(spark, t).count() == want.size.toLong)
+  }
+
+  test("cherry_pick refuses CONFLICTING rewrites, both COW-vs-COW " +
+    "and MOR-vs-COW, leaving both sides intact") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, i)).toDF("k", "x"),
+      append = false, statCols = Seq("k"))
+    // case 1: both sides COW-rewrite the same file
+    VersionedTable.branchCommit(spark, t, "cow")
+    VersionedTable.deleteCommitWhere(spark,
+      VersionedTable.branchPath(t, "cow"), col("k") <= 20)
+    VersionedTable.deleteCommitWhere(spark, t, col("k") <= 10)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPickCommit(spark, t, "cow")
+    }
+    assert(e1.getMessage.contains("conflicting rewrites"), e1.getMessage)
+    assert(VersionedTable.read(spark, t).count() == 40L,
+      "main untouched after the refusal")
+    assert(VersionedTable.read(spark,
+      VersionedTable.branchPath(t, "cow")).count() == 30L,
+      "branch untouched after the refusal")
+    VersionedTable.dropBranch(spark, t, "cow")
+    // case 2: main MOR-deletes a row in the file the branch rewrote
+    val t2 = freshTable()
+    VersionedTable.commit(spark, t2,
+      (1L to 50L).map(i => (i, i)).toDF("k", "x"),
+      append = false, statCols = Seq("k"))
+    VersionedTable.branchCommit(spark, t2, "morcow")
+    VersionedTable.deleteCommitWhere(spark,
+      VersionedTable.branchPath(t2, "morcow"), col("k") <= 50)
+    VersionedTable.deleteCommit(spark, t2, col("k") === 5, Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPickCommit(spark, t2, "morcow")
+    }
+    assert(e2.getMessage.contains("conflicting rewrites"), e2.getMessage)
+    // case 3: branch tombstones its OWN branch-era file
+    val t3 = freshTable()
+    VersionedTable.commit(spark, t3,
+      Seq((1L, 1L)).toDF("k", "x"), append = false)
+    VersionedTable.branchCommit(spark, t3, "selfdv")
+    val bp3 = VersionedTable.branchPath(t3, "selfdv")
+    VersionedTable.commit(spark, bp3,
+      (10L to 20L).map(i => (i, i)).toDF("k", "x"), append = true)
+    VersionedTable.deleteCommit(spark, bp3, col("k") === 15, Seq("k"))
+    VersionedTable.commit(spark, t3,
+      Seq((2L, 2L)).toDF("k", "x"), append = true) // diverge
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPickCommit(spark, t3, "selfdv")
+    }
+    assert(e3.getMessage.contains("purge_tombstones"), e3.getMessage)
+  }
+
+  test("a protocol-gated branch ABORTS vacuum/clean_orphans loudly " +
+    "instead of silently unpinning the files its head references") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, i)).toDF("k", "x"), append = false)
+    val forkFiles = files(t, 1)
+    VersionedTable.branchCommit(spark, t, "future")
+    VersionedTable.commit(spark, t,
+      Seq((1L, 1L)).toDF("k", "x"), append = false)
+    VersionedTable.commit(spark, t,
+      Seq((2L, 2L)).toDF("k", "x"), append = false)
+    // simulate a NEWER build having advanced the branch: its protocol
+    // now requires a feature this build does not know
+    val bp = VersionedTable.branchPath(t, "future")
+    val p = new org.apache.hadoop.fs.Path(bp, "_protocol")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write("r\tfuture-feature\nw\tfuture-feature\n"
+      .getBytes("UTF-8")) finally out.close()
+    intercept[GraftProtocolException] {
+      VersionedTable.vacuum(spark, t, 1)
+    }
+    intercept[GraftProtocolException] {
+      VersionedTable.cleanOrphans(spark, t, 0L)
+    }
+    assert(forkFiles.forall(df =>
+      f.exists(new org.apache.hadoop.fs.Path(df))),
+      "an aborted sweep must not have deleted anything")
+    // un-gating (an upgraded build's view) restores normal behavior
+    f.delete(p, false)
+    val (_, dead) = VersionedTable.vacuum(spark, t, 1)
+    assert(dead.toSet.intersect(forkFiles).isEmpty,
+      "fork-referenced files stay alive through the real sweep")
+  }
+
+  test("a crashed branch create (marker-only dir) is invisible to " +
+    "listings and sweeps, and the create is retryable") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      Seq((1L, 1L)).toDF("k", "x"), append = false)
+    // simulate the crash window: _base written, clone not yet published
+    val bp = VersionedTable.branchPath(t, "half")
+    val marker = new org.apache.hadoop.fs.Path(bp, "_base")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(marker, false)
+    try out.write("1\n".getBytes("UTF-8")) finally out.close()
+    assert(VersionedTable.branchesOf(spark, t).isEmpty,
+      "a manifest-less branch dir is not a branch yet")
+    assert(VersionedTable.cleanOrphans(spark, t, 0L).isEmpty)
+    // the retried create overwrites the leftover marker and completes
+    assert(VersionedTable.branchCommit(spark, t, "half") == 1)
+    assert(VersionedTable.branchesOf(spark, t)("half") == ((1, 1)))
+    assert(VersionedTable.read(spark, bp).count() == 1L)
+  }
+
+  test("CALL addresses a nested table legitimately named 'branch_*' " +
+    "instead of blindly mapping it to a branch dir") {
+    warehouse
+    val nested = s"$warehouse/ns/branch_metrics"
+    VersionedTable.commit(spark, nested,
+      (1L to 20L).map(i => (i, i)).toDF("k", "x"), append = false)
+    spark.sql("CALL gb.system.analyze('ns.branch_metrics', 'k')")
+    assert(VersionedTable.statColsOf(VersionedTable.manifest(spark,
+      nested, VersionedTable.versions(spark, nested).last))
+      .contains("k"),
+      "the CALL must land on the nested table itself, not _branch/")
+  }
+
   test("SQL lifecycle: CALL branch, write via gt.<t>.branch_<n>, " +
     "read via VERSION AS OF name, CALL fast_forward") {
     warehouse
