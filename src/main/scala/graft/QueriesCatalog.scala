@@ -1477,7 +1477,58 @@ object QueriesCatalog {
       |WHERE o_orderkey % 30 <> 0
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ADD COLUMN ... DEFAULT ([[VersionedTable.addColumnCommit]] with a
+  // default): a populated table evolves metadata-only (per-file nc
+  // era tags, zero data I/O), then the aggregate spans BOTH eras —
+  // pre-evolution rows serve the declared default, an INSERT omitting
+  // the column materializes CURRENT_DEFAULT, explicit values (NULL
+  // included) win. The oracle models the default arithmetic from raw
+  // orders.
+  // ---------------------------------------------------------------------
+  def catalogDefault(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val src = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    // era A: the %2=0 class, committed BEFORE the default exists
+    VersionedTable.commit(s, s"$w/dft",
+      src.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey"))
+    s.sql(s"ALTER TABLE $cat.dft ADD COLUMN discount_cents BIGINT " +
+      "DEFAULT 25")
+    // era B, half omitting the column (CURRENT_DEFAULT fills it),
+    // half with an explicit per-row value
+    src.filter(col("o_orderkey") % 4 === 1)
+      .createOrReplaceTempView("dft_omit")
+    s.sql(s"INSERT INTO $cat.dft (o_orderkey, o_orderstatus, " +
+      "price_cents) SELECT * FROM dft_omit")
+    src.filter(col("o_orderkey") % 4 === 3)
+      .withColumn("discount_cents", col("o_orderkey") % 100)
+      .createOrReplaceTempView("dft_explicit")
+    s.sql(s"INSERT INTO $cat.dft SELECT * FROM dft_explicit")
+    s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+      CAST(sum(price_cents - discount_cents) AS BIGINT) AS net_cents,
+      CAST(sum(discount_cents) AS BIGINT) AS disc_cents
+      FROM $cat.dft GROUP BY o_orderstatus""")
+  }
+
+  val catalogDefaultSql: String =
+    """WITH rows_ AS (
+      |    SELECT o_orderstatus,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |      CASE WHEN o_orderkey % 2 = 0 THEN 25
+      |           WHEN o_orderkey % 4 = 1 THEN 25
+      |           ELSE o_orderkey % 100 END AS discount_cents
+      |    FROM orders)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(price_cents - discount_cents) AS BIGINT) AS net_cents,
+      |  CAST(sum(discount_cents) AS BIGINT) AS disc_cents
+      |FROM rows_ GROUP BY o_orderstatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_default" -> (catalogDefault _),
     "q_catalog_cherry_pick" -> (catalogCherryPick _),
     "q_catalog_view" -> (catalogView _),
     "q_catalog_ctas" -> (catalogCtas _),
@@ -1505,6 +1556,7 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_default" -> catalogDefaultSql,
     "q_catalog_cherry_pick" -> catalogCherryPickSql,
     "q_catalog_view" -> catalogViewSql,
     "q_catalog_ctas" -> catalogCtasSql,

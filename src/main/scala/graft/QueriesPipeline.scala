@@ -205,6 +205,87 @@ object QueriesPipeline {
        |GROUP BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TEXT-ANCHOR FILE SKIPPING ([[graft.sources.VersionedTable
+  // .textIndexBuild]]): documents land in a versioned table as 8
+  // range-partitioned files, a persisted per-file Bloom over window
+  // rolling hashes is built, and the benchmark snippets are cut from
+  // the LOW doc_id band only — so the indexed decontamination must
+  // prune the scan to the contaminated file(s) (the in-query require
+  // pins it via the notifier) while staying row-identical to the
+  // oracle's brute-force position() join over the whole corpus.
+  // ---------------------------------------------------------------------
+  val IdxBenchMod = 7
+  val IdxSnipFrom = 15
+  val IdxSnipLen = 80
+  val IdxNoise = "this exact sentence appears in no corpus document " +
+    "anywhere at all, however hard anyone looks for it"
+
+  def decontaminateIndex(s: SparkSession, dir: String): DataFrame = {
+    val VT = graft.sources.VersionedTable
+    val docs = t(s, dir, "documents")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_textidx").toString + "/docs"
+    VT.commit(s, table, docs.repartitionByRange(8, col("doc_id")),
+      append = false, statCols = Seq("doc_id"))
+    // SIZE THE INDEX FROM THE DATA (the q_bloom_skipping rule): a
+    // Bloom saturates once keys exceed ~bits/8, and keys-per-file
+    // here is ~chars-per-file — a fixed size would prune at one SF
+    // and saturate at 10x
+    val agg = docs.agg(sum(length(col("text"))), max(col("doc_id")))
+      .collect()(0)
+    val windowsPerFile = math.max(agg.getLong(0) / 8, 1L)
+    val bitsLog2 = math.min(26, math.max(14,
+      64 - java.lang.Long.numberOfLeadingZeros(8 * windowsPerFile - 1)))
+    VT.textIndexBuild(s, table, "text", bitsLog2 = bitsLog2.toInt)
+    val cut = agg.getLong(1) / 8
+    val noise = {
+      val s2 = s
+      import s2.implicits._
+      Seq((-1L, IdxNoise)).toDF("bench_id", "snippet")
+    }
+    val bench = docs
+      .filter(col("doc_id") % IdxBenchMod === 0 &&
+        col("doc_id") <= cut &&
+        length(col("text")) >= IdxSnipFrom + IdxSnipLen + 15)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), IdxSnipFrom, IdxSnipLen).as("snippet"))
+      .union(noise)
+    var pruned = (-1, -1)
+    VT.textIndexPruneNotifier = (c, n) => pruned = (c, n)
+    try {
+      // the scale-invariant pruning pin: a snippet that appears in NO
+      // document must probe to (almost) no candidate files at ANY SF
+      // — the real-bench candidate count legitimately grows with the
+      // corpus (the 10x replica corpus duplicates snippets into every
+      // file), so only the nowhere-probe is an invariant
+      val noiseCand = VT.textIndexCandidates(s, table, "text",
+        Seq(IdxNoise)).getOrElse(sys.error("index must be usable"))
+      require(pruned._2 == 8 && noiseCand.size <= 2,
+        s"the text-anchor index must prune a nowhere-snippet probe " +
+          s"to ~zero of the 8 files, kept ${noiseCand.size}")
+      VT.decontaminateExactTable(s, table,
+        "doc_id", "text", bench, "bench_id", "snippet")
+    } finally VT.textIndexPruneNotifier = (_, _) => ()
+  }
+
+  val decontaminateIndexSql: String =
+    s"""WITH mx AS (
+       |    SELECT CAST(floor(max(doc_id) / 8.0) AS BIGINT) AS cut
+       |    FROM documents),
+       |  bench AS (
+       |    SELECT doc_id AS bench_id,
+       |      substr(text, $IdxSnipFrom, $IdxSnipLen) AS snippet
+       |    FROM documents, mx
+       |    WHERE doc_id % $IdxBenchMod = 0 AND doc_id <= cut
+       |      AND length(text) >= ${IdxSnipFrom + IdxSnipLen + 15}
+       |    UNION ALL
+       |    SELECT -1, '$IdxNoise')
+       |SELECT d.doc_id,
+       |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+       |FROM documents d JOIN bench b ON position(b.snippet IN d.text) > 0
+       |GROUP BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PII redaction: deterministic synthetic PII injected on both engines
   // (the corpus has none), then the same RE2-safe patterns redact it
   // ---------------------------------------------------------------------
@@ -1435,6 +1516,7 @@ object QueriesPipeline {
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_exact" -> (decontaminateExact _),
     "q_decontaminate_long" -> (decontaminateLong _),
+    "q_decontaminate_index" -> (decontaminateIndex _),
     "q_pii_redact" -> (piiRedact _),
     "q_editdist_neardup" -> (editdistNearDup _),
     "q_cdc_merge" -> (cdcMerge _),
@@ -1481,6 +1563,7 @@ object QueriesPipeline {
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_exact" -> decontaminateExactSql,
     "q_decontaminate_long" -> decontaminateLongSql,
+    "q_decontaminate_index" -> decontaminateIndexSql,
     "q_pii_redact" -> piiRedactSql,
     "q_editdist_neardup" -> editdistNearDupSql,
     "q_cdc_merge" -> cdcMergeSql,

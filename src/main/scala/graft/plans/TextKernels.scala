@@ -468,6 +468,37 @@ object Kernels {
     false
   }
 
+  /** ALL DISTINCT `w`-char window rolling hashes of `text` — the
+    * index-build side of text-anchor file skipping
+    * ([[graft.sources.TextIndex]]): each data file's windows fold
+    * into a per-file Bloom, so a `contains`/decontamination query can
+    * prune FILES before any rolling pass runs. Same O(chars) pass and
+    * O(1) slide as the probe kernels. */
+  def rollingWindowHashes(text: UTF8String, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.max(0, n - w + 1))
+    if (n >= w) {
+      var h = 0L
+      var i = 0
+      while (i < w) { h = h * 31 + s.charAt(i); i += 1 }
+      var powW = 1L
+      i = 1
+      while (i < w) { powW *= 31; i += 1 }
+      var pos = 0
+      while (pos <= n - w) {
+        if (pos > 0)
+          h = (h - s.charAt(pos - 1) * powW) * 31 + s.charAt(pos + w - 1)
+        if (seen.add(h)) out += h
+        pos += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** The DISTINCT matched window hashes of `text` against the Bloom
     * filter — the anchor-returning variant of [[rollingBloomHit]]:
     * instead of a boolean, the caller gets WHICH anchors (possibly)
@@ -574,6 +605,35 @@ case class RollingBloomAnchors(child: Expression, w: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): RollingBloomAnchors = copy(child = newChild)
+}
+
+/** `graft_rolling_window_hashes(text)`: ALL distinct `w`-char window
+  * rolling hashes of the document — the index-BUILD kernel of
+  * text-anchor file skipping ([[graft.sources.TextIndex]]); the
+  * probe-side twins are [[RollingBloomHit]]/[[RollingBloomAnchors]].
+  * array<long>, null-safe, whole-stage-codegen'd. */
+case class RollingWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string) and w > 0")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.rollingWindowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.rollingWindowHashes($c, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingWindowHashes = copy(child = newChild)
 }
 
 /** `graft_shingle_hash32(text, n)`: array of stable32 hashes of the

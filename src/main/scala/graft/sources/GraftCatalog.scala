@@ -367,7 +367,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def capabilities()
       : java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // DEFAULT declarations ride the sc schema's field metadata
+      // (CURRENT_DEFAULT / EXISTS_DEFAULT, Spark's own resolver keys),
+      // so INSERTs that omit a defaulted column materialize it
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** SQL DDL → the layer's metadata-only commits: RENAME/DROP COLUMN
     * ride the column-mapping publishes, ADD COLUMN the declared-schema
@@ -400,12 +404,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case d: TableChange.DeleteColumn =>
         VersionedTable.dropColumnCommit(spark, p, one(d.fieldNames()))
       case a: TableChange.AddColumn =>
-        require(a.isNullable && a.position() == null &&
-          a.defaultValue() == null,
-          "ADD COLUMN supports nullable columns, appended last, " +
-            "without defaults")
+        require(a.isNullable && a.position() == null,
+          "ADD COLUMN supports nullable columns, appended last")
         VersionedTable.addColumnCommit(spark, p,
-          one(a.fieldNames()), a.dataType())
+          one(a.fieldNames()), a.dataType(),
+          Option(a.defaultValue()).map(_.getSql))
       case c: TableChange.AddConstraint =>
         c.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -522,17 +525,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val prev = reshape
         reshape = df => prev(df).drop(c)
       case a: TableChange.AddColumn =>
-        require(a.isNullable && a.position() == null &&
-          a.defaultValue() == null,
-          "ADD COLUMN supports nullable columns, appended last, " +
-            "without defaults")
+        require(a.isNullable && a.position() == null,
+          "ADD COLUMN supports nullable columns, appended last")
         val c = one(a.fieldNames())
         require(!schema.fieldNames.contains(c),
           s"ALTER would fail: column '$c' already exists")
         schema = schema.add(c, a.dataType(), nullable = true)
+        val dflt = Option(a.defaultValue()).map(_.getSql)
         val prev = reshape
-        reshape = df => prev(df)
-          .withColumn(c, lit(null).cast(a.dataType()))
+        reshape = df => prev(df).withColumn(c,
+          dflt.map(expr(_).cast(a.dataType()))
+            .getOrElse(lit(null).cast(a.dataType())))
       case c: TableChange.AddConstraint =>
         c.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>

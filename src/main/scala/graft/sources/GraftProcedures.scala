@@ -43,7 +43,7 @@ private[sources] object GraftProcedures {
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
     "restore", "clean_orphans", "vacuum_retention", "clone",
     "set_spec", "branch", "fast_forward", "cherry_pick",
-    "drop_branch", "adopt", "convert")
+    "drop_branch", "expire_branches", "adopt", "convert")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -253,6 +253,18 @@ private[sources] object GraftProcedures {
         versionOut) { r =>
         versionRow(VersionedTable.cherryPickCommit(spark,
           pathOf(str(r, 0)), str(r, 1)))
+      })
+      case "expire_branches" => Some(proc("expire_branches",
+        "drop branches whose head is older than max_age_ms; a stale " +
+          "branch with unpublished work refuses unless force => true",
+        Seq(in("table", StringType), in("max_age_ms", LongType),
+          in("force", BooleanType, Some("false"))),
+        StructType(Seq(StructField("expired", StringType,
+          nullable = false)))) { r =>
+        VersionedTable.expireBranches(spark, pathOf(str(r, 0)),
+          r.getLong(1), force = r.getBoolean(2))
+          .map(n => new GenericInternalRow(
+            Array[Any](UTF8String.fromString(n))))
       })
       case "drop_branch" => Some(proc("drop_branch",
         "drop a branch and its unpublished commits (idempotent)",

@@ -213,6 +213,35 @@ object VersionedTable {
     * getFileStatus at use — correct, just slower. */
   private val FzPrefix = "fz\t"
 
+  /** NO-COLUMN LINE `nc<TAB><physicalCol><TAB><path>`: the file
+    * PREDATES column `physicalCol`'s [[addColumnCommit]] with a
+    * DEFAULT value, so reads serve the declared default for its rows
+    * instead of null — Iceberg v3's initial-default / Delta's
+    * exists-default, realized as per-file manifest tags (stamped once
+    * at the metadata-only evolution commit, zero data I/O at any
+    * size). Files written after the evolution carry the column
+    * physically; files REWRITTEN after it (compaction, COW DML) have
+    * the default materialized by the rewrite's logical read and lose
+    * the tag with their old path. Carried across rewrites by
+    * [[stLinesFor]] exactly like st stats; stale tags (departed
+    * paths) are reconciled away by [[writeManifest]]. Tables with nc
+    * lines demand the `column-defaults` reader feature — an old build
+    * would misread the tag as a data path and serve nulls. */
+  private val NcPrefix = "nc\t"
+
+  private def ncColOf(l: String): String =
+    l.substring(NcPrefix.length, l.indexOf('\t', NcPrefix.length))
+  private def ncPathOf(l: String): String =
+    l.substring(l.indexOf('\t', NcPrefix.length) + 1)
+
+  /** Parsed nc lines: normalized path → physical columns the file
+    * predates (and must serve declared defaults for). */
+  private[sources] def ncTagsOf(lines: Seq[String])
+      : Map[String, Set[String]] =
+    lines.filter(_.startsWith(NcPrefix))
+      .groupBy(l => norm(ncPathOf(l)))
+      .view.mapValues(_.map(ncColOf).toSet).toMap
+
   /** Parsed fz lines: normalized path → byte length. */
   private[sources] def fileSizesOf(lines: Seq[String]): Map[String, Long] =
     lines.collect { case l if l.startsWith(FzPrefix) =>
@@ -376,13 +405,19 @@ object VersionedTable {
       data.forall(f => cols.forall(c => have((norm(f), c))))
   }
 
-  /** st lines of `lines` whose file is in `paths` — how carry paths
-    * keep carried files' stats alive across rewrites. */
+  /** Per-file ANNOTATION lines (st stats + nc default-era tags) of
+    * `lines` whose file is in `paths` — how carry paths keep carried
+    * files' stats AND default-era membership alive across rewrites
+    * (a rewritten file materializes defaults and must NOT keep the
+    * tag; it never appears in `paths` with its old path). */
   private def stLinesFor(lines: Seq[String],
                          paths: Seq[String]): Seq[String] = {
     val keep = paths.map(norm).toSet
-    lines.filter(l => l.startsWith(StPrefix) &&
-      keep.contains(norm(l.substring(l.indexOf('\t', StPrefix.length) + 1))))
+    lines.filter(l =>
+      (l.startsWith(StPrefix) &&
+        keep.contains(norm(
+          l.substring(l.indexOf('\t', StPrefix.length) + 1)))) ||
+      (l.startsWith(NcPrefix) && keep.contains(norm(ncPathOf(l)))))
   }
 
   /** Compute st manifest lines for freshly written `files`. Fast
@@ -543,7 +578,8 @@ object VersionedTable {
         l.substring(l.indexOf('\t', PtPrefix.length) + 1)
       case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
         !l.startsWith(StPrefix) && !l.startsWith(ScPrefix) &&
-        !l.startsWith(CmPrefix) && !l.startsWith(FzPrefix) => l
+        !l.startsWith(CmPrefix) && !l.startsWith(FzPrefix) &&
+        !l.startsWith(NcPrefix) => l
     }
 
   /** `(partition column, value, path)` of every PARTITION-TAGGED data
@@ -769,8 +805,18 @@ object VersionedTable {
       if (!prevResolvable) Seq.empty
       else readManifest(spark, table, v - 1)
         .filterNot(_.startsWith(CommitTsPrefix))
-    val payload = withFileSizes(spark,
+    val payload0 = withFileSizes(spark,
       files0.filterNot(_.startsWith(CommitTsPrefix)), prevLines)
+    // nc reconciliation (same central discipline as fz): default-era
+    // tags of DEPARTED files drop — path-keyed annotations never
+    // outlive their file in a published manifest
+    val payload =
+      if (!payload0.exists(_.startsWith(NcPrefix))) payload0
+      else {
+        val dataSet = dataFilesOf(payload0).map(norm).toSet
+        payload0.filterNot(l => l.startsWith(NcPrefix) &&
+          !dataSet.contains(norm(ncPathOf(l)))).distinct
+      }
     val files = payload :+ (CommitTsPrefix + ts)
     // choose the physical encoding: delta vs v-1 when strictly smaller
     // than the snapshot (the common append/merge/delete case — O(changed
@@ -1362,14 +1408,58 @@ object VersionedTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     }
-    val base = baseSnapshotRead(spark, lines, data)
     val dvs = dvFilesOf(lines)
-    // dv sidecars key on PHYSICAL names: the anti-join runs before
-    // the cm translation, so tombstones survive any later rename
-    widenToDeclared(applyMapping(if (dvs.isEmpty) base
-    else applyTombstones(spark,
-      base.withColumn(FileCol, normFileExpr), dvs).drop(FileCol),
-      lines), lines)
+    val defaults = schemaOfLines(lines).map(columnDefaultsOf)
+      .getOrElse(Map.empty)
+    val nc =
+      if (defaults.isEmpty) Map.empty[String, Set[String]]
+      else ncTagsOf(lines)
+    if (nc.isEmpty) {
+      // no default-era files in this snapshot: the original single
+      // explicit-schema scan
+      val base = baseSnapshotRead(spark, lines, data)
+      // dv sidecars key on PHYSICAL names: the anti-join runs before
+      // the cm translation, so tombstones survive any later rename
+      widenToDeclared(applyMapping(if (dvs.isEmpty) base
+      else applyTombstones(spark,
+        base.withColumn(FileCol, normFileExpr), dvs).drop(FileCol),
+        lines), lines)
+    } else {
+      // DECLARED DEFAULTS over pre-evolution files: group the scan by
+      // each file's nc-tag set (one group per evolution era — a
+      // handful, not O(files)) and serve the declared default where
+      // the file predates the column; rows from post-era files keep
+      // their physical values (NULL included). Scan-level pseudo
+      // columns (file identity, row position) materialize INSIDE each
+      // branch — they cannot resolve above a union.
+      val posNeeded = dvs.nonEmpty &&
+        spark.read.parquet(dvs: _*).schema.fieldNames.contains(PosCol)
+      def scanCols(df: DataFrame): DataFrame =
+        if (dvs.isEmpty) df
+        else {
+          val d = df.withColumn(FileCol, normFileExpr)
+          if (posNeeded) d.withColumn(PosCol,
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          else d
+        }
+      val renames = renameMapOf(lines) // logical -> physical
+      val physDefault = defaults.map { case (lg, d) =>
+        renames.getOrElse(lg, lg) -> d }
+      val base = data
+        .groupBy(f => nc.getOrElse(norm(f), Set.empty)
+          .intersect(physDefault.keySet)).toSeq
+        .map { case (missing, files) =>
+          val df = scanCols(baseSnapshotRead(spark, lines, files))
+          missing.foldLeft(df) { (d, physCol) =>
+            val (dt, sqlText) = physDefault(physCol)
+            d.withColumn(physCol,
+              org.apache.spark.sql.functions.expr(sqlText).cast(dt))
+          }
+        }.reduce(_.unionByName(_))
+      val afterDv = if (dvs.isEmpty) base
+        else applyTombstones(spark, base, dvs).drop(FileCol, PosCol)
+      widenToDeclared(applyMapping(afterDv, lines), lines)
+    }
   }
 
   /** Apply a snapshot's deletion-vector sidecars to `base` (which must
@@ -3079,6 +3169,41 @@ object VersionedTable {
     ()
   }
 
+  /** The table property key [[maintain]] reads to auto-expire stale
+    * branches: a branch whose HEAD commit is older than this many
+    * milliseconds stops pinning its era's files. */
+  val BranchRetentionProp = "branch.retention.ms"
+
+  /** EXPIRE stale branches — the retention that stops an ABANDONED
+    * fork from pinning its era's files forever (vacuum/clean_orphans
+    * treat every branch head as live, so without expiry one forgotten
+    * `CALL branch` holds 100 TB of history hostage). A branch is
+    * STALE when its head commit is older than `maxAgeMs`. Expiring a
+    * stale branch that carries UNPUBLISHED WORK (any commit beyond
+    * the fork snapshot) REFUSES loudly unless `force` — dropping it
+    * deletes the only reference to that work; a workless stale fork
+    * expires freely. Returns the dropped branch names. O(branches)
+    * manifest timestamp reads, zero data I/O. */
+  def expireBranches(spark: SparkSession, table: String,
+                     maxAgeMs: Long, force: Boolean = false,
+                     skipWorked: Boolean = false): Seq[String] = {
+    require(maxAgeMs >= 0, "max_age_ms must be >= 0")
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    branchesOf(spark, table).toSeq.sortBy(_._1).flatMap {
+      case (name, (_, head)) =>
+        val dir = branchPath(table, name)
+        if (commitTimeOf(spark, dir, head) > cutoff) None // active
+        else if (head > 1 && !force) {
+          if (skipWorked) None // maintenance policy: never destroys work
+          else sys.error(s"branch '$name' is stale but carries " +
+            s"unpublished work (head v$head past the fork) — " +
+            "fast_forward/cherry_pick it, or expire with force => true " +
+            "to discard the work")
+        }
+        else { dropBranch(spark, table, name); Some(name) }
+    }
+  }
+
   /** Every data/dv path a branch HEAD references — files main's
     * vacuum must treat as live while the fork exists. O(branches)
     * manifest reads, zero data I/O.
@@ -3275,6 +3400,11 @@ object VersionedTable {
       s"cherry_pick cannot replay column-mapping changes made on " +
         s"'$name' — rename/drop evolution is not a file delta; " +
         "fast-forward from an unmoved base, or redo it on main")
+    require(scLinesOf(bLines).toSet == scLinesOf(baseLines).toSet,
+      s"cherry_pick cannot replay schema evolution made on '$name' " +
+        "(the replay keeps MAIN's declared schema, which would " +
+        "silently hide the branch's new columns) — fast-forward from " +
+        "an unmoved base, or evolve main first")
     val baseData = dataFilesOf(baseLines).map(norm).toSet
     val headData = dataFilesOf(headLines).map(norm).toSet
     val bData = dataFilesOf(bLines)
@@ -3407,6 +3537,155 @@ object VersionedTable {
     next
   }
 
+  // -------------------------------------------------------------------
+  // TEXT-ANCHOR FILE SKIPPING: a persisted per-file Bloom over every
+  // w-char window rolling hash of a text column, so exact-substring
+  // decontamination / `contains` queries prune FILES before any
+  // rolling pass — corpus-linear becomes touched-files-linear on a
+  // partitioned estate. The index is the relational (file, word_idx,
+  // bits) layout [[FileSkipping.collectBloomStats]] established,
+  // written as a parquet sidecar under `<table>/_index/` (outside the
+  // data/ orphan sweep) and pointed to by the `index.text.<col>`
+  // TABLE PROPERTY — zero manifest-line impact, so no reader gets
+  // protocol-gated by an optional index. Staleness is handled by
+  // construction: files ADDED after the build are absent from the
+  // index and always scan (zero false negatives); files REMOVED leave
+  // ignored rows. Rebuild with [[textIndexBuild]] after major churn.
+  // -------------------------------------------------------------------
+
+  private def textIndexProp(textCol: String) = s"index.text.$textCol"
+
+  /** Test seam: fired `(candidateFiles, totalFiles)` after an index
+    * probe — what specs/gates pin to prove files were skipped. */
+  private[graft] var textIndexPruneNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
+  /** Build (or rebuild) the text-anchor index for `textCol` over the
+    * CURRENT snapshot: one corpus pass (the same O(chars)/O(1)-slide
+    * rolling kernel the queries compile to), map-side-combined into
+    * O(files × words) Bloom cells. Returns the sidecar path. */
+  def textIndexBuild(spark: SparkSession, table: String, textCol: String,
+                     w: Int = 64, bitsLog2: Int = 20, k: Int = 4)
+      : String = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    require(w > 0 && bitsLog2 >= 6 && k > 0, "bad index parameters")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    require(dataFilesOf(lines).nonEmpty, s"$table has no data files")
+    val snap = readSnapshotTagged(spark, lines)
+    require(snap.columns.contains(textCol),
+      s"no column '$textCol' in $table")
+    val hashes = snap.select(col(FileCol).as("file"),
+      explode(org.apache.spark.sql.GraftSqlShims.column(
+        graft.plans.RollingWindowHashes(
+          org.apache.spark.sql.GraftSqlShims.expression(col(textCol)),
+          w))).as("__h"))
+    val cells = graft.operators.Sketches.bloomCells(hashes,
+        col("__h").cast("string"), bitsLog2, k,
+        Seq(col("file")))
+      .groupBy(col("file"), col("word_idx"))
+      .agg(expr("bit_or(bit)").as("bits"))
+    val dir = new Path(table, s"_index/text_${textCol}_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    cells.write.parquet(dir.toString)
+    val prev = tablePropertyOf(spark, table, textIndexProp(textCol))
+    setTableProperty(spark, table, textIndexProp(textCol),
+      s"$w\t$bitsLog2\t$k\t$dir")
+    prev.foreach { v => // retire the replaced sidecar
+      val old = new Path(v.split('\t').last)
+      if (norm(old.toString).contains("/_index/"))
+        fs(spark, old).delete(old, true)
+    }
+    dir.toString
+  }
+
+  /** The files of the CURRENT snapshot that could contain ANY of
+    * `snippets` verbatim, per the text-anchor index — None when no
+    * usable index exists (not built, or a snippet is shorter than the
+    * indexed window, which would have no anchor to probe). Zero false
+    * negatives: a file truly containing a snippet set every probe bit
+    * of its first-w-chars window at build time, and files newer than
+    * the index are always candidates. O(index cells) metadata read,
+    * zero data I/O. */
+  def textIndexCandidates(spark: SparkSession, table: String,
+                          textCol: String, snippets: Seq[String])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    tablePropertyOf(spark, table, textIndexProp(textCol)).flatMap { v =>
+      val parts = v.split('\t')
+      val (w, bitsLog2, k, path) =
+        (parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3))
+      if (snippets.isEmpty || snippets.exists(_.length < w)) None
+      else {
+        val vs = versions(spark, table)
+        require(vs.nonEmpty, s"no committed versions in $table")
+        val data = dataFilesOf(readManifest(spark, table, vs.last))
+        val anchors = snippets
+          .map(s => graft.plans.Kernels.windowHash(s, w)).distinct
+        // probe positions THROUGH the same SQL hash the build used
+        val s2 = spark
+        import s2.implicits._
+        val probes = graft.operators.Sketches.bloomCells(
+            anchors.toDF("__v"), col("__v").cast("string"),
+            bitsLog2, k, Seq(col("__v")))
+          .collect()
+          .map(r => (r.getLong(r.fieldIndex("__v")),
+            (r.getLong(r.fieldIndex("word_idx")),
+              r.getLong(r.fieldIndex("bit")))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val words = probes.valuesIterator.flatten.map(_._1).toSeq.distinct
+        val idx = spark.read.parquet(path)
+        val bitsByFw = idx
+          .filter(col("word_idx").isin(words: _*))
+          .select("file", "word_idx", "bits").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val indexed = idx.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val hit = indexed.filter(f => probes.valuesIterator.exists(
+          _.forall { case (word, bit) =>
+            (bitsByFw.getOrElse((f, word), 0L) & bit) != 0L }))
+        val cand = data.filter(p =>
+          hit.contains(norm(p)) || !indexed.contains(norm(p)))
+        textIndexPruneNotifier(cand.size, data.size)
+        Some(cand)
+      }
+    }
+  }
+
+  /** EXACT-SUBSTRING DECONTAMINATION over a versioned table, with the
+    * text-anchor index pruning files first when one exists:
+    * row-identical to [[graft.operators.Curation.decontaminateExact]]
+    * over the full snapshot (a pruned-away file provably contains no
+    * benchmark anchor window, so it could not contain a snippet). */
+  def decontaminateExactTable(spark: SparkSession, table: String,
+                              idCol: String, textCol: String,
+                              bench: DataFrame, benchIdCol: String,
+                              benchTextCol: String,
+                              window: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snippets = bench.select(col(benchTextCol)).collect()
+      .flatMap(r => Option(r.getString(0))).toSeq.filter(_.nonEmpty)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val train = textIndexCandidates(spark, table, textCol, snippets) match {
+      case Some(cand) if cand.isEmpty =>
+        readSnapshot(spark, lines).limit(0)
+      case Some(cand) =>
+        // subset read: candidate data lines + every annotation the
+        // full read would apply (dv tombstones, column mapping,
+        // declared schema, per-file st/nc lines)
+        val lineOf = dataLineByPath(lines)
+        readSnapshot(spark,
+          cand.map(p => lineOf(norm(p))) ++ stLinesFor(lines, cand) ++
+            dvLinesOf(lines) ++ cmLinesOf(lines) ++ scLinesOf(lines))
+      case None => readSnapshot(spark, lines)
+    }
+    graft.operators.Curation.decontaminateExact(train, bench,
+      idCol, textCol, benchIdCol, benchTextCol, window)
+  }
+
   /** One report line of [[maintain]]. */
   final case class MaintenanceAction(kind: String, detail: String,
                                      version: Int)
@@ -3501,6 +3780,20 @@ object VersionedTable {
           s"$fresh files since v$baseV", v)
       }
     }
+
+    // 5. branch retention (only when the table DECLARES it): stale
+    // WORKLESS forks expire so they stop pinning files; a stale
+    // branch carrying unpublished work is never destroyed by policy —
+    // that takes an explicit `CALL expire_branches(..., force)`
+    tablePropertyOf(spark, table, BranchRetentionProp)
+      .flatMap(v => v.toLongOption).foreach { ms =>
+        expireBranches(spark, table, ms, force = false,
+          skipWorked = true).foreach { name =>
+          out += MaintenanceAction("expire-branch",
+            s"stale fork '$name' past ${ms}ms retention",
+            versions(spark, table).last)
+        }
+      }
     out.toSeq
   }
 
@@ -5577,9 +5870,40 @@ object VersionedTable {
     * Re-adding a previously DROPPED name is rejected: old files still
     * hold the physical column, and the mapping layer would either
     * resurrect stale values or swallow new ones — use a fresh name. */
+  /** The StructField metadata keys a declared column DEFAULT rides in
+    * — Spark's own resolver keys, so a session catalog / DESCRIBE /
+    * INSERT-omitting-the-column all see the same declaration. */
+  private val CurrentDefaultKey = "CURRENT_DEFAULT"
+  private val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** The defaulted columns of a declared schema:
+    * logical name → (dataType, default SQL text). */
+  private[sources] def columnDefaultsOf(
+      sc: org.apache.spark.sql.types.StructType)
+      : Map[String, (org.apache.spark.sql.types.DataType, String)] =
+    sc.fields.iterator.filter(_.metadata.contains(ExistsDefaultKey))
+      .map(f => f.name ->
+        ((f.dataType, f.metadata.getString(ExistsDefaultKey)))).toMap
+
+  /** ADD COLUMN — metadata-only schema widening (one sc-line commit,
+    * zero data I/O at any table size). Without `default`, rows from
+    * files that predate the column read as typed NULL (the standard
+    * add-column contract). WITH `default` — `ALTER TABLE ... ADD
+    * COLUMN x INT DEFAULT 7` — rows from pre-existing files read as
+    * the default instead (Iceberg v3 initial-default / Delta
+    * exists-default): the evolution commit tags every CURRENT data
+    * file with an `nc` line, still pure metadata — no backfill
+    * rewrite ever happens on this path. The default must be a
+    * CONSTANT (foldable) expression castable to the column type; it
+    * also becomes the column's CURRENT_DEFAULT, so an INSERT that
+    * omits the column materializes it (Spark fills it from the
+    * declared schema's metadata). Tables evolved this way demand the
+    * `column-defaults` protocol feature — an old build would serve
+    * NULL where the declaration says the default. */
   def addColumnCommit(spark: SparkSession, table: String,
                       colName: String,
-                      dataType: org.apache.spark.sql.types.DataType)
+                      dataType: org.apache.spark.sql.types.DataType,
+                      default: Option[String] = None)
       : Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions in $table")
@@ -5592,14 +5916,46 @@ object VersionedTable {
       !renameMapOf(lines).valuesIterator.contains(colName),
       s"'$colName' is (or shadows) a retired physical column — " +
         "pick a fresh name")
+    val newField = default match {
+      case None =>
+        org.apache.spark.sql.types.StructField(colName, dataType,
+          nullable = true)
+      case Some(sqlText) =>
+        require(!sqlText.contains('\n'),
+          "a column default must be one line")
+        // constant-only, type-checked NOW: evaluating the declaration
+        // is one driver-side literal fold, zero data I/O
+        val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+        require(parsed.resolved && parsed.foldable,
+          s"DEFAULT must be a constant expression, got: $sqlText")
+        val e = org.apache.spark.sql.catalyst.expressions.Cast(
+          parsed, dataType, Some("UTC"))
+        require(e.resolved,
+          s"DEFAULT '$sqlText' is not castable to ${dataType.sql}")
+        e.eval(null) // throws on an uncastable declaration
+        org.apache.spark.sql.types.StructField(colName, dataType,
+          nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(CurrentDefaultKey, sqlText)
+            .putString(ExistsDefaultKey, sqlText).build())
+    }
     val kept = lines.filterNot(l => l.startsWith(ScPrefix) ||
       l.startsWith(MetaPrefix))
+    val ncLines = default match {
+      case None => Seq.empty[String]
+      case Some(_) =>
+        // gate BEFORE publishing the first nc line, both directions
+        requireFeature(spark, table, "column-defaults")
+        dataFilesOf(lines).map(p => s"$NcPrefix$colName\t${norm(p)}")
+    }
     val next = vs.last + 1
     writeManifest(spark, table, next,
-      kept ++ schemaLineOf(schema.add(colName, dataType,
-        nullable = true)) ++
+      kept ++ ncLines ++
+        schemaLineOf(org.apache.spark.sql.types.StructType(
+          schema.fields :+ newField)) ++
         metaLinesOf(Map("added_column" -> colName,
-          "content_preserving" -> "true")))
+          "content_preserving" -> "true") ++
+          default.map("added_default" -> _)))
     next
   }
 
@@ -5633,7 +5989,10 @@ object VersionedTable {
       s"CHECK constraint '$c' references '$colName' — drop it first"))
     val renames = renameMapOf(lines)
     val physical = renames.getOrElse(colName, colName)
-    publishMapping(spark, table, lines, renames - colName,
+    // a defaulted column's nc era-tags die with it
+    val linesSansNc = lines.filterNot(l =>
+      l.startsWith(NcPrefix) && ncColOf(l) == physical)
+    publishMapping(spark, table, linesSansNc, renames - colName,
       droppedPhysOf(lines) + physical,
       org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == colName)),
@@ -5691,8 +6050,10 @@ object VersionedTable {
   /** Features THIS build can honor. A future build that introduces a
     * semantics-changing capability adds its name here and calls
     * [[requireFeature]] when a table first uses it. */
-  val SupportedReaderFeatures: Set[String] = Set("base", "column-mapping")
-  val SupportedWriterFeatures: Set[String] = Set("base", "column-mapping")
+  val SupportedReaderFeatures: Set[String] =
+    Set("base", "column-mapping", "column-defaults")
+  val SupportedWriterFeatures: Set[String] =
+    Set("base", "column-mapping", "column-defaults")
 
   private def protocolPath(table: String) = new Path(table, "_protocol")
 
@@ -5817,6 +6178,10 @@ object VersionedTable {
     if (key == UpdateModeProp || key == MergeModeProp)
       require(Set("copy-on-write", "merge-on-read")(value),
         s"$key must be copy-on-write | merge-on-read, got '$value'")
+    if (key == BranchRetentionProp)
+      require(value.toLongOption.exists(_ >= 0),
+        s"$BranchRetentionProp must be a non-negative millisecond " +
+          s"count, got '$value'")
   }
 
   def setTableProperty(spark: SparkSession, table: String,

@@ -10,6 +10,8 @@ object ExplainOne {
     val Array(sfDir, names) = args
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions",
+        "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -52,6 +52,8 @@ object ScaleProofTail {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions",
+        "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -189,10 +191,12 @@ object ScaleProofTail {
       "q_catalog_delete_meta", "q_catalog_spec_evolve",
       "q_table_branch", "q_catalog_adopt", "q_decontaminate_exact",
       // round-12: exact-substring decontamination re-proved after the
-      // per-document-FP Bloom + anchor-equi-join fix, and its
+      // per-document-FP Bloom + anchor-equi-join fix, its
       // long-document variant (the corpus shape that broke the old
-      // screen)
-      "q_decontaminate_long")
+      // screen), text-anchor file skipping, SQL views, branch
+      // cherry-pick, and ADD COLUMN DEFAULT at 10x
+      "q_decontaminate_long", "q_decontaminate_index",
+      "q_catalog_view", "q_catalog_cherry_pick", "q_catalog_default")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

@@ -306,6 +306,70 @@ class TableBranchSpec extends SparkSpec {
       "the CALL must land on the nested table itself, not _branch/")
   }
 
+  test("branch retention: a stale workless fork expires (vacuum then " +
+    "reclaims its era); unpublished work refuses without force; " +
+    "maintain honors the declared policy without destroying work") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 30L).map(i => (i, i)).toDF("k", "x"), append = false)
+    val eraFiles = files(t, 1)
+    VersionedTable.branchCommit(spark, t, "stale")
+    // main rewrites itself past the fork: v1's files now live only
+    // through the branch pin
+    VersionedTable.commit(spark, t,
+      Seq((99L, 99L)).toDF("k", "x"), append = false)
+    assert(VersionedTable.vacuum(spark, t, 1)._2.toSet
+      .intersect(eraFiles).isEmpty, "pinned while the fork exists")
+    // age 0 = everything is stale; the workless fork expires
+    assert(VersionedTable.expireBranches(spark, t, 0L) == Seq("stale"))
+    assert(VersionedTable.branchesOf(spark, t).isEmpty)
+    assert(VersionedTable.cleanOrphans(spark, t, 0L).nonEmpty,
+      "expiry must release the era's pin for the orphan sweep")
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(eraFiles.forall(p =>
+      !f.exists(new org.apache.hadoop.fs.Path(p))),
+      "the expired fork's era files must be reclaimed from disk")
+    // a stale branch WITH work refuses without force
+    VersionedTable.commit(spark, t,
+      (1L to 5L).map(i => (i, i)).toDF("k", "x"), append = true)
+    VersionedTable.branchCommit(spark, t, "worked")
+    VersionedTable.commit(spark, VersionedTable.branchPath(t, "worked"),
+      Seq((500L, 500L)).toDF("k", "x"), append = true)
+    val e = intercept[RuntimeException] {
+      VersionedTable.expireBranches(spark, t, 0L)
+    }
+    assert(e.getMessage.contains("force"), e.getMessage)
+    assert(VersionedTable.branchesOf(spark, t).contains("worked"))
+    // maintenance policy: declared retention expires workless forks,
+    // SKIPS worked ones (policy never destroys work)
+    VersionedTable.branchCommit(spark, t, "idle2")
+    VersionedTable.setTableProperty(spark, t,
+      VersionedTable.BranchRetentionProp, "0")
+    val actions = VersionedTable.maintain(spark, t, 1000000L)
+    assert(actions.exists(a => a.kind == "expire-branch" &&
+      a.detail.contains("idle2")), actions.toString)
+    assert(VersionedTable.branchesOf(spark, t).keySet == Set("worked"),
+      "maintain must never expire a branch carrying work")
+    // explicit force through SQL drops it
+    val w2 = Files.createTempDirectory("graft_expire").toString
+    spark.conf.set("spark.sql.catalog.gexp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gexp.warehouse", w2)
+    VersionedTable.commit(spark, s"$w2/et",
+      Seq((1L, 1L)).toDF("k", "x"), append = false)
+    spark.sql("CALL gexp.system.branch('et', 'old')")
+    VersionedTable.commit(spark, s"$w2/et/_branch/old",
+      Seq((2L, 2L)).toDF("k", "x"), append = true)
+    intercept[Exception] {
+      spark.sql("CALL gexp.system.expire_branches('et', 0)").collect()
+    }
+    val dropped = spark.sql(
+      "CALL gexp.system.expire_branches('et', 0, force => true)")
+      .collect().map(_.getString(0)).toSeq
+    assert(dropped == Seq("old"))
+    assert(VersionedTable.branchesOf(spark, s"$w2/et").isEmpty)
+  }
+
   test("SQL lifecycle: CALL branch, write via gt.<t>.branch_<n>, " +
     "read via VERSION AS OF name, CALL fast_forward") {
     warehouse

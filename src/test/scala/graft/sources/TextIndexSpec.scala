@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text-anchor file skipping ([[VersionedTable.textIndexBuild]] /
+  * `textIndexCandidates` / `decontaminateExactTable`): a persisted
+  * per-file Bloom over window rolling hashes prunes FILES before the
+  * rolling decontamination pass — with the zero-false-negative
+  * contract held across appends, short snippets, and rebuilds. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("vtextidx").toString + "/t"
+
+  private def mk(i: Long): String =
+    s"document $i body " + (1 to 40)
+      .map(j => s"w${(i * 131 + j * 7) % 9973}").mkString(" ")
+
+  private val planted =
+    "the planted benchmark passage nine thousand one hundred and seven"
+
+  test("index prunes to the contaminated file; answers row-identical " +
+    "to the unpruned screen; un-indexed NEW files always scan") {
+    val t = freshTable()
+    // 4 range-partitioned files; the planted snippet lives in doc 10
+    // (file 1 of 4)
+    val docs = (1L to 400L).map(i =>
+      (i, mk(i) + (if (i == 10L) " " + planted else "")))
+      .toDF("doc_id", "text")
+    VersionedTable.commit(spark, t,
+      docs.repartitionByRange(4, col("doc_id")),
+      append = false, statCols = Seq("doc_id"))
+    VersionedTable.textIndexBuild(spark, t, "text")
+    val bench = Seq((100L, planted),
+      (101L, "this exact sentence appears in no corpus document " +
+        "anywhere at all, however hard anyone looks for it"))
+      .toDF("bench_id", "snippet")
+    var pruned = (-1, -1)
+    VersionedTable.textIndexPruneNotifier = (c, n) => pruned = (c, n)
+    try {
+      val got = VersionedTable.decontaminateExactTable(spark, t,
+        "doc_id", "text", bench, "bench_id", "snippet")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(10L -> 1L), got.toString)
+      assert(pruned._2 == 4 && pruned._1 < 4 && pruned._1 >= 1,
+        s"the index must prune the 4-file scan: $pruned")
+      // a file appended AFTER the build is un-indexed: always scanned
+      VersionedTable.commit(spark, t,
+        Seq((999L, mk(999L) + " " + planted)).toDF("doc_id", "text"),
+        append = true)
+      val got2 = VersionedTable.decontaminateExactTable(spark, t,
+        "doc_id", "text", bench, "bench_id", "snippet")
+        .as[(Long, Long)].collect().toMap
+      assert(got2 == Map(10L -> 1L, 999L -> 1L),
+        s"new files must stay candidates until a rebuild: $got2")
+      // rebuild covers the new file and re-prunes
+      val prev = VersionedTable.textIndexBuild(spark, t, "text")
+      val got3 = VersionedTable.decontaminateExactTable(spark, t,
+        "doc_id", "text", bench, "bench_id", "snippet")
+        .as[(Long, Long)].collect().toMap
+      assert(got3 == got2)
+      assert(pruned._1 < pruned._2, s"rebuilt index must prune: $pruned")
+      assert(new org.apache.hadoop.fs.Path(prev).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(
+        new org.apache.hadoop.fs.Path(prev)))
+    } finally VersionedTable.textIndexPruneNotifier = (_, _) => ()
+  }
+
+  test("a snippet shorter than the indexed window disables the index " +
+    "(full scan) without losing correctness; no index = full scan") {
+    val t = freshTable()
+    val docs = (1L to 100L).map(i =>
+      (i, mk(i) + (if (i == 7L) " needle-xyz" else "")))
+      .toDF("doc_id", "text")
+    VersionedTable.commit(spark, t,
+      docs.repartitionByRange(2, col("doc_id")),
+      append = false, statCols = Seq("doc_id"))
+    val bench = Seq((1L, "needle-xyz")).toDF("bench_id", "snippet")
+    // no index yet: plain full-scan path
+    assert(VersionedTable.decontaminateExactTable(spark, t,
+      "doc_id", "text", bench, "bench_id", "snippet")
+      .as[(Long, Long)].collect().toMap == Map(7L -> 1L))
+    VersionedTable.textIndexBuild(spark, t, "text") // w = 64 > 10
+    var fired = false
+    VersionedTable.textIndexPruneNotifier = (_, _) => fired = true
+    try {
+      assert(VersionedTable.decontaminateExactTable(spark, t,
+        "doc_id", "text", bench, "bench_id", "snippet")
+        .as[(Long, Long)].collect().toMap == Map(7L -> 1L))
+      assert(!fired,
+        "a sub-window snippet must bypass the index, not misuse it")
+    } finally VersionedTable.textIndexPruneNotifier = (_, _) => ()
+  }
+}
