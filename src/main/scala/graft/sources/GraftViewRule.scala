@@ -213,6 +213,47 @@ object GraftViewRule extends Rule[LogicalPlan] {
         case _ => uv0
       }
 
+      case rt: RenameTable if rt.isView =>
+        val parts = rt.child match {
+          case uv: UnresolvedView => Some(uv.multipartIdentifier)
+          case utv: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView => Some(utv.multipartIdentifier)
+          case _ => None
+        }
+        parts.flatMap(p => ownedIdent(p)
+          .filter { case (_, g, ident) => g.viewExists(ident) }) match {
+          case Some((catName, g, ident)) =>
+            // an unqualified target stays in the SOURCE view's
+            // catalog + namespace (renames never cross catalogs)
+            val newIdent =
+              if (rt.newName.length >= 2 && rt.newName.head == catName)
+                Identifier.of(rt.newName.tail.dropRight(1).toArray,
+                  rt.newName.last)
+              else {
+                require(rt.newName.length == 1 ||
+                  GraftSqlShims.lookupCatalog(spark, rt.newName.head)
+                    .isEmpty,
+                  "a view renames within its own catalog")
+                Identifier.of(
+                  ident.namespace() ++ rt.newName.dropRight(1),
+                  rt.newName.last)
+              }
+            RenameGraftViewCommand(g, ident, newIdent)
+          case None => rt
+        }
+
+      case sct @ ShowCreateTable(child, _, output) =>
+        val parts = child match {
+          case utv: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView => Some(utv.multipartIdentifier)
+          case _ => None
+        }
+        parts.flatMap(viewOf) match {
+          case Some((catName, _, ident, vd)) =>
+            ShowCreateGraftViewCommand(catName, ident, vd, output)
+          case None => sct
+        }
+
       case dv @ DropView(ui: UnresolvedIdentifier, ifExists) =>
         // only claim the statement when the name IS one of our views
         // (or could only be one: ours + not a table): temp views and
@@ -303,6 +344,38 @@ case class DropGraftViewCommand(catalog: GraftCatalog,
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
     Seq.empty
+  }
+}
+
+case class RenameGraftViewCommand(catalog: GraftCatalog,
+                                  ident: Identifier,
+                                  newIdent: Identifier)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.renameView(ident, newIdent)
+    Seq.empty
+  }
+}
+
+/** `SHOW CREATE TABLE` over a view: the canonical re-creatable DDL
+  * (name, declared column list, properties, defining SQL). */
+case class ShowCreateGraftViewCommand(catalogName: String,
+                                      ident: Identifier,
+                                      vd: GraftViews.ViewData,
+                                      override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = (catalogName +: ident.namespace().toSeq :+ ident.name())
+      .mkString(".")
+    val cols =
+      if (vd.columnAliases.isEmpty) ""
+      else vd.columnAliases.mkString(" (", ", ", ")")
+    val props =
+      if (vd.properties.isEmpty) ""
+      else vd.properties.toSeq.sorted
+        .map { case (k, v) => s"'$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(s"CREATE VIEW $name$cols$props AS\n${vd.sql}"))
   }
 }
 

@@ -143,6 +143,32 @@ class GraftViewSpec extends SparkSpec {
     }
   }
 
+  test("ALTER VIEW RENAME moves the definition; SHOW CREATE TABLE " +
+    "prints re-creatable DDL") {
+    warehouse
+    spark.sql("CREATE VIEW gv.v_old (kk) AS SELECT k FROM gv.base " +
+      "WHERE k <= 2")
+    spark.sql("ALTER VIEW gv.v_old RENAME TO v_new")
+    assert(spark.sql("SELECT sum(kk) FROM gv.v_new").as[Long].head() == 3L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gv.v_old").collect()
+    }
+    val ddl = spark.sql("SHOW CREATE TABLE gv.v_new")
+      .collect().head.getString(0)
+    assert(ddl.contains("CREATE VIEW gv.v_new (kk) AS") &&
+      ddl.contains("SELECT k FROM gv.base"), ddl)
+    // renaming onto an existing table or view refuses
+    spark.sql("CREATE VIEW gv.v_taken AS SELECT 1 AS one")
+    intercept[Exception] {
+      spark.sql("ALTER VIEW gv.v_new RENAME TO v_taken")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER VIEW gv.v_new RENAME TO base")
+    }
+    assert(spark.sql("SELECT sum(kk) FROM gv.v_new").as[Long].head() == 3L,
+      "a refused rename must leave the view intact")
+  }
+
   test("relative names in the body resolve in the CREATION context") {
     warehouse
     spark.sql("USE gv")
