@@ -652,8 +652,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (!orCreate && !viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
-    GraftViews.store(spark, warehouse, ident, dataOf(info),
-      replace = true)
+    require(GraftViews.store(spark, warehouse, ident, dataOf(info),
+      replace = true),
+      s"concurrent CREATE of $ident won the publish — re-run the " +
+        "REPLACE against the new definition")
     new GraftView(ident, viewData(ident).get)
   }
 
@@ -669,8 +671,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case r: ViewChange.RemoveProperty => m - r.property()
       case other => sys.error(s"unsupported view change: $other")
     }}
-    GraftViews.store(spark, warehouse, ident, vd.copy(properties = props),
-      replace = true)
+    require(GraftViews.store(spark, warehouse, ident,
+      vd.copy(properties = props), replace = true),
+      s"concurrent CREATE of $ident won the publish — re-run the ALTER")
     new GraftView(ident, viewData(ident).get)
   }
 

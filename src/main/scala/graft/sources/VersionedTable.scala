@@ -226,7 +226,15 @@ object VersionedTable {
     * [[stLinesFor]] exactly like st stats; stale tags (departed
     * paths) are reconciled away by [[writeManifest]]. Tables with nc
     * lines demand the `column-defaults` reader feature — an old build
-    * would misread the tag as a data path and serve nulls. */
+    * would misread the tag as a data path and serve nulls.
+    *
+    * Belt and braces: Spark's parquet reader ALSO serves
+    * EXISTS_DEFAULT from the requested schema's field metadata (the
+    * sc schema rides every explicit-schema read), so on this engine a
+    * column missing from a file already reads as its default. The nc
+    * tags keep the semantics a FORMAT-level contract — which files
+    * serve which defaults is manifest arithmetic any reader can
+    * implement, not a Spark reader behavior the format depends on. */
   private val NcPrefix = "nc\t"
 
   private def ncColOf(l: String): String =
@@ -3600,6 +3608,36 @@ object VersionedTable {
     dir.toString
   }
 
+  /** Drop `textCol`'s text-anchor index: the property and its sidecar
+    * (idempotent). */
+  def textIndexDrop(spark: SparkSession, table: String,
+                    textCol: String): Unit = {
+    tablePropertyOf(spark, table, textIndexProp(textCol)).foreach { v =>
+      unsetTableProperty(spark, table, textIndexProp(textCol))
+      val old = new Path(v.split('\t').last)
+      if (norm(old.toString).contains("/_index/"))
+        fs(spark, old).delete(old, true)
+    }
+  }
+
+  /** The `_index/` sidecar dirs no `index.*` property references — a
+    * crashed [[textIndexBuild]]'s residue, reclaimed by
+    * [[cleanOrphans]] under the same age cutoff as data orphans. */
+  private def orphanIndexDirs(spark: SparkSession, table: String,
+                              cutoffMs: Long): Seq[Path] = {
+    val root = new Path(table, "_index")
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Seq.empty
+    val referenced = tablePropertiesOf(spark, table)
+      .collect { case (k, v) if k.startsWith("index.") =>
+        norm(v.split('\t').last) }.toSet
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        !referenced.contains(norm(s.getPath.toString)) &&
+        s.getModificationTime < cutoffMs)
+      .map(_.getPath)
+  }
+
   /** The files of the CURRENT snapshot that could contain ANY of
     * `snippets` verbatim, per the text-anchor index — None when no
     * usable index exists (not built, or a snippet is shorter than the
@@ -4087,7 +4125,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _))
@@ -4187,7 +4225,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -4229,7 +4267,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(if (wantNull) col(c).isNull else col(c).isNotNull)
   }
 
@@ -4410,7 +4448,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(predExpr(preds))
   }
 
@@ -4468,7 +4506,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(disjuncts.map(predExpr).reduce(_ || _))
   }
 
@@ -4524,7 +4562,7 @@ object VersionedTable {
       if (boundary.isEmpty) 0L
       else readSnapshot(spark, boundary ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
         .filter(predExpr(preds)).count()
     (metadataCount + scanned, contained.size, boundary.size)
   }
@@ -4581,7 +4619,7 @@ object VersionedTable {
       else {
         val r = readSnapshot(spark, scan ++ lines.filter(l =>
           l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
           .filter(predExpr(preds))
           .agg(min(col(c)), max(col(c))).collect()(0)
         if (r.isNullAt(0)) None
@@ -4630,7 +4668,7 @@ object VersionedTable {
     if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
     else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
   }
 
   /** Write `df` hive-partitioned on `partCol` under version `v`'s
@@ -4836,7 +4874,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(filters.map { case (c, vals) =>
       col(c).cast("string").isin(vals: _*)
     }.reduce(_ && _))
@@ -4883,7 +4921,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(partCol).cast("string").isin(values: _*))
   }
 
@@ -4923,7 +4961,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(partCol).cast("string") >= lo &&
       col(partCol).cast("string") <= hi)
   }
@@ -5124,7 +5162,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
-        l.startsWith(ScPrefix)))
+        l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(rawCol) >= lo && col(rawCol) <= hi)
   }
 
@@ -5358,7 +5396,8 @@ object VersionedTable {
         else {
           if (scan.exists(f => !tombstoned(norm(f))))
             statsScanNotifier("statsAggregate", scan.size)
-          readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines)).count()
+          readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines) ++
+          scLinesOf(lines) ++ lines.filter(_.startsWith(NcPrefix))).count()
         }
       return Seq(servedRows + scanRows).toDF("n_rows")
     }
@@ -5385,7 +5424,8 @@ object VersionedTable {
       else {
         if (scan.exists(f => !tombstoned(norm(f))))
           statsScanNotifier("statsAggregate", scan.size)
-        Some(aggd(readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines)),
+        Some(aggd(readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines) ++
+          scLinesOf(lines) ++ lines.filter(_.startsWith(NcPrefix))),
           count(lit(1)), c => col(c), c => col(c)))
       }
     (servedAgg, scanAgg) match {
@@ -5441,7 +5481,8 @@ object VersionedTable {
       .toDF(partCol, "n_rows")
     if (scan.isEmpty) return servedDf
     statsScanNotifier("partitionCounts", scan.size)
-    val scanDf = readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines))
+    val scanDf = readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines) ++
+          scLinesOf(lines) ++ lines.filter(_.startsWith(NcPrefix)))
       .groupBy(col(partCol).cast("string").as(partCol))
       .agg(count(lit(1)).cast("long").as("n_rows"))
     servedDf.unionByName(scanDf)
@@ -5500,7 +5541,8 @@ object VersionedTable {
       if (scan.isEmpty) servedDf
       else {
         statsScanNotifier("partitionStats", scan.size)
-        servedDf.unionByName(readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines))
+        servedDf.unionByName(readSnapshot(spark, scan ++ dvLines ++ cmLinesOf(lines) ++
+          scLinesOf(lines) ++ lines.filter(_.startsWith(NcPrefix)))
           .groupBy(col(partCol).cast("string").as(partCol))
           .agg(count(lit(1)).cast("long").as("n_rows"),
             min(col(statCol)).as("mn"), max(col(statCol)).as("mx")))
@@ -6640,7 +6682,10 @@ object VersionedTable {
       if (d.isDirectory && !hasDescendantParquet(f, d.getPath))
         f.delete(d.getPath, true)
     }
-    dead.map(_.toString)
+    // crashed index builds: `_index/` sidecars no property references
+    val deadIdx = orphanIndexDirs(spark, table, cutoff)
+    deadIdx.foreach(p => f.delete(p, true))
+    (dead ++ deadIdx).map(_.toString)
   }
 
   /** Retire versions older than `keepLast`: their manifests are

@@ -131,7 +131,19 @@ object OracleFuzz {
     // round-10 second batch: the CTAS/RTAS/TRUNCATE snapshots and the
     // schema-evolving merge's matched/inserted splits all shift with
     // the perturbed orders subset
-    "q_catalog_ctas", "q_catalog_merge_evolve")
+    "q_catalog_ctas", "q_catalog_merge_evolve",
+    // round-11 additions under perturbation: the metadata-DELETE's
+    // contained/boundary split, the spec-evolution pruning sets, the
+    // branch lifecycle's published content, the adopted snapshot, and
+    // the exact-decontamination hit set all shift with the input
+    "q_catalog_delete_meta", "q_catalog_spec_evolve", "q_table_branch",
+    "q_catalog_adopt", "q_decontaminate_exact",
+    // round-12: the view-through aggregates, the cherry-picked merge
+    // arithmetic (both sides' appends + the branch's tombstones), the
+    // two-era default aggregate, the long-document and index-pruned
+    // decontamination hit sets all shift with the perturbed subset
+    "q_catalog_view", "q_catalog_cherry_pick", "q_catalog_default",
+    "q_decontaminate_long", "q_decontaminate_index")
 
   /** Rewrite every table of `baseDir` into `outDir`, dropping rows
     * where hash(first column, seed) lands in 1 of `mod` residues.

@@ -34,6 +34,10 @@ class GraftViewSpec extends SparkSpec {
     // the view composes like any relation
     assert(spark.sql("SELECT count(*) FROM gv.v_sum WHERE total > 0")
       .as[Long].head() == 3L)
+    // a view is not a write target
+    intercept[Exception] {
+      spark.sql("INSERT INTO gv.v_sum VALUES ('rX', 1)")
+    }
   }
 
   test("declared column list renames the output; OR REPLACE swaps; " +

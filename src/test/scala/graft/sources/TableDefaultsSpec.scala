@@ -108,6 +108,38 @@ class TableDefaultsSpec extends SparkSpec {
     assert(!VersionedTable.read(spark, t).columns.contains("origin"))
   }
 
+  test("metadata aggregates and pruned reads serve defaults for " +
+    "pre-era files (the scan-side fallback carries sc + nc lines)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 30L).map(i => (i, i)).toDF("k", "x"),
+      append = false, statCols = Seq("k"))
+    VersionedTable.addColumnCommit(spark, t, "w",
+      org.apache.spark.sql.types.LongType, Some("9"))
+    VersionedTable.commit(spark, t,
+      Seq((100L, 1L, Some(55L)), (101L, 2L, None))
+        .toDF("k", "x", "w"), append = true, statCols = Seq("k"))
+    // metadata-path aggregate over the DEFAULTED column: pre-era
+    // files are stats-uncovered for w, so they fall to the scan side,
+    // which must apply the default (min = 9, never null-excluded 55)
+    val r = VersionedTable.statsAggregate(spark, t, Seq("w")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 32L)
+    assert(r.getAs[Long]("w_min") == 9L && r.getAs[Long]("w_max") == 55L,
+      r.toString)
+    // full-scan twin must agree exactly
+    val twin = VersionedTable.read(spark, t)
+      .agg(count(lit(1)), min(col("w")), max(col("w"))).collect()(0)
+    assert(twin.getLong(0) == 32L && twin.getLong(1) == 9L &&
+      twin.getLong(2) == 55L)
+    // file-skipped range read on k must serve w's default too
+    import VersionedTable.ScanPred._
+    val pruned = VersionedTable.readWhere(spark, t,
+      Seq(NumBetween("k", 1L, 10L)))
+      .select("w").as[Long].collect().toSet
+    assert(pruned == Set(9L),
+      s"pruned subset reads must carry the default declaration: $pruned")
+  }
+
   test("SQL surface: ALTER TABLE ADD COLUMN DEFAULT, INSERT omitting " +
     "the column materializes it, both eras aggregate correctly") {
     val w = Files.createTempDirectory("graft_defsql").toString

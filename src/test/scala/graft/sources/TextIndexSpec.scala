@@ -71,6 +71,30 @@ class TextIndexSpec extends SparkSpec {
     } finally VersionedTable.textIndexPruneNotifier = (_, _) => ()
   }
 
+  test("index lifecycle: drop removes property + sidecar; a crashed " +
+    "build's orphan sidecar is reclaimed by cleanOrphans") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 50L).map(i => (i, mk(i))).toDF("doc_id", "text"),
+      append = false)
+    val sidecar = VersionedTable.textIndexBuild(spark, t, "text")
+    val f = new org.apache.hadoop.fs.Path(sidecar).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crashed rebuild: a sidecar dir with no property
+    val orphan = new org.apache.hadoop.fs.Path(t, "_index/text_text_dead")
+    f.mkdirs(orphan)
+    assert(VersionedTable.cleanOrphans(spark, t, 0L)
+      .exists(_.contains("text_text_dead")),
+      "the orphan sweep must reclaim crashed index residue")
+    assert(f.exists(new org.apache.hadoop.fs.Path(sidecar)),
+      "the LIVE (property-referenced) sidecar must survive the sweep")
+    VersionedTable.textIndexDrop(spark, t, "text")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(sidecar)))
+    assert(VersionedTable.textIndexCandidates(spark, t, "text",
+      Seq("x" * 80)).isEmpty, "no index after the drop")
+    VersionedTable.textIndexDrop(spark, t, "text") // idempotent
+  }
+
   test("a snippet shorter than the indexed window disables the index " +
     "(full scan) without losing correctness; no index = full scan") {
     val t = freshTable()
