@@ -31,10 +31,12 @@ import org.apache.spark.sql.types.StructType
   *    body qualified by the view's CREATION context (current catalog
   *    + namespace at create time, the standard view-resolution
   *    scoping), declared column aliases applied, and the whole body
-  *    wrapped in a SubqueryAlias carrying the view's name. Only
-  *    catalog-qualified (≥ 2 part) view reads substitute — a bare
-  *    single-part name may be a CTE or temp view, which must keep
-  *    precedence. Time travel INSIDE the body (a pinned `VERSION AS
+  *    wrapped in a SubqueryAlias carrying the view's name. Qualified
+  *    (≥ 2 part) view reads always substitute; a bare single-part
+  *    name substitutes only under the current graft catalog and only
+  *    when nothing that shadows a catalog view claims it — CTE, then
+  *    temp view, then catalog view, the standard precedence order.
+  *    Time travel INSIDE the body (a pinned `VERSION AS
   *    OF` table read) works unchanged; time travel ON the view itself
   *    is refused loudly — a view has no version history.
   *  - `DROP VIEW`, `SHOW VIEWS`, `ALTER VIEW SET/UNSET TBLPROPERTIES`.
@@ -53,7 +55,10 @@ object GraftViewRule extends Rule[LogicalPlan] {
       .collect { case g: GraftCatalog => g }
 
   /** DDL-name resolution: explicit `cat.ns....name`, else the current
-    * catalog when it is ours (`USE gt; CREATE VIEW v ...`). */
+    * catalog when it is ours (`USE gt; CREATE VIEW v ...`). A name
+    * explicitly qualified by ANOTHER registered catalog is never
+    * claimed — `spark_catalog.default.v` must keep Spark's own
+    * handling even while a graft catalog is current. */
   private def ownedIdent(parts: Seq[String])
       : Option[(String, GraftCatalog, Identifier)] =
     if (parts.isEmpty) None
@@ -61,13 +66,15 @@ object GraftViewRule extends Rule[LogicalPlan] {
       case Some(g) if parts.length >= 2 =>
         Some((parts.head, g,
           Identifier.of(parts.tail.dropRight(1).toArray, parts.last)))
-      case _ =>
+      case _ if parts.length == 1 ||
+          GraftSqlShims.lookupCatalog(spark, parts.head).isEmpty =>
         val cur = GraftSqlShims.currentCatalogName(spark)
         graftCatalog(cur).map { g =>
           val ns = GraftSqlShims.currentNamespace(spark).toSeq ++
             parts.dropRight(1)
           (cur, g, Identifier.of(ns.toArray, parts.last))
         }
+      case _ => None
     }
 
   /** (catalogName, catalog, ident, data) when `parts` is a QUALIFIED
@@ -83,15 +90,25 @@ object GraftViewRule extends Rule[LogicalPlan] {
 
   /** The view body, parsed and scoped: relative names inside qualify
     * by the view's creation context; explicit catalog-qualified names
-    * stay as written. */
+    * stay as written; names the body defines as CTEs stay bare. The
+    * spliced plan lands AFTER the analyzer's Substitution batch has
+    * run (this rule lives in the Hints batch), so CTESubstitution
+    * would never revisit a `WITH` inside the body — apply it here so
+    * `CREATE VIEW v AS WITH t AS (...) SELECT ... FROM t` reads. */
   private def expand(catName: String, ident: Identifier,
                      vd: GraftViews.ViewData): LogicalPlan = {
     val parsed = GraftSqlShims.parsePlan(spark, vd.sql)
+    val bodyCtes: Set[String] = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(
+        _._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
     val qualified = parsed.transformUp {
       case ur: UnresolvedRelation =>
         val parts = ur.multipartIdentifier
         if (parts.length > 1 &&
           GraftSqlShims.lookupCatalog(spark, parts.head).isDefined) ur
+        else if (parts.length == 1 && bodyCtes.contains(
+          parts.head.toLowerCase(java.util.Locale.ROOT))) ur
         else {
           val full =
             if (parts.length == 1)
@@ -100,10 +117,14 @@ object GraftViewRule extends Rule[LogicalPlan] {
           ur.copy(multipartIdentifier = full)
         }
     }
+    val substituted =
+      if (bodyCtes.isEmpty) qualified
+      else org.apache.spark.sql.catalyst.analysis
+        .CTESubstitution(qualified)
     val aliased =
       if (vd.columnAliases.nonEmpty)
-        UnresolvedSubqueryColumnAliases(vd.columnAliases, qualified)
-      else qualified
+        UnresolvedSubqueryColumnAliases(vd.columnAliases, substituted)
+      else substituted
     SubqueryAlias(
       AliasIdentifier(ident.name(), catName +: ident.namespace().toSeq),
       aliased)
@@ -256,12 +277,27 @@ object GraftViewRule extends Rule[LogicalPlan] {
 
       case dv @ DropView(ui: UnresolvedIdentifier, ifExists) =>
         // only claim the statement when the name IS one of our views
-        // (or could only be one: ours + not a table): temp views and
-        // session-catalog views must keep their built-in handling
+        // (or could only be one: qualified to ours + not a table):
+        // temp views and session-catalog views must keep their
+        // built-in handling, and DROP VIEW on a graft TABLE must fail
+        // with the wrong-object-type error, not silently no-op
         ownedIdent(ui.nameParts) match {
+          case Some((_, g, ident)) if g.viewExists(ident) =>
+            DropGraftViewCommand(g, ident, ifExists)
+          case Some((catName, g, ident)) if g.tableExists(ident) =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "WRONG_COMMAND_FOR_OBJECT_TYPE",
+              Map(
+                "operation" -> "DROP VIEW",
+                "requiredType" -> "VIEW",
+                "objectName" ->
+                  (catName +: ident.namespace().toSeq :+ ident.name())
+                    .mkString("."),
+                "foundType" -> "TABLE",
+                "alternative" -> "DROP TABLE"),
+              None)
           case Some((_, g, ident))
-              if g.viewExists(ident) ||
-                (ui.nameParts.length >= 2 && ifExists) =>
+              if ui.nameParts.length >= 2 && ifExists =>
             DropGraftViewCommand(g, ident, ifExists)
           case _ => dv
         }

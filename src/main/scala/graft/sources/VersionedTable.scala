@@ -3488,7 +3488,8 @@ object VersionedTable {
       if (l.startsWith(MetaPrefix)) false
       else if (l.startsWith(ScPrefix) || l.startsWith(CmPrefix) ||
         l.startsWith(DvPrefix)) true
-      else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix))
+      else if (l.startsWith(PtPrefix) || l.startsWith(StPrefix) ||
+        l.startsWith(FzPrefix))
         !removed.contains(norm(l.substring(l.lastIndexOf('\t') + 1)))
       else !removed.contains(norm(l))
     }
@@ -3597,14 +3598,13 @@ object VersionedTable {
     val dir = new Path(table, s"_index/text_${textCol}_" +
       java.util.UUID.randomUUID().toString.take(8))
     cells.write.parquet(dir.toString)
-    val prev = tablePropertyOf(spark, table, textIndexProp(textCol))
     setTableProperty(spark, table, textIndexProp(textCol),
       s"$w\t$bitsLog2\t$k\t$dir")
-    prev.foreach { v => // retire the replaced sidecar
-      val old = new Path(v.split('\t').last)
-      if (norm(old.toString).contains("/_index/"))
-        fs(spark, old).delete(old, true)
-    }
+    // the superseded sidecar (if any) is NOT deleted here: a
+    // concurrent query that already resolved the old property value
+    // may still be probing it. It becomes unreferenced and
+    // [[cleanOrphans]] reclaims it under the age cutoff, the same
+    // lifecycle as crash residue.
     dir.toString
   }
 
@@ -3638,14 +3638,51 @@ object VersionedTable {
       .map(_.getPath)
   }
 
+  /** The index-probe PLAN: the single-column `file` frame of indexed
+    * files whose Bloom cells set every probe bit of at least one
+    * anchor. The hit predicate evaluates DISTRIBUTED over the idx
+    * parquet — the probe table (anchors × k entries, kilobytes)
+    * broadcasts, each index cell joins its probe entries, and an
+    * anchor hits a file when ALL of its entries find their bit set
+    * (the Bloom `forall`, expressed as matched-count == needed-count;
+    * a missing (file, word) cell is an unset word and correctly never
+    * matches). Only FILE PATHS ever reach the driver — O(files)
+    * strings, the same order as the manifest it already holds — never
+    * the O(files × probe-words) cell map, so probe driver memory is
+    * flat as the indexed estate grows. */
+  private[graft] def textIndexHitFiles(spark: SparkSession,
+                                       idx: DataFrame,
+                                       anchors: Seq[Long],
+                                       bitsLog2: Int, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum, when}
+    val s2 = spark
+    import s2.implicits._
+    val entries = graft.operators.Sketches.bloomCells(
+        anchors.toDF("__v"), col("__v").cast("string"),
+        bitsLog2, k, Seq(col("__v")))
+      .select(col("__v").as("__anchor"), col("word_idx"), col("bit"))
+      .distinct()
+    val needed = entries.groupBy("__anchor")
+      .agg(count(lit(1)).as("__need"))
+    idx.join(broadcast(entries), "word_idx")
+      .groupBy(col("file"), col("__anchor"))
+      .agg(sum(when(col("bits").bitwiseAND(col("bit")) =!= 0L, 1L)
+        .otherwise(0L)).as("__got"))
+      .join(broadcast(needed), "__anchor")
+      .filter(col("__got") === col("__need"))
+      .select("file").distinct()
+  }
+
   /** The files of the CURRENT snapshot that could contain ANY of
     * `snippets` verbatim, per the text-anchor index — None when no
     * usable index exists (not built, or a snippet is shorter than the
     * indexed window, which would have no anchor to probe). Zero false
     * negatives: a file truly containing a snippet set every probe bit
     * of its first-w-chars window at build time, and files newer than
-    * the index are always candidates. O(index cells) metadata read,
-    * zero data I/O. */
+    * the index are always candidates. The probe evaluates as a
+    * broadcast join/aggregation over the idx parquet
+    * ([[textIndexHitFiles]]) — the driver sees only file paths. */
   def textIndexCandidates(spark: SparkSession, table: String,
                           textCol: String, snippets: Seq[String])
       : Option[Seq[String]] = {
@@ -3661,28 +3698,14 @@ object VersionedTable {
         val data = dataFilesOf(readManifest(spark, table, vs.last))
         val anchors = snippets
           .map(s => graft.plans.Kernels.windowHash(s, w)).distinct
-        // probe positions THROUGH the same SQL hash the build used
-        val s2 = spark
-        import s2.implicits._
-        val probes = graft.operators.Sketches.bloomCells(
-            anchors.toDF("__v"), col("__v").cast("string"),
-            bitsLog2, k, Seq(col("__v")))
-          .collect()
-          .map(r => (r.getLong(r.fieldIndex("__v")),
-            (r.getLong(r.fieldIndex("word_idx")),
-              r.getLong(r.fieldIndex("bit")))))
-          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-        val words = probes.valuesIterator.flatten.map(_._1).toSeq.distinct
+        // probe positions go THROUGH the same SQL hash the build
+        // used; the hit predicate evaluates distributed over the idx
+        // parquet ([[textIndexHitFiles]]) — only file paths collect
         val idx = spark.read.parquet(path)
-        val bitsByFw = idx
-          .filter(col("word_idx").isin(words: _*))
-          .select("file", "word_idx", "bits").collect()
-          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val hit = textIndexHitFiles(spark, idx, anchors, bitsLog2, k)
+          .collect().map(_.getString(0)).toSet
         val indexed = idx.select("file").distinct()
           .collect().map(_.getString(0)).toSet
-        val hit = indexed.filter(f => probes.valuesIterator.exists(
-          _.forall { case (word, bit) =>
-            (bitsByFw.getOrElse((f, word), 0L) & bit) != 0L }))
         val cand = data.filter(p =>
           hit.contains(norm(p)) || !indexed.contains(norm(p)))
         textIndexPruneNotifier(cand.size, data.size)

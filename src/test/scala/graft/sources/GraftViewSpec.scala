@@ -183,4 +183,59 @@ class GraftViewSpec extends SparkSpec {
     // read works fully-qualified from the default context too
     assert(spark.sql("SELECT mk FROM gv.rel_v").as[Long].head() >= 100L)
   }
+
+  test("a CTE inside the view body substitutes on read — it is never " +
+    "qualified into a phantom table name") {
+    warehouse
+    spark.sql("CREATE VIEW gv.v_cte AS " +
+      "WITH t AS (SELECT k, v FROM gv.base WHERE k <= 4) " +
+      "SELECT sum(v) AS sv FROM t")
+    assert(spark.sql("SELECT sv FROM gv.v_cte").as[Long].head() == 20L)
+    // the view composes under an OUTER query that has its own CTE of
+    // the same name — scopes stay separate
+    assert(spark.sql(
+      "WITH t AS (SELECT 1 AS x) SELECT sv FROM gv.v_cte CROSS JOIN t")
+      .select("sv").as[Long].head() == 20L)
+    // a CTE name in the body never shadows a REAL table referenced
+    // outside the WITH scope... and relative names beside the CTE
+    // still qualify by creation context
+    val body = "WITH big AS (SELECT k FROM gv.base WHERE k > 98) " +
+      "SELECT (SELECT count(*) FROM big) AS nbig, max(k) AS mk " +
+      "FROM gv.base"
+    spark.sql(s"CREATE VIEW gv.v_cte2 AS $body")
+    assert(spark.sql("SELECT nbig, mk FROM gv.v_cte2").head() ==
+      spark.sql(body).head())
+  }
+
+  test("a name explicitly qualified by ANOTHER catalog is never " +
+    "claimed while a graft catalog is current") {
+    warehouse
+    spark.sql("USE gv")
+    try {
+      // routes to the session catalog, not to a graft view named
+      // `<cur-ns>.spark_catalog.default.v_other`
+      spark.sql("CREATE VIEW spark_catalog.default.v_other AS " +
+        "SELECT 42 AS answer")
+      assert(spark.sql("SELECT answer FROM spark_catalog.default.v_other")
+        .as[Int].head() == 42)
+      assert(GraftViews.list(spark, warehouse,
+        Seq("spark_catalog", "default")).isEmpty,
+        "the session-catalog view must not land in the graft warehouse")
+      spark.sql("DROP VIEW spark_catalog.default.v_other")
+    } finally spark.sql("USE spark_catalog")
+  }
+
+  test("DROP VIEW on a graft TABLE fails with the wrong-object-type " +
+    "error — with and without IF EXISTS — instead of no-opping") {
+    warehouse
+    val before = spark.sql("SELECT count(*) FROM gv.base").as[Long].head()
+    val e1 = intercept[Exception] { spark.sql("DROP VIEW gv.base") }
+    assert(e1.getMessage.contains("DROP TABLE"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("DROP VIEW IF EXISTS gv.base")
+    }
+    assert(e2.getMessage.contains("DROP TABLE"), e2.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gv.base").as[Long].head()
+      == before, "the table must be untouched")
+  }
 }

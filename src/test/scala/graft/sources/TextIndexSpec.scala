@@ -95,6 +95,64 @@ class TextIndexSpec extends SparkSpec {
     VersionedTable.textIndexDrop(spark, t, "text") // idempotent
   }
 
+  test("the probe plan is distributed: single `file` column out (the " +
+    "driver never sees index cells), broadcast joins throughout") {
+    val t = freshTable()
+    val docs = (1L to 200L).map(i =>
+      (i, mk(i) + (if (i == 42L) " " + planted else "")))
+      .toDF("doc_id", "text")
+    VersionedTable.commit(spark, t,
+      docs.repartitionByRange(4, col("doc_id")),
+      append = false, statCols = Seq("doc_id"))
+    val sidecar = VersionedTable.textIndexBuild(spark, t, "text")
+    val idx = spark.read.parquet(sidecar)
+    val anchors = Seq(graft.plans.Kernels.windowHash(planted, 64))
+    val hitDf = VersionedTable.textIndexHitFiles(
+      spark, idx, anchors, bitsLog2 = 20, k = 4)
+    assert(hitDf.columns.toSeq == Seq("file"),
+      "only file paths may come back to the driver: " +
+        hitDf.columns.mkString(","))
+    val hits = hitDf.collect().map(_.getString(0)).toSet
+    val all = idx.select("file").distinct().count()
+    assert(all == 4L, s"4 indexed files expected, got $all")
+    assert(hits.nonEmpty && hits.size < 4,
+      s"the planted file must hit without dragging the estate: $hits")
+    val plan = hitDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"the tiny probe table must broadcast, never shuffle the index:\n" +
+        plan.take(2000))
+    // a nowhere-anchor hits nothing
+    assert(VersionedTable.textIndexHitFiles(spark, idx,
+      Seq(graft.plans.Kernels.windowHash("z" * 64, 64)),
+      bitsLog2 = 20, k = 4).count() == 0L)
+  }
+
+  test("a rebuild leaves the superseded sidecar for concurrent " +
+    "readers; cleanOrphans reclaims it once unreferenced") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 60L).map(i => (i, mk(i))).toDF("doc_id", "text"),
+      append = false)
+    val first = VersionedTable.textIndexBuild(spark, t, "text")
+    val f = new org.apache.hadoop.fs.Path(first).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a concurrent query resolved the OLD property value before the
+    // rebuild: its probe must still find the sidecar afterwards
+    val oldIdx = spark.read.parquet(first)
+    val second = VersionedTable.textIndexBuild(spark, t, "text")
+    assert(first != second)
+    assert(f.exists(new org.apache.hadoop.fs.Path(first)),
+      "the superseded sidecar must survive until the orphan sweep")
+    assert(oldIdx.count() > 0L, "the in-flight reader must not break")
+    // unreferenced now → the sweep reclaims it (and keeps the live one)
+    val swept = VersionedTable.cleanOrphans(spark, t, 0L)
+    assert(swept.exists(_.contains(
+      new org.apache.hadoop.fs.Path(first).getName)), swept.toString)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(first)))
+    assert(f.exists(new org.apache.hadoop.fs.Path(second)))
+  }
+
   test("a snippet shorter than the indexed window disables the index " +
     "(full scan) without losing correctness; no index = full scan") {
     val t = freshTable()
