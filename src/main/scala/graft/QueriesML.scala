@@ -1096,7 +1096,10 @@ object QueriesML {
     * matching plans.NearestCentroid), probe cells = first nprobe of the
     * (d, i)-sorted struct list (matching array_sort over struct(d,i)),
     * then the proven exact-cosine ranking. */
-  def annIvfTopKSql(cents: Array[Array[Long]]): String = {
+  /** The DuckDB centroid-distance SQL pieces a fixed matrix inlines:
+    * (distance-list expression over columns v/n2, probe struct list
+    * over column dl). */
+  private def centsSqlParts(cents: Array[Array[Long]]): (String, String) = {
     val dists = cents.map { c =>
       val dot = c.zipWithIndex.map { case (w, j) => s"($w)*v[${j + 1}]" }
         .mkString(" + ")
@@ -1106,6 +1109,11 @@ object QueriesML {
     val dlist = dists.mkString("[", ",\n      ", "]")
     val structs = cents.indices.map(i => s"{'d': dl[${i + 1}], 'i': $i}")
       .mkString("[", ", ", "]")
+    (dlist, structs)
+  }
+
+  def annIvfTopKSql(cents: Array[Array[Long]]): String = {
+    val (dlist, structs) = centsSqlParts(cents)
     s"""WITH $fixedPointCte,
        |  dlists AS (SELECT vec_id, v, n2, $dlist AS dl FROM nrm),
        |  assigned AS (SELECT vec_id AS cand_id, v AS cv, n2 AS cn2,
@@ -1118,6 +1126,87 @@ object QueriesML {
        |        / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos
        |    FROM assigned JOIN qp USING (cell)
        |    WHERE cand_id <> query_id),
+       |  ranked AS (SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+       |    FROM scored)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 6) AS cos_r
+       |FROM ranked WHERE rank <= $AnnK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ANN over the PERSISTED vector index ([[graft.sources
+  // .VersionedTable.vectorIndexBuild]]): at 100 TB the IVF structure
+  // is built ONCE and probed many times — this gate proves the whole
+  // lifecycle. The embeddings land in a versioned table WITHOUT the
+  // late slice (vec_id % 10 == 7), the index is built, the late slice
+  // is appended AFTER — so the probe must serve indexed files from
+  // the cell-partitioned sidecar (the in-query require pins exactly
+  // one re-scanned file) while the un-indexed appendees brute-force
+  // into the candidate pool, row-identical to the oracle's
+  // assigned-join ∪ late-cross construction over the same inlined
+  // centroid matrix.
+  // ---------------------------------------------------------------------
+  val VecIdxLateMod = 10
+  val VecIdxLateRem = 7
+
+  private val vecIdxCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  def annIndex(s: SparkSession, dir: String): DataFrame = {
+    val VT = graft.sources.VersionedTable
+    val emb = t(s, dir, "embeddings")
+    val late = col("vec_id") % VecIdxLateMod === VecIdxLateRem
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_vecidx").toString + "/emb"
+    VT.commit(s, table,
+      emb.filter(!late).repartitionByRange(4, col("vec_id")),
+      append = false, statCols = Seq("vec_id"))
+    VT.vectorIndexBuild(s, table, "vec_id", "embedding",
+      IvfClusters, IvfIters)
+    VT.commit(s, table, emb.filter(late).coalesce(1), append = true)
+    vecIdxCents.put(dir,
+      VT.vectorIndexCentroids(s, table, "embedding").get)
+    var scanned = (-1, -1)
+    VT.vectorIndexProbeNotifier = (r, n) => scanned = (r, n)
+    try {
+      val out = VT.vectorIndexTopK(s, table, "embedding",
+        emb.filter(col("vec_id") < AnnQueryCount), "vec_id",
+        AnnK, IvfNprobe).getOrElse(sys.error("index must be usable"))
+      require(scanned == ((1, 5)),
+        s"the probe must re-scan exactly the one appended file " +
+          s"and serve the 4 indexed ones from the sidecar: $scanned")
+      out
+    } finally VT.vectorIndexProbeNotifier = (_, _) => ()
+  }
+
+  /** DuckDB twin of the persisted-index probe: IVF candidates from
+    * the indexed (non-late) rows via the inlined centroid matrix,
+    * union every late row brute-forced against every query, then the
+    * proven exact-cosine ranking. */
+  def annIndexSql(cents: Array[Array[Long]]): String = {
+    val (dlist, structs) = centsSqlParts(cents)
+    s"""WITH $fixedPointCte,
+       |  dlists AS (SELECT vec_id, v, n2, $dlist AS dl FROM nrm),
+       |  assigned AS (SELECT vec_id AS cand_id, v AS cv, n2 AS cn2,
+       |      list_position(dl, list_min(dl)) - 1 AS cell FROM dlists
+       |    WHERE vec_id % $VecIdxLateMod <> $VecIdxLateRem),
+       |  qp AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2,
+       |      unnest(list_transform(list_sort($structs), x -> x.i)[1:$IvfNprobe]) AS cell
+       |    FROM dlists WHERE vec_id < $AnnQueryCount),
+       |  qs AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+       |    FROM nrm WHERE vec_id < $AnnQueryCount),
+       |  cand AS (
+       |    SELECT query_id, qv, qn2, cand_id, cv, cn2
+       |    FROM assigned JOIN qp USING (cell)
+       |    UNION ALL
+       |    SELECT qs.query_id, qs.qv, qs.qn2, l.vec_id, l.v, l.n2
+       |    FROM nrm l CROSS JOIN qs
+       |    WHERE l.vec_id % $VecIdxLateMod = $VecIdxLateRem),
+       |  scored AS (SELECT query_id, cand_id,
+       |      CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS DOUBLE)
+       |        / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos
+       |    FROM cand WHERE cand_id <> query_id),
        |  ranked AS (SELECT *, row_number() OVER
        |      (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
        |    FROM scored)
@@ -1668,6 +1757,7 @@ object QueriesML {
     "q_ann_brute_topk" -> (annBruteTopK _),
     "q_ann_lsh_topk" -> (annLshTopK _),
     "q_ann_ivf_topk" -> (annIvfTopK _),
+    "q_ann_index" -> (annIndex _),
     "q_ann_pq_topk" -> (annPqTopK _),
     "q_ann_pq_rerank" -> (annPqRerank _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -1714,7 +1804,8 @@ object QueriesML {
     * several scratch dirs in one JVM, so the single-dir invariant the
     * dynamic oracles rely on must be re-established per dir. */
   private[graft] def resetFittedOracleState(): Unit = {
-    ivfCents.clear(); pqBooks.clear(); semCents.clear(); bpeMerges.clear()
+    ivfCents.clear(); vecIdxCents.clear(); pqBooks.clear()
+    semCents.clear(); bpeMerges.clear()
   }
 
   /** Oracle map is a def: the IVF entry exists only after its query has
@@ -1726,6 +1817,11 @@ object QueriesML {
       if (ivfCents.size == 1)
         Map("q_ann_ivf_topk" ->
           annIvfTopKSql(ivfCents.values.iterator.next()))
+      else Map.empty
+    val vecIdx: Map[String, String] =
+      if (vecIdxCents.size == 1)
+        Map("q_ann_index" ->
+          annIndexSql(vecIdxCents.values.iterator.next()))
       else Map.empty
     val pq: Map[String, String] =
       if (pqBooks.size == 1)
@@ -1742,7 +1838,7 @@ object QueriesML {
       if (bpeMerges.size == 1)
         Map("q_bpe_apply" -> bpeApplySql(bpeMerges.values.iterator.next()))
       else Map.empty
-    staticOracles ++ ivf ++ pq ++ sem ++ bpe
+    staticOracles ++ ivf ++ vecIdx ++ pq ++ sem ++ bpe
   }
 
   private val staticOracles: Map[String, String] = Map(

@@ -115,6 +115,18 @@ object KMeans {
     ivfTopKWith(fitOn(corpus, idCol, vecCol, clusters, iters),
       corpus, queries, idCol, vecCol, k, nprobe)
 
+  /** Per-row PROBE CELLS: the `nprobe` nearest centroid ids of a
+    * prepared row (expects columns `v`, `n2`), exploded — ties break
+    * toward the lower cell id via the (d, i) struct sort, matching
+    * [[nearestCentroid]]'s assignment tie rule. */
+  def probeCells(cents: Array[Array[Long]], nprobe: Int): Column = {
+    val ds = array(cents.indices.map(i =>
+      struct(sqDistToCentroid(col("v"), col("n2"), cents(i)).as("d"),
+        lit(i).as("i"))): _*)
+    explode(slice(transform(array_sort(ds), p => p.getField("i")),
+      1, nprobe))
+  }
+
   /** IVF search against an already-fitted centroid matrix. */
   def ivfTopKWith(cents: Array[Array[Long]], corpus: DataFrame,
                   queries: DataFrame, idCol: String, vecCol: String,
@@ -125,14 +137,8 @@ object KMeans {
       .withColumnRenamed("id", "cand_id")
       .withColumnRenamed("v", "cv").withColumnRenamed("n2", "cn2")
     val q = prepare(queries, idCol, vecCol)
-    // probe cells: nprobe nearest centroids per query, exploded
-    val probeCells = array((0 until cents.length).map(i =>
-      struct(sqDistToCentroid(col("v"), col("n2"), cents(i)).as("d"),
-        lit(i).as("i"))): _*)
     val qProbed = q
-      .withColumn("cell",
-        explode(slice(transform(array_sort(probeCells), p => p.getField("i")),
-          1, nprobe)))
+      .withColumn("cell", probeCells(cents, nprobe))
       .withColumnRenamed("id", "query_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("n2", "qn2")
     import org.apache.spark.sql.expressions.Window

@@ -43,7 +43,9 @@ private[sources] object GraftProcedures {
     "cluster_by", "maintain", "purge_tombstones", "tag", "drop_tag",
     "restore", "clean_orphans", "vacuum_retention", "clone",
     "set_spec", "branch", "fast_forward", "cherry_pick",
-    "drop_branch", "expire_branches", "adopt", "convert")
+    "drop_branch", "expire_branches", "adopt", "convert",
+    "build_text_index", "drop_text_index",
+    "build_vector_index", "drop_vector_index")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -138,6 +140,45 @@ private[sources] object GraftProcedures {
           .map(a => new GenericInternalRow(Array[Any](
             UTF8String.fromString(a.kind), UTF8String.fromString(a.detail),
             a.version.toLong)))
+      })
+      case "build_text_index" => Some(proc("build_text_index",
+        "build (or rebuild) the text-anchor file-skipping index",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("sidecar", StringType,
+          nullable = false)))) { r =>
+        val dir = VersionedTable.textIndexBuild(spark,
+          pathOf(str(r, 0)), str(r, 1))
+        Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(dir))))
+      })
+      case "drop_text_index" => Some(proc("drop_text_index",
+        "drop a column's text-anchor index (idempotent)",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType,
+          nullable = false)))) { r =>
+        VersionedTable.textIndexDrop(spark, pathOf(str(r, 0)), str(r, 1))
+        Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case "build_vector_index" => Some(proc("build_vector_index",
+        "build (or rebuild) the persisted IVF vector index",
+        Seq(in("table", StringType), in("id_column", StringType),
+          in("vector_column", StringType),
+          in("clusters", IntegerType, Some("16")),
+          in("iters", IntegerType, Some("3"))),
+        StructType(Seq(StructField("sidecar", StringType,
+          nullable = false)))) { r =>
+        val dir = VersionedTable.vectorIndexBuild(spark,
+          pathOf(str(r, 0)), str(r, 1), str(r, 2), r.getInt(3),
+          r.getInt(4))
+        Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(dir))))
+      })
+      case "drop_vector_index" => Some(proc("drop_vector_index",
+        "drop a column's persisted vector index (idempotent)",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType,
+          nullable = false)))) { r =>
+        VersionedTable.vectorIndexDrop(spark, pathOf(str(r, 0)),
+          str(r, 1))
+        Seq(new GenericInternalRow(Array[Any](true)))
       })
       case "purge_tombstones" => Some(proc("purge_tombstones",
         "materialize deletion-vector debt back into pure files",

@@ -3747,6 +3747,198 @@ object VersionedTable {
       idCol, textCol, benchIdCol, benchTextCol, window)
   }
 
+  // -------------------------------------------------------------------
+  // PERSISTED VECTOR INDEX (IVF): at 100 TB an ANN structure is built
+  // ONCE and probed many times — retraining centroids per query (the
+  // q_ann_ivf shape) re-scans the corpus each invocation. The build
+  // trains IVF centroids over the CURRENT snapshot and persists BOTH
+  // the centroid matrix and the cell ASSIGNMENT (id, fixed-point
+  // vector, |v|², source file), the assignment parquet PARTITIONED BY
+  // CELL — a probe reads only the nprobe probed cell partitions
+  // (static partition pruning), corpus I/O ≈ nprobe/clusters of a
+  // scan. Same lifecycle as the text index: `_index/` sidecar +
+  // `index.vec.<col>` table property, zero manifest-line impact,
+  // superseded/crashed sidecars reclaimed by [[cleanOrphans]].
+  //
+  // Staleness is EXACT, not best-effort: the sidecar records the data
+  // files and dv lines of the build snapshot. At probe time a file is
+  // served from the index only when it is still in the current
+  // manifest AND no dv line touching it appeared since the build;
+  // every other current file (appended, or newly tombstoned) is
+  // re-scanned through the full-annotation subset read and
+  // brute-forced into the candidate pool, and assignment rows of
+  // files the table no longer carries are dropped. Zero false
+  // negatives and zero phantom candidates at any churn.
+  // -------------------------------------------------------------------
+
+  private def vecIndexProp(vecCol: String) = s"index.vec.$vecCol"
+
+  /** Probe-shape notifier for specs/gates: (files re-scanned
+    * index-free, total current data files). */
+  private[graft] var vectorIndexProbeNotifier: (Int, Int) => Unit =
+    (_, _) => ()
+
+  /** Build (or rebuild) the IVF vector index for `vecCol` over the
+    * CURRENT snapshot. One centroid fit (iters+1 corpus passes — the
+    * one-time cost a per-query fit pays EVERY time) plus one
+    * assignment pass, written as a cell-partitioned parquet sidecar.
+    * Returns the sidecar path. */
+  def vectorIndexBuild(spark: SparkSession, table: String, idCol: String,
+                       vecCol: String, clusters: Int = 16,
+                       iters: Int = 3): String = {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    require(clusters > 1 && iters >= 1, "bad index parameters")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    require(dataFilesOf(lines).nonEmpty, s"$table has no data files")
+    val snap = readSnapshotTagged(spark, lines)
+    Seq(idCol, vecCol).foreach(c => require(snap.columns.contains(c),
+      s"no column '$c' in $table"))
+    graft.plans.GraftFunctions.register(spark)
+    val base = snap.select(col(idCol), col(vecCol), col(FileCol))
+    val cents = graft.operators.KMeans.fitOn(
+      base, idCol, vecCol, clusters, iters)
+    val prepared = base.select(col(idCol).as("id"),
+        graft.operators.Similarity.fixedPoint(col(vecCol)).as("v"),
+        col(FileCol).as("file"))
+      .withColumn("n2", call_function(
+        graft.plans.GraftFunctions.DotLongName, col("v"), col("v")))
+      .withColumn("cell", graft.operators.KMeans.nearestCentroid(
+        col("v"), col("n2"), cents))
+    val dir = new Path(table, s"_index/vec_${vecCol}_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    prepared.write.partitionBy("cell")
+      .parquet(new Path(dir, "assign").toString)
+    val s2 = spark
+    import s2.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "v").repartition(1)
+      .write.parquet(new Path(dir, "cents").toString)
+    // the build snapshot's identity: indexed files + dv lines, so a
+    // probe can decide staleness per file without old manifests
+    // (which VACUUM may have retired)
+    (dataFilesOf(lines).map(p => ("file", norm(p))) ++
+      dvLinesOf(lines).map(("dv", _)))
+      .toDF("kind", "line").repartition(1)
+      .write.parquet(new Path(dir, "meta").toString)
+    setTableProperty(spark, table, vecIndexProp(vecCol),
+      s"$idCol\t$clusters\t$dir")
+    // the superseded sidecar (if any) stays for concurrent readers;
+    // cleanOrphans reclaims it once unreferenced (text-index rule)
+    dir.toString
+  }
+
+  /** The persisted centroid matrix of `vecCol`'s vector index — what
+    * an engine-portable oracle twin inlines. */
+  def vectorIndexCentroids(spark: SparkSession, table: String,
+                           vecCol: String): Option[Array[Array[Long]]] =
+    tablePropertyOf(spark, table, vecIndexProp(vecCol)).map { v =>
+      val dir = v.split('\t').last
+      spark.read.parquet(new Path(dir, "cents").toString)
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Long](1).toArray)
+    }
+
+  /** Drop `vecCol`'s vector index: the property and its sidecar
+    * (idempotent). */
+  def vectorIndexDrop(spark: SparkSession, table: String,
+                      vecCol: String): Unit = {
+    tablePropertyOf(spark, table, vecIndexProp(vecCol)).foreach { v =>
+      unsetTableProperty(spark, table, vecIndexProp(vecCol))
+      val old = new Path(v.split('\t').last)
+      if (norm(old.toString).contains("/_index/"))
+        fs(spark, old).delete(old, true)
+    }
+  }
+
+  /** ANN top-k THROUGH the persisted index — None when `vecCol` has
+    * no index. Per query: probe the `nprobe` nearest cells (read =
+    * the probed cell partitions of index-served files, a left-anti
+    * broadcast of the O(churn) excluded-file list), union the
+    * re-scanned stale slice, rank exact cosine, keep k. Row-identical
+    * to [[graft.operators.KMeans.ivfTopKWith]] with this index's
+    * centroids when the index-served rows are assignment-fresh, plus
+    * brute-force candidates from every re-scanned file. */
+  def vectorIndexTopK(spark: SparkSession, table: String, vecCol: String,
+                      queries: DataFrame, queryIdCol: String, k: Int,
+                      nprobe: Int = 2): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, call_function, col, round, row_number, sqrt}
+    tablePropertyOf(spark, table, vecIndexProp(vecCol)).map { v =>
+      val parts = v.split('\t')
+      val (idCol, dir) = (parts(0), parts.last)
+      val cents = vectorIndexCentroids(spark, table, vecCol).get
+      val vs = versions(spark, table)
+      require(vs.nonEmpty, s"no committed versions in $table")
+      val lines = readManifest(spark, table, vs.last)
+      val curData = dataFilesOf(lines)
+      val curDv = dvLinesOf(lines).toSet
+      val meta = spark.read.parquet(new Path(dir, "meta").toString)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val builtFiles = meta.collect { case ("file", p) => p }.toSet
+      val builtDv = meta.collect { case ("dv", l) => l }.toSet
+      val newDvTargets = dvTargets(spark,
+        (curDv -- builtDv).toSeq.map(_.substring(DvPrefix.length)))
+      val usable = builtFiles
+        .intersect(curData.map(norm).toSet) -- newDvTargets
+      val rescan = curData.filterNot(p => usable.contains(norm(p)))
+      vectorIndexProbeNotifier(rescan.size, curData.size)
+      graft.plans.GraftFunctions.register(spark)
+      val q = queries.select(col(queryIdCol).as("id"),
+          graft.operators.Similarity.fixedPoint(col(vecCol)).as("v"))
+        .withColumn("n2", call_function(
+          graft.plans.GraftFunctions.DotLongName, col("v"), col("v")))
+      val qProbed = q.withColumn("cell",
+          graft.operators.KMeans.probeCells(cents, nprobe))
+        .withColumnRenamed("id", "query_id")
+        .withColumnRenamed("v", "qv").withColumnRenamed("n2", "qn2")
+      val probed = qProbed.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val s2 = spark
+      import s2.implicits._
+      val excluded = (builtFiles -- usable).toSeq.toDF("file")
+      val assign = spark.read
+        .parquet(new Path(dir, "assign").toString)
+        .filter(col("cell").isin(probed: _*))
+        .join(broadcast(excluded), Seq("file"), "left_anti")
+      val cand1 = assign.join(broadcast(qProbed), Seq("cell"))
+        .select(col("query_id"), col("qv"), col("qn2"),
+          col("id").as("cand_id"), col("v").as("cv"),
+          col("n2").as("cn2"))
+      val qq = q.select(col("id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+      val cand2 = if (rescan.isEmpty) None else {
+        val lineOf = dataLineByPath(lines)
+        val sub = readSnapshot(spark,
+          rescan.map(p => lineOf(norm(p))) ++
+            stLinesFor(lines, rescan) ++ dvLinesOf(lines) ++
+            cmLinesOf(lines) ++ scLinesOf(lines))
+        val c = sub.select(col(idCol).as("cand_id"),
+            graft.operators.Similarity.fixedPoint(col(vecCol)).as("cv"))
+          .withColumn("cn2", call_function(
+            graft.plans.GraftFunctions.DotLongName,
+            col("cv"), col("cv")))
+        Some(c.crossJoin(broadcast(qq))
+          .select(col("query_id"), col("qv"), col("qn2"),
+            col("cand_id"), col("cv"), col("cn2")))
+      }
+      val cand = cand2.fold(cand1)(cand1.unionByName(_))
+      val scored = cand.filter(col("cand_id") =!= col("query_id"))
+        .withColumn("cos", call_function(
+          graft.plans.GraftFunctions.DotLongName,
+          col("qv"), col("cv")).cast("double") /
+          sqrt(col("qn2").cast("double") * col("cn2").cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+    }
+  }
+
   /** One report line of [[maintain]]. */
   final case class MaintenanceAction(kind: String, detail: String,
                                      version: Int)

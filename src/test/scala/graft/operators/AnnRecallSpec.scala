@@ -89,6 +89,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"IVF recall collapsed: $r")
   }
 
+  test("persisted-index probe recall@10 holds the IVF floor — with " +
+    "a post-build append in the pool") {
+    val VT = graft.sources.VersionedTable
+    val table = java.nio.file.Files
+      .createTempDirectory("ann_vecidx").toString + "/emb"
+    // hold one slice out of the build so the probe exercises BOTH
+    // paths: index-served cells and the brute-forced stale file
+    val late = col("vec_id") % 10 === 7
+    VT.commit(spark, table,
+      emb.filter(!late).repartitionByRange(4, col("vec_id")),
+      append = false, statCols = Seq("vec_id"))
+    VT.vectorIndexBuild(spark, table, "vec_id", "embedding",
+      graft.QueriesML.IvfClusters, graft.QueriesML.IvfIters)
+    VT.commit(spark, table, emb.filter(late).coalesce(1), append = true)
+    val approx = candSets(VT.vectorIndexTopK(spark, table, "embedding",
+      queries, "vec_id", K, graft.QueriesML.IvfNprobe).get)
+    val r = recallOf(approx)
+    info(f"persisted-index recall@$K: $r%.3f")
+    // late rows are brute-forced (never missed), so the floor is the
+    // IVF floor
+    assert(r >= 0.5, s"index-probe recall collapsed: $r")
+  }
+
   test("PQ/ADC recall@10 above floor at the gate config") {
     // PQ approximates L2, not cosine — ground truth is the exact
     // fixed-point L2 top-k, computed locally as an independent oracle

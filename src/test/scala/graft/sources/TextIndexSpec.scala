@@ -153,6 +153,26 @@ class TextIndexSpec extends SparkSpec {
     assert(f.exists(new org.apache.hadoop.fs.Path(second)))
   }
 
+  test("CALL gti.system.build_text_index / drop_text_index drive the " +
+    "lifecycle from SQL") {
+    val w = Files.createTempDirectory("textidx_cat").toString
+    spark.conf.set("spark.sql.catalog.gti", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gti.warehouse", w)
+    (1L to 50L).map(i => (i, mk(i))).toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_src")
+    spark.sql("CREATE TABLE gti.d AS SELECT * FROM ti_src")
+    val side = spark.sql(
+      "CALL gti.system.build_text_index('d', 'text')")
+      .collect().head.getString(0)
+    assert(side.contains("_index/text_text_"), side)
+    assert(VersionedTable.textIndexCandidates(spark, s"$w/d", "text",
+      Seq("z" * 80)).isDefined, "the built index must be usable")
+    assert(spark.sql("CALL gti.system.drop_text_index('d', 'text')")
+      .collect().head.getBoolean(0))
+    assert(VersionedTable.textIndexCandidates(spark, s"$w/d", "text",
+      Seq("z" * 80)).isEmpty)
+  }
+
   test("a snippet shorter than the indexed window disables the index " +
     "(full scan) without losing correctness; no index = full scan") {
     val t = freshTable()
