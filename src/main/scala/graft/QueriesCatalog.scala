@@ -1527,7 +1527,60 @@ object QueriesCatalog {
       |  CAST(sum(discount_cents) AS BIGINT) AS disc_cents
       |FROM rows_ GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // MATERIALIZED VIEW DDL ([[graft.sources.GraftMv]]): the SQL surface
+  // of incremental view maintenance. A revenue-by-segment MV is
+  // CREATEd over orders ⋈ customer while both tables are PARTIAL,
+  // then BOTH sides move — a fact append AND a dimension merge (the
+  // term that re-weights matching fact rows) — and one CALL
+  // refresh_mv folds the signed change feeds (Δ(A⋈B) = ΔA⋈B_old ∪
+  // A_new⋈ΔB, I/O O(changed files) — JoinMaterializedViewSpec pins
+  // the bucket pruning; this gate pins the statement surface end to
+  // end). Oracle: the final state reconstructed algebraically from
+  // raw orders/customer.
+  // ---------------------------------------------------------------------
+  def catalogMv(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = freshCatalog(s)
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    VersionedTable.commit(s, s"$w/orders",
+      o.filter(col("o_orderkey") % 3 =!= 0), append = false)
+    VersionedTable.commit(s, s"$w/customer", c, append = false)
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.rev AS " +
+      "SELECT c_mktsegment, count(*) AS cnt, " +
+      "sum(price_cents) AS sum_price_cents " +
+      s"FROM $cat.orders JOIN $cat.customer USING (custkey) " +
+      "GROUP BY c_mktsegment")
+    // both sources move AFTER the create
+    VersionedTable.commit(s, s"$w/orders",
+      o.filter(col("o_orderkey") % 3 === 0), append = true)
+    VersionedTable.mergeCommit(s, s"$w/customer",
+      c.filter(col("custkey") % 10 === 3)
+        .withColumn("c_mktsegment", lit("MOVED")), "custkey")
+    s.sql(s"CALL $cat.system.refresh_mv('rev')")
+    s.sql(s"SELECT c_mktsegment, cnt, sum_price_cents FROM $cat.rev")
+  }
+
+  val catalogMvSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |d AS (
+      |  SELECT c_custkey AS custkey,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer)
+      |SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM f JOIN d USING (custkey)
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_mv" -> (catalogMv _),
     "q_catalog_default" -> (catalogDefault _),
     "q_catalog_cherry_pick" -> (catalogCherryPick _),
     "q_catalog_view" -> (catalogView _),
@@ -1556,6 +1609,7 @@ object QueriesCatalog {
     "q_catalog_ddl_roundtrip" -> (catalogDdlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
+    "q_catalog_mv" -> catalogMvSql,
     "q_catalog_default" -> catalogDefaultSql,
     "q_catalog_cherry_pick" -> catalogCherryPickSql,
     "q_catalog_view" -> catalogViewSql,

@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HINT batch, not Resolution: ResolveSessionCatalog hard-refuses
     // view DDL on non-session catalogs before resolution rules run
     ext.injectHintResolutionRule(_ => graft.sources.GraftViewRule)
+    // CREATE/REFRESH/DROP MATERIALIZED VIEW — Spark's grammar has no
+    // such statement; the delegating parser claims exactly those
+    // three forms and passes every other statement through verbatim
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }

@@ -112,6 +112,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   private def spark: SparkSession = SparkSession.active
 
+  /** The warehouse path an identifier names — shared with the MV DDL
+    * surface ([[GraftMv]]), which stores materialized views as plain
+    * versioned tables in the warehouse. */
+  private[sources] def tablePath(ident: Identifier): String =
+    pathOf(ident)
+
   private def pathOf(ident: Identifier): String = {
     val parts = ident.namespace().toSeq :+ ident.name()
     parts.foreach(p => require(

@@ -45,7 +45,7 @@ private[sources] object GraftProcedures {
     "set_spec", "branch", "fast_forward", "cherry_pick",
     "drop_branch", "expire_branches", "adopt", "convert",
     "build_text_index", "drop_text_index",
-    "build_vector_index", "drop_vector_index")
+    "build_vector_index", "drop_vector_index", "refresh_mv")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -140,6 +140,13 @@ private[sources] object GraftProcedures {
           .map(a => new GenericInternalRow(Array[Any](
             UTF8String.fromString(a.kind), UTF8String.fromString(a.detail),
             a.version.toLong)))
+      })
+      case "refresh_mv" => Some(proc("refresh_mv",
+        "incrementally refresh a materialized view to its sources' " +
+          "heads (I/O O(changed files), never a source rescan)",
+        Seq(in("view", StringType)),
+        versionOut) { r =>
+        versionRow(GraftMv.refreshMv(spark, pathOf(str(r, 0))))
       })
       case "build_text_index" => Some(proc("build_text_index",
         "build (or rebuild) the text-anchor file-skipping index",

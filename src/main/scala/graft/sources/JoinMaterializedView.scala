@@ -55,7 +55,8 @@ object JoinMaterializedView {
     * committed view version. */
   def build(spark: SparkSession, factTable: String, dimTable: String,
             mvDir: String, key: String, groupCols: Seq[String],
-            sumCols: Seq[String]): Int = {
+            sumCols: Seq[String],
+            extraMeta: Map[String, String] = Map.empty): Int = {
     require(groupCols.nonEmpty, "need at least one group column")
     val fv = VersionedTable.versions(spark, factTable).last
     val dv = VersionedTable.versions(spark, dimTable).last
@@ -64,7 +65,8 @@ object JoinMaterializedView {
       .join(dropBucketCols(VersionedTable.read(spark, dimTable, Some(dv))),
         Seq(key))
     VersionedTable.commit(spark, mvDir,
-      aggregate(joined, groupCols, sumCols), append = false, meta = Map(
+      aggregate(joined, groupCols, sumCols), append = false,
+      meta = extraMeta ++ Map(
         FactVKey -> fv.toString, DimVKey -> dv.toString, KeyKey -> key,
         GroupKey -> groupCols.mkString(","),
         SumKey -> sumCols.mkString(",")))

@@ -48,15 +48,17 @@ object MaterializedView {
     * 1 (or a fresh full version on an existing view). Returns the
     * committed view version. */
   def build(spark: SparkSession, sourceTable: String, mvDir: String,
-            groupCols: Seq[String], sumCols: Seq[String]): Int = {
+            groupCols: Seq[String], sumCols: Seq[String],
+            extraMeta: Map[String, String] = Map.empty): Int = {
     require(groupCols.nonEmpty, "need at least one group column")
     val sv = VersionedTable.versions(spark, sourceTable).last
     val agg = aggregate(
       VersionedTable.read(spark, sourceTable, Some(sv)), groupCols, sumCols)
-    VersionedTable.commit(spark, mvDir, agg, append = false, meta = Map(
-      SrcKey -> sv.toString,
-      GroupKey -> groupCols.mkString(","),
-      SumKey -> sumCols.mkString(",")))
+    VersionedTable.commit(spark, mvDir, agg, append = false,
+      meta = extraMeta ++ Map(
+        SrcKey -> sv.toString,
+        GroupKey -> groupCols.mkString(","),
+        SumKey -> sumCols.mkString(",")))
   }
 
   /** The view's current contents (group cols, `cnt`, `sum_<c>`...). */
