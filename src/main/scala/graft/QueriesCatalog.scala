@@ -1579,8 +1579,59 @@ object QueriesCatalog {
       |FROM f JOIN d USING (custkey)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // GENERATED COLUMNS ([[VersionedTable.addGeneratedColumnCommit]]):
+  // ADD COLUMN ... GENERATED ALWAYS AS (expr) as a metadata-only
+  // evolve on the nc-era machinery. Half of orders lands PRE-era (the
+  // band computes at read), the declaration is added, the other half
+  // appends POST-era (the band materializes into the files), a
+  // mismatching explicit value is refused atomically (in-query
+  // require), and the final aggregate spans BOTH eras — the oracle
+  // computes the expression uniformly, so any era seam shows as a
+  // hash mismatch.
+  // ---------------------------------------------------------------------
+  def catalogGenerated(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_vgen")
+      .toAbsolutePath.toString + "/orders"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      append = false, statCols = Seq("o_orderkey"))
+    VersionedTable.addGeneratedColumnCommit(s, table, "band",
+      org.apache.spark.sql.types.LongType, "price_cents DIV 1000000")
+    VersionedTable.commit(s, table,
+      base.filter(col("o_orderkey") % 2 === 1), append = true)
+    val head = VersionedTable.versions(s, table).last
+    val rejected =
+      try {
+        VersionedTable.commit(s, table,
+          base.limit(3).withColumn("band", lit(-5L)), append = true)
+        false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("GENERATED") }
+    require(rejected && VersionedTable.versions(s, table).last == head,
+      "a mismatching explicit generated value must be refused " +
+        "atomically")
+    VersionedTable.read(s, table)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  val catalogGeneratedSql: String =
+    """WITH rows_ AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders)
+      |SELECT price_cents // 1000000 AS band, count(*) AS cnt,
+      |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+      |FROM rows_ GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_mv" -> (catalogMv _),
+    "q_table_generated" -> (catalogGenerated _),
     "q_catalog_default" -> (catalogDefault _),
     "q_catalog_cherry_pick" -> (catalogCherryPick _),
     "q_catalog_view" -> (catalogView _),
@@ -1610,6 +1661,7 @@ object QueriesCatalog {
 
   def oracles: Map[String, String] = Map(
     "q_catalog_mv" -> catalogMvSql,
+    "q_table_generated" -> catalogGeneratedSql,
     "q_catalog_default" -> catalogDefaultSql,
     "q_catalog_cherry_pick" -> catalogCherryPickSql,
     "q_catalog_view" -> catalogViewSql,

@@ -45,7 +45,8 @@ private[sources] object GraftProcedures {
     "set_spec", "branch", "fast_forward", "cherry_pick",
     "drop_branch", "expire_branches", "adopt", "convert",
     "build_text_index", "drop_text_index",
-    "build_vector_index", "drop_vector_index", "refresh_mv")
+    "build_vector_index", "drop_vector_index", "refresh_mv",
+    "add_generated_column")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -140,6 +141,18 @@ private[sources] object GraftProcedures {
           .map(a => new GenericInternalRow(Array[Any](
             UTF8String.fromString(a.kind), UTF8String.fromString(a.detail),
             a.version.toLong)))
+      })
+      case "add_generated_column" => Some(proc("add_generated_column",
+        "ADD COLUMN ... GENERATED ALWAYS AS (expr): metadata-only " +
+          "evolve; old files compute the expression at read, writes " +
+          "materialize and validate it",
+        Seq(in("table", StringType), in("column", StringType),
+          in("type", StringType), in("expr", StringType)),
+        versionOut) { r =>
+        versionRow(VersionedTable.addGeneratedColumnCommit(spark,
+          pathOf(str(r, 0)), str(r, 1),
+          org.apache.spark.sql.types.DataType.fromDDL(str(r, 2)),
+          str(r, 3)))
       })
       case "refresh_mv" => Some(proc("refresh_mv",
         "incrementally refresh a materialized view to its sources' " +

@@ -1100,22 +1100,33 @@ object VersionedTable {
       : StagedCommit = {
     val metaLines = metaLinesOf(meta) // validate BEFORE any data write
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
-    val carried =
+    val (carried, prevSchema) =
       if (append && next > 1) {
         val prev = readManifest(spark, table, next - 1)
         // per-commit meta (txn stamps etc.) drops, but the partition
         // SPEC declaration is table SHAPE: a plain append must not
         // silently un-declare it (the appended files are untagged —
         // never-prunable — but later INSERTs keep partition-routing)
-        prev.filterNot(l => l.startsWith(MetaPrefix) ||
+        (prev.filterNot(l => l.startsWith(MetaPrefix) ||
             l.startsWith(ScPrefix)) ++ // fresh sc written below
           (if (meta.contains("partitioned_by")) Seq.empty
-           else specDeclLines(prev))
+           else specDeclLines(prev)), schemaOfLines(prev))
       }
-      else Seq.empty // overwrite: fresh lineage, column mapping resets
+      // overwrite: fresh lineage, column mapping + declarations reset
+      else (Seq.empty, None)
+    // GENERATED columns an append omits materialize here (the
+    // declared expression over the incoming rows — logical names,
+    // toPhysicalDf renames below); explicitly-provided values are
+    // validated post-write instead
+    val dfG = prevSchema.map(generatedColsOf).getOrElse(Map.empty)
+      .foldLeft(df) { case (d, (g, (dt, e))) =>
+        if (d.columns.contains(g)) d
+        else d.withColumn(g,
+          org.apache.spark.sql.functions.expr(e).cast(dt))
+      }
     val dataDir = new Path(table,
       s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    toPhysicalDf(df, carried).write.parquet(dataDir.toString)
+    toPhysicalDf(dfG, carried).write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
@@ -1125,7 +1136,7 @@ object VersionedTable {
     // CHECK constraints + (on appends) schema enforcement, O(new data);
     // an overwrite starts a fresh lineage — nothing to conflict with
     validateNewFiles(spark, table, newFiles, checkSchema = append)
-    val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
+    val schemaMeta = if (append) mergedSchemaLine(spark, table, dfG)
       else schemaLineOf(df.schema)
     StagedCommit(table, next,
       carried ++ newFiles ++ stLines ++ metaLines ++ schemaMeta,
@@ -1417,7 +1428,8 @@ object VersionedTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     }
     val dvs = dvFilesOf(lines)
-    val defaults = schemaOfLines(lines).map(columnDefaultsOf)
+    val defaults = schemaOfLines(lines)
+      .map(sc => columnDefaultsOf(sc) ++ generatedColsOf(sc))
       .getOrElse(Map.empty)
     val nc =
       if (defaults.isEmpty) Map.empty[String, Set[String]]
@@ -1460,14 +1472,36 @@ object VersionedTable {
           val df = scanCols(baseSnapshotRead(spark, lines, files))
           missing.foldLeft(df) { (d, physCol) =>
             val (dt, sqlText) = physDefault(physCol)
+            // a GENERATED expression references OTHER columns by
+            // LOGICAL name; this scan sees physical names — translate
+            // the references (a constant default has none)
             d.withColumn(physCol,
-              org.apache.spark.sql.functions.expr(sqlText).cast(dt))
+              exprWithPhysicalRefs(spark, sqlText, renames).cast(dt))
           }
         }.reduce(_.unionByName(_))
       val afterDv = if (dvs.isEmpty) base
         else applyTombstones(spark, base, dvs).drop(FileCol, PosCol)
       widenToDeclared(applyMapping(afterDv, lines), lines)
     }
+  }
+
+  /** A default/generation SQL text as a Column with its column
+    * references translated logical → physical (identity when the
+    * table has no renames). */
+  private def exprWithPhysicalRefs(spark: SparkSession, sqlText: String,
+                                   renames: Map[String, String])
+      : org.apache.spark.sql.Column = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+    if (renames.isEmpty)
+      return org.apache.spark.sql.GraftSqlShims.column(parsed)
+    val mapped = parsed.transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 &&
+            renames.contains(ua.nameParts.head) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(renames(ua.nameParts.head)))
+    }
+    org.apache.spark.sql.GraftSqlShims.column(mapped)
   }
 
   /** Apply a snapshot's deletion-vector sidecars to `base` (which must
@@ -2140,7 +2174,8 @@ object VersionedTable {
       if (rewrite.isEmpty) Seq.empty[String]
       else {
         val rows = readSnapshot(spark,
-          rewrite ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
+          rewrite ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines) ++
+            lines.filter(_.startsWith(NcPrefix)))
         writeRewrite(spark, table, next, transform(rows, rangePred),
           identitySpecOf(lines), cmLinesOf(lines))
       }
@@ -2393,7 +2428,9 @@ object VersionedTable {
                              files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None
     else Some(readSnapshot(spark,
-      files ++ lines.filter(_.startsWith(DvPrefix))))
+      files ++ lines.filter(l => l.startsWith(DvPrefix) ||
+        l.startsWith(CmPrefix) || l.startsWith(ScPrefix) ||
+        l.startsWith(NcPrefix))))
 
   private[sources] def norm(s: String): String = new Path(s).toUri.getPath
 
@@ -2538,7 +2575,8 @@ object VersionedTable {
       if (rewrite.isEmpty) upserts
       else readSnapshot(spark,
         rewrite ++ dvLines ++ cmLinesOf(currentLines) ++
-        scLinesOf(currentLines))
+        scLinesOf(currentLines) ++
+        currentLines.filter(_.startsWith(NcPrefix)))
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
@@ -2776,7 +2814,8 @@ object VersionedTable {
       readSnapshot(spark, currentLines).limit(0)
     else readSnapshot(spark,
       rewrite ++ dvLines ++ cmLinesOf(currentLines) ++
-        scLinesOf(currentLines)))
+        scLinesOf(currentLines) ++
+        currentLines.filter(_.startsWith(NcPrefix))))
       .withColumn("__graft_t", lit(true))
     val sRows = source.withColumn("__graft_s", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"),
@@ -4142,7 +4181,8 @@ object VersionedTable {
     val spec = fullSpecOf(lines)
     val compacted = {
       val snap = readSnapshot(spark,
-        small ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
+        small ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines) ++
+          lines.filter(_.startsWith(NcPrefix)))
       // partitioned table: hash on the partition column(s) so each
       // value's fragments collapse into ONE file (per-partition
       // compaction — outputs stay pt-tagged via writeRewrite)
@@ -4282,7 +4322,8 @@ object VersionedTable {
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     val next = vs.last + 1
     val freshRows = readSnapshot(spark,
-      fresh ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines))
+      fresh ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines) ++
+        lines.filter(_.startsWith(NcPrefix)))
     val nOut = {
       val byFile = statsOf(lines).groupBy(s => norm(s._3))
         .view.mapValues(_.head._2._4).toMap
@@ -6085,6 +6126,11 @@ object VersionedTable {
     constraintRefs(spark, table).get(oldName).foreach(c => sys.error(
       s"CHECK constraint '$c' references '$oldName' — drop it, rename, " +
         "re-add under the new name"))
+    generatedColsOf(schema).foreach { case (g, (_, e)) =>
+      require(!refsOf(spark, e).contains(oldName),
+        s"generated column '$g' references '$oldName' — drop '$g', " +
+          "rename, re-add with the expression under the new name")
+    }
     // derived-spec tag columns embed the key's PHYSICAL name in their
     // own name (__bucket_<key>_<n>, __part_div_<col>_<unit>) — a
     // renamed key would orphan the spec discovery
@@ -6141,6 +6187,28 @@ object VersionedTable {
     sc.fields.iterator.filter(_.metadata.contains(ExistsDefaultKey))
       .map(f => f.name ->
         ((f.dataType, f.metadata.getString(ExistsDefaultKey)))).toMap
+
+  /** Spark's own generation-expression field-metadata key, so
+    * DESCRIBE and any Spark-side tooling recognize the column. */
+  private val GeneratedKey = org.apache.spark.sql.catalyst.util
+    .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY
+
+  /** The GENERATED columns of a declared schema:
+    * logical name → (dataType, generation SQL text). */
+  private[sources] def generatedColsOf(
+      sc: org.apache.spark.sql.types.StructType)
+      : Map[String, (org.apache.spark.sql.types.DataType, String)] =
+    sc.fields.iterator.filter(_.metadata.contains(GeneratedKey))
+      .map(f => f.name ->
+        ((f.dataType, f.metadata.getString(GeneratedKey)))).toMap
+
+  /** The single-part column names a generation/default SQL text
+    * references. */
+  private def refsOf(spark: SparkSession, sqlText: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlText).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        => ua.nameParts.head
+    }.toSet
 
   /** ADD COLUMN — metadata-only schema widening (one sc-line commit,
     * zero data I/O at any table size). Without `default`, rows from
@@ -6216,6 +6284,76 @@ object VersionedTable {
     next
   }
 
+  /** ADD a GENERATED column — `ALTER TABLE ... ADD COLUMN x T
+    * GENERATED ALWAYS AS (expr)` (Delta's generated columns /
+    * computed columns), metadata-only like [[addColumnCommit]]: one
+    * sc-line commit, zero data I/O at any table size. Rows from files
+    * that predate the column COMPUTE the expression at read through
+    * the same nc-era grouped scan the constant DEFAULT rides (one
+    * group per evolution era); files written after materialize the
+    * value — [[stageCommitData]] fills an omitted column, and
+    * [[validateNewFiles]] REJECTS an explicit value that disagrees
+    * with the expression (a generated column is an invariant, not a
+    * suggestion). The expression must be deterministic, reference
+    * only existing non-defaulted, non-generated columns, and cast to
+    * the declared type. Demands the `generated-columns` protocol
+    * feature — an old build would serve NULL where the declaration
+    * says computed values. */
+  def addGeneratedColumnCommit(spark: SparkSession, table: String,
+                               colName: String,
+                               dataType: org.apache.spark.sql.types.DataType,
+                               exprSql: String): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val lines = readManifest(spark, table, vs.last)
+    val schema = schemaOfLines(lines).orElse(tableSchemaOf(spark, table))
+      .getOrElse(sys.error(s"$table has no resolvable schema"))
+    require(!schema.fieldNames.contains(colName),
+      s"column '$colName' already exists")
+    require(!droppedPhysOf(lines).contains(colName) &&
+      !renameMapOf(lines).valuesIterator.contains(colName),
+      s"'$colName' is (or shadows) a retired physical column — " +
+        "pick a fresh name")
+    require(!exprSql.contains('\n'),
+      "a generation expression must be one line")
+    val refs = refsOf(spark, exprSql)
+    val unknown = refs -- schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"generation expression references unknown column(s): " +
+        unknown.toSeq.sorted.mkString(", "))
+    val derived = refs.intersect(
+      (columnDefaultsOf(schema) ++ generatedColsOf(schema)).keySet)
+    require(derived.isEmpty,
+      "a generation expression may not reference defaulted or " +
+        s"generated columns (got ${derived.toSeq.sorted.mkString(", ")})")
+    // type-check + determinism NOW, against the declared schema: one
+    // driver-side analysis, zero data I/O
+    val checked = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .select(org.apache.spark.sql.functions.expr(exprSql).cast(dataType))
+    require(checked.queryExecution.analyzed.expressions
+      .forall(_.deterministic),
+      s"a generation expression must be deterministic: $exprSql")
+    val newField = org.apache.spark.sql.types.StructField(colName,
+      dataType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(GeneratedKey, exprSql).build())
+    requireFeature(spark, table, "generated-columns")
+    val kept = lines.filterNot(l => l.startsWith(ScPrefix) ||
+      l.startsWith(MetaPrefix))
+    val ncLines = dataFilesOf(lines)
+      .map(p => s"$NcPrefix$colName\t${norm(p)}")
+    val next = vs.last + 1
+    writeManifest(spark, table, next,
+      kept ++ ncLines ++
+        schemaLineOf(org.apache.spark.sql.types.StructType(
+          schema.fields :+ newField)) ++
+        metaLinesOf(Map("added_column" -> colName,
+          "content_preserving" -> "true",
+          "added_generated" -> exprSql)))
+    next
+  }
+
   def dropColumnCommit(spark: SparkSession, table: String,
                        colName: String): Int = {
     val vs = versions(spark, table)
@@ -6226,6 +6364,10 @@ object VersionedTable {
     require(schema.fieldNames.contains(colName),
       s"no column '$colName' in ${schema.fieldNames.toSeq}")
     require(schema.fields.length > 1, "cannot drop the last column")
+    generatedColsOf(schema).foreach { case (g, (_, e)) =>
+      require(g == colName || !refsOf(spark, e).contains(colName),
+        s"generated column '$g' references '$colName' — drop '$g' first")
+    }
     require(!fullSpecOf(lines).contains(colName) &&
       !partitionsOf(lines).exists(_._1 == colName),
       s"'$colName' is a partition column — repartition " +
@@ -6308,9 +6450,11 @@ object VersionedTable {
     * semantics-changing capability adds its name here and calls
     * [[requireFeature]] when a table first uses it. */
   val SupportedReaderFeatures: Set[String] =
-    Set("base", "column-mapping", "column-defaults")
+    Set("base", "column-mapping", "column-defaults",
+      "generated-columns")
   val SupportedWriterFeatures: Set[String] =
-    Set("base", "column-mapping", "column-defaults")
+    Set("base", "column-mapping", "column-defaults",
+      "generated-columns")
 
   private def protocolPath(table: String) = new Path(table, "_protocol")
 
@@ -6556,6 +6700,52 @@ object VersionedTable {
         s"commit rejected: CHECK constraint(s) violated — " +
           violated.mkString("; "))
     }
+    if (checkSchema) {
+      val bad = generatedViolations(spark, table, newFiles)
+      if (bad.nonEmpty) {
+        unstageFiles(spark, table, newFiles)
+        throw new IllegalStateException(
+          s"commit rejected: GENERATED column value(s) disagree with " +
+            s"their declared expression — ${bad.mkString("; ")}")
+      }
+    }
+  }
+
+  /** Explicitly-written generated-column values that DISAGREE with
+    * the declared expression, per column — one O(new files) aggregate
+    * pass, same shape as [[constraintViolations]]; empty when the
+    * table declares no generated columns. */
+  private def generatedViolations(spark: SparkSession, table: String,
+                                  files: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
+    if (files.isEmpty) return Seq.empty
+    val headLines = versions(spark, table).lastOption
+      .map(v => readManifest(spark, table, v)).getOrElse(Seq.empty)
+    val gens = schemaOfLines(headLines).map(generatedColsOf)
+      .getOrElse(Map.empty).toSeq.sortBy(_._1)
+    if (gens.isEmpty) return Seq.empty
+    val staged = applyMapping(spark.read.option("mergeSchema", "true")
+      .parquet(files: _*), headLines)
+    val (present, absent) = gens.partition { case (g, _) =>
+      staged.columns.contains(g) }
+    // files written WITHOUT a declared generated column would read as
+    // silent NULLs where the declaration says computed values — refuse
+    // loudly; [[stageCommitData]] materializes omitted columns, other
+    // write paths must carry explicit (validated) values
+    if (absent.nonEmpty)
+      return absent.map { case (g, (_, e)) =>
+        s"$g ($e): column absent from the written files" }
+    if (present.isEmpty) return Seq.empty
+    val counts = staged.agg(
+      sum(when(!(col(present.head._1) <=>
+        expr(present.head._2._2).cast(present.head._2._1)), 1L)
+        .otherwise(0L)).as(present.head._1),
+      present.tail.map { case (g, (dt, e)) =>
+        sum(when(!(col(g) <=> expr(e).cast(dt)), 1L).otherwise(0L)).as(g)
+      }: _*).collect()(0)
+    present.indices.filter(i => counts.getLong(i) > 0)
+      .map(i => s"${present(i)._1} (${present(i)._2._2}): " +
+        s"${counts.getLong(i)} row(s)")
   }
 
   /** Unstage rejected files: walk each up to its commit dir under
