@@ -1629,8 +1629,81 @@ object QueriesCatalog {
       |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
       |FROM rows_ GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // MULTI-TABLE ATOMIC COMMIT ([[graft.sources.TableTxn]]): orders and
+  // customer must move TOGETHER. A coordinator crash is injected
+  // mid-transaction AFTER the first table's manifest published — the
+  // in-query requires pin that NEITHER side is visible (the published
+  // manifest is txn-marked undecided) and that the janitor frees the
+  // slots; then the same transaction commits cleanly and the final
+  // two-sided aggregate must show BOTH appends. The oracle computes
+  // the final state from raw orders/customer — a half-visible txn
+  // shows as a hash mismatch on either side.
+  // ---------------------------------------------------------------------
+  def tableTxn(s: SparkSession, dir: String): DataFrame = {
+    val TX = graft.sources.TableTxn
+    val root = java.nio.file.Files.createTempDirectory("graft_vtxn")
+      .toAbsolutePath.toString
+    val (fact, dim) = (root + "/orders", root + "/customer")
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      graft.functions.Exact.cents(col("o_totalprice")).as("price_cents"))
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      graft.functions.Exact.cents(col("c_acctbal")).as("acctbal_cents"))
+    VersionedTable.commit(s, fact,
+      o.filter(col("o_orderkey") % 2 === 0), append = false)
+    VersionedTable.commit(s, dim, c, append = false)
+    val mx = c.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    val writes = Seq(
+      TX.TxnWrite(fact, o.filter(col("o_orderkey") % 2 === 1),
+        append = true),
+      TX.TxnWrite(dim, c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(10L) * mx),
+        append = true))
+    val seeded = (VersionedTable.read(s, fact).count(),
+      VersionedTable.read(s, dim).count())
+    // coordinator dies AFTER publishing the first table's manifest —
+    // the razor's edge: one side on disk, the other not
+    TX.failpoint = l =>
+      if (l == s"published:$fact") throw new TX.SimulatedCrash(l)
+    val crashed =
+      try { TX.commitAll(s, writes); false }
+      catch { case _: TX.SimulatedCrash => true }
+    TX.failpoint = _ => ()
+    require(crashed, "the injected crash must fire")
+    require((VersionedTable.read(s, fact).count(),
+      VersionedTable.read(s, dim).count()) == seeded &&
+      VersionedTable.versions(s, fact) == Seq(1),
+      "a crashed txn must leave NEITHER side visible")
+    TX.resolvePending(s, fact); TX.resolvePending(s, dim)
+    TX.commitAll(s, writes)
+    VersionedTable.read(s, fact)
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("total"))
+      .select(lit("fact").as("side"), col("cnt"), col("total"))
+      .unionByName(VersionedTable.read(s, dim)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("acctbal_cents")).as("total"))
+        .select(lit("dim").as("side"), col("cnt"), col("total")))
+  }
+
+  val tableTxnSql: String =
+    """WITH f AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders),
+      |d AS (
+      |  SELECT c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS ac
+      |  FROM customer),
+      |dall AS (
+      |  SELECT ac FROM d
+      |  UNION ALL SELECT ac FROM d WHERE c_custkey % 7 = 0)
+      |SELECT 'fact' AS side, count(*) AS cnt,
+      |  CAST(sum(pc) AS BIGINT) AS total FROM f
+      |UNION ALL
+      |SELECT 'dim', count(*), CAST(sum(ac) AS BIGINT) FROM dall""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_mv" -> (catalogMv _),
+    "q_table_txn" -> (tableTxn _),
     "q_table_generated" -> (catalogGenerated _),
     "q_catalog_default" -> (catalogDefault _),
     "q_catalog_cherry_pick" -> (catalogCherryPick _),
@@ -1661,6 +1734,7 @@ object QueriesCatalog {
 
   def oracles: Map[String, String] = Map(
     "q_catalog_mv" -> catalogMvSql,
+    "q_table_txn" -> tableTxnSql,
     "q_table_generated" -> catalogGeneratedSql,
     "q_catalog_default" -> catalogDefaultSql,
     "q_catalog_cherry_pick" -> catalogCherryPickSql,

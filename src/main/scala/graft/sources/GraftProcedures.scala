@@ -46,7 +46,7 @@ private[sources] object GraftProcedures {
     "drop_branch", "expire_branches", "adopt", "convert",
     "build_text_index", "drop_text_index",
     "build_vector_index", "drop_vector_index", "refresh_mv",
-    "add_generated_column")
+    "add_generated_column", "resolve_txns")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -153,6 +153,16 @@ private[sources] object GraftProcedures {
           pathOf(str(r, 0)), str(r, 1),
           org.apache.spark.sql.types.DataType.fromDDL(str(r, 2)),
           str(r, 3)))
+      })
+      case "resolve_txns" => Some(proc("resolve_txns",
+        "resolve crashed multi-table transactions on a table: abort " +
+          "in-flight markers, seal committed ones, free version slots",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("action", StringType,
+          nullable = false)))) { r =>
+        TableTxn.resolvePending(spark, pathOf(str(r, 0)))
+          .map(a => new GenericInternalRow(
+            Array[Any](UTF8String.fromString(a))))
       })
       case "refresh_mv" => Some(proc("refresh_mv",
         "incrementally refresh a materialized view to its sources' " +

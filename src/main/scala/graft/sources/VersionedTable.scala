@@ -657,9 +657,10 @@ object VersionedTable {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestDir(table: String) = new Path(table, "_manifests")
+  private[sources] def manifestDir(table: String) =
+    new Path(table, "_manifests")
 
-  private def manifestPath(table: String, v: Int) =
+  private[sources] def manifestPath(table: String, v: Int) =
     new Path(manifestDir(table), f"v$v%08d.json")
 
   /** A retired version's manifest kept ONLY because surviving delta
@@ -713,11 +714,36 @@ object VersionedTable {
     checkReaderProtocol(spark, table) // every public entry starts here
     val dir = manifestDir(table)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+    if (!f.exists(dir)) return Seq.empty
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val all = names
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.substring(1, n.length - 5).toInt }
       .sorted
+    // MULTI-TABLE TXN visibility ([[TableTxn]]): a version whose
+    // manifest was published under a still-marked transaction is
+    // visible IFF the txn's decision file says committed — the single
+    // atomic decision-create is the commit point for every
+    // participant table at once. Zero extra I/O on the no-txn path:
+    // the markers come from the SAME listing; only marked versions
+    // (in-flight or unsealed txns, normally none) pay the two small
+    // reads.
+    val marked = names.collect {
+      case n if n.startsWith("v") && n.contains(".json.pending.") =>
+        n.substring(1, n.indexOf(".json.pending.")).toInt -> n
+    }.toMap
+    if (marked.isEmpty) all
+    else all.filter { v =>
+      marked.get(v) match {
+        case None => true
+        case Some(markerName) =>
+          TableTxn.decisionOf(f, new Path(dir, markerName)) match {
+            case TableTxn.Committed => true
+            case TableTxn.Sealed => true // marker vanished mid-read
+            case _ => false // in-flight or aborted: invisible
+          }
+      }
+    }
   }
 
   /** The exact file list version `v` reads — the table-format
@@ -3862,7 +3888,7 @@ object VersionedTable {
       .toDF("kind", "line").repartition(1)
       .write.parquet(new Path(dir, "meta").toString)
     setTableProperty(spark, table, vecIndexProp(vecCol),
-      s"$idCol\t$clusters\t$dir")
+      s"$idCol\t$clusters\t$iters\t$dir")
     // the superseded sidecar (if any) stays for concurrent readers;
     // cleanOrphans reclaims it once unreferenced (text-index rule)
     dir.toString
@@ -4086,8 +4112,63 @@ object VersionedTable {
             versions(spark, table).last)
         }
       }
+
+    // 6. index staleness (only when the table DECLARES a rebuild
+    // threshold): churn degrades the text/vector indexes toward full
+    // scans — CORRECT by the stale-file contract (un-indexed files
+    // always scan), but unpruned. When the un-indexed fraction of
+    // current data files crosses the threshold, rebuild with the
+    // index's own stored parameters. Decision cost: the sidecar's
+    // O(files) coverage list vs the manifest, zero data I/O.
+    tablePropertyOf(spark, table, IndexRebuildProp)
+      .flatMap(_.toDoubleOption).foreach { thr =>
+        require(thr > 0 && thr <= 1,
+          s"$IndexRebuildProp must be a fraction in (0, 1]")
+        val cur = dataFilesOf(head()).map(norm).toSet
+        def staleCount(covered: Set[String]): Int =
+          cur.count(f => !covered.contains(f))
+        tablePropertiesOf(spark, table).toSeq.sortBy(_._1).foreach {
+          case (k, v) if k.startsWith("index.text.") =>
+            val c = k.substring("index.text.".length)
+            val parts = v.split('\t')
+            val covered = spark.read.parquet(parts.last)
+              .select("file").distinct()
+              .collect().map(_.getString(0)).toSet
+            val n = staleCount(covered)
+            if (n.toDouble / math.max(cur.size, 1) > thr) {
+              textIndexBuild(spark, table, c, w = parts(0).toInt,
+                bitsLog2 = parts(1).toInt, k = parts(2).toInt)
+              out += MaintenanceAction("reindex-text",
+                s"'$c': $n/${cur.size} files un-indexed",
+                versions(spark, table).last)
+            }
+          case (k, v) if k.startsWith("index.vec.") =>
+            val c = k.substring("index.vec.".length)
+            val parts = v.split('\t')
+            val covered = spark.read
+              .parquet(new Path(parts.last, "meta").toString)
+              .filter(org.apache.spark.sql.functions
+                .col("kind") === "file")
+              .select("line").collect().map(_.getString(0)).toSet
+            val n = staleCount(covered)
+            if (n.toDouble / math.max(cur.size, 1) > thr) {
+              vectorIndexBuild(spark, table, parts(0), c,
+                clusters = parts(1).toInt,
+                iters = if (parts.length >= 4) parts(2).toInt else 3)
+              out += MaintenanceAction("reindex-vector",
+                s"'$c': $n/${cur.size} files un-indexed",
+                versions(spark, table).last)
+            }
+          case _ => ()
+        }
+      }
     out.toSeq
   }
+
+  /** Opt-in `maintain` policy: rebuild a text/vector index when the
+    * un-indexed fraction of current data files exceeds this (a value
+    * in (0, 1], e.g. "0.25"). */
+  val IndexRebuildProp = "index.rebuild.threshold"
 
   /** [[compactCommit]] deciding by FILE SIZE instead of row count —
     * `FileStatus.getLen` per file, one O(files) metadata listing, so

@@ -103,6 +103,14 @@ object ScaleProofTail {
     // side 10x against a fixed dimension, the axis 100 TB actually grows
     spark.read.parquet(s"$sfDir/customer.parquet")
       .write.mode("overwrite").parquet(s"$work/customer.parquet")
+    // embeddings: vec_id shifted per replica (the ANN corpus grows
+    // 10x; queries stay the low-id band, so the probe fans over a
+    // 10x-bigger indexed estate)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("*"), r)
+      .withColumn("vec_id", col("vec_id") + col("r") * keyOff)
+      .drop("r").repartition(16)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     val nOrd = spark.read.parquet(s"$work/orders.parquet").count()
     val nLi = spark.read.parquet(s"$work/lineitem.parquet").count()
     val nEv = spark.read.parquet(s"$work/events.parquet").count()
@@ -196,7 +204,13 @@ object ScaleProofTail {
       // screen), text-anchor file skipping, SQL views, branch
       // cherry-pick, and ADD COLUMN DEFAULT at 10x
       "q_decontaminate_long", "q_decontaminate_index",
-      "q_catalog_view", "q_catalog_cherry_pick", "q_catalog_default")
+      "q_catalog_view", "q_catalog_cherry_pick", "q_catalog_default",
+      // round-13: persisted vector index (build + probe + stale
+      // append), MV DDL refresh, generated columns, the multi-table
+      // txn, and the decontamination index re-proved with the
+      // DISTRIBUTED probe (the round-12 weak)
+      "q_ann_index", "q_catalog_mv", "q_table_generated",
+      "q_table_txn")
       .filter(n => args.lift(3).map(_.split(",").toSet)
         .forall(_.contains(n)))
       .foreach(phase)

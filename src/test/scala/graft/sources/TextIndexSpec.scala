@@ -153,6 +153,43 @@ class TextIndexSpec extends SparkSpec {
     assert(f.exists(new org.apache.hadoop.fs.Path(second)))
   }
 
+  test("maintain rebuilds a churned index when the declared threshold " +
+    "is crossed — and leaves a fresh one alone (pruning restored)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 200L).map(i => (i, mk(i) + (if (i == 9L) " " + planted else "")))
+        .toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")),
+      append = false, statCols = Seq("doc_id"))
+    VersionedTable.textIndexBuild(spark, t, "text")
+    VersionedTable.setTableProperty(spark, t,
+      VersionedTable.IndexRebuildProp, "0.4")
+    // below threshold: 1 of 5 files un-indexed — no rebuild
+    VersionedTable.commit(spark, t,
+      Seq((901L, mk(901L))).toDF("doc_id", "text"), append = true)
+    assert(!VersionedTable.maintain(spark, t, 1000000L,
+      maxSmallFiles = 1000)
+      .exists(_.kind == "reindex-text"),
+      "1/5 un-indexed is under the 0.4 threshold")
+    // churn past it: 4 of 8 files un-indexed — maintain rebuilds
+    (902L to 904L).foreach { i =>
+      VersionedTable.commit(spark, t,
+        Seq((i, mk(i))).toDF("doc_id", "text"), append = true)
+    }
+    val acts = VersionedTable.maintain(spark, t, 1000000L,
+      maxSmallFiles = 1000)
+    assert(acts.exists(_.kind == "reindex-text"), acts.toString)
+    // the rebuilt index covers everything again: full pruning back
+    var pruned = (-1, -1)
+    VersionedTable.textIndexPruneNotifier = (c, n) => pruned = (c, n)
+    try {
+      VersionedTable.textIndexCandidates(spark, t, "text",
+        Seq("y" * 80)).get
+      assert(pruned._2 == 8 && pruned._1 <= 1,
+        s"a nowhere-probe must prune the rebuilt estate: $pruned")
+    } finally VersionedTable.textIndexPruneNotifier = (_, _) => ()
+  }
+
   test("CALL gti.system.build_text_index / drop_text_index drive the " +
     "lifecycle from SQL") {
     val w = Files.createTempDirectory("textidx_cat").toString

@@ -124,6 +124,34 @@ class VectorIndexSpec extends SparkSpec {
       "embedding", corpusDf(Seq(1L)), "vec_id", 3).isEmpty)
   }
 
+  test("maintain rebuilds a churned vector index past the declared " +
+    "threshold with its stored parameters") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      corpusDf(0L until 100L).repartitionByRange(2, col("vec_id")),
+      append = false, statCols = Seq("vec_id"))
+    VersionedTable.vectorIndexBuild(spark, t, "vec_id", "embedding",
+      clusters = 2, iters = 1)
+    VersionedTable.setTableProperty(spark, t,
+      VersionedTable.IndexRebuildProp, "0.5")
+    (1 to 3).foreach { i =>
+      VersionedTable.commit(spark, t,
+        corpusDf(Seq(200L + i)).coalesce(1), append = true)
+    }
+    // 3 of 5 files un-indexed > 0.5: maintain rebuilds
+    val acts = VersionedTable.maintain(spark, t, 1000000L,
+      maxSmallFiles = 1000)
+    assert(acts.exists(_.kind == "reindex-vector"), acts.toString)
+    var scanned = (-1, -1)
+    VersionedTable.vectorIndexProbeNotifier = (r, n) => scanned = (r, n)
+    try {
+      VersionedTable.vectorIndexTopK(spark, t, "embedding",
+        corpusDf(Seq(1L)), "vec_id", 3).get.collect()
+      assert(scanned._1 == 0,
+        s"the rebuilt index must cover every file again: $scanned")
+    } finally VersionedTable.vectorIndexProbeNotifier = (_, _) => ()
+  }
+
   test("lifecycle: drop removes property + sidecar; a rebuild leaves " +
     "the superseded sidecar until cleanOrphans") {
     val t = freshTable()
