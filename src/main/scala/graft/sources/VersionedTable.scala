@@ -2473,13 +2473,60 @@ object VersionedTable {
     * `__gf` — the delete path needs to know which file each surviving
     * row lives in. */
   private[sources] def readSnapshotTagged(spark: SparkSession,
-                                 lines: Seq[String]): DataFrame = {
+                                 lines: Seq[String]): DataFrame =
+    readSnapshotTaggedImpl(spark, lines, withPos = false)
+
+  /** Shared body of the tagged reads: the nc-era grouped scan runs
+    * here too, so row-level DML predicates on DEFAULTED / GENERATED
+    * columns see the declared values for pre-era rows — constant
+    * defaults were silently saved by Spark's native EXISTS_DEFAULT
+    * fill on the imposed read schema, but a generated column has no
+    * such fallback (a delete keyed on one would have matched NOTHING
+    * in pre-era files). */
+  private def readSnapshotTaggedImpl(spark: SparkSession,
+                                     lines: Seq[String],
+                                     withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val data = dataFilesOf(lines)
     require(data.nonEmpty, "manifest lists no data files")
-    val base = baseSnapshotRead(spark, lines, data)
-      .withColumn(FileCol, normFileExpr)
+    val dvs = dvFilesOf(lines)
+    val defaults = schemaOfLines(lines)
+      .map(sc => columnDefaultsOf(sc) ++ generatedColsOf(sc))
+      .getOrElse(Map.empty)
+    val nc =
+      if (defaults.isEmpty) Map.empty[String, Set[String]]
+      else ncTagsOf(lines)
+    // positional tombstones join on the row's file ordinal, which can
+    // only materialize at SCAN level — inside each era branch, never
+    // above the union
+    val posNeeded = withPos || (nc.nonEmpty && dvs.nonEmpty &&
+      spark.read.parquet(dvs: _*).schema.fieldNames.contains(PosCol))
+    def scanCols(df: DataFrame): DataFrame = {
+      val d = df.withColumn(FileCol, normFileExpr)
+      if (posNeeded) d.withColumn(PosCol, col("_metadata.row_index"))
+      else d
+    }
+    val base =
+      if (nc.isEmpty) scanCols(baseSnapshotRead(spark, lines, data))
+      else {
+        val renames = renameMapOf(lines)
+        val physDefault = defaults.map { case (lg, d) =>
+          renames.getOrElse(lg, lg) -> d }
+        data.groupBy(f => nc.getOrElse(norm(f), Set.empty)
+            .intersect(physDefault.keySet)).toSeq
+          .map { case (missing, files) =>
+            val df = scanCols(baseSnapshotRead(spark, lines, files))
+            missing.foldLeft(df) { (d, physCol) =>
+              val (dt, sqlText) = physDefault(physCol)
+              d.withColumn(physCol,
+                exprWithPhysicalRefs(spark, sqlText, renames).cast(dt))
+            }
+          }.reduce(_.unionByName(_))
+      }
+    val afterDv = applyTombstones(spark, base, dvs)
     widenToDeclared(applyMapping(
-      applyTombstones(spark, base, dvFilesOf(lines)), lines), lines)
+      if (posNeeded && !withPos) afterDv.drop(PosCol) else afterDv,
+      lines), lines)
   }
 
   /** [[readSnapshotTagged]] also carrying [[PosCol]], the row's
@@ -2487,16 +2534,8 @@ object VersionedTable {
     * application, so positions name original-file rows) — what the
     * positional-delete doomed scan reads. */
   private[sources] def readSnapshotTaggedWithPos(
-      spark: SparkSession, lines: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val data = dataFilesOf(lines)
-    require(data.nonEmpty, "manifest lists no data files")
-    val base = baseSnapshotRead(spark, lines, data)
-      .withColumn(FileCol, normFileExpr)
-      .withColumn(PosCol, col("_metadata.row_index"))
-    widenToDeclared(applyMapping(
-      applyTombstones(spark, base, dvFilesOf(lines)), lines), lines)
-  }
+      spark: SparkSession, lines: Seq[String]): DataFrame =
+    readSnapshotTaggedImpl(spark, lines, withPos = true)
 
   /** MERGE INTO with FILE-LEVEL copy-on-write — the composition the
     * table layer exists for: instead of rewriting the whole table

@@ -96,6 +96,40 @@ class TableGeneratedSpec extends SparkSpec {
       "rewritten files must not keep era tags")
   }
 
+  test("row-level DML keyed on the GENERATED column reaches pre-era " +
+    "rows (the tagged doomed-row scan computes the expression too)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 40L).map(i => (i, i * 100)).toDF("k", "cents"),
+      append = false, statCols = Seq("k"))
+    VersionedTable.addGeneratedColumnCommit(spark, t,
+      "dollars", LongType, "cents DIV 100")
+    VersionedTable.commit(spark, t,
+      Seq((100L, 700L)).toDF("k", "cents"), append = true)
+    // COW delete keyed on the computed column: pre-era rows 30..40
+    // exist only as nc-era computations — they must still match
+    VersionedTable.deleteCommit(spark, t,
+      col("dollars") >= 30L, Seq("k"))
+    val got = VersionedTable.read(spark, t)
+      .select("k", "dollars").as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 29L).toSet + 100L,
+      s"pre-era rows 30..40 must delete (their dollars only exist as " +
+        s"nc-era computations); post-era 100 (dollars=7) survives: " +
+        s"${got.keySet.toSeq.sorted}")
+    // and a positional MOR delete on the same shape
+    val t2 = freshTable()
+    VersionedTable.commit(spark, t2,
+      (1L to 20L).map(i => (i, i * 100)).toDF("k", "cents"),
+      append = false)
+    VersionedTable.addGeneratedColumnCommit(spark, t2,
+      "dollars", LongType, "cents DIV 100")
+    VersionedTable.deleteCommitPositional(spark, t2,
+      col("dollars") <= 5L)
+    assert(VersionedTable.read(spark, t2).count() == 15L)
+    assert(VersionedTable.read(spark, t2)
+      .agg(min(col("dollars"))).as[Long].head() == 6L)
+  }
+
   test("declaration guards: unknown refs, derived refs, and " +
     "non-determinism refuse; referenced columns lock rename/drop") {
     val t = freshTable()
