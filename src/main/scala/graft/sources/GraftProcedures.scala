@@ -44,9 +44,9 @@ private[sources] object GraftProcedures {
     "restore", "clean_orphans", "vacuum_retention", "clone",
     "set_spec", "branch", "fast_forward", "cherry_pick",
     "drop_branch", "expire_branches", "adopt", "convert",
-    "build_text_index", "drop_text_index",
-    "build_vector_index", "drop_vector_index", "refresh_mv",
-    "add_generated_column", "resolve_txns")
+    "build_text_index", "drop_text_index", "refresh_text_index",
+    "build_vector_index", "drop_vector_index", "refresh_vector_index",
+    "refresh_mv", "add_generated_column", "resolve_txns")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -187,6 +187,26 @@ private[sources] object GraftProcedures {
           nullable = false)))) { r =>
         VersionedTable.textIndexDrop(spark, pathOf(str(r, 0)), str(r, 1))
         Seq(new GenericInternalRow(Array[Any](true)))
+      })
+      case "refresh_text_index" => Some(proc("refresh_text_index",
+        "extend the text index to un-indexed files (one pass over " +
+          "the new files, never a corpus rebuild)",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("files_covered", IntegerType,
+          nullable = false)))) { r =>
+        Seq(new GenericInternalRow(Array[Any](
+          VersionedTable.textIndexRefresh(spark, pathOf(str(r, 0)),
+            str(r, 1)))))
+      })
+      case "refresh_vector_index" => Some(proc("refresh_vector_index",
+        "assign un-indexed files' vectors to the existing centroids " +
+          "(O(new rows), no refit)",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("files_covered", IntegerType,
+          nullable = false)))) { r =>
+        Seq(new GenericInternalRow(Array[Any](
+          VersionedTable.vectorIndexRefresh(spark, pathOf(str(r, 0)),
+            str(r, 1)))))
       })
       case "build_vector_index" => Some(proc("build_vector_index",
         "build (or rebuild) the persisted IVF vector index",

@@ -3712,6 +3712,46 @@ object VersionedTable {
     dir.toString
   }
 
+  /** INCREMENTALLY extend the text index to the CURRENT snapshot's
+    * un-indexed files — one O(new files' chars) pass appended to the
+    * existing sidecar, never a corpus rebuild. Safe unconditionally:
+    * the Bloom is a superset structure (a tombstoned row's windows
+    * merely stay set — zero false negatives either way), so every
+    * un-indexed file qualifies. Returns the number of files newly
+    * covered (0 = already complete or no index). */
+  def textIndexRefresh(spark: SparkSession, table: String,
+                       textCol: String): Int = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    tablePropertyOf(spark, table, textIndexProp(textCol)).map { v =>
+      val parts = v.split('\t')
+      val (w, bitsLog2, k, path) =
+        (parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3))
+      val vs = versions(spark, table)
+      require(vs.nonEmpty, s"no committed versions in $table")
+      val lines = readManifest(spark, table, vs.last)
+      val covered = spark.read.parquet(path).select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val fresh = dataFilesOf(lines)
+        .filterNot(p => covered.contains(norm(p)))
+      if (fresh.isEmpty) return 0
+      val lineOf = dataLineByPath(lines)
+      val snap = readSnapshotTagged(spark,
+        fresh.map(p => lineOf(norm(p))) ++ stLinesFor(lines, fresh) ++
+          cmLinesOf(lines) ++ scLinesOf(lines))
+      val hashes = snap.select(col(FileCol).as("file"),
+        explode(org.apache.spark.sql.GraftSqlShims.column(
+          graft.plans.RollingWindowHashes(
+            org.apache.spark.sql.GraftSqlShims.expression(col(textCol)),
+            w))).as("__h"))
+      graft.operators.Sketches.bloomCells(hashes,
+          col("__h").cast("string"), bitsLog2, k, Seq(col("file")))
+        .groupBy(col("file"), col("word_idx"))
+        .agg(expr("bit_or(bit)").as("bits"))
+        .write.mode("append").parquet(path)
+      fresh.size
+    }.getOrElse(0)
+  }
+
   /** Drop `textCol`'s text-anchor index: the property and its sidecar
     * (idempotent). */
   def textIndexDrop(spark: SparkSession, table: String,
@@ -3944,6 +3984,61 @@ object VersionedTable {
         .sortBy(_.getInt(0))
         .map(_.getSeq[Long](1).toArray)
     }
+
+  /** INCREMENTALLY extend the vector index to the CURRENT snapshot's
+    * un-indexed, tombstone-free files WITHOUT refitting: new vectors
+    * assign to the EXISTING centroids — one O(new rows) pass appended
+    * to the cell-partitioned assignment sidecar — and the coverage
+    * meta grows, so the next probe serves them from the index instead
+    * of brute-forcing. Files touched by dv lines the build never saw
+    * are skipped (they must keep re-scanning — the sidecar records
+    * dv state as of build, and exact staleness is the index's
+    * contract). Structure quality decays as the data distribution
+    * drifts from the fitted centroids; [[vectorIndexBuild]] (or the
+    * `index.rebuild.threshold` maintain policy) re-fits. Returns the
+    * number of files newly covered. */
+  def vectorIndexRefresh(spark: SparkSession, table: String,
+                         vecCol: String): Int = {
+    import org.apache.spark.sql.functions.{call_function, col}
+    tablePropertyOf(spark, table, vecIndexProp(vecCol)).map { v =>
+      val parts = v.split('\t')
+      val (idCol, dir) = (parts(0), parts.last)
+      val cents = vectorIndexCentroids(spark, table, vecCol).get
+      val vs = versions(spark, table)
+      require(vs.nonEmpty, s"no committed versions in $table")
+      val lines = readManifest(spark, table, vs.last)
+      val meta = spark.read.parquet(new Path(dir, "meta").toString)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val builtFiles = meta.collect { case ("file", p) => p }.toSet
+      val builtDv = meta.collect { case ("dv", l) => l }.toSet
+      val newDvTargets = dvTargets(spark,
+        (dvLinesOf(lines).toSet -- builtDv).toSeq
+          .map(_.substring(DvPrefix.length)))
+      val fresh = dataFilesOf(lines).filter(p =>
+        !builtFiles.contains(norm(p)) && !newDvTargets.contains(norm(p)))
+      if (fresh.isEmpty) return 0
+      val lineOf = dataLineByPath(lines)
+      val snap = readSnapshotTagged(spark,
+        fresh.map(p => lineOf(norm(p))) ++ stLinesFor(lines, fresh) ++
+          cmLinesOf(lines) ++ scLinesOf(lines))
+      graft.plans.GraftFunctions.register(spark)
+      snap.select(col(idCol).as("id"),
+          graft.operators.Similarity.fixedPoint(col(vecCol)).as("v"),
+          col(FileCol).as("file"))
+        .withColumn("n2", call_function(
+          graft.plans.GraftFunctions.DotLongName, col("v"), col("v")))
+        .withColumn("cell", graft.operators.KMeans.nearestCentroid(
+          col("v"), col("n2"), cents))
+        .write.mode("append").partitionBy("cell")
+        .parquet(new Path(dir, "assign").toString)
+      val s2 = spark
+      import s2.implicits._
+      fresh.map(p => ("file", norm(p))).toDF("kind", "line")
+        .repartition(1)
+        .write.mode("append").parquet(new Path(dir, "meta").toString)
+      fresh.size
+    }.getOrElse(0)
+  }
 
   /** Drop `vecCol`'s vector index: the property and its sidecar
     * (idempotent). */
@@ -7176,7 +7271,21 @@ object VersionedTable {
     // branch heads count as references: after main's history vacuums
     // past a fork point, the fork's files survive ONLY through the
     // branch's manifest — the orphan sweep must see them as live
-    val referenced = versions(spark, table)
+    // marker-pended txn versions ([[TableTxn]]) are INVISIBLE to
+    // versions() but their staged files are NOT orphans: an in-flight
+    // transaction must never lose data to a concurrent sweep. All
+    // marked versions protect conservatively — aborted ones become
+    // sweepable once resolvePending renames them aside.
+    val mDir = manifestDir(table)
+    val mf = fs(spark, mDir)
+    val pendingVs: Seq[Int] =
+      if (!mf.exists(mDir)) Seq.empty
+      else mf.listStatus(mDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") &&
+            n.contains(".json.pending.") =>
+          n.substring(1, n.indexOf(".json.pending.")).toInt }
+        .filter(v => mf.exists(manifestPath(table, v)))
+    val referenced = (versions(spark, table) ++ pendingVs).distinct
       .flatMap { v =>
         val lines = readManifest(spark, table, v)
         dataFilesOf(lines) ++ dvFilesOf(lines)
@@ -7210,7 +7319,20 @@ object VersionedTable {
     // crashed index builds: `_index/` sidecars no property references
     val deadIdx = orphanIndexDirs(spark, table, cutoff)
     deadIdx.foreach(p => f.delete(p, true))
-    (dead ++ deadIdx).map(_.toString)
+    // aborted-txn manifests ([[TableTxn]] rollback / resolvePending
+    // renames them aside to free their slots): never readable again,
+    // reclaimed under the same age cutoff. Their data files are
+    // unreferenced and already swept above. Decision files are NOT
+    // swept here — a committed txn's decision may still serve another
+    // table's unsealed marker.
+    val deadTxn =
+      if (!mf.exists(mDir)) Seq.empty
+      else mf.listStatus(mDir).toSeq
+        .filter(s => s.getPath.getName.contains(".json.aborted.") &&
+          s.getModificationTime < cutoff)
+        .map(_.getPath)
+    deadTxn.foreach(p => mf.delete(p, false))
+    (dead ++ deadIdx ++ deadTxn).map(_.toString)
   }
 
   /** Retire versions older than `keepLast`: their manifests are

@@ -129,6 +129,39 @@ class TableTxnSpec extends SparkSpec {
     assert(counts(fact, dim) == ((51L, 6L)))
   }
 
+  test("an orphan sweep never eats an in-flight txn's staged data; " +
+    "after resolution the aborted residue is reclaimed") {
+    val (fact, dim) = fresh()
+    seed(fact, dim)
+    TableTxn.failpoint = label =>
+      if (label == s"published:$fact")
+        throw new TableTxn.SimulatedCrash("crash mid-publish")
+    try intercept[Exception] { TableTxn.commitAll(spark, txn(fact, dim)) }
+    finally TableTxn.failpoint = _ => ()
+    val f = new org.apache.hadoop.fs.Path(fact).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val pendingData = VersionedTable.dataFilesOf(
+      VersionedTable.manifest(spark, fact, 2))
+      .filter(_.contains("/data/2-"))
+    assert(pendingData.nonEmpty)
+    // sweep with a future cutoff while the txn is UNDECIDED: the
+    // marker-pended version's files must be protected
+    VersionedTable.cleanOrphans(spark, fact, olderThanMs = -600000L)
+    pendingData.foreach(p => assert(
+      f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"an in-flight txn's staged file must survive the sweep: $p"))
+    // resolve (aborts) → the next sweep reclaims data AND the
+    // renamed-aside manifest
+    TableTxn.resolvePending(spark, fact)
+    val swept = VersionedTable.cleanOrphans(spark, fact,
+      olderThanMs = -600000L)
+    pendingData.foreach(p => assert(
+      !f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"aborted staged data must reclaim: $p"))
+    assert(swept.exists(_.contains(".json.aborted.")), swept.toString)
+    assert(VersionedTable.read(spark, fact).count() == 50L)
+  }
+
   test("guards: duplicate tables refuse; a failed stage discards " +
     "cleanly; CALL resolve_txns works through the catalog") {
     val (fact, dim) = fresh()

@@ -153,6 +153,42 @@ class TextIndexSpec extends SparkSpec {
     assert(f.exists(new org.apache.hadoop.fs.Path(second)))
   }
 
+  test("textIndexRefresh extends coverage to new files in place — " +
+    "same sidecar, one pass over the appendees, pruning restored") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      (1L to 200L).map(i => (i, mk(i))).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")),
+      append = false, statCols = Seq("doc_id"))
+    val sidecar = VersionedTable.textIndexBuild(spark, t, "text")
+    val planted2 = "an entirely different smoking-gun passage of " +
+      "sixty-plus characters planted later"
+    VersionedTable.commit(spark, t,
+      Seq((900L, mk(900L) + " " + planted2)).toDF("doc_id", "text"),
+      append = true)
+    VersionedTable.commit(spark, t,
+      Seq((901L, mk(901L))).toDF("doc_id", "text"), append = true)
+    assert(VersionedTable.textIndexRefresh(spark, t, "text") == 2)
+    assert(VersionedTable.textIndexRefresh(spark, t, "text") == 0,
+      "a second refresh has nothing to cover")
+    // the property still points at the SAME sidecar (no rebuild)
+    assert(VersionedTable.textIndexCandidates(spark, t, "text",
+      Seq(planted2)).isDefined)
+    var pruned = (-1, -1)
+    VersionedTable.textIndexPruneNotifier = (c, n) => pruned = (c, n)
+    try {
+      val cand = VersionedTable.textIndexCandidates(spark, t, "text",
+        Seq(planted2)).get
+      assert(pruned._2 == 6 && cand.size <= 2,
+        s"the refreshed index must prune the 6-file estate to the " +
+          s"planted file: $pruned, kept ${cand.size}")
+      assert(new org.apache.hadoop.fs.Path(sidecar).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(
+        new org.apache.hadoop.fs.Path(sidecar)),
+        "refresh appends to the existing sidecar")
+    } finally VersionedTable.textIndexPruneNotifier = (_, _) => ()
+  }
+
   test("maintain rebuilds a churned index when the declared threshold " +
     "is crossed — and leaves a fresh one alone (pruning restored)") {
     val t = freshTable()

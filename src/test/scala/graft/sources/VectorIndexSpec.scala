@@ -124,6 +124,46 @@ class VectorIndexSpec extends SparkSpec {
       "embedding", corpusDf(Seq(1L)), "vec_id", 3).isEmpty)
   }
 
+  test("vectorIndexRefresh assigns new files to the existing " +
+    "centroids — probes then serve them index-only; dv'd files " +
+    "stay re-scanned and a covered file's new tombstones go stale") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t,
+      corpusDf(0L until 200L).repartitionByRange(4, col("vec_id")),
+      append = false, statCols = Seq("vec_id"))
+    VersionedTable.vectorIndexBuild(spark, t, "vec_id", "embedding",
+      clusters = 4, iters = 2)
+    val u = Array.fill(Dim)(0.9f)
+    VersionedTable.commit(spark, t,
+      Seq((500L, u)).toDF("vec_id", "embedding"), append = true)
+    assert(VersionedTable.vectorIndexRefresh(spark, t, "embedding") == 1)
+    assert(VersionedTable.vectorIndexRefresh(spark, t, "embedding") == 0)
+    val queries = Seq((777L, u)).toDF("vec_id", "embedding")
+    var scanned = (-1, -1)
+    VersionedTable.vectorIndexProbeNotifier = (r, n) => scanned = (r, n)
+    try {
+      val got = VersionedTable.vectorIndexTopK(spark, t, "embedding",
+        queries, "vec_id", k = 3, nprobe = 2).get
+        .collect().map(r => (r.getLong(1), r.getInt(2)))
+      assert(got.head == ((500L, 1)),
+        s"the refreshed-in duplicate must rank 1 from the INDEX: " +
+          got.toSeq.toString)
+      assert(scanned == ((0, 5)),
+        s"after refresh every file serves index-only: $scanned")
+      // new tombstones on the refreshed-in file: exact staleness
+      VersionedTable.deleteCommitPositional(spark, t,
+        col("vec_id") === 500L)
+      val got2 = VersionedTable.vectorIndexTopK(spark, t, "embedding",
+        queries, "vec_id", k = 3, nprobe = 2).get
+        .collect().map(_.getLong(1))
+      assert(!got2.contains(500L),
+        "a tombstoned refreshed row must never phantom")
+      assert(scanned._1 >= 1, s"the dv'd file must re-scan: $scanned")
+      assert(VersionedTable.vectorIndexRefresh(spark, t, "embedding")
+        == 0, "a dv'd-since-build file is never refreshed in")
+    } finally VersionedTable.vectorIndexProbeNotifier = (_, _) => ()
+  }
+
   test("maintain rebuilds a churned vector index past the declared " +
     "threshold with its stored parameters") {
     val t = freshTable()
