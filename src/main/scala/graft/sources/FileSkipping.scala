@@ -47,67 +47,113 @@ object FileSkipping {
     * (every writer already paid for these at write time). Returns
     * `file -> (nrows, col -> (minStr, maxStr, nulls))` with min/max
     * rendered EXACTLY as the scan path renders them (`Long/Int/
-    * Double/Float/Boolean.toString`), or None when any requested
-    * column in any file can't be served exactly: only UNANNOTATED
-    * numeric/boolean primitives qualify — string (BINARY) stats may
-    * be truncated by the writer (a truncated max understates the
-    * bound and would prune files that actually match), and annotated
-    * types (timestamp, date, decimal) render differently in a scan.
-    * Callers fall back to the one-scan path on None; correctness
-    * never rides on the footer. */
+    * Boolean.toString`, UTF-8 decode for strings), or None when any
+    * requested column in any file can't be served exactly:
+    * unannotated numeric/boolean primitives and STRING-annotated
+    * BINARY qualify. Strings are safe because parquet-mr footer
+    * stats are untruncated (truncation applies to column indexes;
+    * footer stats over [[BinaryStatsMaxBytes]] are DROPPED by the
+    * writer, which lands in the stats-unset fallback below) and the
+    * footer's unsigned-lexicographic byte order IS Spark's
+    * UTF8String order, so the reduced min/max equals what a scan
+    * aggregate produces; a defensive size guard bails to the scan
+    * path anyway near the writer's drop threshold. Annotated types
+    * OTHER than string (timestamp, date, decimal) render differently
+    * in a scan and stay excluded, as do float/double (writers
+    * normalize zero bounds to -0.0/+0.0 and omit NaN while Spark's
+    * max orders NaN above +Inf). Callers fall back to the one-scan
+    * path on None; correctness never rides on the footer. */
+  private val BinaryStatsMaxBytes = 1024
   private[sources] def footerStats(spark: SparkSession, files: Seq[String],
                                    cols: Seq[String])
       : Option[Map[String, (Long, Map[String, (Option[String], Option[String], Long)])]] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
+    // per-file work as a LOCAL total function (None = this file can't
+    // be served exactly) so the files can fan out on the driver pool —
+    // serial footer opens would put N × open-latency on the commit's
+    // critical path, and a non-local `return` cannot cross threads
+    def oneFile(p: String)
+        : Option[(String, (Long, Map[String, (Option[String], Option[String], Long)]))] = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val blocks = footer.getBlocks.asScala.toSeq
+        val nrows = blocks.map(_.getRowCount).sum
+        def oneCol(c: String)
+            : Option[(String, (Option[String], Option[String], Long))] = {
+          if (!schema.containsField(c)) return None
+          val field = schema.getType(Seq(c): _*)
+          if (!field.isPrimitive) return None
+          val prim = field.asPrimitiveType()
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val isString = prim.getPrimitiveTypeName == BINARY &&
+            prim.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          if (prim.getLogicalTypeAnnotation != null && !isString)
+            return None
+          prim.getPrimitiveTypeName match {
+            // NOT float/double: parquet writers normalize zero
+            // bounds to -0.0/+0.0 (rendering diverges from a scan's
+            // min) and omit NaN from stats entirely while Spark's
+            // max orders NaN above +Inf — either way the footer
+            // bound would disagree with the scan the rest of the
+            // table was tagged by
+            case INT32 | INT64 | BOOLEAN => ()
+            case BINARY if isString => ()
+            case _ => return None
+          }
+          val chunks0 = blocks.map(_.getColumns.asScala
+            .find(cc => cc.getPath.toDotString == c))
+          if (chunks0.exists(_.isEmpty)) return None
+          val stats = chunks0.flatten.map(_.getStatistics)
+          if (stats.exists(s => s == null || s.isNumNullsSet == false))
+            return None
+          val nulls = stats.map(_.getNumNulls).sum
+          val withVals = stats.filter(_.hasNonNullValue)
+          if (withVals.isEmpty && nulls < nrows) return None // unknown
+          if (withVals.isEmpty) Some(c -> (None, None, nulls)) // all-null
+          else if (isString) {
+            // reduce under the column's OWN comparator (unsigned
+            // lexicographic for strings — identical to Spark's
+            // UTF8String ordering, so the result matches a scan's
+            // min()/max() byte for byte)
+            val cmp = withVals.head.comparator()
+              .asInstanceOf[java.util.Comparator[AnyRef]]
+            val mins: Seq[AnyRef] =
+              withVals.map(_.genericGetMin.asInstanceOf[AnyRef])
+            val maxs: Seq[AnyRef] =
+              withVals.map(_.genericGetMax.asInstanceOf[AnyRef])
+            val mn = mins.reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+              .asInstanceOf[org.apache.parquet.io.api.Binary]
+            val mx = maxs.reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+              .asInstanceOf[org.apache.parquet.io.api.Binary]
+            // defensive: stay far from any writer-side stats
+            // truncation/drop threshold — bail to the exact scan
+            if (mn.length > BinaryStatsMaxBytes ||
+                mx.length > BinaryStatsMaxBytes) return None
+            Some(c -> (Some(mn.toStringUsingUTF8),
+              Some(mx.toStringUsingUTF8), nulls))
+          } else {
+            val mins = withVals.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
+            val maxs = withVals.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
+            val mn = mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+            val mx = maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+            Some(c -> (Some(mn.toString), Some(mx.toString), nulls))
+          }
+        }
+        val perCol = cols.map(oneCol)
+        if (perCol.exists(_.isEmpty)) None
+        else Some(p -> (nrows, perCol.flatten.toMap))
+      } finally reader.close()
+    }
     try {
-      val out = files.map { p =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), conf))
-        try {
-          val footer = reader.getFooter
-          val schema = footer.getFileMetaData.getSchema
-          val blocks = footer.getBlocks.asScala.toSeq
-          val nrows = blocks.map(_.getRowCount).sum
-          val perCol = cols.map { c =>
-            if (!schema.containsField(c)) return None
-            val field = schema.getType(Seq(c): _*)
-            if (!field.isPrimitive) return None
-            val prim = field.asPrimitiveType()
-            if (prim.getLogicalTypeAnnotation != null) return None
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-            prim.getPrimitiveTypeName match {
-              // NOT float/double: parquet writers normalize zero
-              // bounds to -0.0/+0.0 (rendering diverges from a scan's
-              // min) and omit NaN from stats entirely while Spark's
-              // max orders NaN above +Inf — either way the footer
-              // bound would disagree with the scan the rest of the
-              // table was tagged by
-              case INT32 | INT64 | BOOLEAN => ()
-              case _ => return None
-            }
-            val chunks = blocks.map(_.getColumns.asScala
-              .find(cc => cc.getPath.toDotString == c).getOrElse(return None))
-            val stats = chunks.map(_.getStatistics)
-            if (stats.exists(s => s == null || s.isNumNullsSet == false))
-              return None
-            val nulls = stats.map(_.getNumNulls).sum
-            val withVals = stats.filter(_.hasNonNullValue)
-            if (withVals.isEmpty && nulls < nrows) return None // unknown
-            if (withVals.isEmpty) c -> (None, None, nulls) // all-null col
-            else {
-              val mins = withVals.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
-              val maxs = withVals.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
-              val mn = mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
-              val mx = maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
-              c -> (Some(mn.toString), Some(mx.toString), nulls)
-            }
-          }.toMap
-          p -> (nrows, perCol)
-        } finally reader.close()
-      }.toMap
-      Some(out)
+      val out = DriverPool.mapParallel(files)(oneFile)
+      if (out.exists(_.isEmpty)) None else Some(out.flatten.toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

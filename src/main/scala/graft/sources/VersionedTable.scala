@@ -1152,7 +1152,8 @@ object VersionedTable {
       }
     val dataDir = new Path(table,
       s"data/$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    toPhysicalDf(dfG, carried).write.parquet(dataDir.toString)
+    val physDf = toPhysicalDf(dfG, carried)
+    physDf.write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
@@ -1161,7 +1162,8 @@ object VersionedTable {
       renameMapOf(carried))
     // CHECK constraints + (on appends) schema enforcement, O(new data);
     // an overwrite starts a fresh lineage — nothing to conflict with
-    validateNewFiles(spark, table, newFiles, checkSchema = append)
+    validateNewFiles(spark, table, newFiles, checkSchema = append,
+      writtenSchema = Some(physDf.schema))
     val schemaMeta = if (append) mergedSchemaLine(spark, table, dfG)
       else schemaLineOf(df.schema)
     StagedCommit(table, next,
@@ -1432,7 +1434,12 @@ object VersionedTable {
         val phys = org.apache.spark.sql.types.StructType(sc.fields.map(
           f => f.copy(name = renames.getOrElse(f.name, f.name),
             nullable = true)))
-        spark.read.schema(phys).parquet(data: _*)
+        // manifest-planned scan ([[GraftFileIndex]]): file sizes from
+        // fz lines (subset reads that drop them stat once, in parallel,
+        // on the driver pool) — no InMemoryFileIndex listing job/RPCs
+        val sizes = fileSizesOf(lines)
+        GraftFileIndex.parquetFrame(spark, data, phys,
+          f => sizes.get(norm(f)))
       case None =>
         spark.read.option("mergeSchema", "true").parquet(data: _*)
     }
@@ -2196,17 +2203,21 @@ object VersionedTable {
     val (rewrite, carry) = kept.partition(f => matched.contains(norm(f)))
     updatePruneNotifier(rewrite.size, data.size)
     val next = vs.last + 1
+    var rewrittenSchema: Option[org.apache.spark.sql.types.StructType] = None
     val newLines =
       if (rewrite.isEmpty) Seq.empty[String]
       else {
         val rows = readSnapshot(spark,
           rewrite ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines) ++
             lines.filter(_.startsWith(NcPrefix)))
-        writeRewrite(spark, table, next, transform(rows, rangePred),
+        val out = transform(rows, rangePred)
+        rewrittenSchema = Some(toPhysicalDf(out, cmLinesOf(lines)).schema)
+        writeRewrite(spark, table, next, out,
           identitySpecOf(lines), cmLinesOf(lines))
       }
     // CHECK constraints + schema enforcement over the rewrite only
-    validateNewFiles(spark, table, dataFilesOf(newLines))
+    validateNewFiles(spark, table, dataFilesOf(newLines),
+      writtenSchema = rewrittenSchema)
     val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
     val lineOf = dataLineByPath(lines)
     onAttempt(next)
@@ -2657,7 +2668,8 @@ object VersionedTable {
     // there; carried files were validated by their own commits) —
     // BEFORE tombstone consolidation, so a rejected merge stages
     // nothing beyond the dirs the validator itself unstages
-    validateNewFiles(spark, table, dataFilesOf(newLines))
+    validateNewFiles(spark, table, dataFilesOf(newLines), writtenSchema =
+      Some(toPhysicalDf(survivors, cmLinesOf(currentLines)).schema))
     // the rewrite purged its files' tombstones (the logical rows were
     // materialized); tombstones on CARRIED files must survive. They
     // consolidate into one fresh sidecar — old sidecars stay on disk
@@ -2932,7 +2944,8 @@ object VersionedTable {
     val next = vs.last + 1
     val newLines = writeRewrite(spark, table, next, survivors,
       fullSpecOf(currentLines), cmLinesOf(currentLines))
-    validateNewFiles(spark, table, dataFilesOf(newLines))
+    validateNewFiles(spark, table, dataFilesOf(newLines), writtenSchema =
+      Some(toPhysicalDf(survivors, cmLinesOf(currentLines)).schema))
     val keptDv = consolidateTombstones(spark, dvLines, carry, table, next)
     val lineOf = dataLineByPath(currentLines)
     onAttempt(next)
@@ -4655,10 +4668,10 @@ object VersionedTable {
   /** FILE SKIPPING on a STRING range — the date-string layout case
     * (`WHERE o_date BETWEEN '1995-06-01' AND '1995-08-31'` on a
     * date-clustered table). Sound because manifest st strings are
-    * EXACT: they come from the one-scan stats path
-    * ([[FileSkipping.footerStats]] REFUSES strings precisely because
-    * parquet writers truncate footer string maxima — a truncated max
-    * understates the bound and would wrongly prune). Comparison is
+    * EXACT: they come from the footer path only when the footer holds
+    * full (never truncated) values — [[FileSkipping.footerStats]]
+    * bails to the one-scan path near the writer's stats-drop
+    * threshold, so a truncated bound can never be recorded. Comparison is
     * unsigned UTF-8 byte order (Spark's own string ordering), so the
     * candidate test agrees with the re-applied exact predicate.
     * Files without stats stay candidates; all-null files can't match
@@ -5231,13 +5244,16 @@ object VersionedTable {
             l.startsWith(ScPrefix)) // fresh sc written below
       else Seq.empty // overwrite: fresh lineage, column mapping resets
     val physPart = toPhysicalCols(carried, Seq(partCol)).head
-    val tagged = writePartitionedData(spark, table, next,
-      toPhysicalDf(df, carried), physPart)
+    val physDfP = toPhysicalDf(df, carried)
+    val tagged = writePartitionedData(spark, table, next, physDfP, physPart)
     // same stat-schema inheritance as commit (st lines per new file)
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols,
       renameMapOf(carried))
-    validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
+    // partitioned files keep EVERY real column (the __pt copies move
+    // to directory names), so the written schema is the phys frame's
+    validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append,
+      writtenSchema = Some(physDfP.schema))
     val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
       else schemaLineOf(df.schema)
     writeManifest(spark, table, next,
@@ -5285,12 +5301,14 @@ object VersionedTable {
           .filterNot(l => l.startsWith(MetaPrefix) ||
             l.startsWith(ScPrefix)) // fresh sc written below
       else Seq.empty // overwrite: fresh lineage, column mapping resets
+    val physDfP = toPhysicalDf(df, carried)
     val tagged = writePartitionedDataMulti(spark, table, next,
-      toPhysicalDf(df, carried), toPhysicalCols(carried, partCols))
+      physDfP, toPhysicalCols(carried, partCols))
     val effStatCols = (statCols ++ statColsOf(carried)).distinct
     val stLines = computeStatLines(spark, tagged.map(_._2), effStatCols,
       renameMapOf(carried))
-    validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append)
+    validateNewFiles(spark, table, tagged.map(_._2), checkSchema = append,
+      writtenSchema = Some(physDfP.schema))
     val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
       else schemaLineOf(df.schema)
     // the staged root is data/<next>-<uuid>; files sit one __pt=
@@ -5706,9 +5724,11 @@ object VersionedTable {
     val carriedPaths = partitionsOf(carriedLines).map(_._3)
     val next = vs.last + 1
     val physPart = toPhysicalCols(lines, Seq(partCol)).head
+    val physDfO = toPhysicalDf(df, lines)
     val newTagged = writePartitionedData(spark, table, next,
-      toPhysicalDf(df, lines), physPart)
-    validateNewFiles(spark, table, newTagged.map(_._2)) // CHECK constraints
+      physDfO, physPart)
+    validateNewFiles(spark, table, newTagged.map(_._2), // CHECK constraints
+      writtenSchema = Some(physDfO.schema))
     val keptDv = consolidateTombstones(spark,
       lines.filter(_.startsWith(DvPrefix)), carriedPaths, table, next)
     writeManifest(spark, table, next,
@@ -6131,7 +6151,8 @@ object VersionedTable {
       else Seq.empty
     val dataDir = new Path(table,
       s"data/c-${java.util.UUID.randomUUID().toString.take(8)}")
-    toPhysicalDf(df, mapLines0).write.parquet(dataDir.toString)
+    val physDfR = toPhysicalDf(df, mapLines0)
+    physDfR.write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
@@ -6161,7 +6182,8 @@ object VersionedTable {
       // re-checked against each attempt's head — the winner of a lost
       // race may have added a constraint or evolved the schema. The
       // common path pays this once; only retries re-pay.
-      validateNewFiles(spark, table, newFiles, checkSchema = append)
+      validateNewFiles(spark, table, newFiles, checkSchema = append,
+        writtenSchema = Some(physDfR.schema))
       val schemaMeta = if (append) mergedSchemaLine(spark, table, df)
         else schemaLineOf(df.schema)
       try {
@@ -6896,11 +6918,18 @@ object VersionedTable {
     * constraint column the new files don't carry fails loudly
     * (AnalysisException): declare the column on the write or drop the
     * constraint first. */
+  /** `writtenSchema`: the staged files' PHYSICAL schema when the
+    * caller just wrote them from one DataFrame (every in-house commit
+    * path) — skips the per-commit `mergeSchema` footer-merge Spark
+    * job, whose result would be identical by construction. Externally
+    * sourced files (adopt/replace) pass None and keep the read. */
   private def validateNewFiles(spark: SparkSession, table: String,
                                newFiles: Seq[String],
-                               checkSchema: Boolean = true): Unit = {
+                               checkSchema: Boolean = true,
+                               writtenSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     if (checkSchema)
-      schemaConflictsWithTable(spark, table, newFiles).foreach { conflicts =>
+      schemaConflictsWithTable(spark, table, newFiles, writtenSchema)
+        .foreach { conflicts =>
         unstageFiles(spark, table, newFiles)
         throw new IllegalStateException(
           s"commit rejected: schema conflict(s) with the table — " +
@@ -6908,7 +6937,7 @@ object VersionedTable {
             " (adding NEW columns is evolution and always allowed; " +
             "changing an existing column's type is not)")
       }
-    val violated = constraintViolations(spark, table, newFiles)
+    val violated = constraintViolations(spark, table, newFiles, writtenSchema)
     if (violated.nonEmpty) {
       unstageFiles(spark, table, newFiles)
       throw new IllegalStateException(
@@ -6916,7 +6945,7 @@ object VersionedTable {
           violated.mkString("; "))
     }
     if (checkSchema) {
-      val bad = generatedViolations(spark, table, newFiles)
+      val bad = generatedViolations(spark, table, newFiles, writtenSchema)
       if (bad.nonEmpty) {
         unstageFiles(spark, table, newFiles)
         throw new IllegalStateException(
@@ -6926,12 +6955,30 @@ object VersionedTable {
     }
   }
 
+  /** The staged-file read for validation passes: explicit written
+    * schema (nullable, inference's convention) through the manifest
+    * file index — no schema-merge job, no listing job — when the
+    * caller knows what it wrote; merged-footer inference otherwise. */
+  private def stagedRead(spark: SparkSession, files: Seq[String],
+                         writtenSchema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame =
+    writtenSchema match {
+      case Some(s) =>
+        val nullable = org.apache.spark.sql.types.StructType(
+          s.fields.map(_.copy(nullable = true)))
+        GraftFileIndex.parquetFrame(spark, files, nullable, _ => None)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
+
   /** Explicitly-written generated-column values that DISAGREE with
     * the declared expression, per column — one O(new files) aggregate
     * pass, same shape as [[constraintViolations]]; empty when the
     * table declares no generated columns. */
   private def generatedViolations(spark: SparkSession, table: String,
-                                  files: Seq[String]): Seq[String] = {
+                                  files: Seq[String],
+                                  writtenSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
     import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
     if (files.isEmpty) return Seq.empty
     val headLines = versions(spark, table).lastOption
@@ -6939,8 +6986,8 @@ object VersionedTable {
     val gens = schemaOfLines(headLines).map(generatedColsOf)
       .getOrElse(Map.empty).toSeq.sortBy(_._1)
     if (gens.isEmpty) return Seq.empty
-    val staged = applyMapping(spark.read.option("mergeSchema", "true")
-      .parquet(files: _*), headLines)
+    val staged = applyMapping(stagedRead(spark, files, writtenSchema),
+      headLines)
     val (present, absent) = gens.partition { case (g, _) =>
       staged.columns.contains(g) }
     // files written WITHOUT a declared generated column would read as
@@ -6992,15 +7039,18 @@ object VersionedTable {
     * cache the merged schema forward in their commit meta). Comparison
     * ignores nullability. */
   private def schemaConflictsWithTable(spark: SparkSession, table: String,
-                                       newFiles: Seq[String])
+                                       newFiles: Seq[String],
+                                       writtenSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[Seq[String]] = {
     if (newFiles.isEmpty) return None
     val current = tableSchemaOf(spark, table).getOrElse(return None)
     val headLines = versions(spark, table).lastOption
       .map(v => readManifest(spark, table, v)).getOrElse(Seq.empty)
     val phys2log = renameMapOf(headLines).map(_.swap)
-    val incoming0 = spark.read.option("mergeSchema", "true")
-      .parquet(newFiles: _*).schema
+    // homogeneous staged files (one write): the merged footer schema
+    // IS the written frame's schema — skip the inference job
+    val incoming0 = writtenSchema.getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(newFiles: _*).schema)
     // new files carry PHYSICAL names — compare under logical ones
     val incoming = org.apache.spark.sql.types.StructType(
       incoming0.fields.map(f =>
@@ -7084,7 +7134,9 @@ object VersionedTable {
     * `files`; returns "name (expr): N row(s)" per violated constraint
     * (empty = clean or no constraints declared). */
   private def constraintViolations(spark: SparkSession, table: String,
-                                   files: Seq[String]): Seq[String] = {
+                                   files: Seq[String],
+                                   writtenSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     if (files.isEmpty) return Seq.empty
     val cs = constraintsOf(spark, table).toSeq.sortBy(_._1)
@@ -7093,8 +7145,8 @@ object VersionedTable {
       .map(v => readManifest(spark, table, v)).getOrElse(Seq.empty)
     // staged files carry PHYSICAL names; constraints are written in
     // logical — validate under the mapped view
-    val staged = applyMapping(spark.read.option("mergeSchema", "true")
-      .parquet(files: _*), headLines)
+    val staged = applyMapping(stagedRead(spark, files, writtenSchema),
+      headLines)
     val counts = staged.agg(
       sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L)
         .otherwise(0L)).as(cs.head._1),

@@ -194,9 +194,16 @@ object TableChangeStream {
       val marker = new Path(destTable, s"_feed/v$v")
       val f = fs(spark, marker)
       if (!f.exists(marker)) {
+        // persist across the emptiness probe + commit: the feed is a
+        // multiset diff over the changed files — without the persist
+        // it is computed twice (once for isEmpty, once for the
+        // write), doubling the drain's dominant cost
         val rows = feed.withColumn("src_version", lit(v))
-        if (!rows.isEmpty)
-          VersionedTable.commit(spark, destTable, rows, append = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!rows.isEmpty)
+            VersionedTable.commit(spark, destTable, rows, append = true)
+        } finally rows.unpersist(blocking = false)
         f.mkdirs(marker.getParent)
         f.create(marker, false).close() // idempotence publish
       }
@@ -224,17 +231,24 @@ object TableChangeStream {
       "declare the sink with orderCols = Seq(\"src_version\")")
     drain(spark, table, checkpointDir) { (feed, v) =>
       val keyCols = sink.keyCols
-      val inserts = feed.filter(col("change") === "insert")
-        .drop("change", "n").withColumn("src_version", lit(v))
-      val pureDeletes = feed.filter(col("change") === "delete")
-        .select(keyCols.map(col): _*)
-        .join(feed.filter(col("change") === "insert")
-          .select(keyCols.map(col): _*), keyCols, "left_anti")
-        // version-guarded: a replayed old delete can't take down a
-        // row a later (already-applied) version re-inserted
-        .withColumn("src_version", lit(v))
-      if (!pureDeletes.isEmpty) sink.deleteKeys(pureDeletes)
-      if (!inserts.isEmpty) sink.write(inserts)
+      // persist: the feed (a multiset diff over changed files) feeds
+      // FOUR consumers below (two emptiness probes + two JDBC ships)
+      // — without it each one recomputes the diff from scratch
+      val cached = feed
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val inserts = cached.filter(col("change") === "insert")
+          .drop("change", "n").withColumn("src_version", lit(v))
+        val pureDeletes = cached.filter(col("change") === "delete")
+          .select(keyCols.map(col): _*)
+          .join(cached.filter(col("change") === "insert")
+            .select(keyCols.map(col): _*), keyCols, "left_anti")
+          // version-guarded: a replayed old delete can't take down a
+          // row a later (already-applied) version re-inserted
+          .withColumn("src_version", lit(v))
+        if (!pureDeletes.isEmpty) sink.deleteKeys(pureDeletes)
+        if (!inserts.isEmpty) sink.write(inserts)
+      } finally cached.unpersist(blocking = false)
     }
   }
 

@@ -240,11 +240,11 @@ class ManifestStatsSpec extends SparkSpec {
     assert(scans == 0 && got == 0L)
   }
 
-  test("footer stats == scan stats for numeric columns; strings fall back") {
+  test("footer stats == scan stats for numeric AND string columns; floats/long strings fall back") {
     val dir = Files.createTempDirectory("vfooter").toString + "/data"
     val df = Seq(
       (5L, 2, 1.5, true, Option("sa")),
-      (1L, 9, -3.25, false, Option("zz")),
+      (1L, 9, -3.25, false, Option("naïve—值")), // non-ASCII: byte order
       (7L, 4, 0.0, true, Option.empty[String]))
       .toDF("k", "i", "d", "b", "s")
     df.repartition(2).write.parquet(dir)
@@ -252,47 +252,63 @@ class ManifestStatsSpec extends SparkSpec {
     val files = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(p).map(_.getPath.toString)
       .filter(_.endsWith(".parquet")).toSeq
-    val numericCols = Seq("k", "i", "b")
-    val footer = FileSkipping.footerStats(spark, files, numericCols)
-    assert(footer.isDefined, "unannotated integers must be footer-servable")
+    val servable = Seq("k", "i", "b", "s")
+    val footer = FileSkipping.footerStats(spark, files, servable)
+    assert(footer.isDefined,
+      "unannotated integers and UTF8 strings must be footer-servable")
     // floats are excluded by design (-0.0 normalization, NaN-less
     // footer stats vs Spark's NaN-above-+Inf max): fallback
     assert(FileSkipping.footerStats(spark, files, Seq("k", "d")).isEmpty)
-    // parity with the scan path, rendering included
-    val scan = FileSkipping.collectStatsFiles(spark, files, numericCols)
+    // parity with the scan path, rendering included (strings decode
+    // UTF-8 and reduce under unsigned byte order == Spark's ordering)
+    val scan = FileSkipping.collectStatsFiles(spark, files, servable)
       .collect().map { r =>
         def s(f: String) = Option(r.get(r.fieldIndex(f))).map(_.toString)
         new org.apache.hadoop.fs.Path(r.getString(r.fieldIndex("file")))
           .toUri.getPath ->
           (r.getLong(r.fieldIndex("n_rows")),
-            numericCols.map(c => c -> (s(s"${c}_min"), s(s"${c}_max"),
+            servable.map(c => c -> (s(s"${c}_min"), s(s"${c}_max"),
               r.getLong(r.fieldIndex(s"${c}_nulls")))).toMap)
       }.toMap
     footer.get.foreach { case (f, (nrows, perCol)) =>
       val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
       val (sRows, sCols) = scan(key)
       assert(nrows == sRows)
-      numericCols.foreach { c => assert(perCol(c) == sCols(c),
+      servable.foreach { c => assert(perCol(c) == sCols(c),
         s"footer/scan mismatch for $c in $f: ${perCol(c)} vs ${sCols(c)}") }
     }
-    // strings are truncation-prone: the footer path must refuse them
-    assert(FileSkipping.footerStats(spark, files, Seq("k", "s")).isEmpty)
-    // and a commit with a string stat column still works via the scan
-    // fallback (notifier fires exactly once, for that commit)
+    // a commit with a string stat column is now footer-served too —
+    // zero fallback scans, values identical to the scan path's
     val t = freshTable()
     val (_, scans2) = countingScans {
       VersionedTable.commit(spark, t, df.coalesce(1), append = false,
         statCols = Seq("k", "s"))
     }
-    assert(scans2 == 1, s"string stat col must fall back once, got $scans2")
+    assert(scans2 == 0, s"string stat col must be footer-served, got $scans2 scans")
     val fr = VersionedTable.files(spark, t, Seq("k", "s")).collect()(0)
-    assert(fr.getAs[String]("s_min") == "sa")
-    // ...while a numeric-only commit is footer-served (zero scans)
+    // unsigned byte order: 'n' (0x6E) < 's' (0x73)
+    assert(fr.getAs[String]("s_min") == "naïve—值")
+    assert(fr.getAs[String]("s_max") == "sa")
+    // ...numeric-only commits stay footer-served (zero scans)
     val t2 = freshTable()
     val (_, scans3) = countingScans {
       VersionedTable.commit(spark, t2, df.coalesce(1), append = false,
         statCols = Seq("k", "i"))
     }
     assert(scans3 == 0, "integer stat cols must be footer-served")
+    // oversized string values: the writer drops footer stats above
+    // its 4 KB threshold and our guard bails earlier — either way the
+    // commit falls back to the exact scan, never a truncated bound
+    val t3 = freshTable()
+    val big = Seq((1L, "a" * 5000), (2L, "b" * 5000)).toDF("k", "s")
+    val (_, scans4) = countingScans {
+      VersionedTable.commit(spark, t3, big.coalesce(1), append = false,
+        statCols = Seq("s"))
+    }
+    assert(scans4 == 1,
+      s"oversized string stats must fall back to the scan, got $scans4")
+    val fr3 = VersionedTable.files(spark, t3, Seq("s")).collect()(0)
+    assert(fr3.getAs[String]("s_min") == "a" * 5000,
+      "fallback scan must still record the exact value")
   }
 }
