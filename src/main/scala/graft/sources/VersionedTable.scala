@@ -1693,6 +1693,7 @@ object VersionedTable {
         deletePruneNotifier(cand.size, data.size)
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix))
       }
     val rangePred = pruneRanges
@@ -2184,7 +2185,8 @@ object VersionedTable {
     val scanLines =
       if (prunePreds.isEmpty) lines
       else scanCandidates(lines, prunePreds) ++ dvLines ++
-        cmLinesOf(lines) ++ scLinesOf(lines)
+        cmLinesOf(lines) ++ scLinesOf(lines) ++
+        lines.filter(_.startsWith(FzPrefix))
     rewriteProbeNotifier(dataFilesOf(scanLines).size, data.size)
     val rangePred =
       if (prunePreds.isEmpty) predicate
@@ -2209,7 +2211,8 @@ object VersionedTable {
       else {
         val rows = readSnapshot(spark,
           rewrite ++ dvLines ++ cmLinesOf(lines) ++ scLinesOf(lines) ++
-            lines.filter(_.startsWith(NcPrefix)))
+            lines.filter(l => l.startsWith(NcPrefix) ||
+              l.startsWith(FzPrefix)))
         val out = transform(rows, rangePred)
         rewrittenSchema = Some(toPhysicalDf(out, cmLinesOf(lines)).schema)
         writeRewrite(spark, table, next, out,
@@ -2652,7 +2655,8 @@ object VersionedTable {
       else readSnapshot(spark,
         rewrite ++ dvLines ++ cmLinesOf(currentLines) ++
         scLinesOf(currentLines) ++
-        currentLines.filter(_.startsWith(NcPrefix)))
+        currentLines.filter(l => l.startsWith(NcPrefix) ||
+          l.startsWith(FzPrefix)))
         .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val next = vs.last + 1
@@ -2892,7 +2896,8 @@ object VersionedTable {
     else readSnapshot(spark,
       rewrite ++ dvLines ++ cmLinesOf(currentLines) ++
         scLinesOf(currentLines) ++
-        currentLines.filter(_.startsWith(NcPrefix))))
+        currentLines.filter(l => l.startsWith(NcPrefix) ||
+          l.startsWith(FzPrefix))))
       .withColumn("__graft_t", lit(true))
     val sRows = source.withColumn("__graft_s", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"),
@@ -4609,6 +4614,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
@@ -4709,6 +4715,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(c) >= lo && col(c) <= hi)
   }
@@ -4751,6 +4758,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(if (wantNull) col(c).isNull else col(c).isNotNull)
   }
@@ -4932,6 +4940,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(predExpr(preds))
   }
@@ -4990,6 +4999,7 @@ object VersionedTable {
       if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
       else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(disjuncts.map(predExpr).reduce(_ || _))
   }
@@ -5046,6 +5056,7 @@ object VersionedTable {
       if (boundary.isEmpty) 0L
       else readSnapshot(spark, boundary ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
         .filter(predExpr(preds)).count()
     (metadataCount + scanned, contained.size, boundary.size)
@@ -5103,6 +5114,7 @@ object VersionedTable {
       else {
         val r = readSnapshot(spark, scan ++ lines.filter(l =>
           l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
           .filter(predExpr(preds))
           .agg(min(col(c)), max(col(c))).collect()(0)
@@ -5152,6 +5164,7 @@ object VersionedTable {
     if (cand.isEmpty) readSnapshot(spark, lines).limit(0)
     else readSnapshot(spark, cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
   }
 
@@ -5363,6 +5376,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(filters.map { case (c, vals) =>
       col(c).cast("string").isin(vals: _*)
@@ -5410,6 +5424,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(partCol).cast("string").isin(values: _*))
   }
@@ -5450,6 +5465,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(partCol).cast("string") >= lo &&
       col(partCol).cast("string") <= hi)
@@ -5651,6 +5667,7 @@ object VersionedTable {
       else readSnapshot(spark,
         cand ++ lines.filter(l =>
         l.startsWith(DvPrefix) || l.startsWith(CmPrefix) ||
+        l.startsWith(FzPrefix) ||
         l.startsWith(ScPrefix) || l.startsWith(NcPrefix)))
     base.filter(col(rawCol) >= lo && col(rawCol) <= hi)
   }
