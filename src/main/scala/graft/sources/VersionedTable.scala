@@ -654,6 +654,51 @@ object VersionedTable {
     lines.collect { case l if l.startsWith(DvPrefix) =>
       l.substring(DvPrefix.length) }
 
+  /** The shared schema of a snapshot's dv sidecars from ONE footer
+    * open — all live sidecars of one table share one key schema
+    * (FORMAT.md `dv`), and Spark wrote them, so the footer's
+    * StructType JSON is the exact answer. `spark.read.parquet(dvs)`
+    * pays an InMemoryFileIndex listing PLUS a schema-inference footer
+    * read per call for the same information; at sidecar counts past
+    * the parallel-discovery threshold the listing alone is a whole
+    * Spark job. Falls back to the inference read if the metadata key
+    * is ever absent (a non-Spark writer — never our own sidecars). */
+  private[sources] def dvSchemaOf(spark: SparkSession, dvs: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fromFooter =
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(dvs.head), conf))
+        val meta =
+          try reader.getFooter.getFileMetaData.getKeyValueMetaData
+          finally reader.close()
+        Option(meta.get("org.apache.spark.sql.parquet.row.metadata"))
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromFooter.getOrElse(spark.read.parquet(dvs: _*).schema)
+  }
+
+  /** A snapshot's dv sidecars as a DataFrame planned from known
+    * metadata: explicit schema (one footer open), manifest-fed
+    * [[GraftFileIndex]] scan — no listing job, no inference job. */
+  private def dvFrame(spark: SparkSession, dvs: Seq[String]): DataFrame =
+    GraftFileIndex.parquetFrame(spark, dvs,
+      dvSchemaOf(spark, dvs).asNullable, _ => None)
+
+  /** The dv sidecars projected to [[FileCol]] only — the shape every
+    * tombstoned-file probe takes. The fixed one-column schema needs
+    * ZERO footer opens and unions sidecar generations with different
+    * key schemas (e.g. a diff across two versions' manifests). */
+  private def dvFileColFrame(spark: SparkSession,
+                             dvs: Seq[String]): DataFrame =
+    GraftFileIndex.parquetFrame(spark, dvs,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(FileCol,
+          org.apache.spark.sql.types.StringType))), _ => None)
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1486,7 +1531,7 @@ object VersionedTable {
       // columns (file identity, row position) materialize INSIDE each
       // branch — they cannot resolve above a union.
       val posNeeded = dvs.nonEmpty &&
-        spark.read.parquet(dvs: _*).schema.fieldNames.contains(PosCol)
+        dvSchemaOf(spark, dvs).fieldNames.contains(PosCol)
       def scanCols(df: DataFrame): DataFrame =
         if (dvs.isEmpty) df
         else {
@@ -1548,7 +1593,7 @@ object VersionedTable {
                               dvs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (dvs.isEmpty) return base
-    val tomb = spark.read.parquet(dvs: _*)
+    val tomb = dvFrame(spark, dvs)
     val keyCols = tomb.columns.filterNot(_ == FileCol).toSeq
     val needPos = keyCols.contains(PosCol) && !base.columns.contains(PosCol)
     val joined =
@@ -1668,7 +1713,7 @@ object VersionedTable {
     if (dataFilesOf(lines).isEmpty) return vs.last
     val liveDvs = dvFilesOf(lines)
     if (liveDvs.nonEmpty) {
-      val existing = spark.read.parquet(liveDvs: _*).columns
+      val existing = dvSchemaOf(spark, liveDvs).fieldNames
         .filterNot(_ == FileCol).toSet
       require(existing == toPhysicalCols(lines, keyCols).toSet,
         s"table's live tombstones are keyed by $existing; a delete " +
@@ -1880,7 +1925,7 @@ object VersionedTable {
     val lines = readManifest(spark, table, vs.last)
     val liveDvs = dvFilesOf(lines)
     if (liveDvs.nonEmpty) {
-      val existing = spark.read.parquet(liveDvs: _*).columns
+      val existing = dvSchemaOf(spark, liveDvs).fieldNames
         .filterNot(_ == FileCol).toSet
       require(existing == Set(PosCol),
         s"table's live tombstones are keyed by $existing; a positional " +
@@ -2047,7 +2092,7 @@ object VersionedTable {
         val rowCounts = manifestRowCounts(lines)
         val liveDvs = dvFilesOf(lines)
         val posCompatible = liveDvs.isEmpty ||
-          spark.read.parquet(liveDvs: _*).columns
+          dvSchemaOf(spark, liveDvs).fieldNames
             .filterNot(_ == FileCol).toSet == Set(PosCol)
         if (rowCounts.isEmpty || !posCompatible) {
           // no O(files) row counts to decide from (or the sidecar key
@@ -2068,8 +2113,7 @@ object VersionedTable {
           // contained (their manifest nrows over-counts).
           val tombstoned: Set[String] =
             if (liveDvs.isEmpty) Set.empty
-            else spark.read.parquet(liveDvs: _*)
-              .select(org.apache.spark.sql.functions.col(FileCol))
+            else dvFileColFrame(spark, liveDvs)
               .distinct().collect()
               .map(r => norm(r.getString(0))).toSet
           val containedBy = containmentOf(lines)
@@ -2453,8 +2497,7 @@ object VersionedTable {
     val dvChanged = (dvA diff dvB) ++ (dvB diff dvA)
     val dvTouched: Set[String] =
       if (dvChanged.isEmpty) Set.empty
-      else spark.read.parquet(dvChanged.toSeq: _*)
-        .select(FileCol).distinct()
+      else dvFileColFrame(spark, dvChanged.toSeq).distinct()
         .collect().map(r => norm(r.getString(0))).toSet
     def touched(data: Seq[String], other: Set[String]) =
       data.filter(f => !other.contains(norm(f)) || dvTouched.contains(norm(f)))
@@ -2514,7 +2557,7 @@ object VersionedTable {
     // only materialize at SCAN level — inside each era branch, never
     // above the union
     val posNeeded = withPos || (nc.nonEmpty && dvs.nonEmpty &&
-      spark.read.parquet(dvs: _*).schema.fieldNames.contains(PosCol))
+      dvSchemaOf(spark, dvs).fieldNames.contains(PosCol))
     def scanCols(df: DataFrame): DataFrame = {
       val d = df.withColumn(FileCol, normFileExpr)
       if (posNeeded) d.withColumn(PosCol, col("_metadata.row_index"))
@@ -3034,7 +3077,7 @@ object VersionedTable {
     val dvs = dvFilesOf(dvLines)
     if (dvs.isEmpty) return Seq.empty
     val carriedSet = carried.map(norm).toSet
-    val tomb = spark.read.parquet(dvs: _*)
+    val tomb = dvFrame(spark, dvs)
     // O(files) literal list — file counts are manifest-sized, never data-sized
     val keep = tomb.filter(org.apache.spark.sql.functions
       .col(FileCol).isin(carriedSet.toSeq: _*))
@@ -3132,8 +3175,7 @@ object VersionedTable {
     if (dvs.isEmpty) return vs.last
     // O(deleted rows) driver probe — the sidecars a delete writes are
     // tiny by construction
-    val tombstoned = spark.read.parquet(dvs: _*)
-      .select(col(FileCol)).distinct()
+    val tombstoned = dvFileColFrame(spark, dvs).distinct()
       .collect().map(r => norm(r.getString(0))).toSet
     val data = dataFilesOf(lines)
     val (debt, clean) = data.partition(f => tombstoned.contains(norm(f)))
@@ -3482,8 +3524,7 @@ object VersionedTable {
   private def dvTargets(spark: SparkSession,
                         dvs: Seq[String]): Set[String] =
     if (dvs.isEmpty) Set.empty
-    else spark.read.parquet(dvs: _*)
-      .select(org.apache.spark.sql.functions.col(FileCol)).distinct()
+    else dvFileColFrame(spark, dvs).distinct()
       .collect().map(r => norm(r.getString(0))).toSet
 
   /** CHERRY-PICK a branch whose base main has moved PAST: replay the
@@ -5041,7 +5082,7 @@ object VersionedTable {
     val dvs = dvFilesOf(lines)
     val tombstoned: Set[String] =
       if (dvs.isEmpty) Set.empty
-      else spark.read.parquet(dvs: _*).select(col(FileCol)).distinct()
+      else dvFileColFrame(spark, dvs).distinct()
         .collect().map(r => norm(r.getString(0))).toSet
     val containedBy = containmentOf(lines)
     val nrowsOf: Map[String, Long] = statsOf(lines)
@@ -5095,7 +5136,7 @@ object VersionedTable {
     val dvs = dvFilesOf(lines)
     val tombstoned: Set[String] =
       if (dvs.isEmpty) Set.empty
-      else spark.read.parquet(dvs: _*).select(col(FileCol)).distinct()
+      else dvFileColFrame(spark, dvs).distinct()
         .collect().map(r => norm(r.getString(0))).toSet
     val containedBy = containmentOf(lines)
     // contained AND c-stat-covered files answer from metadata; the
@@ -5834,7 +5875,7 @@ object VersionedTable {
     val dvs = dvFilesOf(lines)
     val debt: Map[String, Long] =
       if (dvs.isEmpty) Map.empty
-      else spark.read.parquet(dvs: _*)
+      else dvFileColFrame(spark, dvs)
         .groupBy(org.apache.spark.sql.functions.col(FileCol)).count()
         .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
     if (debt.isEmpty)
@@ -5884,7 +5925,7 @@ object VersionedTable {
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     val tombstoned: Set[String] =
       if (dvLines.isEmpty) Set.empty
-      else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
+      else dvFileColFrame(spark, dvFilesOf(lines))
         .distinct().collect().map(r => norm(r.getString(0))).toSet
     val byFileCol = statsOf(lines).map(s => (norm(s._3), s._1) -> s._2).toMap
     val anyStat = statsOf(lines).groupBy(s => norm(s._3))
@@ -5971,7 +6012,7 @@ object VersionedTable {
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     val tombstoned: Set[String] =
       if (dvLines.isEmpty) Set.empty
-      else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
+      else dvFileColFrame(spark, dvFilesOf(lines))
         .distinct().collect().map(r => norm(r.getString(0))).toSet
     val rowsOf = statsOf(lines).groupBy(s => norm(s._3))
       .view.mapValues(_.head._2._4).toMap
@@ -6023,7 +6064,7 @@ object VersionedTable {
     val dvLines = lines.filter(_.startsWith(DvPrefix))
     val tombstoned: Set[String] =
       if (dvLines.isEmpty) Set.empty
-      else spark.read.parquet(dvFilesOf(lines): _*).select(FileCol)
+      else dvFileColFrame(spark, dvFilesOf(lines))
         .distinct().collect().map(r => norm(r.getString(0))).toSet
     val statOf = statsOf(lines)
       .collect { case (c, st, p) if c == statCol => norm(p) -> st }.toMap
@@ -6634,7 +6675,7 @@ object VersionedTable {
     val dvs = dvFilesOf(lines)
     if (dvs.nonEmpty) {
       val physical = renameMapOf(lines).getOrElse(colName, colName)
-      require(!spark.read.parquet(dvs: _*).columns.contains(physical),
+      require(!dvSchemaOf(spark, dvs).fieldNames.contains(physical),
         s"'$colName' keys the live deletion vectors — compactCommit " +
           "to purge tombstones before dropping")
     }
